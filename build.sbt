@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for Spark whole-stage-codegen classes (default 240m can fill
+  // across many distinct plans and silently de-optimize to interpreter)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench main — runs the headline query set on SPARK_GRAFT_SF_DIR (default
+  * sf0.1) and prints ONE JSON line the driver records as BENCH_r{N}.json.
+  *
+  * Each query is fully materialized through the "noop" sink (not .count(),
+  * which would let Catalyst prune the whole plan down to a metadata count
+  * for scan-shaped queries). One untimed warmup of the flagship agg pays
+  * JIT/codegen + parquet footer costs so the timings measure the plans.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // warmup (untimed): JIT, codegen compiler, parquet footers
+    materialize(SparkEntry.queries("b17_agg_hash")(spark, sfDir))
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val results = SparkEntry.benchQueries.map { e =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(e.q(spark, sfDir))
+        catch { case t: Throwable => System.err.println(s"[bench] ${e.name}: $t") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      e.name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Registry.Entry
+
+/** Driver contract — see SURVEY.md §7 + BASELINE.md.
+  *
+  * Every operator from SURVEY.md §2B registers one [[Registry.Entry]] in a
+  * module under graft.operators / graft.llm / graft.streaming; this object
+  * only aggregates them into the driver-facing maps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def all: Seq[Entry] =
+    operators.Relational.entries
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("b17_agg_hash")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(e => e.name -> e.q).toMap
+
+  /** DuckDB-dialect twin for each query (t2 hash-match oracle). Entries
+    * without SQL twins (approximate / streaming ops) are omitted → the
+    * driver records a weaker rows-only check for them. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(e => e.oracle.map(sql => e.name -> sql)).toMap
+
+  /** Headline subset timed by Bench at sf0.1. */
+  def benchQueries: Seq[Entry] = all.filter(_.bench)
 }

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: t2check.py <verifyOutDir> <sfDir>
+
+Loads each <outDir>/<name>/ parquet (Spark result), runs the matching oracle
+SQL from <outDir>/oracle_sql.json in DuckDB over views named after the sfDir
+tables, and compares: column names (sorted), row count, and values in result
+order. Exact match for non-floats; 1e-9 relative tolerance for floats (the
+real driver hashes — our queries round to 4dp so this flags real drift).
+Dtype family mismatches (int vs float, anything vs string) are reported as
+failures since a stringifying hash would diverge on them.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return None
+    try:
+        import numpy as np
+        if isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:
+        pass
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+def family(v):
+    if v is None: return "null"
+    if isinstance(v, bool): return "bool"
+    if isinstance(v, int): return "int"
+    if isinstance(v, float): return "float"
+    if isinstance(v, str): return "str"
+    return type(v).__name__
+
+def cells_equal(a, b):
+    a, b = norm_cell(a), norm_cell(b)
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if not (isinstance(a, (int, float)) and isinstance(b, (int, float))):
+            return False
+        fa, fb = float(a), float(b)
+        if math.isinf(fa) or math.isinf(fb): return fa == fb
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_fail += 1
+            continue
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchall()
+            scols = [d[0] for d in con.description]
+            ddf = con.execute(sql).fetchall()
+            dcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(sdf) != len(ddf):
+            print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
+            ok = False
+        else:
+            s_idx = [scols.index(c) for c in sorted(scols)]
+            d_idx = [dcols.index(c) for c in sorted(dcols)]
+            for i, (sr, dr) in enumerate(zip(sdf, ddf)):
+                srow = [sr[j] for j in s_idx]
+                drow = [dr[j] for j in d_idx]
+                for c, (a, b) in zip(sorted(scols), zip(srow, drow)):
+                    fa, fb = family(norm_cell(a)), family(norm_cell(b))
+                    if fa != fb and "null" not in (fa, fb) and {fa, fb} != {"int", "float"}:
+                        print(f"FAIL {name}: row {i} col {c} dtype {fa} vs {fb} ({a!r} vs {b!r})")
+                        ok = False; break
+                    if not cells_equal(a, b):
+                        print(f"FAIL {name}: row {i} col {c}: spark={a!r} duck={b!r}")
+                        ok = False; break
+                if not ok:
+                    break
+        if ok:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
