@@ -12,7 +12,8 @@ import graft.Registry.Entry
 object SparkEntry {
 
   def all: Seq[Entry] =
-    operators.Relational.entries
+    operators.Relational.entries ++
+      operators.WildWebQueries.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
