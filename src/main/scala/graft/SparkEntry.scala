@@ -13,6 +13,9 @@ object SparkEntry {
 
   def all: Seq[Entry] =
     operators.Relational.entries ++
+      operators.WindowsAndAggs.entries ++
+      operators.Scalars.entries ++
+      operators.TemporalJoins.entries ++
       operators.WildWebQueries.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** SURVEY §2B aggregation depth + window/sort/limit/set-op repertoire
+  * (B19-B23, B25-B31). Built-ins only; the work is determinism (unique
+  * order tiebreakers, round(x,4) on doubles, explicit NULLS FIRST on the
+  * DuckDB side) and scale notes.
+  *
+  * Scale posture: window functions shuffle once on partitionBy keys;
+  * grouping-set aggregates expand rows (one per grouping set) before a
+  * single shuffle; set ops are hash-partitioned joins/aggregates. Nothing
+  * here materializes on the driver.
+  */
+object WindowsAndAggs {
+
+  /** B19 — HLL approximate distinct. Never t2 (approximate by design):
+    * the tolerance test vs exact lives in ApproxSpec; the driver records a
+    * rows-only check. At 100 TB this replaces B18's exact distinct with a
+    * constant-size sketch per group — no (group,value) shuffle. */
+  private val b19 = entryNoOracle("b19_agg_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B20 — cube with grouping indicators. gid is computed portably as
+    * grouping(a)*2+grouping(b) (Spark's grouping_id and DuckDB's multi-arg
+    * grouping agree, but the explicit form is dialect-proof). */
+  private val b20 = entry(
+    "b20_agg_cube",
+    """SELECT CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+      |       o_orderstatus, o_orderpriority,
+      |       count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** B21 — collect_list/collect_set, always sort_array'd for determinism
+    * (SURVEY §2B rules; collection order is otherwise partition-dependent). */
+  private val b21 = entry(
+    "b21_agg_collect",
+    """SELECT o_custkey,
+      |       list_sort(list(o_orderpriority)) AS prios,
+      |       list_sort(list(DISTINCT o_orderstatus)) AS statuses
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderpriority"))).as("prios"),
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+      .orderBy("o_custkey")
+  }
+
+  /** B22 — statistical aggregates. Columns chosen small-magnitude
+    * (quantity/discount/tax) so round(x,4) fully absorbs summation-order
+    * float drift between engines. */
+  private val b22 = entry(
+    "b22_agg_stats",
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |       round(var_samp(l_quantity), 4) AS var_qty,
+      |       round(corr(l_discount, l_tax), 4) AS corr_disc_tax,
+      |       round(covar_samp(l_discount, l_tax), 4) AS covar_s,
+      |       round(covar_pop(l_discount, l_tax), 4) AS covar_p
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_discount"), col("l_tax")), 4).as("corr_disc_tax"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("covar_s"),
+        round(covar_pop(col("l_discount"), col("l_tax")), 4).as("covar_p"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B23 — exact percentile/median (continuous interpolation — Spark
+    * `percentile` and DuckDB `quantile_cont` agree; `percentile_approx`
+    * would be B19-class and is deliberately not used here). */
+  private val b23 = entry(
+    "b23_agg_percentile",
+    """SELECT l_returnflag,
+      |       round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+      |       round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50,
+      |       round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75,
+      |       round(CAST(median(l_quantity) AS DOUBLE), 4) AS med
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("median(l_quantity)"), 4).as("med"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B25 — ranking window functions over a deterministic (unique) order. */
+  private val b25 = entry(
+    "b25_window_ranking",
+    """SELECT o_custkey, o_orderkey,
+      |       row_number() OVER w AS rn,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       ntile(4) OVER w AS quartile,
+      |       round(percent_rank() OVER w, 4) AS prank,
+      |       round(cume_dist() OVER w, 4) AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("prank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B26 — analytic window functions (lag/lead/first/last/nth). last/nth use
+    * the full-partition frame; the default running frame would make
+    * last_value degenerate to the current row. */
+  private val b26 = entry(
+    "b26_window_analytic",
+    """SELECT o_custkey, o_orderkey,
+      |       lag(o_orderkey, 1) OVER w AS prev_key,
+      |       lead(o_orderkey, 1) OVER w AS next_key,
+      |       first_value(o_orderkey) OVER wf AS first_key,
+      |       last_value(o_orderkey) OVER wf AS last_key,
+      |       nth_value(o_orderkey, 2) OVER wf AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B27 — explicit frames: running sum (rows), sliding avg (rows), and a
+    * value-range frame over o_totalprice. */
+  private val b27 = entry(
+    "b27_window_frames",
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+      |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS sliding_avg,
+      |       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-10000, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_total"),
+        round(avg(col("o_totalprice"))
+          .over(wOrd.rowsBetween(-3, Window.currentRow)), 4).as("sliding_avg"),
+        count(lit(1)).over(wRange).as("n_similar"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** B28 — global multi-key sort with explicit null placement (Spark default
+    * is ASC NULLS FIRST / DESC NULLS LAST; both spelled out in the oracle). */
+  private val b28 = entry(
+    "b28_sort_multikey",
+    """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+      |       o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY prio_or_null DESC NULLS LAST, o_orderstatus ASC,
+      |         o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_or_null"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("prio_or_null").desc_nulls_last, col("o_orderstatus").asc,
+        col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** B29 — top-k per group (window + filter) composed with a global
+    * ORDER BY + LIMIT. At scale, row_number≤k prunes inside each partition
+    * before any global ordering; the final limit is a cheap take. */
+  private val b29 = entry(
+    "b29_limit_topk",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn LIMIT 500""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+      .limit(500)
+  }
+
+  /** B30 — union all + union distinct (by name). */
+  private val b30 = entry(
+    "b30_setop_union",
+    """SELECT nk, src FROM (
+      |  SELECT c_nationkey AS nk, 'c' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nk, 'c' AS src FROM supplier) u
+      |UNION
+      |SELECT n_nationkey AS nk, 'n' AS src FROM nation
+      |ORDER BY nk, src""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"), lit("c").as("src"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk"), lit("c").as("src"))
+    val n = Tables.nation(s, d).select(col("n_nationkey").as("nk"), lit("n").as("src"))
+    c.unionByName(sup).unionByName(n).distinct()
+      // distinct-of-union-all ≡ (c ∪ALL s) ∪DISTINCT n per SQL UNION chain
+      .orderBy("nk", "src")
+  }
+
+  /** B31 — intersect / except with ALL variants (multiset semantics). */
+  private val b31 = entry(
+    "b31_setop_intersect_except",
+    """SELECT nk, 'intersect' AS op FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT nk, 'except' AS op FROM (
+      |  SELECT n_nationkey AS nk FROM nation
+      |  EXCEPT SELECT c_nationkey FROM customer) b
+      |UNION ALL
+      |SELECT nk, 'except_all' AS op FROM (
+      |  SELECT o_custkey % 10 AS nk FROM orders WHERE o_orderkey < 100
+      |  EXCEPT ALL SELECT c_custkey % 10 FROM customer WHERE c_custkey < 50) c
+      |ORDER BY op, nk""".stripMargin) { (s, d) =>
+    val cNk = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val sNk = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    val nNk = Tables.nation(s, d).select(col("n_nationkey").as("nk"))
+    val oMod = Tables.orders(s, d).filter(col("o_orderkey") < 100)
+      .select((col("o_custkey") % 10).as("nk"))
+    val cMod = Tables.customer(s, d).filter(col("c_custkey") < 50)
+      .select((col("c_custkey") % 10).as("nk"))
+    cNk.intersect(sNk).select(col("nk"), lit("intersect").as("op"))
+      .unionByName(nNk.except(cNk).select(col("nk"), lit("except").as("op")))
+      .unionByName(oMod.exceptAll(cMod).select(col("nk"), lit("except_all").as("op")))
+      .orderBy("op", "nk")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b19, b20, b21, b22, b23, b25, b26, b27, b28, b29, b30, b31)
+}

@@ -25,7 +25,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read as a
+    * timestamp (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos via the
+    * legacy conf and truncate to microseconds — DuckDB's reader yields the
+    * same µs values (verified: no sub-µs components in the testdata), so
+    * both engines see identical timestamps (FIXTURES.md §2 caution). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
