@@ -16,6 +16,7 @@ object SparkEntry {
       operators.WindowsAndAggs.entries ++
       operators.Scalars.entries ++
       operators.TemporalJoins.entries ++
+      operators.Extensions.entries ++
       operators.WildWebQueries.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Registry._
+import graft.functions.{FeatureIdExpression, Udfs, WeightedMeanAgg}
+import graft.sources.Tables
+
+/** SURVEY §2B extension-path operators: B3 (CSV scan), B4 (sorted sink +
+  * re-read), B24 (custom typed Aggregator), B39 (Scala UDF + native codegen
+  * Expression), B40 (generator / lateral explode).
+  */
+object Extensions {
+
+  private val csvPath = "/root/repo/fixtures/csv/dispatch_centers.csv"
+
+  /** B3 — CSV scan with header + explicit schema (inference is forbidden at
+    * scale: one extra full pass over 100 TB). */
+  private val b03 = entry(
+    "b03_scan_csv",
+    s"""SELECT center_code, center_name, state, lat, lon, active
+       |FROM read_csv('$csvPath', header=true,
+       |  columns={center_code: 'VARCHAR', center_name: 'VARCHAR',
+       |           state: 'VARCHAR', lat: 'DOUBLE', lon: 'DOUBLE',
+       |           active: 'BOOLEAN'})
+       |WHERE active ORDER BY center_code""".stripMargin) { (s, _) =>
+    val schema = StructType(Seq(
+      StructField("center_code", StringType), StructField("center_name", StringType),
+      StructField("state", StringType), StructField("lat", DoubleType),
+      StructField("lon", DoubleType), StructField("active", BooleanType)))
+    s.read.option("header", "true").schema(schema).csv(csvPath)
+      .filter(col("active"))
+      .orderBy("center_code")
+  }
+
+  /** B4 — sink: sorted single-file parquet write, then re-read (the t2 hash
+    * is over the re-read, proving the round-trip is lossless). Single-file +
+    * sortWithinPartitions is the diffable-output mode; the 100 TB path drops
+    * coalesce(1) and partitions by a key column instead. */
+  private val b04 = entry(
+    "b04_sink_parquet",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 49
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_b04_sink"
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_quantity") >= 49)
+      .coalesce(1)
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** B24 — the custom weighted-mean Aggregator as an untyped UDAF column:
+    * average extended price weighted by quantity, per return flag. */
+  private val b24 = entry(
+    "b24_agg_custom_udaf",
+    """SELECT l_returnflag,
+      |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val wmean = udaf(WeightedMeanAgg)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(wmean(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B39 — scalar UDF (haversine) + the native codegen FeatureIdExpression,
+    * both over deterministic synthetic coordinates. The oracle replicates
+    * the haversine formula verbatim (identical double op sequence). */
+  private val b39 = entry(
+    "b39_udf_expression",
+    """SELECT c_custkey,
+      |       'wildweb-' || CAST(c_custkey AS VARCHAR) AS fid,
+      |       round(2 * 6371.0088 * asin(sqrt(
+      |         sin(radians((39.7392 - (c_custkey % 160 - 80 + 0.5)) / 2)) ^ 2 +
+      |         cos(radians(c_custkey % 160 - 80 + 0.5)) * cos(radians(39.7392)) *
+      |         sin(radians((-104.9903 - (c_custkey % 360 - 180 + 0.5)) / 2)) ^ 2
+      |       )), 4) AS dist_km
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    FeatureIdExpression.register(s)
+    val hav = udf(Udfs.haversineKm _)
+    val lat = (col("c_custkey") % 160 - 80 + 0.5).cast("double")
+    val lon = (col("c_custkey") % 360 - 180 + 0.5).cast("double")
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        expr("feature_id(CAST(c_custkey AS STRING))").as("fid"),
+        round(hav(lat, lon, lit(39.7392), lit(-104.9903)), 4).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
+  /** B40 — generator: lateral posexplode of the wildweb resources array
+    * (reference task.ts:20 `resources: array<any>`). */
+  private val b40 = entry(
+    "b40_generator_explode",
+    """SELECT fire.uuid AS uuid,
+      |       generate_subscripts(fire.resources, 1) AS pos,
+      |       unnest(fire.resources) AS resource
+      |FROM (
+      |  SELECT unnest(data) AS fire
+      |  FROM read_json('/root/repo/fixtures/wildweb/run_ok/*.json',
+      |    format='array',
+      |    columns={retrieved: 'VARCHAR',
+      |             data: 'STRUCT(ic VARCHAR, "date" VARCHAR, name VARCHAR,
+      |                    "type" VARCHAR, uuid VARCHAR, acres VARCHAR,
+      |                    fuels VARCHAR, inc_num VARCHAR, fire_num VARCHAR,
+      |                    latitude VARCHAR, location VARCHAR, longitude VARCHAR,
+      |                    resources VARCHAR[], webComment VARCHAR,
+      |                    fire_status VARCHAR, fiscal_data VARCHAR)[]'})) t
+      |ORDER BY uuid, pos""".stripMargin) { (s, _) =>
+    import graft.wildweb.WildWebPipeline
+    WildWebPipeline.incidents(
+        WildWebPipeline.readEnvelopes(s, "/root/repo/fixtures/wildweb/run_ok"))
+      .select(col("fire.uuid").as("uuid"), posexplode(col("fire.resources")))
+      .select(col("uuid"), (col("pos") + 1).as("pos"), col("col").as("resource"))
+      .orderBy("uuid", "pos")
+  }
+
+  val entries: Seq[Entry] = Seq(b03, b04, b24, b39, b40)
+}
