@@ -17,7 +17,11 @@ object SparkEntry {
       operators.Scalars.entries ++
       operators.TemporalJoins.entries ++
       operators.Extensions.entries ++
-      operators.WildWebQueries.entries
+      operators.WildWebQueries.entries ++
+      llm.TextDedup.entries ++
+      llm.Similarity.entries ++
+      llm.TextAnalysis.entries ++
+      llm.Multimodal.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic MinHash + banded LSH near-duplicate detection
+  * (SURVEY B43 scale path).
+  *
+  * Pipeline: word-3-shingles → 64 MinHash values (xxhash64 seeded by the
+  * hash index — fixed seeds, fully deterministic, SURVEY §2B rule for
+  * approximate ops) → 16 bands × 4 rows → bucket join on (band, band hash)
+  * → exact-Jaccard verification of the candidates.
+  *
+  * Scale posture (the reason this exists next to the exact inverted-index
+  * join): candidate generation is a hash self-join on band buckets — cost
+  * O(sum of bucket² ) instead of O(n²); signatures are 64 longs per doc
+  * regardless of document size; verification touches only candidate pairs.
+  * With b bands of r rows, P(candidate) = 1-(1-j^r)^b — at r=4, b=16 the
+  * curve crosses ~0.5 near j≈0.5, and identical docs collide with
+  * probability 1 (property-tested in MinHashLshSpec).
+  */
+object MinHashLsh {
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** 64-wide MinHash signature per doc_id: sig[i] = min over shingles of
+    * xxhash64(i, shingle). One shuffle (groupBy doc_id); 64 aggregates
+    * computed map-side first. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val sh = TextDedup.shingles(docs)
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |          b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given (doc_a, doc_b) pairs via the shingle join. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = TextDedup.shingles(docs)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // equi-join on (doc, shingle) both times — the shingle key must be part
+    // of the join, or each pair degenerates to |A|×|B| combinations
+    val common = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** End-to-end near-dup detection: LSH candidates, then exact verification
+    * at `threshold`. */
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = candidatePairs(signatures(docs))
+    verifyJaccard(cands, docs)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

