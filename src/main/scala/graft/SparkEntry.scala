@@ -21,7 +21,9 @@ object SparkEntry {
       llm.TextDedup.entries ++
       llm.Similarity.entries ++
       llm.TextAnalysis.entries ++
-      llm.Multimodal.entries
+      llm.Multimodal.entries ++
+      streaming.StreamingBatchTwins.entries ++
+      streaming.StreamReplay.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

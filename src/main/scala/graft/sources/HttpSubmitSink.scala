@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HTTP submit sink (SURVEY B5 — the A13 `this.submit(fc)` analog,
+  * reference task.ts:149). Batch mode posts one FeatureCollection;
+  * streaming mode is meant for `foreachBatch(submitBatch(url))`.
+  *
+  * Faithful A13/A14 semantics: the POST always runs, even when upstream
+  * stages quarantined some centers (partial delivery), and the caller is
+  * expected to fail AFTER delivery if a quarantine exists
+  * (task.ts:144-157).
+  *
+  * Scale posture: the collection is assembled per micro-batch (the
+  * reference's unit of delivery is one invocation's FeatureCollection, so
+  * batch size == collection size by contract); at 100 TB the upstream
+  * pipeline windows the stream so each POST stays bounded, and batchId
+  * makes redelivery idempotent on the receiving side.
+  */
+object HttpSubmitSink {
+
+  /** POST a feature DataFrame (wildweb Feature schema) as one GeoJSON
+    * FeatureCollection. Returns the HTTP status. */
+  def submit(features: DataFrame, url: String, batchId: Long = -1L): Int = {
+    val body = graft.wildweb.WildWebPipeline.featureCollectionJson(features)
+    val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/geo+json")
+      .header("X-Batch-Id", batchId.toString)
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // non-2xx → error, mirroring the fetch guard (task.ts:84-86)
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"submit failed: HTTP ${resp.statusCode()}")
+    resp.statusCode()
+  }
+
+  /** foreachBatch adapter for streaming delivery (B54). */
+  def submitBatch(url: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { submit(df, url, batchId); () }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** t2-checked batch twins of the streaming aggregations (SURVEY B48-B50
+  * rule: "declare the batch twins as t2 queries"). The streaming runs must
+  * converge to exactly these results over a chunked replay — asserted in
+  * StreamingSpec; the DuckDB oracle hash-checks the batch semantics.
+  */
+object StreamingBatchTwins {
+
+  /** B48 twin — tumbling 1h window ≡ group by date_trunc(hour). */
+  private val b48 = entry(
+    "b48_window_tumbling_batch",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+      |       event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** B49 twin — sliding 1h/15min window: each event belongs to 4 windows
+    * (epoch-aligned; DuckDB's time_bucket origin is 15-min-aligned too). */
+  private val b49 = entry(
+    "b49_window_sliding_batch",
+    """SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS ws,
+      |       event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM (
+      |  SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS wstart
+      |  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k) t
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** B50 twin — session windows (gap 30min per user). Spark side uses the
+    * native session_window even in batch; the oracle is the classic
+    * gaps-and-islands SQL (lag → new-session flag → running island id).
+    * session_window.start == min(ts) of the session. */
+  private val b50 = entry(
+    "b50_window_session_batch",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged)
+      |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       user_id, count(*) AS n, round(sum(value), 4) AS total
+      |FROM islands GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("user_id"), col("n"), col("total"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val entries: Seq[Entry] = Seq(b48, b49, b50)
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY B48-B54) over a file-chunked
+  * replay of the events table. Every aggregation has a batch twin
+  * registered as a t2 query (StreamingBatchTwins) — the streaming runs are
+  * validated by batch-equivalence (SURVEY §5B.5) in StreamingSpec.
+  *
+  * Scale posture: all stateful ops are keyed → state is hash-partitioned
+  * across executors and bounded by the watermark (windows expire, dedup
+  * buffers age out); file-source replay is Trigger.AvailableNow for batch
+  * catch-up, ProcessingTime for live tailing. The submit sink is
+  * foreachBatch → idempotent-by-batch-id POST (HttpSubmitSink).
+  */
+object StreamingOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Split the batch events table into `n` ordered parquet chunk files under
+    * `dir` (named so the file source lists them in order — SURVEY §7 hard
+    * point 5), simulating arrival order by event time. */
+  def writeChunks(spark: SparkSession, sfDir: String, dir: String, n: Int): Unit = {
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id")
+    val total = events.count()
+    val perChunk = math.max(1, (total + n - 1) / n)
+    val rows = events.collect() // test-scale replay harness only
+    rows.grouped(perChunk.toInt).zipWithIndex.foreach { case (chunk, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toSeq, 1), events.schema)
+      df.coalesce(1).write.mode("overwrite").parquet(f"$dir/chunk_$i%04d")
+    }
+  }
+
+  /** File-source stream over the chunk directory (one chunk per trigger →
+    * deterministic arrival order). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/chunk_*")
+
+  /** B48 — tumbling 1h window counts/sums per event_type, with watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"), col("total"))
+
+  /** B49 — sliding 1h window, 15min slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"), col("total"))
+
+  /** B50 — session windows, 30min gap per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("user_id"), col("n"), col("total"))
+
+  /** B52 — streaming dedup within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** B53 — arbitrary stateful per-key processing: running balance per user
+    * via flatMapGroupsWithState (the documented fallback for
+    * transformWithState, SURVEY §7 hard point 4). State is one (count, sum)
+    * pair per user; each micro-batch emits the updated balance, so the
+    * last emission per user (max n_events) is the final fold. */
+  def runningBalance(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Double)],
+              state: GroupState[(Long, Double)]) =>
+          var (n, bal) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, _, v) => n += 1; bal += v }
+          state.update((n, bal))
+          Iterator((userId, n, math.rint(bal * 10000) / 10000))
+      }
+      .toDF("user_id", "n_events", "balance")
+  }
+
+  /** Run a streaming DataFrame to completion against the memory sink
+    * (Trigger.AvailableNow — B54) and return the materialized result. */
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** B54 — foreachBatch sink variant: apply `f` per micro-batch. */
+  def runForeachBatch(df: DataFrame, mode: String)(f: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(f)
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Streaming batch-equivalence + watermark tests (SURVEY §5B.5, B48-B54):
+  * a file-chunked replay of the events table must converge to the batch
+  * twin of each aggregation; a scripted late arrival must be dropped.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private lazy val chunkDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    StreamingOps.writeChunks(spark, sf, dir, n = 6)
+    dir
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("B48: streaming tumbling window converges to batch twin") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.tumbling(StreamingOps.readStream(spark, chunkDir)),
+      "t_tumbling", "complete")
+    val batch = SparkEntry.queries("b48_window_tumbling_batch")(spark, sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("B49: streaming sliding window converges to batch twin") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sliding(StreamingOps.readStream(spark, chunkDir)),
+      "t_sliding", "complete")
+    val batch = SparkEntry.queries("b49_window_sliding_batch")(spark, sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("B50: streaming session windows converge to batch twin") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sessions(StreamingOps.readStream(spark, chunkDir)),
+      "t_sessions", "complete")
+    val batch = SparkEntry.queries("b50_window_session_batch")(spark, sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("B52: dropDuplicatesWithinWatermark removes replayed duplicates") {
+    // duplicate chunk 0 as a later arrival (same event_ids, within horizon)
+    val dir = Files.createTempDirectory("graft_dups").toString
+    val src = spark.read.parquet(s"$chunkDir/chunk_0000")
+    src.write.parquet(s"$dir/chunk_0000")
+    src.write.parquet(s"$dir/chunk_0001") // exact duplicates
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.dedup(StreamingOps.readStream(spark, dir)),
+      "t_dedup", "append")
+    assert(streamed.count() === src.count())
+    assert(streamed.select("event_id").distinct().count() === src.count())
+  }
+
+  test("B53: stateful running balance folds to the batch per-user totals") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.runningBalance(StreamingOps.readStream(spark, chunkDir)),
+      "t_balance", "append")
+    // final emission per user = row with max n_events
+    val finals = streamed.groupBy("user_id")
+      .agg(max_by(col("balance"), col("n_events")).as("balance"),
+        max(col("n_events")).as("n"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(round(sum(col("value")), 4).as("expected"), count(lit(1)).as("n_exp"))
+    val joined = finals.join(batch, "user_id")
+    assert(joined.filter(col("n") =!= col("n_exp")).count() === 0)
+    assert(joined.filter(abs(col("balance") - col("expected")) > 1e-6).count() === 0)
+  }
+
+  test("B51: late data behind the watermark is dropped (append mode)") {
+    val dir = Files.createTempDirectory("graft_late").toString
+    def chunk(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+      Thread.sleep(1100) // distinct mtimes → deterministic file-source order
+    }
+    // hour-10 window gets 2 on-time events; then time advances past 11:30.
+    // Spark commits the advanced watermark one micro-batch after observing
+    // the event that moves it, so chunk_0002 is the commit batch (watermark
+    // 11:20 > window end 11:00 → hour-10 finalized there); the late event
+    // for 10:05 then arrives behind the watermark — must NOT appear.
+    chunk("chunk_0000", Seq(
+      (1L, "2024-03-01 10:00:10", 1L, "view", 1.0, "{}"),
+      (2L, "2024-03-01 10:20:00", 1L, "view", 1.0, "{}")))
+    chunk("chunk_0001", Seq(
+      (3L, "2024-03-01 11:30:00", 1L, "view", 1.0, "{}")))
+    chunk("chunk_0002", Seq(
+      (5L, "2024-03-01 11:35:00", 1L, "view", 1.0, "{}")))
+    chunk("chunk_0003", Seq(
+      (4L, "2024-03-01 10:05:00", 1L, "view", 100.0, "{}"))) // late
+    val result = StreamingOps.runToMemory(
+      StreamingOps.tumbling(StreamingOps.readStream(spark, dir)),
+      "t_late", "append")
+    val hour10 = result.filter(col("ws") === "2024-03-01 10:00").collect()
+    assert(hour10.length === 1)
+    assert(hour10.head.getAs[Long]("n") === 2, "late event leaked into closed window")
+    assert(hour10.head.getAs[Double]("total") === 2.0)
+  }
+
+  test("B54/B5: foreachBatch HTTP submit delivers the FeatureCollection") {
+    // in-process HTTP receiver (JDK httpserver) — B5 integration test
+    val received = new java.util.concurrent.atomic.AtomicReference[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/etl", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes())
+      received.set(body)
+      exchange.sendResponseHeaders(200, 2)
+      exchange.getResponseBody.write("ok".getBytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/etl"
+      val features = graft.wildweb.WildWebPipeline.run(
+        spark, "/root/repo/fixtures/wildweb/run_ok",
+        graft.wildweb.WildWebConfig("1 Week",
+          java.time.Instant.parse("2026-01-15T12:00:00Z"))) match {
+        case graft.wildweb.WildWebPipeline.Completed(f, _) => f
+        case other => fail(s"unexpected $other")
+      }
+      val status = graft.sources.HttpSubmitSink.submit(features, url)
+      assert(status === 200)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val got = mapper.readTree(received.get())
+      assert(got.get("type").asText() === "FeatureCollection")
+      assert(got.get("features").size() === 11)
+    } finally server.stop(0)
+  }
+}
