@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY §4B: "verify presence in explain()
+  * during BENCH, do not reimplement"): predicate pushdown, column pruning,
+  * and join strategy choices that the 100 TB posture depends on. A plan
+  * regression here (a filter that stops reaching the scan, a range join
+  * that degenerates to a cartesian product) is a scale bug even when
+  * results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("b01: quantity predicate is pushed into the parquet scan") {
+    val plan = physicalPlan("b01_scan_parquet")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45"), plan)
+  }
+
+  test("b01: scan reads only the projected columns (pruning)") {
+    val plan = physicalPlan("b01_scan_parquet")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), plan)
+    assert(!readSchema.contains("l_extendedprice"), s"unpruned column: $readSchema")
+  }
+
+  test("b12: dimension joins are broadcast hash joins") {
+    val plan = physicalPlan("b12_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("b13: fact-fact join is sort-merge as hinted") {
+    val plan = physicalPlan("b13_join_sortmerge")
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("b15: bucketed range join plans as an equi hash join, never a nested loop") {
+    val plan = physicalPlan("b15_join_range")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("b44: brute-force similarity broadcasts the probe set") {
+    val plan = physicalPlan("b44_similarity_bruteforce")
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("b17: aggregation is two-phase (map-side partial before shuffle)") {
+    val plan = physicalPlan("b17_agg_hash")
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial")) || aggs.size >= 2, plan)
+  }
+
+  test("b39: custom feature_id expression participates in codegen (no UDF wrapper)") {
+    val df = SparkEntry.queries("b39_udf_expression")(spark, sf)
+    val codegenPlan = df.queryExecution.executedPlan.toString
+    // the expression must appear inline in the projection, not as a ScalaUDF
+    assert(codegenPlan.contains("feature_id"), codegenPlan.take(2000))
+  }
+}
