@@ -21,6 +21,7 @@ object SparkEntry {
       llm.TextDedup.entries ++
       llm.Similarity.entries ++
       llm.TextAnalysis.entries ++
+      llm.LangId.entries ++
       llm.Multimodal.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries

@@ -106,6 +106,7 @@ object TextAnalysis {
     """WITH scored AS (
       |  SELECT lang, source,
       |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
       |         n_chars,
       |         length(text) - length(replace(text, ' ', '')) AS n_spaces,
       |         CASE WHEN n_chars > 0
@@ -115,6 +116,7 @@ object TextAnalysis {
       |SELECT lang, source,
       |       count(*) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
       |       round(avg(n_tokens), 4) AS avg_tokens,
       |       round(avg(n_chars), 4) AS avg_chars,
       |       round(avg(tokens_per_char), 4) AS avg_density,
@@ -123,6 +125,8 @@ object TextAnalysis {
     val scored = Tables.documents(s, d)
       .select(col("lang"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).as("n_tokens"),
+        // BPE-ish subword proxy: letter runs, digit runs, and solo symbols
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_bpe"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"))
       .withColumn("tokens_per_char",
         when(col("n_chars") > 0, col("n_tokens").cast("double") / col("n_chars"))
@@ -131,6 +135,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_bpe")).cast("long").as("total_bpe_tokens"),
         round(avg(col("n_tokens")), 4).as("avg_tokens"),
         round(avg(col("n_chars")), 4).as("avg_chars"),
         round(avg(col("tokens_per_char")), 4).as("avg_density"),
