@@ -59,6 +59,19 @@ object WildWebPipeline {
       .filter(col("envelope").isNotNull)
       .select(col("center"), explode(col("envelope").getItem(0).getField("data")).as("fire"))
 
+  /** A8 as a column: minute-truncated UTC "yyyy-MM-dd HH:mm" (task.ts:118);
+    * null for unparseable input (see features() for the semantics note). */
+  def normalizedDate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(date_trunc("minute", try_to_timestamp(c)), "yyyy-MM-dd HH:mm")
+
+  /** A9 as a column: true iff the string parses to a nonzero finite double
+    * (task.ts:120-124 — JS falsy/NaN/zero branches collapse to
+    * null-or-zero under Spark's trimming try_cast). */
+  def coordValid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = c.try_cast("double")
+    d.isNotNull && d =!= 0.0 && !isnan(d)
+  }
+
   /** A7-A11 — the per-incident transform chain, ending in GeoJSON Feature
     * structs (schema [[WildWebSchemas.feature]] + a `center` column). */
   def features(incidents: DataFrame, config: WildWebConfig): DataFrame = {
@@ -70,16 +83,13 @@ object WildWebPipeline {
       .filter(try_to_timestamp(col("fire.date")) >= cutoffTs)
       // A8 — truncate to minute, UTC, "yyyy-MM-dd HH:mm"; mutate BEFORE the
       // metadata embed so metadata.date is normalized too (task.ts:118)
-      .withColumn("fire", col("fire").withField("date",
-        date_format(date_trunc("minute", try_to_timestamp(col("fire.date"))), "yyyy-MM-dd HH:mm")))
+      .withColumn("fire", col("fire").withField("date", normalizedDate(col("fire.date"))))
       // A9 — geo-validity: both coords must cast to nonzero finite doubles
       // (task.ts:120-124; '' / ' ' / 'abc' → null via try_cast, 0/'0' → zero
       // — all dropped; ANSI cast would throw on 'abc' instead)
+      .filter(coordValid(col("fire.longitude")) && coordValid(col("fire.latitude")))
       .withColumn("lon_d", col("fire.longitude").try_cast("double"))
       .withColumn("lat_d", col("fire.latitude").try_cast("double"))
-      .filter(
-        col("lon_d").isNotNull && col("lon_d") =!= 0.0 &&
-        col("lat_d").isNotNull && col("lat_d") =!= 0.0)
       // A10 (unconditional negation, task.ts:138) + A11 (feature projection)
       .select(
         col("center"),
