@@ -20,6 +20,7 @@ object SparkEntry {
       operators.WildWebQueries.entries ++
       llm.TextDedup.entries ++
       llm.Similarity.entries ++
+      llm.Ivf.entries ++
       llm.TextAnalysis.entries ++
       llm.LangId.entries ++
       llm.Multimodal.entries ++

@@ -238,6 +238,34 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Spark SQL text path (the engine's second front door besides the
+    * DataFrame API): a TPC-H Q5-shaped multi-join aggregation run via
+    * spark.sql over temp views — same Catalyst plan machinery, proving the
+    * SQL surface end-to-end. Identical SQL runs on the DuckDB side. */
+  private val b41sql = entry(
+    "b06_sql_multijoin",
+    """SELECT n.n_name, count(*) AS n_items,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin, bench = true) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n.n_name, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
   val entries: Seq[Entry] =
-    Seq(b01, b06, b07, b09, b10, b11, b12, b13, b14, b17, b18)
+    Seq(b01, b06, b41sql, b07, b09, b10, b11, b12, b13, b14, b17, b18)
 }

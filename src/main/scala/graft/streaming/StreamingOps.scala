@@ -107,6 +107,24 @@ object StreamingOps {
       .toDF("user_id", "n_events", "balance")
   }
 
+  /** B53 (native path) — the same running balance on Spark 4's
+    * transformWithState: a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * with a typed ValueState. Preferred over flatMapGroupsWithState when
+    * available (composable state variables, TTL support, timers); both are
+    * kept since the survey flags transformWithState as the newest API
+    * (SURVEY §7 hard point 4). Requires the RocksDB state store provider.
+    */
+  def runningBalanceTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .transformWithState(new BalanceProcessor(), TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "balance")
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Ivf
+import graft.sources.Tables
+
+class IvfSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("IVF assignments cover every vector exactly once") {
+    val e = Tables.embeddings(spark, sf)
+    val assigned = Ivf.assignments(e)
+    assert(assigned.count() === e.count())
+    assert(assigned.select("vec_id").distinct().count() === e.count())
+  }
+
+  test("IVF@nProbe=5 recall vs brute-force top-10 is substantial; nProbe=all is exact") {
+    val e = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SparkEntry.queries("b44_similarity_bruteforce")(spark, sf))
+    val ivf5 = pairs(Ivf.search(e, col("vec_id") < 20, k = 10, nProbe = 5))
+    val recall = (brute intersect ivf5).size.toDouble / brute.size
+    assert(recall >= 0.4, f"IVF recall too low: $recall%.3f")
+    // probing every cell must reproduce brute force exactly
+    val nCells = Ivf.centroids(e).count().toInt
+    val ivfAll = pairs(Ivf.search(e, col("vec_id") < 20, k = 10, nProbe = nCells))
+    assert(ivfAll === brute, "IVF with all cells probed must equal brute force")
+  }
+}

@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(abs(col("balance") - col("expected")) > 1e-6).count() === 0)
   }
 
+  test("B53 native: transformWithState running balance matches batch totals") {
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamingOps.runToMemory(
+        StreamingOps.runningBalanceTws(StreamingOps.readStream(spark, chunkDir)),
+        "t_balance_tws", "append")
+      val finals = streamed.groupBy("user_id")
+        .agg(max_by(col("balance"), col("n_events")).as("balance"),
+          max(col("n_events")).as("n"))
+      val batch = graft.sources.Tables.events(spark, sf)
+        .groupBy("user_id")
+        .agg(round(sum(col("value")), 4).as("expected"), count(lit(1)).as("n_exp"))
+      val joined = finals.join(batch, "user_id")
+      assert(joined.filter(col("n") =!= col("n_exp")).count() === 0)
+      assert(joined.filter(abs(col("balance") - col("expected")) > 1e-6).count() === 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B51: late data behind the watermark is dropped (append mode)") {
     val dir = Files.createTempDirectory("graft_late").toString
     def chunk(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
