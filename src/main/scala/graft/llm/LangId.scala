@@ -51,7 +51,7 @@ object LangId {
       |  SELECT doc_id, lang, plang, score,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
       |  FROM scores) r
-      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
     val triOf = expr(
       "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")

@@ -27,8 +27,10 @@ object MinHashLsh {
   /** 64-wide MinHash signature per doc_id: sig[i] = min over shingles of
     * xxhash64(i, shingle). One shuffle (groupBy doc_id); 64 aggregates
     * computed map-side first. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val sh = TextDedup.shingles(docs)
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(TextDedup.shingles(docs))
+
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy("doc_id")
@@ -53,8 +55,10 @@ object MinHashLsh {
   }
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs via the shingle join. */
-  def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = TextDedup.shingles(docs)
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
+    verifyJaccardFromShingles(pairs, TextDedup.shingles(docs))
+
+  def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // equi-join on (doc, shingle) both times — the shingle key must be part
     // of the join, or each pair degenerates to |A|×|B| combinations
@@ -73,11 +77,16 @@ object MinHashLsh {
   }
 
   /** End-to-end near-dup detection: LSH candidates, then exact verification
-    * at `threshold`. */
+    * at `threshold`. The shingle set feeds both signature generation and
+    * verification — cached so the explode+distinct pass runs once. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val cands = candidatePairs(signatures(docs))
-    verifyJaccard(cands, docs)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    val sh = TextDedup.shingles(docs).cache()
+    try {
+      val cands = candidatePairs(signaturesFromShingles(sh))
+      verifyJaccardFromShingles(cands, sh)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint(true) // materialize before releasing the cache
+    } finally sh.unpersist()
   }
 }

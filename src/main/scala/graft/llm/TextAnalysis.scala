@@ -83,7 +83,7 @@ object TextAnalysis {
       |         CAST(row_number() OVER (PARTITION BY doc_id
       |           ORDER BY score DESC, term) AS INTEGER) AS rn
       |  FROM scored) t
-      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin, bench = true) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -73,7 +73,7 @@ object TemporalJoins {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |) t
       |WHERE event_type = 'purchase'
-      |ORDER BY event_id""".stripMargin) { (s, d) =>
+      |ORDER BY event_id""".stripMargin, bench = true) { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(s, d)

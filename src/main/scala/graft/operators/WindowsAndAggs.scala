@@ -125,7 +125,7 @@ object WindowsAndAggs {
       |       round(cume_dist() OVER w, 4) AS cdist
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      |ORDER BY o_custkey, o_orderkey""".stripMargin, bench = true) { (s, d) =>
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(s, d)

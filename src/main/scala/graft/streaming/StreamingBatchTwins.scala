@@ -34,7 +34,7 @@ object StreamingBatchTwins {
       |FROM (
       |  SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS wstart
       |  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k) t
-      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin, bench = true) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))

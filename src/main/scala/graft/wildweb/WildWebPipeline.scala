@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object WildWebPipeline {
 
+  /** A15 — machine-readable schema/capabilities introspection (reference
+    * task.ts:52-65 `schema(type, flow)`): the declared input (Environment +
+    * incident envelope) and output (GeoJSON Feature) contracts as Spark
+    * schema JSON, for config UIs / layer wiring. */
+  def schema(end: String): String = end match {
+    case "input"  => WildWebSchemas.envelope.json
+    case "output" => WildWebSchemas.feature.json
+    case _        => "{}" // outgoing flow → empty contract (task.ts:63)
+  }
+
   sealed trait Outcome
   /** A4 tripped: whole run aborted, nothing submitted (task.ts:93-97). */
   case object Aborted extends Outcome
