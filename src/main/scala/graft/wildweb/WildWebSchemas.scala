@@ -58,6 +58,18 @@ object WildWebSchemas {
   ))
 }
 
+/** Typed incident record for the Dataset path (same 16 fields as
+  * [[WildWebSchemas.incident]]; `resources` as raw JSON strings). Use
+  * `incidents(df).select("fire.*").as[WildCadIncident]` when compile-time
+  * field checks matter; the DataFrame path when schema stays dynamic. */
+final case class WildCadIncident(
+    ic: Option[String], date: String, name: String, `type`: String,
+    uuid: String, acres: Option[String], fuels: Option[String],
+    inc_num: Option[String], fire_num: Option[String],
+    latitude: Option[String], location: Option[String],
+    longitude: Option[String], resources: Option[Seq[String]],
+    webComment: Option[String], fire_status: String, fiscal_data: String)
+
 /** Run config mirroring the reference `Environment` (task.ts:26-45).
   * `now` is an explicit parameter — never wall clock — so every run is
   * reproducible and t2-checkable (SURVEY §2B determinism rules).

@@ -10,6 +10,7 @@ object TestSession {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
