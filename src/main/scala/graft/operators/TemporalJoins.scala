@@ -60,7 +60,7 @@ object TemporalJoins {
     "b16_join_asof",
     """SELECT event_id, user_id,
       |       prev_view_id,
-      |       round((epoch_us(ts) - epoch_us(prev_view_ts)) / 1000000.0, 4) AS gap_s
+      |       epoch_us(ts) - epoch_us(prev_view_ts) AS gap_us
       |FROM (
       |  SELECT event_id, user_id, ts, event_type,
       |         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
@@ -85,10 +85,12 @@ object TemporalJoins {
         last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
           .over(w).as("prev_view_ts"))
       .filter(col("event_type") === "purchase")
+      // exact integer microseconds: a seconds double rounded to 4dp can tie
+      // at the 5e-5 boundary, where Spark (shortest-decimal-repr HALF_UP)
+      // and DuckDB (binary-value rounding) disagree — integers can't
       .select(
         col("event_id"), col("user_id"), col("prev_view_id"),
-        round((unix_micros(col("ts")) - unix_micros(col("prev_view_ts"))) / 1000000.0, 4)
-          .as("gap_s"))
+        (unix_micros(col("ts")) - unix_micros(col("prev_view_ts"))).as("gap_us"))
       .orderBy("event_id")
   }
 
