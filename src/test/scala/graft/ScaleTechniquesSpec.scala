@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleTechniques
+import graft.sources.Tables
+
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("salted join returns exactly the plain join's rows") {
+    val l = Tables.lineitem(spark, sf).select(
+      col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
+    val r = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"), col("o_totalprice"))
+    val plain = l.join(r, "k")
+    val salted = ScaleTechniques.saltedJoin(l, r, "k",
+      saltSource = col("l_linenumber"), saltBuckets = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("bucketed co-located join plans with zero shuffles") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      ScaleTechniques.writeBucketed(
+        Tables.orders(spark, sf).select(col("o_orderkey").as("k"), col("o_totalprice")),
+        "bkt_orders", "k", 8)
+      ScaleTechniques.writeBucketed(
+        Tables.lineitem(spark, sf).select(col("l_orderkey").as("k"), col("l_quantity")),
+        "bkt_lineitem", "k", 8)
+      val joined = ScaleTechniques.coLocatedJoin(spark, "bkt_orders", "bkt_lineitem", "k")
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // and it is correct
+      val expected = Tables.orders(spark, sf).join(
+        Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+}
