@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Ingest/sink robustness beyond the golden paths: schema evolution on the
+  * JSON edge, partitioned writes (the B4 100 TB path). */
+class RobustnessSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+
+  test("JSON decode tolerates unknown extra fields (schema evolution)") {
+    val dir = Files.createTempDirectory("graft_evo").toString
+    // an envelope with fields the schema doesn't declare — upstream adding
+    // fields must not break ingestion (from_json keeps declared fields)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/center_new.json"),
+      """[{"retrieved": "2026-01-15T12:00:00Z", "apiVersion": "9.9",
+        |  "data": [{"ic": null, "date": "2026-01-15T11:00:00Z",
+        |    "name": "EVO FIRE", "type": "Wildfire", "uuid": "evo1",
+        |    "acres": "1", "fuels": null, "inc_num": null, "fire_num": null,
+        |    "latitude": "40.0", "location": null, "longitude": "105.0",
+        |    "resources": [], "webComment": null, "fire_status": "Active",
+        |    "fiscal_data": "FS", "brand_new_field": {"nested": true}}]}]""".stripMargin)
+    val feats = graft.wildweb.WildWebPipeline.features(
+      graft.wildweb.WildWebPipeline.incidents(
+        graft.wildweb.WildWebPipeline.readEnvelopes(spark, dir)),
+      graft.wildweb.WildWebConfig("1 Week",
+        java.time.Instant.parse("2026-01-15T12:00:00Z")))
+    val rows = feats.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("id") === "wildweb-evo1")
+  }
+
+  test("B4 scale path: partitioned parquet write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_part").toString + "/docs"
+    Tables.documents(spark, TestSession.sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    // directory layout is the partition key
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langDirs.length === 5, langDirs.mkString(","))
+    // a lang filter must prune to one partition (visible in the scan)
+    val df = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = df.queryExecution.sparkPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+    val full = Tables.documents(spark, TestSession.sf0001)
+      .filter(col("lang") === "en").count()
+    assert(df.count() === full)
+  }
+}
