@@ -159,5 +159,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b46)
+  /** Winnowing fingerprint containment (driver mandate "document
+    * fingerprinting (rolling hash)"): probe docs (doc_id % 100 == 0)
+    * checked for shared rolling-hash fingerprints against the corpus —
+    * the contamination-detection shape. Engine-specific hashing → rows-only
+    * driver check; guarantees proven in WinnowingSpec. */
+  private val b45w = entryNoOracle("b45_text_winnowing") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Winnowing.sharedFingerprints(
+        docs.filter(col("doc_id") % 100 === 0), docs, minShared = 2)
+      .orderBy("probe_id", "corpus_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b46)
 }
