@@ -53,6 +53,35 @@ object WindowsAndAggs {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** B20+ — pivot (wide aggregation): order counts and totals per status,
+    * pivoted by priority class. Spark's native .pivot(values) — explicit
+    * value list, so no extra distinct-values pass over the data; the
+    * oracle spells it as FILTERed aggregates (dialect-portable form). */
+  private val b20p = entry(
+    "b20_agg_pivot",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_n,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium_n,
+      |       CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low_n,
+      |       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0), 4) AS urgent_total,
+      |       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 0), 4) AS low_total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val pivoted = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+    // absent (status, priority) combos pivot to null, but COUNT FILTER
+    // yields 0 — coalesce aligns the two
+    pivoted.select(
+        col("o_orderstatus"),
+        coalesce(col("`1-URGENT_n`"), lit(0L)).as("urgent_n"),
+        coalesce(col("`3-MEDIUM_n`"), lit(0L)).as("medium_n"),
+        coalesce(col("`5-LOW_n`"), lit(0L)).as("low_n"),
+        round(coalesce(col("`1-URGENT_total`"), lit(0)), 4).as("urgent_total"),
+        round(coalesce(col("`5-LOW_total`"), lit(0)), 4).as("low_total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** B21 — collect_list/collect_set, always sort_array'd for determinism
     * (SURVEY §2B rules; collection order is otherwise partition-dependent). */
   private val b21 = entry(
@@ -287,5 +316,5 @@ object WindowsAndAggs {
   }
 
   val entries: Seq[Entry] =
-    Seq(b19, b20, b21, b22, b23, b25, b26, b27, b28, b29, b30, b31)
+    Seq(b19, b20, b20p, b21, b22, b23, b25, b26, b27, b28, b29, b30, b31)
 }
