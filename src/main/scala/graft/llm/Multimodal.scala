@@ -74,6 +74,31 @@ object Multimodal {
       }
   }
 
+  /** Resize stage (STUB math, real plan shape): fit decoded dims into a
+    * bounding box preserving aspect ratio — a narrow typed map, no
+    * shuffle; chains after [[decodeFeatures]] like a real codec pass. */
+  def resize(features: Dataset[MediaFeature], maxW: Int, maxH: Int): Dataset[MediaFeature] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(width = math.max(1, math.round(f.width * scale).toInt),
+        height = math.max(1, math.round(f.height * scale).toInt))
+    }
+  }
+
+  /** Frame sampling (video/audio): keep every `stride`-th frame index —
+    * deterministic, emitted as (media_id, frame_idx) rows for downstream
+    * per-frame feature extraction. Generator-shaped (one row per kept
+    * frame), still shuffle-free. */
+  def sampleFrames(features: Dataset[MediaFeature], stride: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.flatMap(f =>
+        (0 until f.frames by stride).map(i => (f.media_id, f.kind, i)))
+      .toDF("media_id", "kind", "frame_idx")
+  }
+
   /** B47 — binary payload + metadata: size, digests, content-type dispatch.
     * All t2-checkable (digests of identical bytes agree across engines). */
   private val b47 = entry(

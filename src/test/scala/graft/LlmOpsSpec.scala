@@ -111,6 +111,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.width > 0 && row.height > 0 && row.frames > 0)
   }
 
+  test("resize fits within the box preserving aspect; frame sampling strides") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))
+    val resized = Multimodal.resize(feats, maxW = 640, maxH = 480).collect()
+    assert(resized.nonEmpty)
+    for (f <- resized) {
+      assert(f.width <= 640 && f.height <= 480 && f.width >= 1 && f.height >= 1)
+    }
+    val orig = feats.collect().map(f => f.media_id -> f).toMap
+    // aspect check only where integer quantization doesn't dominate
+    for (f <- resized; o = orig(f.media_id)
+         if (o.width > 640 || o.height > 480) && math.min(f.width, f.height) >= 10) {
+      val ratioBefore = o.width.toDouble / o.height
+      val ratioAfter = f.width.toDouble / f.height
+      assert(math.abs(ratioBefore - ratioAfter) / ratioBefore < 0.05,
+        s"aspect drifted for ${f.media_id}: $ratioBefore -> $ratioAfter")
+    }
+    val sampled = Multimodal.sampleFrames(feats, stride = 10)
+    val perMedia = sampled.groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (f <- feats.collect())
+      assert(perMedia(f.media_id) === (f.frames + 9) / 10,
+        s"wrong sample count for ${f.media_id}")
+  }
+
   test("payload bytes survive the binary round-trip (digest check)") {
     val media = Multimodal.mediaTable(spark, sf)
     val viaBinary = media
