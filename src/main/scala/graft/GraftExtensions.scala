@@ -12,10 +12,11 @@ import graft.functions.FeatureIdExpression
   *   SparkSession.builder().withExtensions(new GraftExtensions)   // code
   *   --conf spark.sql.extensions=graft.GraftExtensions            // config
   *
-  * gets `feature_id(...)` in SQL with full whole-stage codegen. Optimizer
-  * rules / planner strategies would be injected here too
-  * (injectOptimizerRule / injectPlannerStrategy) — none are required for
-  * correctness (SURVEY §2C), so none are installed.
+  * gets `feature_id(...)` in SQL with full whole-stage codegen, plus the
+  * [[graft.plans.RangeJoinBucketing]] optimizer rule, which rewrites naive
+  * band/interval theta joins (O(n·m) nested-loop plans) into bucketed equi
+  * joins. The rule is also installable on an extension-less session via
+  * `spark.experimental.extraOptimizations` (see TemporalJoins b15b).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("feature_id"),
       new ExpressionInfo(classOf[FeatureIdExpression].getName, "feature_id"),
       (children: Seq[Expression]) => FeatureIdExpression(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }

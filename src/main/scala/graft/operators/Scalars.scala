@@ -150,31 +150,36 @@ object Scalars {
   private val b36 = entry(
     "b36_scalar_array",
     """SELECT p_partkey,
-      |       list_sort([p_size, p_size * 2, 42]) AS arr_sorted,
+      |       array_to_string(list_sort([p_size, p_size * 2, 42]), ',') AS arr_sorted,
       |       len([p_size, p_size * 2, 42]) AS arr_len,
       |       list_contains([p_size, p_size * 2, 42], 42) AS has42,
       |       len(list_distinct([p_size, p_size, 42])) AS n_distinct,
-      |       list_transform([p_size, p_size * 2, 42], x -> x * 10) AS times10,
-      |       list_filter([p_size, p_size * 2, 42], x -> x > 40) AS over40,
+      |       array_to_string(list_transform([p_size, p_size * 2, 42], x -> x * 10), ',') AS times10,
+      |       array_to_string(list_filter([p_size, p_size * 2, 42], x -> x > 40), ',') AS over40,
       |       CAST(list_sum(list_transform([p_size, p_size * 2, 42], x -> x + 1)) AS BIGINT) AS sum_plus1,
-      |       list_transform(generate_series(1, 3), i -> i * p_size) AS seq_scaled,
-      |       flatten([[p_size], [42]]) AS flat,
+      |       array_to_string(list_transform(generate_series(1, 3), i -> i * p_size), ',') AS seq_scaled,
+      |       array_to_string(flatten([[p_size], [42]]), ',') AS flat,
       |       [p_size, 42][2] AS second_elem
       |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    // array/map-typed OUTPUT columns crash the driver's pandas row-sort
+    // (r01: unhashable ndarray) — the HOFs still run, but every collection
+    // is serialized through array_join before leaving the query.
     val arr = array(col("p_size"), col("p_size") * 2, lit(42))
+    def joined(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(transform(c, x => x.cast("string")), ",")
     Tables.part(s, d)
       .select(
         col("p_partkey"),
-        sort_array(arr).as("arr_sorted"),
+        joined(sort_array(arr)).as("arr_sorted"),
         size(arr).as("arr_len"),
         array_contains(arr, 42).as("has42"),
         size(array_distinct(array(col("p_size"), col("p_size"), lit(42)))).as("n_distinct"),
-        transform(arr, x => x * 10).as("times10"),
-        filter(arr, x => x > 40).as("over40"),
+        joined(transform(arr, x => x * 10)).as("times10"),
+        joined(filter(arr, x => x > 40)).as("over40"),
         aggregate(transform(arr, x => (x + 1).cast("long")), lit(0L), (acc, x) => acc + x)
           .as("sum_plus1"),
-        transform(sequence(lit(1), lit(3)), i => i * col("p_size")).as("seq_scaled"),
-        flatten(array(array(col("p_size")), array(lit(42)))).as("flat"),
+        joined(transform(sequence(lit(1), lit(3)), i => i * col("p_size"))).as("seq_scaled"),
+        joined(flatten(array(array(col("p_size")), array(lit(42))))).as("flat"),
         element_at(array(col("p_size"), lit(42)), 2).as("second_elem"))
       .orderBy("p_partkey")
   }
@@ -184,17 +189,18 @@ object Scalars {
   private val b37 = entry(
     "b37_scalar_map",
     """SELECT c_custkey,
-      |       map_keys(map(['seg', 'name'], [c_mktsegment, c_name])) AS ks,
-      |       map_values(map(['seg', 'name'], [c_mktsegment, c_name])) AS vs,
+      |       array_to_string(map_keys(map(['seg', 'name'], [c_mktsegment, c_name])), ',') AS ks,
+      |       array_to_string(map_values(map(['seg', 'name'], [c_mktsegment, c_name])), ',') AS vs,
       |       map(['seg', 'name'], [c_mktsegment, c_name])['seg'][1] AS seg_val,
       |       CAST(cardinality(map(['seg', 'name'], [c_mktsegment, c_name])) AS BIGINT) AS n_entries
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    // list outputs serialized (driver pandas-sort constraint, see b36)
     val m = map(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name"))
     Tables.customer(s, d)
       .select(
         col("c_custkey"),
-        map_keys(m).as("ks"),
-        map_values(m).as("vs"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m), ",").as("vs"),
         element_at(m, "seg").as("seg_val"),
         size(m).cast("long").as("n_entries"))
       .orderBy("c_custkey")

@@ -52,6 +52,35 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** B15b — the SAME range join written NAIVELY (`BETWEEN`-style theta
+    * join), relying on [[graft.plans.RangeJoinBucketing]] to rewrite the
+    * would-be BroadcastNestedLoopJoin into the bucketed equi join at
+    * optimization time. Same oracle as b15; RangeJoinRuleSpec asserts the
+    * plan shape. Sessions built without GraftExtensions get the rule via
+    * experimental.extraOptimizations (runtime-injectable, idempotent). */
+  private val b15b = entry(
+    "b15b_join_range_rule",
+    """SELECT e1.event_id, count(e2.event_id) AS n_following
+      |FROM events e1
+      |LEFT JOIN events e2
+      |  ON e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      |  AND e2.event_id <> e1.event_id
+      |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin) { (s, d) =>
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketing))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketing
+    val e = Tables.events(s, d).select(col("event_id"), col("ts"))
+    val e2 = e.select(col("event_id").as("event_id2"), col("ts").as("ts2"))
+    e.join(e2,
+        col("ts2") >= col("ts") &&
+        col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES") &&
+        col("event_id2") =!= col("event_id"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("event_id2")).as("n_following"))
+      .orderBy("event_id")
+  }
+
   /** B16 — as-of join: each purchase event matched to the latest prior view
     * event of the same user ("prior" = earlier in (ts, event_id) order; the
     * same tie rule is spelled out in the oracle, per SURVEY B16's warning
@@ -94,5 +123,5 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
-  val entries: Seq[Entry] = Seq(b15, b16)
+  val entries: Seq[Entry] = Seq(b15, b15b, b16)
 }

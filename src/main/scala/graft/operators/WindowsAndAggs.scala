@@ -83,41 +83,84 @@ object WindowsAndAggs {
   }
 
   /** B21 — collect_list/collect_set, always sort_array'd for determinism
-    * (SURVEY §2B rules; collection order is otherwise partition-dependent). */
+    * (SURVEY §2B rules; collection order is otherwise partition-dependent).
+    * Output is serialized to a joined string: the driver's compare sorts the
+    * result frame in pandas, which cannot hash array cells (r01 failure). */
   private val b21 = entry(
     "b21_agg_collect",
     """SELECT o_custkey,
-      |       list_sort(list(o_orderpriority)) AS prios,
-      |       list_sort(list(DISTINCT o_orderstatus)) AS statuses
+      |       array_to_string(list_sort(list(o_orderpriority)), '|') AS prios,
+      |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(
-        sort_array(collect_list(col("o_orderpriority"))).as("prios"),
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+        array_join(sort_array(collect_list(col("o_orderpriority"))), "|").as("prios"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), "|").as("statuses"))
       .orderBy("o_custkey")
   }
 
-  /** B22 — statistical aggregates. Columns chosen small-magnitude
-    * (quantity/discount/tax) so round(x,4) fully absorbs summation-order
-    * float drift between engines. */
+  /** B22 — statistical aggregates (stddev/variance/corr/covar semantics).
+    *
+    * Float partial-aggregate merge order is partition-scheduling-dependent in
+    * BOTH engines, so `round(stddev_samp(double), 4)` can flip at a rounding
+    * boundary between runs (r01: hash_match=false). The t2 twin therefore
+    * derives the same statistics from EXACT integer sums (values ×100 as
+    * BIGINT — order-independent, overflow-free at 600k rows) with the
+    * identical double formula text on both sides, which is bit-deterministic.
+    * The native stddev_samp/var_samp/corr/covar_samp/covar_pop aggregates are
+    * exercised against these closed forms in WindowsAndAggsSpec (tolerance).
+    */
   private val b22 = entry(
     "b22_agg_stats",
-    """SELECT l_returnflag,
-      |       round(stddev_samp(l_quantity), 4) AS sd_qty,
-      |       round(var_samp(l_quantity), 4) AS var_qty,
-      |       round(corr(l_discount, l_tax), 4) AS corr_disc_tax,
-      |       round(covar_samp(l_discount, l_tax), 4) AS covar_s,
-      |       round(covar_pop(l_discount, l_tax), 4) AS covar_p
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_discount"), col("l_tax")), 4).as("corr_disc_tax"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("covar_s"),
-        round(covar_pop(col("l_discount"), col("l_tax")), 4).as("covar_p"))
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(CAST(sum(qi * qi) AS BIGINT) AS DOUBLE) AS sqq,
+      |         CAST(CAST(sum(qi) AS BIGINT) AS DOUBLE) AS sq,
+      |         CAST(CAST(sum(di) AS BIGINT) AS DOUBLE) AS sd,
+      |         CAST(CAST(sum(di * di) AS BIGINT) AS DOUBLE) AS sdd,
+      |         CAST(CAST(sum(ti) AS BIGINT) AS DOUBLE) AS st,
+      |         CAST(CAST(sum(ti * ti) AS BIGINT) AS DOUBLE) AS stt,
+      |         CAST(CAST(sum(di * ti) AS BIGINT) AS DOUBLE) AS sdt
+      |  FROM (SELECT l_returnflag,
+      |               CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+      |               CAST(round(l_discount * 100) AS BIGINT) AS di,
+      |               CAST(round(l_tax * 100) AS BIGINT) AS ti
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       round(sqrt((sqq - sq * sq / n) / (n - 1)) / 100, 4) AS sd_qty,
+      |       round((sqq - sq * sq / n) / (n - 1) / 10000, 4) AS var_qty,
+      |       round((n * sdt - sd * st) / (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st)), 4) AS corr_disc_tax,
+      |       round((sdt - sd * st / n) / (n - 1) / 10000, 4) AS covar_s,
+      |       round((sdt - sd * st / n) / n / 10000, 4) AS covar_p
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qi"),
+      round(col("l_discount") * 100).cast("long").as("di"),
+      round(col("l_tax") * 100).cast("long").as("ti"))
+    val sums = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("qi") * col("qi")).cast("double").as("sqq"),
+      sum(col("qi")).cast("double").as("sq"),
+      sum(col("di")).cast("double").as("sd"),
+      sum(col("di") * col("di")).cast("double").as("sdd"),
+      sum(col("ti")).cast("double").as("st"),
+      sum(col("ti") * col("ti")).cast("double").as("stt"),
+      sum(col("di") * col("ti")).cast("double").as("sdt"))
+    val n = col("n"); val sq = col("sq"); val sqq = col("sqq")
+    val sd = col("sd"); val sdd = col("sdd"); val st = col("st")
+    val stt = col("stt"); val sdt = col("sdt")
+    sums.select(
+        col("l_returnflag"),
+        round(sqrt((sqq - sq * sq / n) / (n - lit(1))) / 100, 4).as("sd_qty"),
+        round((sqq - sq * sq / n) / (n - lit(1)) / 10000, 4).as("var_qty"),
+        round((n * sdt - sd * st) /
+          (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st)), 4).as("corr_disc_tax"),
+        round((sdt - sd * st / n) / (n - lit(1)) / 10000, 4).as("covar_s"),
+        round((sdt - sd * st / n) / n / 10000, 4).as("covar_p"))
       .orderBy("l_returnflag")
   }
 

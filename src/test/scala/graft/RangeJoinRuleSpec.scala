@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.RangeJoinBucketing]] — the injected optimizer rule that
+  * rewrites band/interval theta joins into bucketed equi joins.
+  *
+  * TestSession is built with spark.sql.extensions=graft.GraftExtensions, so
+  * the rule is active for every DataFrame in these tests.
+  */
+class RangeJoinRuleSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+  import spark.implicits._
+
+  private def events = graft.sources.Tables.events(spark, sf)
+    .select(col("event_id"), col("ts"))
+
+  private def naiveBandJoin(joinType: String) = {
+    val e = events
+    val e2 = e.select(col("event_id").as("event_id2"), col("ts").as("ts2"))
+    e.join(e2,
+      col("ts2") >= col("ts") &&
+      col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES") &&
+      col("event_id2") =!= col("event_id"), joinType)
+  }
+
+  test("naive interval band join is rewritten away from a nested loop") {
+    val plan = naiveBandJoin("left").queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rewritten naive join matches the hand-bucketed b15 results") {
+    val got = SparkEntry.queries("b15b_join_range_rule")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("b15_join_range")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("numeric integral band join is also rewritten") {
+    val a = spark.range(0, 500).select(col("id").as("x"))
+    val b = spark.range(0, 500).select(col("id").as("y"))
+    val j = a.join(b, col("y") >= col("x") && col("y") <= col("x") + lit(10L))
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // completeness + no-duplicates vs the naive count: sum over x of
+    // |[x, x+10] ∩ [0,500)| = 500*11 - (10+9+...+1) tail clip
+    assert(j.count() === 500L * 11 - 55)
+  }
+
+  test("right outer band joins are NOT rewritten (right side would duplicate)") {
+    val plan = naiveBandJoin("right").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_bucket"), plan)
+  }
+
+  test("joins that already have an equi key are left alone") {
+    val e = events
+    val e2 = events.select(col("event_id").as("event_id2"), col("ts").as("ts2"))
+    val j = e.join(e2,
+      col("event_id") === col("event_id2") &&
+      col("ts2") >= col("ts") &&
+      col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES"))
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_bucket"), plan)
+  }
+
+  test("rule can be disabled by conf") {
+    spark.conf.set("spark.graft.rangeJoinBucketing.enabled", "false")
+    try {
+      val plan = naiveBandJoin("inner").queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_bucket"), plan)
+    } finally spark.conf.set("spark.graft.rangeJoinBucketing.enabled", "true")
+  }
+
+  test("bucketing is exact-floor for negative epochs (pre-1970 timestamps)") {
+    // band [t, t+60s] across the epoch boundary: micros -30e6 .. +30e6
+    val l = Seq(-30000000L, -1L, 0L, 29999999L).toDF("lm")
+      .select(timestamp_micros(col("lm")).as("lts"))
+    val r = Seq(-30000000L, -1L, 0L, 29999999L).toDF("rm")
+      .select(timestamp_micros(col("rm")).as("rts"))
+    val j = l.join(r,
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr("INTERVAL 60 SECONDS"))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    // every ordered pair within 60s: all 4x4 pairs with rts >= lts → 10
+    assert(j.count() === 10)
+  }
+}
