@@ -25,15 +25,26 @@ object MinHashLsh {
   val RowsPerBand: Int = NumHashes / Bands
 
   /** 64-wide MinHash signature per doc_id: sig[i] = min over shingles of
-    * xxhash64(i, shingle). One shuffle (groupBy doc_id); 64 aggregates
-    * computed map-side first. */
+    * h_i(shingle). One shuffle (groupBy doc_id); 64 aggregates computed
+    * map-side first.
+    *
+    * The hash family is the 2-universal Carter-Wegman construction
+    * h_i = a + i*b from TWO xxhash64 evaluations per shingle — NOT 64
+    * independent xxhash64 calls, which would rehash the shingle's bytes 64
+    * times and dominate the whole pipeline (measured ~3x on the sf0.1
+    * bench). `a` is masked to 62 bits and `b` to 32 so `a + 63*b < 2^63`
+    * can never overflow (Spark 4 ANSI mode turns silent Long wraparound
+    * into a runtime error). */
   def signatures(docs: DataFrame): DataFrame =
     signaturesFromShingles(TextDedup.shingles(docs))
 
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val a = xxhash64(col("shingle")).bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))
+    val b = xxhash64(lit(1), col("shingle")).bitwiseAND(lit(0xFFFFFFFFL))
+    val hashed = sh.select(col("doc_id"), a.as("ha"), b.as("hb"))
     val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("doc_id")
+      min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
+    hashed.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))

@@ -143,31 +143,83 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
-  /** Document fingerprinting (driver mandate): order-sensitive 64-bit
-    * rolling-style fingerprint — xxhash64 over the first/last/middle
-    * shingles — plus a simple heuristic language-id signal (vowel ratio),
-    * both deterministic and oracle-free in SQL only where dialects agree.
-    * Fingerprint uses engine-specific hashing → no oracle; the t2-checked
-    * part is the structural signals. */
-  private val b45f = entryNoOracle("b45_text_fingerprint") { (s, d) =>
+  /** Document fingerprinting (driver mandate): order-sensitive rolling
+    * fingerprint (40-bit polynomial fold over character codes — the
+    * cross-engine hash from [[Winnowing.PolyGramHash]]'s family), SHA-256
+    * content digest, and a vowel-ratio language signal. ALL THREE are
+    * deterministic and dialect-portable, so this is fully t2 hash-matched
+    * (r01 ran it rows-only with xxhash64; SHA-256 and the polynomial fold
+    * hash identically in DuckDB). The engine-native 64-bit path
+    * (xxhash64) stays the scale default elsewhere (e.g. MinHash). */
+  private val b45f = entry(
+    "b45_text_fingerprint",
+    """SELECT doc_id,
+      |       CASE WHEN length(text) = 0 THEN 0 ELSE
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(generate_series(1, length(text)),
+      |                          j -> ascii(substr(text, j, 1)))),
+      |           (a, c) -> (a * 31 + c) & 1099511627775)
+      |       END AS fingerprint,
+      |       sha256(text) AS content_sha,
+      |       round(length(regexp_replace(text, '[^aeiou]', '', 'g')) /
+      |             greatest(length(text), 1), 4) AS vowel_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        xxhash64(col("text")).as("fingerprint"),
+        when(length(col("text")) === 0, lit(0L)).otherwise(expr(
+          """aggregate(transform(sequence(1, length(text)),
+            |                    j -> ascii(substring(text, j, 1))),
+            |          CAST(0 AS BIGINT),
+            |          (a, c) -> (a * 31 + c) & 1099511627775)""".stripMargin))
+          .as("fingerprint"),
         sha2(col("text"), 256).as("content_sha"),
-        (length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double") /
-          greatest(length(col("text")), lit(1))).as("vowel_ratio"))
+        round(length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("vowel_ratio"))
       .orderBy("doc_id")
   }
 
   /** Winnowing fingerprint containment (driver mandate "document
     * fingerprinting (rolling hash)"): probe docs (doc_id % 100 == 0)
     * checked for shared rolling-hash fingerprints against the corpus —
-    * the contamination-detection shape. Engine-specific hashing → rows-only
-    * driver check; guarantees proven in WinnowingSpec. */
-  private val b45w = entryNoOracle("b45_text_winnowing") { (s, d) =>
+    * the contamination-detection shape. Runs on the cross-engine
+    * polynomial gram hash so the ENTIRE pipeline (per-position k-gram
+    * hash → sliding window minima → distinct → inverted-index join) is t2
+    * hash-matched; the xxhash64 gram hash stays the scale default
+    * ([[Winnowing.XxGramHash]]) with guarantees proven in WinnowingSpec. */
+  private val b45w = entry(
+    "b45_text_winnowing",
+    """WITH probe_grams AS (
+      |  SELECT doc_id, i AS pos,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(generate_series(i, i + 4), j -> ascii(substr(text, j, 1)))),
+      |           (a, c) -> (a * 31 + c) & 1099511627775) AS h
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+      |        FROM documents WHERE length(text) >= 5 AND doc_id % 100 = 0)),
+      |corpus_grams AS (
+      |  SELECT doc_id, i AS pos,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(generate_series(i, i + 4), j -> ascii(substr(text, j, 1)))),
+      |           (a, c) -> (a * 31 + c) & 1099511627775) AS h
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+      |        FROM documents WHERE length(text) >= 5)),
+      |pf AS (
+      |  SELECT DISTINCT doc_id AS probe_id, fp FROM (
+      |    SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM probe_grams)),
+      |cf AS (
+      |  SELECT DISTINCT doc_id AS corpus_id, fp FROM (
+      |    SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM corpus_grams))
+      |SELECT probe_id, corpus_id, count(*) AS n_shared
+      |FROM pf JOIN cf USING (fp)
+      |WHERE probe_id <> corpus_id
+      |GROUP BY probe_id, corpus_id
+      |HAVING count(*) >= 2
+      |ORDER BY probe_id, corpus_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     Winnowing.sharedFingerprints(
-        docs.filter(col("doc_id") % 100 === 0), docs, minShared = 2)
+        docs.filter(col("doc_id") % 100 === 0), docs, minShared = 2,
+        gramHash = Winnowing.PolyGramHash)
       .orderBy("probe_id", "corpus_id")
   }
 

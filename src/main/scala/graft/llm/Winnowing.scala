@@ -21,12 +21,27 @@ object Winnowing {
   val K = 5 // k-gram length (characters)
   val W = 8 // window width (positions)
 
-  /** (doc_id, fingerprint) — distinct window-minimum k-gram hashes. */
-  def fingerprints(docs: DataFrame): DataFrame = {
+  /** Default gram hash: engine-native xxhash64 — the scale path (one hash
+    * of K bytes per position). `i` is the bound position variable. */
+  val XxGramHash: String = s"xxhash64(substring(text, i, $K))"
+
+  /** Oracle-replicable gram hash: 40-bit polynomial fold over character
+    * codes, `(h * 31 + code) & (2^40 - 1)`. Expressible verbatim in DuckDB
+    * (list_reduce) so winnowing output can be t2 hash-matched; ~0.3
+    * expected cross-gram collisions per million grams at 2^40. */
+  val PolyGramHash: String =
+    s"""aggregate(transform(sequence(i, i + ${K - 1}),
+       |                    j -> ascii(substring(text, j, 1))),
+       |          CAST(0 AS BIGINT),
+       |          (a, c) -> (a * 31 + c) & 1099511627775)""".stripMargin
+
+  /** (doc_id, fingerprint) — distinct window-minimum k-gram hashes.
+    * `gramHash` is a SQL expression over (`text`, position `i`). */
+  def fingerprints(docs: DataFrame, gramHash: String = XxGramHash): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= K)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${K - 1}), i -> xxhash64(substring(text, i, $K)))")))
+        s"transform(sequence(1, length(text) - ${K - 1}), i -> $gramHash)")))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, W - 1)
@@ -38,9 +53,10 @@ object Winnowing {
   /** Documents sharing ≥ `minShared` fingerprints with a probe doc —
     * the inverted-index containment query (plagiarism-/contamination-
     * detection shape: probe = eval set, corpus = training data). */
-  def sharedFingerprints(probes: DataFrame, corpus: DataFrame, minShared: Int): DataFrame = {
-    val pf = fingerprints(probes).select(col("doc_id").as("probe_id"), col("fp"))
-    val cf = fingerprints(corpus).select(col("doc_id").as("corpus_id"), col("fp"))
+  def sharedFingerprints(probes: DataFrame, corpus: DataFrame, minShared: Int,
+      gramHash: String = XxGramHash): DataFrame = {
+    val pf = fingerprints(probes, gramHash).select(col("doc_id").as("probe_id"), col("fp"))
+    val cf = fingerprints(corpus, gramHash).select(col("doc_id").as("corpus_id"), col("fp"))
     pf.join(cf, "fp")
       .filter(col("probe_id") =!= col("corpus_id"))
       .groupBy("probe_id", "corpus_id")

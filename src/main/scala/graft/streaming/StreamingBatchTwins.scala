@@ -75,5 +75,34 @@ object StreamingBatchTwins {
       .orderBy("user_id", "session_start")
   }
 
-  val entries: Seq[Entry] = Seq(b48, b49, b50)
+  /** B55 twin — the stream-stream interval join (StreamingOps
+    * .viewPurchaseJoin) as a batch equi+range join: purchases matched to
+    * the same user's views within the preceding 4 hours. Gap emitted as
+    * exact integer microseconds (the B16 rounding lesson). */
+  private val b55 = entry(
+    "b55_stream_join_batch",
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+      |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+      |  AND v.ts >= p.ts - INTERVAL 240 MINUTE AND v.ts <= p.ts
+      |ORDER BY purchase_id, view_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 240 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .orderBy("purchase_id", "view_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b48, b49, b50, b55)
 }

@@ -125,6 +125,30 @@ object StreamingOps {
       .toDF("user_id", "n_events", "balance")
   }
 
+  /** B55 — stream-stream interval join: each purchase joined to the same
+    * user's view events in the preceding 4 hours. BOTH sides carry a
+    * watermark and the join condition bounds event time in both
+    * directions, so Spark can expire buffered rows from the join state —
+    * the unbounded-state trap of stream-stream joins (state would
+    * otherwise grow with the full history). Equi key user_id keeps it a
+    * hash-partitioned stateful join. Batch twin: b55_stream_join_batch. */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 240 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {

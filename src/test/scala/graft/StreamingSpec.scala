@@ -62,6 +62,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("event_id").distinct().count() === src.count())
   }
 
+  test("B55: stream-stream interval join converges to the batch twin") {
+    val events = StreamingOps.readStream(spark, chunkDir)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.viewPurchaseJoin(events), "t_ssjoin", "append")
+    val batch = SparkEntry.queries("b55_stream_join_batch")(spark, sf)
+      .select("purchase_id", "view_id", "user_id", "gap_us")
+    assert(sortedRows(streamed.select("purchase_id", "view_id", "user_id", "gap_us"))
+      === sortedRows(batch))
+  }
+
   test("B53: stateful running balance folds to the batch per-user totals") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningBalance(StreamingOps.readStream(spark, chunkDir)),
