@@ -30,7 +30,8 @@ object Bench {
     // warmup (untimed): JIT, codegen compiler, parquet footers
     materialize(SparkEntry.queries("b17_agg_hash")(spark, sfDir))
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // min-of-3 absorbs the host's multi-second CPU-steal spikes
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.benchQueries.map { e =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
