@@ -23,10 +23,11 @@ import org.apache.spark.sql.types._
   *
   * Fires only when:
   *   - the join has NO usable equi conjunct (else Spark already hash-joins);
-  *   - one conjunct bounds a right-side expression below by a left-side
-  *     expression (either orientation), and another bounds it above by
-  *     `same-left-expr + literal interval` (timestamp) or `+ literal
-  *     integral` (numeric);
+  *   - two conjuncts form a band `probe ∈ [base, base + w]` (following
+  *     window) or `probe ∈ [base - w, base]` (preceding window), where
+  *     probe and base sit on opposite sides of the join (either
+  *     orientation) and `w` is a literal interval (timestamp) or literal
+  *     integral (numeric);
   *   - join type is Inner/Cross/LeftOuter/LeftSemi/LeftAnti (the right side
   *     is duplicated 2x pre-residual, which right/full-outer would observe
   *     in their null-extension; the left side is never duplicated, and a
@@ -100,6 +101,32 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** A detected band: `probe ∈ [base, base + width]` (`s1 = true`, the
+    * "following window" idiom) or `probe ∈ [base - width, base]`
+    * (`s1 = false`, the "preceding window" idiom — `ts - INTERVAL w`
+    * optimizes to TimestampAddInterval with a negative literal). */
+  private case class Band(probe: Expression, base: Expression, width: Long, s1: Boolean)
+
+  private def detectBand(bounds: Seq[Bound]): Seq[Band] = {
+    val s1 = for {
+      Bound(base, probe) <- bounds
+      if supportedType(probe.dataType)
+      Bound(p2, up) <- bounds
+      if p2.semanticEquals(probe)
+      (b2, w) <- asUpper(up)
+      if w > 0 && b2.semanticEquals(base)
+    } yield Band(probe, base, w, s1 = true)
+    val s2 = for {
+      Bound(loAdd, probe) <- bounds
+      if supportedType(probe.dataType)
+      (base, w) <- asUpper(loAdd).toSeq
+      if w < 0
+      Bound(p2, b2) <- bounds
+      if p2.semanticEquals(probe) && b2.semanticEquals(base)
+    } yield Band(probe, base, -w, s1 = false)
+    s1 ++ s2
+  }
+
   private def rewrite(j: Join): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
 
@@ -116,23 +143,29 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (hasEqui) return None
 
-    val bounds = conjuncts.flatMap(asBound)
-    // lower: leftExpr <= rightExpr  (probe expr on the right side)
-    val candidates = for {
-      Bound(lLo, rProbe) <- bounds
-      if supportedType(rProbe.dataType)
-      if sideOf(lLo, j).contains(true) && sideOf(rProbe, j).contains(false)
-      Bound(rProbe2, up) <- bounds
-      if rProbe2.semanticEquals(rProbe)
-      (base, w) <- asUpper(up)
-      if w > 0 && base.semanticEquals(lLo)
-    } yield (lLo, rProbe, w)
+    val candidates = detectBand(conjuncts.flatMap(asBound)).flatMap { band =>
+      (sideOf(band.probe, j), sideOf(band.base, j)) match {
+        case (Some(pLeft), Some(bLeft)) if pLeft != bLeft =>
+          Some((band, !pLeft)) // probeOnRight
+        case _ => None
+      }
+    }
 
-    candidates.headOption.map { case (lExpr, rExpr, w) =>
+    candidates.headOption.map { case (band, probeOnRight) =>
+      val (lExpr, rExpr) =
+        if (probeOnRight) (band.base, band.probe) else (band.probe, band.base)
+      // With δ = bucket(probe) - bucket(base): S1 ⇒ δ ∈ {0,1}, S2 ⇒ δ ∈
+      // {-1,0}. The right side therefore also matches at offset `step`:
+      //   probe right, S1: bucket(l)=bucket(probe)-δ       → {b_r, b_r-1}
+      //   probe right, S2: bucket(l)=bucket(probe)-δ, δ≤0  → {b_r, b_r+1}
+      //   probe left,  S1: bucket(l)=bucket(base)+δ        → {b_r, b_r+1}
+      //   probe left,  S2: bucket(l)=bucket(base)+δ, δ≤0   → {b_r, b_r-1}
+      val step = if (probeOnRight == band.s1) -1L else 1L
+      val w = band.width
       val bl = Alias(bucketOf(lExpr, w), "__graft_bucket_l")()
       val newLeft = Project(j.left.output :+ bl, j.left)
       val rBucket = bucketOf(rExpr, w)
-      val arr = CreateArray(Seq(rBucket, Subtract(rBucket, Literal(1L))))
+      val arr = CreateArray(Seq(rBucket, Add(rBucket, Literal(step))))
       val genOut = AttributeReference("__graft_bucket_r", LongType)()
       val newRight =
         Generate(Explode(arr), unrequiredChildIndex = Nil, outer = false,

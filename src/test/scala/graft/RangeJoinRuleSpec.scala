@@ -51,6 +51,33 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(j.count() === 500L * 11 - 55)
   }
 
+  private def withRuleDisabled[A](f: => A): A = {
+    spark.conf.set("spark.graft.rangeJoinBucketing.enabled", "false")
+    try f finally spark.conf.set("spark.graft.rangeJoinBucketing.enabled", "true")
+  }
+
+  test("preceding-window idiom (ts - INTERVAL) is rewritten and agrees with naive") {
+    val e = events
+    val e2 = e.select(col("event_id").as("event_id2"), col("ts").as("ts2"))
+    def j = e.join(e2,
+      col("ts2") >= col("ts") - expr("INTERVAL 240 MINUTES") &&
+      col("ts2") <= col("ts"))
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    assert(j.count() === withRuleDisabled(j.count()))
+  }
+
+  test("probe-on-left orientation is rewritten and agrees with naive") {
+    val e = events
+    val e2 = e.select(col("event_id").as("event_id2"), col("ts").as("ts2"))
+    def j = e.join(e2,
+      col("ts") >= col("ts2") &&
+      col("ts") <= col("ts2") + expr("INTERVAL 5 MINUTES"))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    assert(j.count() === withRuleDisabled(j.count()))
+  }
+
   test("right outer band joins are NOT rewritten (right side would duplicate)") {
     val plan = naiveBandJoin("right").queryExecution.optimizedPlan.toString
     assert(!plan.contains("__graft_bucket"), plan)
