@@ -32,20 +32,35 @@ object Bench {
 
     // min-of-3 absorbs the host's multi-second CPU-steal spikes
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.benchQueries.map { e =>
-      val times = (1 to reps).map { _ =>
+    // a failing rep must NOT contribute a (near-zero) elapsed time — with
+    // min-of-reps the fastest failure would otherwise masquerade as the
+    // best result; queries with no successful rep are reported in "errors"
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.benchQueries.flatMap { e =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try materialize(e.q(spark, sfDir))
-        catch { case t: Throwable => System.err.println(s"[bench] ${e.name}: $t") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          materialize(e.q(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] ${e.name}: $t")
+            errors(e.name) = t.getClass.getSimpleName
+            None
+        }
       }
-      e.name -> times.min
+      times.minOption.map(e.name -> _)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // rc stays 0 even with per-query errors: the JSON line (with its
+    // "errors" map) must still reach the recorder
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

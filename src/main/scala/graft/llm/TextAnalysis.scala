@@ -153,12 +153,13 @@ object TextAnalysis {
     * (xxhash64) stays the scale default elsewhere (e.g. MinHash). */
   private val b45f = entry(
     "b45_text_fingerprint",
-    """SELECT doc_id,
-      |       CASE WHEN length(text) = 0 THEN 0 ELSE
+    s"""SELECT doc_id,
+      |       CASE WHEN text IS NULL THEN NULL
+      |            WHEN length(text) = 0 THEN 0 ELSE
       |         list_reduce(list_prepend(0::BIGINT,
       |           list_transform(generate_series(1, length(text)),
       |                          j -> ascii(substr(text, j, 1)))),
-      |           (a, c) -> (a * 31 + c) & 1099511627775)
+      |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask})
       |       END AS fingerprint,
       |       sha256(text) AS content_sha,
       |       round(length(regexp_replace(text, '[^aeiou]', '', 'g')) /
@@ -167,10 +168,10 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"),
         when(length(col("text")) === 0, lit(0L)).otherwise(expr(
-          """aggregate(transform(sequence(1, length(text)),
+          s"""aggregate(transform(sequence(1, length(text)),
             |                    j -> ascii(substring(text, j, 1))),
             |          CAST(0 AS BIGINT),
-            |          (a, c) -> (a * 31 + c) & 1099511627775)""".stripMargin))
+            |          (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask})""".stripMargin))
           .as("fingerprint"),
         sha2(col("text"), 256).as("content_sha"),
         round(length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double") /
@@ -188,18 +189,18 @@ object TextAnalysis {
     * ([[Winnowing.XxGramHash]]) with guarantees proven in WinnowingSpec. */
   private val b45w = entry(
     "b45_text_winnowing",
-    """WITH probe_grams AS (
+    s"""WITH probe_grams AS (
       |  SELECT doc_id, i AS pos,
       |         list_reduce(list_prepend(0::BIGINT,
       |           list_transform(generate_series(i, i + 4), j -> ascii(substr(text, j, 1)))),
-      |           (a, c) -> (a * 31 + c) & 1099511627775) AS h
+      |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) AS h
       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
       |        FROM documents WHERE length(text) >= 5 AND doc_id % 100 = 0)),
       |corpus_grams AS (
       |  SELECT doc_id, i AS pos,
       |         list_reduce(list_prepend(0::BIGINT,
       |           list_transform(generate_series(i, i + 4), j -> ascii(substr(text, j, 1)))),
-      |           (a, c) -> (a * 31 + c) & 1099511627775) AS h
+      |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) AS h
       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
       |        FROM documents WHERE length(text) >= 5)),
       |pf AS (

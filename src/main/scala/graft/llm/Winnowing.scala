@@ -25,15 +25,20 @@ object Winnowing {
     * of K bytes per position). `i` is the bound position variable. */
   val XxGramHash: String = s"xxhash64(substring(text, i, $K))"
 
+  /** 40-bit mask for the cross-engine polynomial hash — the ONE definition
+    * every dialect string (here and in TextAnalysis' oracle SQL)
+    * interpolates, so the Spark and DuckDB folds cannot drift apart. */
+  val PolyMask: Long = (1L << 40) - 1
+
   /** Oracle-replicable gram hash: 40-bit polynomial fold over character
-    * codes, `(h * 31 + code) & (2^40 - 1)`. Expressible verbatim in DuckDB
+    * codes, `(h * 31 + code) & PolyMask`. Expressible verbatim in DuckDB
     * (list_reduce) so winnowing output can be t2 hash-matched; ~0.3
     * expected cross-gram collisions per million grams at 2^40. */
   val PolyGramHash: String =
     s"""aggregate(transform(sequence(i, i + ${K - 1}),
        |                    j -> ascii(substring(text, j, 1))),
        |          CAST(0 AS BIGINT),
-       |          (a, c) -> (a * 31 + c) & 1099511627775)""".stripMargin
+       |          (a, c) -> (a * 31 + c) & $PolyMask)""".stripMargin
 
   /** (doc_id, fingerprint) — distinct window-minimum k-gram hashes.
     * `gramHash` is a SQL expression over (`text`, position `i`). */

@@ -107,7 +107,12 @@ object WindowsAndAggs {
     * boundary between runs (r01: hash_match=false). The t2 twin therefore
     * derives the same statistics from EXACT integer sums (values ×100 as
     * BIGINT — order-independent, overflow-free at 600k rows) with the
-    * identical double formula text on both sides, which is bit-deterministic.
+    * identical double formula text on both sides: deterministic across runs
+    * and identical pre-round doubles in both engines. (round(x,4) itself can
+    * still disagree between engines on exact .00005-boundary doubles —
+    * Spark rounds the shortest decimal repr, DuckDB the binary value — but
+    * with fixed inputs that is a validate-once concern, checked at sf0.01
+    * and sf0.1, not a per-run flake like the float-merge order was.)
     * The native stddev_samp/var_samp/corr/covar_samp/covar_pop aggregates are
     * exercised against these closed forms in WindowsAndAggsSpec (tolerance).
     */
@@ -130,10 +135,10 @@ object WindowsAndAggs {
       |        FROM lineitem)
       |  GROUP BY l_returnflag)
       |SELECT l_returnflag,
-      |       round(sqrt((sqq - sq * sq / n) / (n - 1)) / 100, 4) AS sd_qty,
-      |       round((sqq - sq * sq / n) / (n - 1) / 10000, 4) AS var_qty,
-      |       round((n * sdt - sd * st) / (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st)), 4) AS corr_disc_tax,
-      |       round((sdt - sd * st / n) / (n - 1) / 10000, 4) AS covar_s,
+      |       round(sqrt((sqq - sq * sq / n) / nullif(n - 1, 0.0)) / 100, 4) AS sd_qty,
+      |       round((sqq - sq * sq / n) / nullif(n - 1, 0.0) / 10000, 4) AS var_qty,
+      |       round((n * sdt - sd * st) / nullif(sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st), 0.0), 4) AS corr_disc_tax,
+      |       round((sdt - sd * st / n) / nullif(n - 1, 0.0) / 10000, 4) AS covar_s,
       |       round((sdt - sd * st / n) / n / 10000, 4) AS covar_p
       |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d).select(
@@ -153,13 +158,17 @@ object WindowsAndAggs {
     val n = col("n"); val sq = col("sq"); val sqq = col("sqq")
     val sd = col("sd"); val sdd = col("sdd"); val st = col("st")
     val stt = col("stt"); val sdt = col("sdt")
+    // nullif'd denominators: a 1-row group has n-1 = 0 and a constant
+    // column zeroes the corr denominator — ANSI mode would turn the
+    // divide into a runtime error where the native aggregates return NULL
+    val nm1 = nullif(n - lit(1), lit(0.0))
+    val corrDen = nullif(sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st), lit(0.0))
     sums.select(
         col("l_returnflag"),
-        round(sqrt((sqq - sq * sq / n) / (n - lit(1))) / 100, 4).as("sd_qty"),
-        round((sqq - sq * sq / n) / (n - lit(1)) / 10000, 4).as("var_qty"),
-        round((n * sdt - sd * st) /
-          (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st)), 4).as("corr_disc_tax"),
-        round((sdt - sd * st / n) / (n - lit(1)) / 10000, 4).as("covar_s"),
+        round(sqrt((sqq - sq * sq / n) / nm1) / 100, 4).as("sd_qty"),
+        round((sqq - sq * sq / n) / nm1 / 10000, 4).as("var_qty"),
+        round((n * sdt - sd * st) / corrDen, 4).as("corr_disc_tax"),
+        round((sdt - sd * st / n) / nm1 / 10000, 4).as("covar_s"),
         round((sdt - sd * st / n) / n / 10000, 4).as("covar_p"))
       .orderBy("l_returnflag")
   }

@@ -66,13 +66,17 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
     case _                        => None
   }
 
-  /** Split `hi = base + width` for supported widths, in microseconds for
-    * timestamps / raw units for integrals. */
+  /** Split `e = base + width` (width may be negative — `ts - INTERVAL w`
+    * optimizes to TimestampAddInterval with a negated literal, and numeric
+    * `x - 10` stays a Subtract node). Width in microseconds for timestamps,
+    * raw units for integrals. */
   private def asUpper(e: Expression): Option[(Expression, Long)] = e match {
     case TimestampAddInterval(base, Literal(w: Long, _: DayTimeIntervalType), _) =>
       Some((base, w))
-    case Add(base, Literal(w: Long, LongType), _)   => Some((base, w))
-    case Add(base, Literal(w: Int, IntegerType), _) => Some((base, w.toLong))
+    case Add(base, Literal(w: Long, LongType), _)        => Some((base, w))
+    case Add(base, Literal(w: Int, IntegerType), _)      => Some((base, w.toLong))
+    case Subtract(base, Literal(w: Long, LongType), _)   => Some((base, -w))
+    case Subtract(base, Literal(w: Int, IntegerType), _) => Some((base, -w.toLong))
     case _ => None
   }
 
@@ -84,19 +88,22 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  /** floor(x / w) as exact integer arithmetic on the micros/raw value. */
+  /** floor(x / w) as exact integer arithmetic on the micros/raw value.
+    * TimestampNTZ is deliberately NOT supported: UnixMicros accepts only
+    * TimestampType (its inputTypes), so an NTZ rewrite would embed a
+    * type-invalid expression into the optimized plan. */
   private def bucketOf(e: Expression, w: Long): Expression = {
     val x = e.dataType match {
-      case TimestampType | TimestampNTZType                => UnixMicros(e)
-      case ByteType | ShortType | IntegerType | LongType   => Cast(e, LongType)
-      case _                                               => return Literal(null, LongType)
+      case TimestampType                                 => UnixMicros(e)
+      case ByteType | ShortType | IntegerType | LongType => Cast(e, LongType)
+      case _                                             => return Literal(null, LongType)
     }
     val wl = Literal(w, LongType)
     IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
   }
 
   private def supportedType(dt: DataType): Boolean = dt match {
-    case TimestampType | TimestampNTZType => true
+    case TimestampType => true
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }

@@ -78,6 +78,14 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(j.count() === withRuleDisabled(j.count()))
   }
 
+  test("numeric preceding-window band (x - 10) is rewritten and agrees with naive") {
+    val a = spark.range(0, 500).select(col("id").as("x"))
+    val b = spark.range(0, 500).select(col("id").as("y"))
+    def j = a.join(b, col("y") >= col("x") - lit(10L) && col("y") <= col("x"))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    assert(j.count() === withRuleDisabled(j.count()))
+  }
+
   test("right outer band joins are NOT rewritten (right side would duplicate)") {
     val plan = naiveBandJoin("right").queryExecution.optimizedPlan.toString
     assert(!plan.contains("__graft_bucket"), plan)

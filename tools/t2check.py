@@ -85,12 +85,20 @@ def main():
         ok = True
         # The real driver sorts the result frame in pandas before hashing;
         # list/map cells are unhashable there (r01: b21/b36/b37 crashed).
-        # Flag ANY complex-typed output column as a failure locally.
-        for row in (sdf[:1] + ddf[:1]):
-            for c, v in zip(scols if row in sdf[:1] else dcols, row):
-                if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
-                    print(f"FAIL {name}: col {c} is complex-typed ({type(v).__name__}) — driver pandas sort would crash")
-                    ok = False
+        # Flag ANY complex-typed cell as a failure locally — every row is
+        # scanned (a nullable array column can have NULL in row 0), with
+        # one report per offending column.
+        def complex_cols(rows, cols):
+            bad = set()
+            for row in rows:
+                for c, v in zip(cols, row):
+                    if c not in bad and (isinstance(v, (list, tuple, dict))
+                                         or type(v).__name__ == "ndarray"):
+                        bad.add(c)
+            return bad
+        for c in sorted(complex_cols(sdf, scols) | complex_cols(ddf, dcols)):
+            print(f"FAIL {name}: col {c} is complex-typed — driver pandas sort would crash")
+            ok = False
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
