@@ -24,23 +24,33 @@ object MinHashLsh {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Distinct (doc_id, sh) 64-bit shingle hashes. Every downstream stage
+    * — signature aggregation AND the verification joins — operates on the
+    * 8-byte hash, never the shingle string: the string's bytes are hashed
+    * exactly once, shuffles carry fixed-width longs, and join compares are
+    * single-word. A 2^-64-per-pair xxhash64 collision can in principle
+    * merge two shingles; acceptable inside the approximate LSH path (the
+    * t2-checked exact-Jaccard twin b43_dedup_jaccard keeps real strings). */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    TextDedup.shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+
   /** 64-wide MinHash signature per doc_id: sig[i] = min over shingles of
     * h_i(shingle). One shuffle (groupBy doc_id); 64 aggregates computed
     * map-side first.
     *
     * The hash family is the 2-universal Carter-Wegman construction
-    * h_i = a + i*b from TWO xxhash64 evaluations per shingle — NOT 64
-    * independent xxhash64 calls, which would rehash the shingle's bytes 64
-    * times and dominate the whole pipeline (measured ~3x on the sf0.1
-    * bench). `a` is masked to 62 bits and `b` to 32 so `a + 63*b < 2^63`
-    * can never overflow (Spark 4 ANSI mode turns silent Long wraparound
-    * into a runtime error). */
+    * h_i = a + i*b from the shingle hash — NOT 64 independent xxhash64
+    * calls over the shingle bytes, which would dominate the whole pipeline
+    * (measured ~3x on the sf0.1 bench). `a` is masked to 62 bits and `b`
+    * to 32 so `a + 63*b < 2^63` can never overflow (Spark 4 ANSI mode
+    * turns silent Long wraparound into a runtime error). */
   def signatures(docs: DataFrame): DataFrame =
-    signaturesFromShingles(TextDedup.shingles(docs))
+    signaturesFromShingles(hashedShingles(docs))
 
+  /** Input: (doc_id, sh: long) from [[hashedShingles]]. */
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    val a = xxhash64(col("shingle")).bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))
-    val b = xxhash64(lit(1), col("shingle")).bitwiseAND(lit(0xFFFFFFFFL))
+    val a = col("sh").bitwiseAND(lit(0x3FFFFFFFFFFFFFFFL))
+    val b = xxhash64(lit(1), col("sh")).bitwiseAND(lit(0xFFFFFFFFL))
     val hashed = sh.select(col("doc_id"), a.as("ha"), b.as("hb"))
     val minCols = (0 until NumHashes).map(i =>
       min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
@@ -65,17 +75,19 @@ object MinHashLsh {
       .distinct()
   }
 
-  /** Exact Jaccard for given (doc_a, doc_b) pairs via the shingle join. */
+  /** Exact Jaccard for given (doc_a, doc_b) pairs via the shingle-hash
+    * join (exact modulo the documented 2^-64 hash-collision caveat). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
-    verifyJaccardFromShingles(pairs, TextDedup.shingles(docs))
+    verifyJaccardFromShingles(pairs, hashedShingles(docs))
 
+  /** Input: (doc_id, sh: long) from [[hashedShingles]]. */
   def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // equi-join on (doc, shingle) both times — the shingle key must be part
+    // equi-join on (doc, sh) both times — the shingle key must be part
     // of the join, or each pair degenerates to |A|×|B| combinations
     val common = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     pairs
       .join(common, Seq("doc_a", "doc_b"), "left")
@@ -88,10 +100,10 @@ object MinHashLsh {
   }
 
   /** End-to-end near-dup detection: LSH candidates, then exact verification
-    * at `threshold`. The shingle set feeds both signature generation and
-    * verification — cached so the explode+distinct pass runs once. */
+    * at `threshold`. The hashed shingle set feeds both signature generation
+    * and verification — cached so the explode+distinct+hash pass runs once. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = TextDedup.shingles(docs).cache()
+    val sh = hashedShingles(docs).cache()
     try {
       val cands = candidatePairs(signaturesFromShingles(sh))
       verifyJaccardFromShingles(cands, sh)
