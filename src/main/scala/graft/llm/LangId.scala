@@ -76,14 +76,51 @@ object LangId {
   }
 
   /** SimHash near-dup over the dup-injected corpus (identical docs land at
-    * Hamming distance 0; engine-specific hashing → rows-only check, the
-    * recall property is in SimHashSpec). */
-  private val b42s = entryNoOracle("b42_dedup_simhash") { (s, d) =>
+    * Hamming distance 0). Fully t2 hash-matched: the token hash is the
+    * cross-engine 40-bit polynomial fold, and banded candidate generation
+    * with 4 bands at maxHamming 3 is COMPLETE by pigeonhole, so the Spark
+    * band-join + Hamming filter equals the oracle's exact all-pairs
+    * popcount. The 64-bit xxhash64 signature stays the scale default
+    * ([[SimHash.XxTermHash]]), recall-tested in SimHashSpec. */
+  private val b42s = entry(
+    "b42_dedup_simhash",
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM all_docs),
+       |th AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(
+       |           list_reduce(list_prepend(0::BIGINT,
+       |             list_transform(generate_series(1, length(term)),
+       |                            j -> ascii(substr(term, j, 1)))),
+       |             (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}),
+       |           [13, 29, 17]),
+       |           (h, sh) -> xor((h * 1048573 + 11) & ${Winnowing.PolyMask},
+       |                          ((h * 1048573 + 11) & ${Winnowing.PolyMask}) >> sh)) AS h
+       |  FROM toks WHERE term <> ''),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, (SELECT unnest(generate_series(0, 39)) AS b) bb
+       |  GROUP BY doc_id, b),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val withDups = docs.unionByName(
       docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    SimHash.nearDuplicates(withDups, maxHamming = 3)
+    SimHash.nearDuplicates(withDups, maxHamming = 3,
+        termHash = SimHash.PolyTermHash, bits = 40)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -22,29 +22,59 @@ object SimHash {
   val Bands = 4
   val BitsPerBand: Int = Bits / Bands
 
-  /** 64-bit SimHash per doc_id from whitespace tokens. */
-  def signatures(docs: DataFrame): DataFrame = {
+  /** Default token hash: engine-native xxhash64 (64 signature bits — the
+    * scale path). `term` is the bound token column name. */
+  val XxTermHash = "xxhash64(term)"
+
+  /** Oracle-replicable token hash: the 40-bit polynomial fold of
+    * [[Winnowing.PolyGramHash]] followed by three xor-shift finalizer
+    * rounds. The bare *31 fold leaves high bits empty for short tokens
+    * (a 4-char token stays below 2^23), which would make most signature
+    * bits constant across the corpus; the finalizer spreads entropy to
+    * near-uniform per-bit balance (validated against a random-hash
+    * reference). All ops are in-range for ANSI mode (h*1048573 < 2^60)
+    * and DuckDB evaluates the same rounds verbatim via list_reduce —
+    * which is what makes a SimHash t2 oracle possible. */
+  val PolyTermHash: String =
+    s"""aggregate(array(13, 29, 17),
+       |          aggregate(transform(sequence(1, length(term)),
+       |                              j -> ascii(substring(term, j, 1))),
+       |                    CAST(0 AS BIGINT),
+       |                    (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}),
+       |          (h, sh) -> ((h * 1048573 + 11) & ${Winnowing.PolyMask})
+       |                     ^ shiftright((h * 1048573 + 11) & ${Winnowing.PolyMask}, sh))""".stripMargin
+
+  /** SimHash signature per doc_id from whitespace tokens. `termHash` is a
+    * SQL expression over the token column `term`; `bits` must be a
+    * multiple of [[Bands]] and no wider than the hash. */
+  def signatures(docs: DataFrame, termHash: String = XxTermHash,
+      bits: Int = Bits): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-      .withColumn("h", xxhash64(col("term")))
+      .withColumn("h", expr(termHash))
     // per bit: sum of ±1 depending on the bit of the token hash
-    val bitSums = (0 until Bits).map(b =>
+    val bitSums = (0 until bits).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     // assemble signature: bit b set iff s_b > 0  (shiftleft on long)
-    val sig = (0 until Bits)
+    val sig = (0 until bits)
       .map(b => when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Candidate pairs (a<b) agreeing exactly on ≥1 of the 4 16-bit bands. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
+  /** Candidate pairs (a<b) agreeing exactly on ≥1 of the [[Bands]] bands.
+    * With bands > maxHamming this is COMPLETE, not approximate: a pair
+    * within Hamming distance maxHamming has at least one untouched band
+    * (pigeonhole), so banded candidates + the Hamming filter equal the
+    * exact all-pairs computation — the property the t2 oracle relies on. */
+  def candidatePairs(sigs: DataFrame, bits: Int = Bits): DataFrame = {
+    val bitsPerBand = bits / Bands
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
-           |          b -> (simhash >> (b * $BitsPerBand)) & ${(1L << BitsPerBand) - 1})""".stripMargin)))
+           |          b -> (simhash >> (b * $bitsPerBand)) & ${(1L << bitsPerBand) - 1})""".stripMargin)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
     banded.as("l")
       .join(banded.as("r"),
@@ -55,9 +85,11 @@ object SimHash {
       .distinct()
   }
 
-  /** Near-dup pairs within `maxHamming` bits. */
-  def nearDuplicates(docs: DataFrame, maxHamming: Int): DataFrame =
-    candidatePairs(signatures(docs))
+  /** Near-dup pairs within `maxHamming` bits (maxHamming < [[Bands]] for
+    * the completeness guarantee). */
+  def nearDuplicates(docs: DataFrame, maxHamming: Int,
+      termHash: String = XxTermHash, bits: Int = Bits): DataFrame =
+    candidatePairs(signatures(docs, termHash, bits), bits)
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
