@@ -110,6 +110,30 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.rangeJoinBucketing.enabled", "true")
   }
 
+  test("property: random widths/offsets/join-types agree with the naive plan") {
+    // randomized equivalence sweep: values span negatives and bucket
+    // boundaries; every accepted join type and both band shapes
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val width = 1L + rnd.nextInt(50)
+      val n = 200
+      val offset = rnd.nextInt(200) - 100
+      val a = spark.range(0, n).select((col("id") * 3 + offset).as("x"))
+      val b = spark.range(0, n).select((col("id") * 7 - 500).as("y"))
+      val (joinType, s1) = (Seq("inner", "left", "left_semi", "left_anti")(trial % 4),
+        trial % 2 == 0)
+      def j = if (s1)
+        a.join(b, col("y") >= col("x") && col("y") <= col("x") + lit(width), joinType)
+      else
+        a.join(b, col("y") >= col("x") - lit(width) && col("y") <= col("x"), joinType)
+      val (got, want) = (j.count(), withRuleDisabled(j.count()))
+      assert(got === want,
+        s"trial=$trial width=$width offset=$offset type=$joinType s1=$s1")
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+        s"rule did not fire: trial=$trial")
+    }
+  }
+
   test("bucketing is exact-floor for negative epochs (pre-1970 timestamps)") {
     // band [t, t+60s] across the epoch boundary: micros -30e6 .. +30e6
     val l = Seq(-30000000L, -1L, 0L, 29999999L).toDF("lm")
