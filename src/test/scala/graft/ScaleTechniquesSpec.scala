@@ -22,6 +22,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("ANALYZE TABLE statistics drive the planner (CBO path, SURVEY §4B)") {
+    // stats-driven planning: after ANALYZE, the optimizer sees exact row
+    // counts (not file-size guesses) and sizes a filtered dimension under
+    // the broadcast threshold from its column histogram-backed estimates
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").saveAsTable("cbo_customer")
+      spark.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.table("cbo_customer").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined, "ANALYZE did not surface a row count")
+      assert(stats.rowCount.get.toLong ===
+        Tables.customer(spark, sf).count())
+      assert(stats.attributeStats.nonEmpty, "no column-level statistics")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS cbo_customer")
+    }
+  }
+
   test("bucketed co-located join plans with zero shuffles") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {

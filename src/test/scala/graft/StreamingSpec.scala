@@ -114,6 +114,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("B54+: checkpointed restart resumes without reprocessing (exactly-once source progress)") {
+    // run 1 consumes the existing chunks to completion; run 2 restarts
+    // from the SAME checkpoint after new chunks land and must process
+    // ONLY those — the file-source offsets live in the checkpoint, which
+    // is what makes a crashed job resumable without duplicates at scale
+    val srcDir = Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.schema(StreamingOps.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/chunk_*")
+        .select("event_id")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.collect().map(_.getLong(0)) }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val all = spark.read.parquet(s"$chunkDir/chunk_0000", s"$chunkDir/chunk_0001")
+    spark.read.parquet(s"$chunkDir/chunk_0000").write.parquet(s"$srcDir/chunk_0000")
+    drain()
+    val afterRun1 = seen.size
+    assert(afterRun1 === spark.read.parquet(s"$chunkDir/chunk_0000").count())
+    spark.read.parquet(s"$chunkDir/chunk_0001").write.parquet(s"$srcDir/chunk_0001")
+    drain() // restart from checkpoint
+    assert(seen.size === all.count(), "restart reprocessed or dropped rows")
+    assert(seen.distinct.size === seen.size, "duplicate event_ids across restart")
+  }
+
   test("B51: late data behind the watermark is dropped (append mode)") {
     val dir = Files.createTempDirectory("graft_late").toString
     def chunk(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
