@@ -266,6 +266,29 @@ object Relational {
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
   }
 
+  /** B6++ SQL subquery path — correlated scalar subqueries + EXISTS,
+    * exercising Catalyst's subquery decorrelation and
+    * RewritePredicateSubquery (SURVEY §4B names both). "Customers above
+    * their nation's average balance who have orders." The comparison is in
+    * exact integer cents×count vs cent-sum form: a float avg's partial
+    * merge order is run-dependent and a boundary row would flip. */
+  private val b06sub = {
+    val sql =
+      """SELECT c.c_custkey, c.c_nationkey, round(c.c_acctbal, 4) AS bal
+        |FROM customer c
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin
+    entry("b06_sql_subquery", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
   val entries: Seq[Entry] =
-    Seq(b01, b06, b41sql, b07, b09, b10, b11, b12, b13, b14, b17, b18)
+    Seq(b01, b06, b41sql, b06sub, b07, b09, b10, b11, b12, b13, b14, b17, b18)
 }

@@ -82,6 +82,29 @@ object WindowsAndAggs {
       .orderBy("o_orderstatus")
   }
 
+  /** B20++ — unpivot/melt (the inverse of pivot): wide per-part metrics to
+    * long (part, metric, value) form via Spark's native Dataset.unpivot —
+    * one narrow projection, no shuffle. DuckDB spells it UNPIVOT. */
+  private val b20u = entry(
+    "b20_agg_unpivot",
+    """SELECT p_partkey, metric, round(value, 4) AS value
+      |FROM (
+      |  UNPIVOT (SELECT p_partkey,
+      |                  CAST(p_size AS DOUBLE) AS size_d,
+      |                  CAST(p_retailprice AS DOUBLE) AS price_d
+      |           FROM part)
+      |  ON size_d, price_d INTO NAME metric VALUE value)
+      |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size_d"),
+        col("p_retailprice").cast("double").as("price_d"))
+      .unpivot(Array(col("p_partkey")), Array(col("size_d"), col("price_d")),
+        "metric", "value")
+      .select(col("p_partkey"), col("metric"), round(col("value"), 4).as("value"))
+      .orderBy("p_partkey", "metric")
+  }
+
   /** B21 — collect_list/collect_set, always sort_array'd for determinism
     * (SURVEY §2B rules; collection order is otherwise partition-dependent).
     * Output is serialized to a joined string: the driver's compare sorts the
@@ -368,5 +391,5 @@ object WindowsAndAggs {
   }
 
   val entries: Seq[Entry] =
-    Seq(b19, b20, b20p, b21, b22, b23, b25, b26, b27, b28, b29, b30, b31)
+    Seq(b19, b20, b20p, b20u, b21, b22, b23, b25, b26, b27, b28, b29, b30, b31)
 }

@@ -49,4 +49,28 @@ class RobustnessSpec extends AnyFunSuite {
       .filter(col("lang") === "en").count()
     assert(df.count() === full)
   }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime (SURVEY §4B)") {
+    // fact partitioned by nationkey joined to a dim filtered AFTER planning
+    // time — only DPP (runtime subquery into the scan's partition filters)
+    // can prune here, and at 100 TB that is the difference between reading
+    // one partition directory and all of them
+    val out = Files.createTempDirectory("graft_dpp").toString + "/cust"
+    Tables.customer(spark, TestSession.sf0001)
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(out)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // DPP needs the pruning side to be reusable/cheap; broadcast join gives
+    // that for free
+    val dim = Tables.nation(spark, TestSession.sf0001)
+      .filter(col("n_name") === "CANADA")
+    val fact = spark.read.parquet(out)
+    val joined = fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in plan:\n$plan")
+    val expected = Tables.customer(spark, TestSession.sf0001)
+      .join(Tables.nation(spark, TestSession.sf0001)
+          .filter(col("n_name") === "CANADA"),
+        col("c_nationkey") === col("n_nationkey")).count()
+    assert(joined.count() === expected)
+  }
 }
