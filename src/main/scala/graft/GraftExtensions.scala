@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("feature_id"),
       new ExpressionInfo(classOf[FeatureIdExpression].getName, "feature_id"),
       (children: Seq[Expression]) => FeatureIdExpression(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[graft.functions.DotProductExpression].getName, "dot_f64"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProductExpression(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }

@@ -23,8 +23,9 @@ import graft.sources.Tables
   */
 object Ivf {
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  /** Native codegen dot product (see [[graft.functions.DotProductExpression]]);
+    * registered by GraftExtensions or per-entry. */
+  private def dot(a: String, b: String) = expr(s"dot_f64($a, $b)")
 
   private def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -75,6 +76,7 @@ object Ivf {
   /** B44 scale path #2 — IVF top-10 for the same probe set as the
     * brute-force query (approximate: recall measured in IvfSpec). */
   private val b44ivf = entryNoOracle("b44_similarity_ivf") { (s, d) =>
+    graft.functions.DotProductExpression.register(s)
     search(Tables.embeddings(s, d), col("vec_id") < 20, k = 10, nProbe = 5)
       .orderBy("probe_id", "rn")
   }

@@ -20,11 +20,15 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Double-precision dot product of two array<double> columns (explicit
-    * zip_with + left-to-right aggregate: the identical operation sequence
-    * DuckDB's list_dot_product executes, so values match bit-for-bit). */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  /** Double-precision dot product via the native codegen
+    * [[graft.functions.DotProductExpression]] — same left-to-right
+    * summation order as DuckDB's list_dot_product (bit-identical values),
+    * but a fused primitive loop instead of two interpreted HOF lambdas
+    * per element. Registered by GraftExtensions or [[register]]. */
+  private def dot(a: String, b: String) = expr(s"dot_f64($a, $b)")
+
+  private def register(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.DotProductExpression.register(s)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -47,6 +51,7 @@ object Similarity {
       |           ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn
       |  FROM pairs) t
       |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin, bench = true) { (s, d) =>
+    register(s)
     val v = withNorm(Tables.embeddings(s, d))
     val probes = v.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
@@ -115,6 +120,7 @@ object Similarity {
     * shifted by 1e6; LSH must surface them at cosine 1.0). Approximate by
     * design → no SQL oracle; recall properties in SimilaritySpec. */
   private val b44lsh = entryNoOracle("b44_similarity_lsh") { (s, d) =>
+    register(s)
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val withDups = base.unionByName(
       base.filter(col("vec_id") < 10)

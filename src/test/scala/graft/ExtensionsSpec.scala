@@ -17,6 +17,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got === "wildweb-abc")
   }
 
+  test("dot_f64 native expression matches the HOF fold bit-for-bit and codegens") {
+    val spark = TestSession.spark
+    val df = spark.sql(
+      """SELECT dot_f64(a, b) AS native,
+        |       aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS hof
+        |FROM (SELECT array(1.5D, -2.25D, 3.125D, 0.1D) AS a,
+        |             array(4.0D, 0.5D, -1.75D, 0.3D) AS b)""".stripMargin)
+    val row = df.collect().head
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    // null element → null; mismatched lengths → common prefix
+    val edge = spark.sql(
+      """SELECT dot_f64(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS n,
+        |       dot_f64(array(2.0D, 3.0D, 99.0D), array(10.0D, 10.0D)) AS prefix""".stripMargin)
+      .collect().head
+    assert(edge.isNullAt(0))
+    assert(edge.getDouble(1) === 50.0)
+    // participates in whole-stage codegen (the `*(n)` span prefix) over
+    // non-literal input — literal input constant-folds away entirely,
+    // which is itself proof eval works under the interpreter
+    val plan = spark.range(2)
+      .selectExpr("dot_f64(array(CAST(id AS DOUBLE), 2.0D), array(3.0D, 4.0D)) AS d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(plan.contains("dot_f64"), plan)
+  }
+
   test("typed Dataset path decodes incidents into WildCadIncident") {
     val spark = TestSession.spark
     import spark.implicits._
