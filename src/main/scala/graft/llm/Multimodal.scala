@@ -43,15 +43,23 @@ object Multimodal {
         col("source").as("origin")).as("meta"))
 
   /** STUB decoder (marked per driver instructions): derives fake
-    * width/height/frames from the payload hash — deterministic, cheap, and
-    * shaped exactly like a real per-partition codec call. */
+    * width/height/frames from a payload hash — deterministic, cheap, and
+    * shaped exactly like a real per-partition codec call. The hash is the
+    * engine-wide cross-dialect 40-bit polynomial fold (not JVM
+    * Arrays.hashCode), so the whole decode pipeline is replicable in the
+    * DuckDB oracle and b47_multimodal_decode is t2 hash-matched. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = math.abs(h % 1920) + 1
-    val ht = math.abs((h / 1920) % 1080) + 1
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = (h * 31 + (payload(i) & 0xff)) & Winnowing.PolyMask
+      i += 1
+    }
+    val w = (h % 1920).toInt + 1
+    val ht = ((h / 1920) % 1080).toInt + 1
     val frames = kind match {
-      case k if k.startsWith("video") => math.abs(h % 300) + 1
-      case k if k.startsWith("audio") => math.abs(h % 48000) + 1
+      case k if k.startsWith("video") => (h % 300).toInt + 1
+      case k if k.startsWith("audio") => (h % 48000).toInt + 1
       case _ => 1
     }
     (w, ht, frames)
@@ -123,16 +131,44 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Decoded-feature aggregation (stub decode → per-kind stats). The decode
-    * is engine-local (mapPartitions) → rows-only driver check; exactness of
-    * the stub is asserted in MultimodalSpec. */
-  private val b47d = entryNoOracle("b47_multimodal_decode") { (s, d) =>
+  /** Decoded-feature aggregation (stub decode → per-kind stats). The
+    * decode runs engine-local in mapPartitions, but because the stub's
+    * hash is the cross-dialect polynomial fold the ORACLE re-derives the
+    * identical features in SQL — a full t2 hash-match through typed
+    * Dataset plumbing. avg is spelled as exact-integer-sum / count in
+    * both dialects (a native float avg's partial merge order is
+    * run-dependent). ASCII payloads make DuckDB's per-char codepoints
+    * equal the stub's per-byte folds. */
+  private val b47d = entry(
+    "b47_multimodal_decode",
+    s"""WITH feat AS (
+       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |              ELSE 'video/mp4' END AS kind,
+       |         octet_length(text::BLOB) AS size_bytes,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(generate_series(1, length(text)),
+       |                          j -> ascii(substr(text, j, 1)))),
+       |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) AS h
+       |  FROM documents),
+       |dims AS (
+       |  SELECT kind, size_bytes,
+       |         (h % 1920) + 1 AS width,
+       |         CASE WHEN kind LIKE 'video%' THEN (h % 300) + 1
+       |              WHEN kind LIKE 'audio%' THEN (h % 48000) + 1
+       |              ELSE 1 END AS frames
+       |  FROM feat)
+       |SELECT kind, count(*) AS n,
+       |       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+       |       round(CAST(CAST(sum(width) AS BIGINT) AS DOUBLE) / count(*), 4) AS avg_width,
+       |       CAST(max(frames) AS INTEGER) AS max_frames
+       |FROM dims GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
     decodeFeatures(mediaTable(s, d)).toDF()
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n"),
         sum(col("size_bytes")).as("total_bytes"),
-        avg(col("width")).as("avg_width"),
+        round(sum(col("width")).cast("double") / count(lit(1)), 4).as("avg_width"),
         max(col("frames")).as("max_frames"))
       .orderBy("kind")
   }

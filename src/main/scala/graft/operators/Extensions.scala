@@ -42,7 +42,9 @@ object Extensions {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem WHERE l_quantity >= 49
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_b04_sink"
+    // unique per invocation — a fixed path races against concurrent runs
+    // (overwrite deletes part-files under another run's read)
+    val out = java.nio.file.Files.createTempDirectory("graft_b04_sink").toString + "/out"
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .filter(col("l_quantity") >= 49)

@@ -16,7 +16,10 @@ object StreamReplay {
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
       |       event_type, count(*) AS n, round(sum(value), 4) AS total
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_b54_chunks"
+    // unique dir per invocation: a FIXED path races against any concurrent
+    // run of this query (another Verify / the test suite) — the overwrite
+    // deletes parquet part-files out from under the other run's stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_b54_chunks").toString
     StreamingOps.writeChunks(s, d, dir, n = 8)
     val agg = StreamingOps.tumbling(StreamingOps.readStream(s, dir))
     s.catalog.dropTempView("b54_replay") // idempotent re-runs
