@@ -64,12 +64,26 @@ class StreamingSpec extends AnyFunSuite {
 
   test("B55: stream-stream interval join converges to the batch twin") {
     val events = StreamingOps.readStream(spark, chunkDir)
-    val streamed = StreamingOps.runToMemory(
-      StreamingOps.viewPurchaseJoin(events), "t_ssjoin", "append")
+    val joined = StreamingOps.viewPurchaseJoin(events)
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t_ssjoin")
     val batch = SparkEntry.queries("b55_stream_join_batch")(spark, sf)
       .select("purchase_id", "view_id", "user_id", "gap_us")
     assert(sortedRows(streamed.select("purchase_id", "view_id", "user_id", "gap_us"))
       === sortedRows(batch))
+    // bounded state (SCALE.md §3.5): the join buffers only rows the
+    // watermark + interval bound still need — far fewer than the full
+    // view/purchase history it would hold without eviction
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps.nonEmpty, "no state operator metrics for the join")
+    val buffered = stateOps.map(_.numRowsTotal).sum
+    val totalInput = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase")).count()
+    assert(buffered < totalInput,
+      s"join state ($buffered) did not stay below total input ($totalInput) — eviction broken")
   }
 
   test("B53: stateful running balance folds to the batch per-user totals") {
