@@ -27,8 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpression].getName, "dot_f64"),
-      (children: Seq[Expression]) =>
-        graft.functions.DotProductExpression(children(0), children(1))))
+      graft.functions.DotProductExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }

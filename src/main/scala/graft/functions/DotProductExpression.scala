@@ -75,8 +75,21 @@ case class DotProductExpression(left: Expression, right: Expression)
 }
 
 object DotProductExpression {
+  /** Arity-checked builder — silently dropping extra arguments (or an
+    * IndexOutOfBounds on too few) would be a wrong-result/raw-crash
+    * diagnostic; this surfaces as a clean analysis-time error instead. */
+  def build(children: Seq[Expression]): DotProductExpression = {
+    if (children.size != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "dot_f64", "expectedNum" -> "2",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    DotProductExpression(children(0), children(1))
+  }
+
   /** SQL-API form: register `dot_f64(a, b)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f64", exprs => DotProductExpression(exprs(0), exprs(1)), "built-in")
+      "dot_f64", build, "built-in")
 }

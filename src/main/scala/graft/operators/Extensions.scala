@@ -14,6 +14,10 @@ object Extensions {
 
   private val csvPath = "/root/repo/fixtures/csv/dispatch_centers.csv"
 
+  /** One temp sink dir per JVM (see b04's comment). */
+  private[operators] lazy val b04SinkDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b04_sink").toString + "/out"
+
   /** B3 — CSV scan with header + explicit schema (inference is forbidden at
     * scale: one extra full pass over 100 TB). */
   private val b03 = entry(
@@ -42,9 +46,11 @@ object Extensions {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem WHERE l_quantity >= 49
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    // unique per invocation — a fixed path races against concurrent runs
-    // (overwrite deletes part-files under another run's read)
-    val out = java.nio.file.Files.createTempDirectory("graft_b04_sink").toString + "/out"
+    // unique per JVM (lazy) — a fixed path races against CONCURRENT
+    // processes (overwrite deletes part-files under another run's read),
+    // while per-invocation dirs would accumulate copies across the many
+    // sequential invocations inside one process
+    val out = Extensions.b04SinkDir
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .filter(col("l_quantity") >= 49)

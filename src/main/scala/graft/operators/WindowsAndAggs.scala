@@ -84,16 +84,18 @@ object WindowsAndAggs {
 
   /** B20++ — unpivot/melt (the inverse of pivot): wide per-part metrics to
     * long (part, metric, value) form via Spark's native Dataset.unpivot —
-    * one narrow projection, no shuffle. DuckDB spells it UNPIVOT. */
+    * one narrow projection, no shuffle. The oracle uses INCLUDE NULLS:
+    * Spark's unpivot RETAINS null values where DuckDB's UNPIVOT drops
+    * them by default — identical today only because these columns are
+    * non-null, so the semantics are pinned explicitly. */
   private val b20u = entry(
     "b20_agg_unpivot",
-    """SELECT p_partkey, metric, round(value, 4) AS value
-      |FROM (
-      |  UNPIVOT (SELECT p_partkey,
-      |                  CAST(p_size AS DOUBLE) AS size_d,
-      |                  CAST(p_retailprice AS DOUBLE) AS price_d
-      |           FROM part)
-      |  ON size_d, price_d INTO NAME metric VALUE value)
+    """WITH wide AS (SELECT p_partkey,
+      |                     CAST(p_size AS DOUBLE) AS size_d,
+      |                     CAST(p_retailprice AS DOUBLE) AS price_d
+      |              FROM part)
+      |SELECT p_partkey, metric, round(value, 4) AS value
+      |FROM wide UNPIVOT INCLUDE NULLS (value FOR metric IN (size_d, price_d))
       |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
     Tables.part(s, d)
       .select(col("p_partkey"),

@@ -40,17 +40,21 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views for the spark.sql(...) path
-    * (events goes through its nanos-safe loader). Re-registration for a
-    * (session, dir) already seen is skipped — each load() re-lists files
-    * and re-reads parquet footers, which would otherwise be billed to
-    * every bench repetition of the SQL-path query. */
-  private val registered = scala.collection.mutable.Set[(SparkSession, String)]()
+    * (events goes through its nanos-safe loader). Skipped only when THIS
+    * session's views already point at THIS dir — each load() re-lists
+    * files and re-reads parquet footers, which would otherwise be billed
+    * to every bench repetition of the SQL-path query. Keyed by the
+    * session's LAST dir (not a (session, dir) set): a set would turn a
+    * dirA → dirB → dirA sequence into a silent no-op serving dirB's data.
+    * WeakHashMap so stopped sessions are collectable. */
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
-    if (registered.add((spark, dir))) {
+    if (registered.get(spark) != dir) {
       names.foreach { n =>
         val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
         df.createOrReplaceTempView(n)
       }
+      registered.put(spark, dir)
     }
   }
 }

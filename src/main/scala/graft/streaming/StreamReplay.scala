@@ -11,15 +11,20 @@ import graft.Registry._
   */
 object StreamReplay {
 
+  /** One chunk dir per JVM (see b54's comment). */
+  private lazy val chunkDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b54_chunks").toString
+
   private val b54 = entry(
     "b54_stream_replay",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
       |       event_type, count(*) AS n, round(sum(value), 4) AS total
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
-    // unique dir per invocation: a FIXED path races against any concurrent
-    // run of this query (another Verify / the test suite) — the overwrite
-    // deletes parquet part-files out from under the other run's stream
-    val dir = java.nio.file.Files.createTempDirectory("graft_b54_chunks").toString
+    // unique dir per JVM (lazy): a FIXED path races against any concurrent
+    // PROCESS running this query (the overwrite deletes parquet part-files
+    // out from under the other run's stream), while per-invocation dirs
+    // would accumulate full event-table copies across sequential runs
+    val dir = StreamReplay.chunkDir
     StreamingOps.writeChunks(s, d, dir, n = 8)
     val agg = StreamingOps.tumbling(StreamingOps.readStream(s, dir))
     s.catalog.dropTempView("b54_replay") // idempotent re-runs

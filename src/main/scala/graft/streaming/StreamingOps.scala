@@ -151,7 +151,12 @@ object StreamingOps {
 
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
-  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+    runToMemoryQ(df, name, mode)._1
+
+  /** [[runToMemory]] variant that also returns the finished query handle
+    * (for progress/state-metrics assertions). */
+  def runToMemoryQ(df: DataFrame, name: String, mode: String): (DataFrame, StreamingQuery) = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -159,7 +164,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    (df.sparkSession.table(name), q)
   }
 
   /** B54 — foreachBatch sink variant: apply `f` per micro-batch. */

@@ -44,6 +44,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("dot_f64"), plan)
   }
 
+  test("dot_f64 rejects wrong arity with an analysis error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      TestSession.spark.sql("SELECT dot_f64(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("dot_f64"), e.getMessage)
+  }
+
   test("typed Dataset path decodes incidents into WildCadIncident") {
     val spark = TestSession.spark
     import spark.implicits._

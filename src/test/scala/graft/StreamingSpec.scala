@@ -64,12 +64,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("B55: stream-stream interval join converges to the batch twin") {
     val events = StreamingOps.readStream(spark, chunkDir)
-    val joined = StreamingOps.viewPurchaseJoin(events)
-    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val streamed = spark.table("t_ssjoin")
+    val (streamed, q) = StreamingOps.runToMemoryQ(
+      StreamingOps.viewPurchaseJoin(events), "t_ssjoin", "append")
     val batch = SparkEntry.queries("b55_stream_join_batch")(spark, sf)
       .select("purchase_id", "view_id", "user_id", "gap_us")
     assert(sortedRows(streamed.select("purchase_id", "view_id", "user_id", "gap_us"))
@@ -137,8 +133,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val seen = scala.collection.mutable.ArrayBuffer[Long]()
     def drain(): Unit = {
-      val q = spark.readStream.schema(StreamingOps.eventSchema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/chunk_*")
+      val q = StreamingOps.readStream(spark, srcDir)
         .select("event_id")
         .writeStream
         .option("checkpointLocation", ckpt)
