@@ -224,5 +224,48 @@ object TextAnalysis {
       .orderBy("probe_id", "corpus_id")
   }
 
-  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b46)
+  /** Deterministic hash-based train/val/test split (training-data pipeline
+    * staple): bucket = polyhash(doc_id as text) % 100 → 80/10/10. Unlike
+    * seeded rand(), the assignment is a pure function of the KEY — stable
+    * across reruns, engines, partitionings, and cluster sizes, which is
+    * what makes a 100 TB split reproducible and incrementally extendable
+    * (new docs join their split without reshuffling old ones). The
+    * cross-dialect hash makes the whole split t2 hash-matched. */
+  private val b56 = entry(
+    "b56_sample_hashsplit",
+    s"""WITH assigned AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+       |                          j -> ascii(substr(CAST(doc_id AS VARCHAR), j, 1)))),
+       |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       count(DISTINCT lang) AS n_langs,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+    val bucket = expr(
+      s"""aggregate(transform(sequence(1, length(CAST(doc_id AS STRING))),
+         |                    j -> ascii(substring(CAST(doc_id AS STRING), j, 1))),
+         |          CAST(0 AS BIGINT),
+         |          (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100""".stripMargin)
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  }
+
+  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b46, b56)
 }
