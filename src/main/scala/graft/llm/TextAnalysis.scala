@@ -267,5 +267,72 @@ object TextAnalysis {
       .orderBy("split")
   }
 
-  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b46, b56)
+  /** B57 — the capstone training-data pipeline as ONE composed query:
+    * quality gate → exact dedup (keep min doc_id per content hash) → hash
+    * split → per-(split, lang) corpus stats. Every stage is a deterministic
+    * operator already covered individually (B45q, B42, B56); this entry
+    * pins that they COMPOSE into the end-to-end job a user would actually
+    * run, oracle-checked as a whole. Plan shape: one narrow projection +
+    * one dedup aggregate + one stats aggregate — two shuffles total, no
+    * driver materialization, unchanged at 100 TB. */
+  private val b57 = entry(
+    "b57_llm_pipeline",
+    s"""WITH gated AS (
+       |  SELECT doc_id, lang, text, n_chars,
+       |         len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |  WHERE n_chars >= 100
+       |    AND len(string_split(text, ' ')) * 1.0 / n_chars BETWEEN 0.05 AND 0.5),
+       |deduped AS (
+       |  SELECT min(doc_id) AS doc_id,
+       |         min_by(lang, doc_id) AS lang,
+       |         min_by(n_chars, doc_id) AS n_chars,
+       |         min_by(n_tokens, doc_id) AS n_tokens
+       |  FROM gated GROUP BY sha256(text)),
+       |split_assigned AS (
+       |  SELECT lang, n_chars, n_tokens,
+       |         CASE WHEN bucket < 80 THEN 'train'
+       |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |          list_reduce(list_prepend(0::BIGINT,
+       |            list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+       |                           j -> ascii(substr(CAST(doc_id AS VARCHAR), j, 1)))),
+       |            (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100 AS bucket
+       |        FROM deduped))
+       |SELECT split, lang, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*), 4) AS avg_tokens
+       |FROM split_assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+    val gated = Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_chars") >= 100 &&
+        (col("n_tokens").cast("double") / col("n_chars")).between(0.05, 0.5))
+    val deduped = gated
+      .groupBy(sha2(col("text"), 256))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_chars"), col("doc_id")).as("n_chars"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+    val bucket = expr(
+      s"""aggregate(transform(sequence(1, length(CAST(doc_id AS STRING))),
+         |                    j -> ascii(substring(CAST(doc_id AS STRING), j, 1))),
+         |          CAST(0 AS BIGINT),
+         |          (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100""".stripMargin)
+    deduped
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b46, b56, b57)
 }
