@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Summation is the same left-to-right order as the HOF fold and DuckDB's
   * list_dot_product, so t2 hash-matches are bit-identical. Mismatched
-  * lengths dot over the common prefix; a null element yields null (same as
-  * the HOF's `x * y` on null).
+  * lengths yield NULL — the HOF's behavior (zip_with null-pads, null
+  * poisons the sum), and the conservative reading of DuckDB's hard error;
+  * a silent common-prefix dot product would rank corrupt vectors with
+  * plausible-looking scores. A null element also yields null.
   */
 case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +44,8 @@ case class DotProductExpression(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -59,9 +62,10 @@ case class DotProductExpression(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}

@@ -93,10 +93,7 @@ object LangId {
        |th AS (
        |  SELECT doc_id,
        |         list_reduce(list_prepend(
-       |           list_reduce(list_prepend(0::BIGINT,
-       |             list_transform(generate_series(1, length(term)),
-       |                            j -> ascii(substr(term, j, 1)))),
-       |             (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}),
+       |           ${Winnowing.polyFoldDuck("term")},
        |           [13, 29, 17]),
        |           (h, sh) -> xor((h * 1048573 + 11) & ${Winnowing.PolyMask},
        |                          ((h * 1048573 + 11) & ${Winnowing.PolyMask}) >> sh)) AS h

@@ -49,12 +49,13 @@ object Multimodal {
     * Arrays.hashCode), so the whole decode pipeline is replicable in the
     * DuckDB oracle and b47_multimodal_decode is t2 hash-matched. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 0L
-    var i = 0
-    while (i < payload.length) {
-      h = (h * 31 + (payload(i) & 0xff)) & Winnowing.PolyMask
-      i += 1
-    }
+    // fold CODEPOINTS of the decoded payload (Winnowing.polyFoldString),
+    // not raw bytes: DuckDB's ascii(substr(text,j,1)) iterates characters,
+    // so a per-byte fold would silently diverge from the oracle on the
+    // first non-ASCII character (identical for ASCII, but the invariant
+    // should live in code, not in an assumption about the fixtures)
+    val h = Winnowing.polyFoldString(
+      new String(payload, java.nio.charset.StandardCharsets.UTF_8))
     val w = (h % 1920).toInt + 1
     val ht = ((h / 1920) % 1080).toInt + 1
     val frames = kind match {
@@ -146,10 +147,7 @@ object Multimodal {
        |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
        |              ELSE 'video/mp4' END AS kind,
        |         octet_length(text::BLOB) AS size_bytes,
-       |         list_reduce(list_prepend(0::BIGINT,
-       |           list_transform(generate_series(1, length(text)),
-       |                          j -> ascii(substr(text, j, 1)))),
-       |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) AS h
+       |         ${Winnowing.polyFoldDuck("text")} AS h
        |  FROM documents),
        |dims AS (
        |  SELECT kind, size_bytes,

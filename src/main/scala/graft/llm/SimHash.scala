@@ -37,10 +37,7 @@ object SimHash {
     * which is what makes a SimHash t2 oracle possible. */
   val PolyTermHash: String =
     s"""aggregate(array(13, 29, 17),
-       |          aggregate(transform(sequence(1, length(term)),
-       |                              j -> ascii(substring(term, j, 1))),
-       |                    CAST(0 AS BIGINT),
-       |                    (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}),
+       |          ${Winnowing.polyFoldSpark("term")},
        |          (h, sh) -> ((h * 1048573 + 11) & ${Winnowing.PolyMask})
        |                     ^ shiftright((h * 1048573 + 11) & ${Winnowing.PolyMask}, sh))""".stripMargin
 

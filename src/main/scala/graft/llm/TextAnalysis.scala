@@ -156,10 +156,7 @@ object TextAnalysis {
     s"""SELECT doc_id,
       |       CASE WHEN text IS NULL THEN NULL
       |            WHEN length(text) = 0 THEN 0 ELSE
-      |         list_reduce(list_prepend(0::BIGINT,
-      |           list_transform(generate_series(1, length(text)),
-      |                          j -> ascii(substr(text, j, 1)))),
-      |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask})
+      |         ${Winnowing.polyFoldDuck("text")}
       |       END AS fingerprint,
       |       sha256(text) AS content_sha,
       |       round(length(regexp_replace(text, '[^aeiou]', '', 'g')) /
@@ -167,11 +164,8 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        when(length(col("text")) === 0, lit(0L)).otherwise(expr(
-          s"""aggregate(transform(sequence(1, length(text)),
-            |                    j -> ascii(substring(text, j, 1))),
-            |          CAST(0 AS BIGINT),
-            |          (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask})""".stripMargin))
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(expr(Winnowing.polyFoldSpark("text")))
           .as("fingerprint"),
         sha2(col("text"), 256).as("content_sha"),
         round(length(regexp_replace(col("text"), "[^aeiou]", "")).cast("double") /
@@ -235,10 +229,7 @@ object TextAnalysis {
     "b56_sample_hashsplit",
     s"""WITH assigned AS (
        |  SELECT doc_id, lang, n_chars,
-       |         list_reduce(list_prepend(0::BIGINT,
-       |           list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
-       |                          j -> ascii(substr(CAST(doc_id AS VARCHAR), j, 1)))),
-       |           (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100 AS bucket
+       |         ${Winnowing.polyFoldDuck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
        |  FROM documents)
        |SELECT CASE WHEN bucket < 80 THEN 'train'
        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -248,10 +239,7 @@ object TextAnalysis {
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
     val bucket = expr(
-      s"""aggregate(transform(sequence(1, length(CAST(doc_id AS STRING))),
-         |                    j -> ascii(substring(CAST(doc_id AS STRING), j, 1))),
-         |          CAST(0 AS BIGINT),
-         |          (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100""".stripMargin)
+      s"${Winnowing.polyFoldSpark("CAST(doc_id AS STRING)")} % 100")
     Tables.documents(s, d)
       .withColumn("bucket", bucket)
       .withColumn("split",
@@ -277,10 +265,15 @@ object TextAnalysis {
     * driver materialization, unchanged at 100 TB. */
   private val b57 = entry(
     "b57_llm_pipeline",
-    s"""WITH gated AS (
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, lang, text, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |gated AS (
        |  SELECT doc_id, lang, text, n_chars,
        |         len(string_split(text, ' ')) AS n_tokens
-       |  FROM documents
+       |  FROM all_docs
        |  WHERE n_chars >= 100
        |    AND len(string_split(text, ' ')) * 1.0 / n_chars BETWEEN 0.05 AND 0.5),
        |deduped AS (
@@ -294,17 +287,23 @@ object TextAnalysis {
        |         CASE WHEN bucket < 80 THEN 'train'
        |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT *,
-       |          list_reduce(list_prepend(0::BIGINT,
-       |            list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
-       |                           j -> ascii(substr(CAST(doc_id AS VARCHAR), j, 1)))),
-       |            (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100 AS bucket
+       |          ${Winnowing.polyFoldDuck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
        |        FROM deduped))
        |SELECT split, lang, count(*) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |       round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*), 4) AS avg_tokens
        |FROM split_assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
-    val gated = Tables.documents(s, d)
+    // duplicates are INJECTED (as in b42) so the dedup stage observably
+    // executes — the raw corpus has no exact dups, and a pipeline whose
+    // dedup stage is a no-op would hash-match even if that stage broke
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val withDups = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text"), col("n_chars")))
+    val gated = withDups
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .filter(col("n_chars") >= 100 &&
         (col("n_tokens").cast("double") / col("n_chars")).between(0.05, 0.5))
@@ -316,10 +315,7 @@ object TextAnalysis {
         min_by(col("n_chars"), col("doc_id")).as("n_chars"),
         min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
     val bucket = expr(
-      s"""aggregate(transform(sequence(1, length(CAST(doc_id AS STRING))),
-         |                    j -> ascii(substring(CAST(doc_id AS STRING), j, 1))),
-         |          CAST(0 AS BIGINT),
-         |          (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}) % 100""".stripMargin)
+      s"${Winnowing.polyFoldSpark("CAST(doc_id AS STRING)")} % 100")
     deduped
       .withColumn("bucket", bucket)
       .withColumn("split",

@@ -30,6 +30,35 @@ object Winnowing {
     * interpolates, so the Spark and DuckDB folds cannot drift apart. */
   val PolyMask: Long = (1L << 40) - 1
 
+  /** The whole-string polynomial fold, Spark SQL spelling — THE shared
+    * definition for every call site (fingerprinting, hash-split, capstone
+    * pipeline, multimodal stub's oracle); per-character (codepoint) on
+    * both dialects, so it is charset-proof. */
+  def polyFoldSpark(colExpr: String): String =
+    s"""aggregate(transform(sequence(1, length($colExpr)),
+       |                    j -> ascii(substring($colExpr, j, 1))),
+       |          CAST(0 AS BIGINT),
+       |          (a, c) -> (a * 31 + c) & $PolyMask)""".stripMargin
+
+  /** The same fold, DuckDB spelling (list_reduce has no init value —
+    * list_prepend supplies the BIGINT zero). */
+  def polyFoldDuck(colExpr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(generate_series(1, length($colExpr)),
+       |                 j -> ascii(substr($colExpr, j, 1)))),
+       |  (a, c) -> (a * 31 + c) & $PolyMask)""".stripMargin
+
+  /** JVM-side twin of the fold for engine-local (mapPartitions) code:
+    * folds CODEPOINTS of the string, exactly like ascii(substr(s,j,1))
+    * iterates characters in both SQL dialects — NOT bytes, which would
+    * silently diverge from the oracle on the first non-ASCII character. */
+  def polyFoldString(s: String): Long = {
+    var h = 0L
+    val it = s.codePoints().iterator()
+    while (it.hasNext) h = (h * 31 + it.next()) & PolyMask
+    h
+  }
+
   /** Oracle-replicable gram hash: 40-bit polynomial fold over character
     * codes, `(h * 31 + code) & PolyMask`. Expressible verbatim in DuckDB
     * (list_reduce) so winnowing output can be t2 hash-matched; ~0.3
