@@ -9,19 +9,32 @@ import graft.sources.Tables
 /** IVF (inverted-file) approximate nearest-neighbor search (SURVEY B44
   * scale path #2, alongside the sign-LSH variant).
   *
-  * Coarse quantizer: a deterministic centroid subset (every 25th vector —
-  * at 100 TB this would be a k-means sample, but the index structure and
-  * query plan are identical). Each corpus vector is assigned to its nearest
-  * centroid (one broadcast-join pass); a query probes only the `nProbe`
-  * nearest cells, then scores exact cosine inside them.
+  * Coarse quantizer: a FIXED-CARDINALITY deterministic centroid sample —
+  * the `k` corpus vectors with the smallest xxhash64(vec_id), a uniform
+  * pseudo-random sample independent of partitioning and input order
+  * (TakeOrderedAndProject: one streaming pass keeping k rows per
+  * partition, no full sort). At 100 TB the sample seeds k-means (Lloyd
+  * iterations are broadcast-join + re-average passes over this same
+  * structure); the index layout and query plan are identical either way.
+  * Each corpus vector is assigned to its nearest centroid (one
+  * broadcast-join pass); a query probes only the `nProbe` nearest cells,
+  * then scores exact cosine inside them.
   *
-  * Scale posture: the index build is one map-side pass over the corpus
-  * (centroids broadcast); search cost drops from O(n) per probe to
-  * O(n · nProbe / nCells), and the cells are a partitioning key — a 100 TB
-  * corpus stores cell-partitioned parquet so a probe reads only its cells'
-  * files (partition pruning on disk, not just in memory).
+  * Cost model (the r2 version sampled every 25th vector, making
+  * |centroids| LINEAR in n — an O(n²/25) assignment pass and an unbounded
+  * broadcast; fixed k removes both): assignment is O(n·k) with
+  * k = min(√n, 4096) by default, so at most 4096·n and the broadcast is
+  * ≤ k vectors regardless of corpus size. Search cost drops from O(n)
+  * per probe to O(n · nProbe / k), and the cells are a partitioning key —
+  * a 100 TB corpus stores cell-partitioned parquet so a probe reads only
+  * its cells' files (partition pruning on disk, not just in memory).
   */
 object Ivf {
+
+  /** Default cell count: √n capped at 4096 (the FAISS-style heuristic —
+    * balances the O(n·k) build against O(n/k) per-probe scan). */
+  def defaultNumCells(n: Long): Int =
+    math.min(4096.0, math.max(1.0, math.ceil(math.sqrt(n.toDouble)))).toInt
 
   /** Native codegen dot product (see [[graft.functions.DotProductExpression]]);
     * registered by GraftExtensions or per-entry. */
@@ -31,15 +44,20 @@ object Ivf {
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(dot("v", "v")))
 
-  /** Deterministic coarse quantizer cells. */
-  def centroids(embeddings: DataFrame): DataFrame =
-    asDouble(embeddings.filter(col("vec_id") % 25 === 0))
+  /** Deterministic coarse quantizer cells: the `k` vectors with the
+    * smallest xxhash64(vec_id) (vec_id tie-break is unreachable absent a
+    * 2^-64 hash collision but keeps the sort total). */
+  def centroids(embeddings: DataFrame, k: Int): DataFrame =
+    asDouble(embeddings)
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
 
   /** Index: nearest-centroid assignment per corpus vector (broadcast join +
     * per-vector argmax window). */
-  def assignments(embeddings: DataFrame): DataFrame = {
-    val cents = centroids(embeddings)
+  def assignments(embeddings: DataFrame, k: Int): DataFrame = {
+    val cents = centroids(embeddings, k)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
     asDouble(embeddings)
       .join(broadcast(cents))
@@ -49,11 +67,14 @@ object Ivf {
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
   }
 
-  /** Top-k cosine search probing only the nProbe nearest cells per query. */
+  /** Top-k cosine search probing only the nProbe nearest cells per query.
+    * `numCells` defaults to [[defaultNumCells]] of the corpus size (one
+    * parquet-metadata count — no data read). */
   def search(embeddings: DataFrame, probeFilter: org.apache.spark.sql.Column,
-      k: Int, nProbe: Int): DataFrame = {
-    val assigned = assignments(embeddings)
-    val cents = centroids(embeddings)
+      k: Int, nProbe: Int, numCells: Option[Int] = None): DataFrame = {
+    val nCells = numCells.getOrElse(defaultNumCells(embeddings.count()))
+    val assigned = assignments(embeddings, nCells)
+    val cents = centroids(embeddings, nCells)
     val probes = asDouble(embeddings.filter(probeFilter))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val wCell = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))

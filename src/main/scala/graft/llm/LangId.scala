@@ -17,7 +17,15 @@ import graft.sources.Tables
   *
   * Scale posture: profiles are a tiny aggregate (languages × 20 rows) —
   * broadcast to the trigram join; the per-doc trigram explode shuffles
-  * (doc, trigram) pairs once. No driver materialization.
+  * (doc, trigram) pairs once. No driver materialization. Trigrams are
+  * hashed to INTs at the explode (c1*961 + c2*31 + c3 over codepoints —
+  * the same 3-term polynomial in both dialects), so the profile shuffle,
+  * the distinct, and the profile join all carry 4-byte ints, never
+  * strings. The polynomial is not injective for codepoints ≥ 31 apart
+  * (rare same-valued collisions merge two trigrams into one profile
+  * entry), but both engines compute the identical value, so the
+  * heuristic — and the t2 hash — are unaffected; max value 993·0x10FFFF
+  * < 2^31 keeps it inside INT32 on both engines.
   *
   * Note on the testdata: all five `lang` values share one identical 31-word
   * vocabulary (verified against the corpus), so prediction accuracy is
@@ -30,7 +38,9 @@ object LangId {
     "b45_text_langid",
     """WITH train_tri AS (
       |  SELECT lang, unnest(list_transform(generate_series(1, length(text) - 2),
-      |         i -> substr(text, i, 3))) AS tri
+      |         i -> ascii(substr(text, i, 1)) * 961
+      |            + ascii(substr(text, i + 1, 1)) * 31
+      |            + ascii(substr(text, i + 2, 1)))) AS tri
       |  FROM documents WHERE doc_id % 2 = 0),
       |profile AS (
       |  SELECT lang AS plang, tri FROM (
@@ -41,7 +51,9 @@ object LangId {
       |test_tri AS (
       |  SELECT DISTINCT doc_id, lang, tri FROM (
       |    SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 2),
-      |           i -> substr(text, i, 3))) AS tri
+      |           i -> ascii(substr(text, i, 1)) * 961
+      |              + ascii(substr(text, i + 1, 1)) * 31
+      |              + ascii(substr(text, i + 2, 1)))) AS tri
       |    FROM documents WHERE doc_id % 20 = 1) t),
       |scores AS (
       |  SELECT doc_id, lang, plang, count(*) AS score
@@ -53,9 +65,21 @@ object LangId {
       |  FROM scores) r
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // codepoints extracted ONCE per doc (split('') is O(len)); the trigram
+    // hash is then three O(1) element_at lookups — substring(text, i, 1)
+    // per position would be O(i) each (UTF-8 seek), i.e. O(len²) per doc
+    // (measured ~2x the whole query's time at sf0.1)
+    val cps = expr("transform(split(text, ''), c -> ascii(c))")
+    // position range from length(text), not size(cps): split('') with
+    // Spark's default limit -1 keeps a trailing zero-width match, so cps
+    // may carry one empty-string entry past the last character
     val triOf = expr(
-      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+      """transform(sequence(1, length(text) - 2),
+        |          i -> element_at(cps, i) * 961
+        |             + element_at(cps, i + 1) * 31
+        |             + element_at(cps, i + 2))""".stripMargin)
     val trainTri = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("cps", cps)
       .select(col("lang"), explode(triOf).as("tri"))
     val wProf = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
     val profile = trainTri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
@@ -63,6 +87,7 @@ object LangId {
       .filter(col("rn") <= 20)
       .select(col("lang").as("plang"), col("tri"))
     val testTri = docs.filter(col("doc_id") % 20 === 1)
+      .withColumn("cps", cps)
       .select(col("doc_id"), col("lang"), explode(triOf).as("tri"))
       .distinct()
     val wBest = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
@@ -116,8 +141,11 @@ object LangId {
     val withDups = docs.unionByName(
       docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // bucketCap = None: the oracle above mirrors UNCAPPED complete banding
+    // (exact all-pairs popcount), so the exactness twin must not drop hot
+    // buckets; the capped default is the scale path.
     SimHash.nearDuplicates(withDups, maxHamming = 3,
-        termHash = SimHash.PolyTermHash, bits = 40)
+        termHash = SimHash.PolyTermHash, bits = 40, bucketCap = None)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -60,13 +60,21 @@ object MinHashLsh {
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band.
+    * Oversize buckets (degenerate corpora) are dropped before the
+    * self-join — see [[LshCaps.capBuckets]]. */
+  def candidatePairs(sigs: DataFrame,
+      bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
+    val allBanded = sigs.select(col("doc_id"),
       posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    // checkpoint before the fan-out: banded feeds the self-join (l AND r)
+    // plus the cap's sizing agg + anti-join — without materialization the
+    // whole signature pipeline would re-run once per consumer (measured
+    // ~3x on the sf0.1 bench). Rows are (id, band, bucket) longs — tiny.
+    val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -103,7 +111,13 @@ object MinHashLsh {
     * at `threshold`. The hashed shingle set feeds both signature generation
     * and verification — cached so the explode+distinct+hash pass runs once. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = hashedShingles(docs).cache()
+    // pin fan-out before the explode (the b43_dedup_jaccard lesson): the
+    // local parquet scan is 1-2 splits, which would leave the shingle
+    // explode + the 64-way map-side min-aggregation on 1-2 threads; the
+    // pinned count stops AQE from coalescing the tiny-input shuffle back
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val sh = hashedShingles(spread).cache()
     try {
       val cands = candidatePairs(signaturesFromShingles(sh))
       verifyJaccardFromShingles(cands, sh)

@@ -62,17 +62,24 @@ object SimHash {
   }
 
   /** Candidate pairs (a<b) agreeing exactly on ≥1 of the [[Bands]] bands.
-    * With bands > maxHamming this is COMPLETE, not approximate: a pair
-    * within Hamming distance maxHamming has at least one untouched band
-    * (pigeonhole), so banded candidates + the Hamming filter equal the
-    * exact all-pairs computation — the property the t2 oracle relies on. */
-  def candidatePairs(sigs: DataFrame, bits: Int = Bits): DataFrame = {
+    * With bands > maxHamming and `bucketCap = None` this is COMPLETE, not
+    * approximate: a pair within Hamming distance maxHamming has at least
+    * one untouched band (pigeonhole), so banded candidates + the Hamming
+    * filter equal the exact all-pairs computation — the property the t2
+    * oracle relies on (which is why the t2 twin disables the cap). With
+    * the default cap, degenerate hot buckets are dropped
+    * ([[LshCaps.capBuckets]]) and completeness holds for every pair not
+    * confined to one. */
+  def candidatePairs(sigs: DataFrame, bits: Int = Bits,
+      bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
     val bitsPerBand = bits / Bands
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val allBanded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> (simhash >> (b * $bitsPerBand)) & ${(1L << bitsPerBand) - 1})""".stripMargin)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
+    // materialize once: consumed by the self-join (l, r) and the cap pass
+    val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -83,10 +90,11 @@ object SimHash {
   }
 
   /** Near-dup pairs within `maxHamming` bits (maxHamming < [[Bands]] for
-    * the completeness guarantee). */
+    * the completeness guarantee; `bucketCap = None` for the exact twin). */
   def nearDuplicates(docs: DataFrame, maxHamming: Int,
-      termHash: String = XxTermHash, bits: Int = Bits): DataFrame =
-    candidatePairs(signatures(docs, termHash, bits), bits)
+      termHash: String = XxTermHash, bits: Int = Bits,
+      bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame =
+    candidatePairs(signatures(docs, termHash, bits), bits, bucketCap)
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

@@ -88,13 +88,17 @@ object Similarity {
   /** Candidate pairs sharing at least one sign-pattern band (a<b). Banding
     * trades one exact 16-bit match (high precision, poor recall) for 4
     * independent 4-bit matches — identical vectors still collide with
-    * probability 1 (identical projections → identical signs). */
-  def candidatePairs(embeddings: DataFrame): DataFrame = {
-    val banded = signBuckets(embeddings)
+    * probability 1 (identical projections → identical signs). Oversize
+    * buckets are dropped before the self-join ([[LshCaps.capBuckets]]). */
+  def candidatePairs(embeddings: DataFrame,
+      bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
+    val allBanded = signBuckets(embeddings)
       .select(col("vec_id"), posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> xxhash64(slice(sig, b * $BitsPerBand + 1, $BitsPerBand)))""".stripMargin)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    // materialize once: consumed by the self-join (l, r) and the cap pass
+    val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

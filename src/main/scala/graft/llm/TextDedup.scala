@@ -13,9 +13,10 @@ import graft.sources.Tables
   * text (shuffle carries hashes, not documents). The exact-Jaccard pair
   * query is an inverted-index (shingle) join — candidate pairs are
   * generated only for documents sharing a shingle, never by cross join;
-  * at 100 TB the same shape survives because common-shingle hotspots can
-  * be dropped (df-cap on shingles) like stopwords. The sub-quadratic
-  * candidate path is MinHash LSH ([[MinHashLsh]], property-tested).
+  * at 100 TB the same shape survives because common-shingle hotspots are
+  * dropped like stopwords via [[dfCapped]] (document-frequency cap). The
+  * sub-quadratic candidate path is MinHash LSH ([[MinHashLsh]],
+  * property-tested), with its own bucket-size cap.
   */
 object TextDedup {
 
@@ -49,17 +50,51 @@ object TextDedup {
       .orderBy("keep_doc_id")
   }
 
-  /** Distinct word-3-shingles per document (docs shorter than 3 words would
-    * make sequence() run backwards and are excluded — none exist in the
-    * testdata). */
-  def shingles(docs: DataFrame): DataFrame =
+  /** Distinct word-3-shingle ARRAY per document (docs shorter than 3 words
+    * would make sequence() run backwards and are excluded — none exist in
+    * the testdata). Kept un-exploded so per-doc shingle counts are a
+    * `size()` away — no explode, no shuffle. */
+  def withShingleArr(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(0, size(words) - 3),
-          |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin)))
-        .as("shingle"))
+          |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
+        .as("sh_arr"))
+
+  /** Distinct word-3-shingles per document, one row per (doc, shingle).
+    *
+    * explode_OUTER, deliberately: plain explode triggers Catalyst's
+    * InferFiltersFromGenerate, which pushes `size(sh_arr) > 0 AND
+    * isnotnull(sh_arr)` below the projections with the whole nested-HOF
+    * shingle expression INLINED — and the generated predicate's
+    * common-subexpression elimination then evaluates that expression for
+    * EVERY input row before any cheap conjunct (e.g. a probe-id filter)
+    * can short-circuit (profiled: ~3s constant per query at sf0.1, ~10x
+    * the actual explode). The outer variant infers no filter, and the
+    * `size(words) >= 3` guard already guarantees ≥1 shingle per row, so
+    * the results are identical. */
+  def shingles(docs: DataFrame): DataFrame =
+    withShingleArr(docs).select(col("doc_id"), explode_outer(col("sh_arr")).as("shingle"))
+
+  /** Document-frequency cap (SCALE.md §3.2): drop shingles appearing in more
+    * than `cap` documents — stopword-like hotspots whose inverted-index
+    * posting lists would otherwise make the candidate join quadratic on a
+    * degenerate corpus (e.g. many identical documents). A corpus with S
+    * total (doc, shingle) rows has at most S/cap hot shingles, so the hot
+    * set shrinks as the cap grows; it is anti-joined away before candidate
+    * generation. The df pass is a map-side-combinable hash agg on the
+    * shingle key (dropped to 8-byte hashes by callers that cap — see
+    * [[MinHashLsh.hashedShingles]]), so the extra pass shuffles distinct
+    * shingles, not the corpus. Bounded-candidate behavior on a 1k-identical-
+    * doc corpus is pinned by SkewCapSpec. */
+  def dfCapped(sh: DataFrame, cap: Int, shingleCol: String = "shingle"): DataFrame = {
+    val hot = sh.groupBy(shingleCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(shingleCol)
+    sh.join(hot, Seq(shingleCol), "left_anti")
+  }
 
   /** B43 (exact twin) — top-3 most-similar documents per probe doc by exact
     * 3-shingle Jaccard, via the inverted-index join. This is the t2-checked
@@ -89,12 +124,32 @@ object TextDedup {
       |         CAST(row_number() OVER (PARTITION BY da ORDER BY jac DESC, db) AS INTEGER) AS rn
       |  FROM j) t
       |WHERE rn <= 3 ORDER BY doc_a, rn""".stripMargin, bench = true) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d)).cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val probes = sh.filter(col("doc_id") % 50 === 0)
+    // r2 cached the full shingle relation and filtered probes out of the
+    // cache: a full materialization barrier that also blocked codegen.
+    // Instead (r3): per-doc counts come straight from the shingle array
+    // (no explode, no shuffle), probe docs are filtered BEFORE shingling
+    // (only ~2% of the corpus explodes twice), and the probe side is
+    // broadcast into the inverted-index join so the corpus-side shingles
+    // stream map-side without a shuffle. The broadcast holds while the
+    // probe set is small (the probe-workload contract of this query);
+    // corpus-scale self-join is the LSH path (b43_dedup_minhash).
+    // repartition the corpus BEFORE the explode: locally the parquet scan
+    // is 1-2 splits, and a map-side (broadcast) join would otherwise run
+    // the 10M-row explode+join+partial-agg nearly single-threaded. The
+    // shuffle moves 5k full-text rows — ~30x smaller than shuffling the
+    // exploded shingle relation as the r2 shuffle-join plan did. The count
+    // is pinned (defaultParallelism): an un-pinned repartition(col) is
+    // AQE-coalescible and 50MB of text collapses right back to 1
+    // partition. On a real cluster the scan has thousands of splits and
+    // this is a no-op knob.
+    val docs = Tables.documents(s, d)
+    val corpus = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val counts = withShingleArr(docs).select(col("doc_id"), size(col("sh_arr")).as("n"))
+    val probes = shingles(docs.filter(col("doc_id") % 50 === 0))
       .select(col("doc_id").as("da"), col("shingle"))
-    val pairs = probes
-      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+    val pairs = shingles(corpus)
+      .select(col("doc_id").as("db"), col("shingle"))
+      .join(broadcast(probes), "shingle")
       .filter(col("da") =!= col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
     val jac = pairs

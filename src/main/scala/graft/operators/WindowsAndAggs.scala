@@ -133,11 +133,13 @@ object WindowsAndAggs {
     * derives the same statistics from EXACT integer sums (values ×100 as
     * BIGINT — order-independent, overflow-free at 600k rows) with the
     * identical double formula text on both sides: deterministic across runs
-    * and identical pre-round doubles in both engines. (round(x,4) itself can
-    * still disagree between engines on exact .00005-boundary doubles —
-    * Spark rounds the shortest decimal repr, DuckDB the binary value — but
-    * with fixed inputs that is a validate-once concern, checked at sf0.01
-    * and sf0.1, not a per-run flake like the float-merge order was.)
+    * and identical pre-round doubles in both engines. One residual trap
+    * remained (r02: hash_match=false): tiny negative covariances
+    * (≈ -5.5e-06) round to `-0.0` in DuckDB (IEEE rounding of the binary
+    * value keeps the sign) but `+0.0` in Spark (BigDecimal has no signed
+    * zero), and the two serialize differently. Every rounded output is
+    * therefore normalized with `+ 0.0` on BOTH sides — IEEE 754 guarantees
+    * `-0.0 + 0.0 = +0.0`, and every other double is unchanged.
     * The native stddev_samp/var_samp/corr/covar_samp/covar_pop aggregates are
     * exercised against these closed forms in WindowsAndAggsSpec (tolerance).
     */
@@ -160,11 +162,11 @@ object WindowsAndAggs {
       |        FROM lineitem)
       |  GROUP BY l_returnflag)
       |SELECT l_returnflag,
-      |       round(sqrt((sqq - sq * sq / n) / nullif(n - 1, 0.0)) / 100, 4) AS sd_qty,
-      |       round((sqq - sq * sq / n) / nullif(n - 1, 0.0) / 10000, 4) AS var_qty,
-      |       round((n * sdt - sd * st) / nullif(sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st), 0.0), 4) AS corr_disc_tax,
-      |       round((sdt - sd * st / n) / nullif(n - 1, 0.0) / 10000, 4) AS covar_s,
-      |       round((sdt - sd * st / n) / n / 10000, 4) AS covar_p
+      |       round(sqrt((sqq - sq * sq / n) / nullif(n - 1, 0.0)) / 100, 4) + 0.0 AS sd_qty,
+      |       round((sqq - sq * sq / n) / nullif(n - 1, 0.0) / 10000, 4) + 0.0 AS var_qty,
+      |       round((n * sdt - sd * st) / nullif(sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st), 0.0), 4) + 0.0 AS corr_disc_tax,
+      |       round((sdt - sd * st / n) / nullif(n - 1, 0.0) / 10000, 4) + 0.0 AS covar_s,
+      |       round((sdt - sd * st / n) / n / 10000, 4) + 0.0 AS covar_p
       |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d).select(
       col("l_returnflag"),
@@ -190,11 +192,11 @@ object WindowsAndAggs {
     val corrDen = nullif(sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st), lit(0.0))
     sums.select(
         col("l_returnflag"),
-        round(sqrt((sqq - sq * sq / n) / nm1) / 100, 4).as("sd_qty"),
-        round((sqq - sq * sq / n) / nm1 / 10000, 4).as("var_qty"),
-        round((n * sdt - sd * st) / corrDen, 4).as("corr_disc_tax"),
-        round((sdt - sd * st / n) / nm1 / 10000, 4).as("covar_s"),
-        round((sdt - sd * st / n) / n / 10000, 4).as("covar_p"))
+        (round(sqrt((sqq - sq * sq / n) / nm1) / 100, 4) + lit(0.0)).as("sd_qty"),
+        (round((sqq - sq * sq / n) / nm1 / 10000, 4) + lit(0.0)).as("var_qty"),
+        (round((n * sdt - sd * st) / corrDen, 4) + lit(0.0)).as("corr_disc_tax"),
+        (round((sdt - sd * st / n) / nm1 / 10000, 4) + lit(0.0)).as("covar_s"),
+        (round((sdt - sd * st / n) / n / 10000, 4) + lit(0.0)).as("covar_p"))
       .orderBy("l_returnflag")
   }
 

@@ -1,19 +1,82 @@
 package graft.streaming
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
 
-/** B54 driver-visible streaming proof: a full chunked-file replay of the
-  * events table through the streaming tumbling aggregation, run to
-  * completion with Trigger.AvailableNow into the memory sink (complete
-  * mode). Deterministic — complete mode's final table IS the batch
-  * aggregation — so it shares the b48 twin's DuckDB oracle.
+/** Driver-visible streaming proofs (B52-B54): full chunked-file replays of
+  * the events table through REAL streaming queries (file source,
+  * Trigger.AvailableNow, memory sink), each deterministic enough to share
+  * a DuckDB batch oracle. r2 left B52/B53 spec-only — a regression there
+  * was invisible to CORRECTNESS_r*.json; these entries close that gap.
+  *
+  *   - b52: dropDuplicatesWithinWatermark over a replay with injected
+  *     exact-duplicate events → the surviving set IS the original table.
+  *   - b53: flatMapGroupsWithState running balance folding EXACT integer
+  *     cents → the final emission per user IS the batch GROUP BY.
+  *   - b54: tumbling-window aggregation in complete mode → final table IS
+  *     the batch aggregation (shares b48's oracle).
   */
 object StreamReplay {
 
   /** One chunk dir per JVM (see b54's comment). */
   private lazy val chunkDir: String =
     java.nio.file.Files.createTempDirectory("graft_b54_chunks").toString
+
+  private lazy val chunkDir52: String =
+    java.nio.file.Files.createTempDirectory("graft_b52_chunks").toString
+
+  private lazy val chunkDir53: String =
+    java.nio.file.Files.createTempDirectory("graft_b53_chunks").toString
+
+  /** B52 — streaming dedup, driver-visible. Every 10th event is injected
+    * twice (identical row, identical ts ⇒ adjacent in the (ts, event_id)
+    * chunk order ⇒ always inside the 30-min watermark horizon of its
+    * first copy), so dropDuplicatesWithinWatermark must emit each event_id
+    * exactly once and the oracle is simply the original events table. */
+  private val b52 = entry(
+    "b52_stream_dedup",
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |       user_id, event_type, round(value, 4) AS val
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val dir = chunkDir52
+    val events = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamingOps.writeChunksDf(
+      events.unionByName(events.filter(col("event_id") % 10 === 0)), dir, n = 8)
+    val deduped = StreamingOps.dedup(StreamingOps.readStream(s, dir))
+    s.catalog.dropTempView("b52_replay") // idempotent re-runs
+    StreamingOps.runToMemory(deduped, "b52_replay", "append")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("user_id"), col("event_type"), round(col("value"), 4).as("val"))
+      .orderBy("event_id")
+  }
+
+  /** B53 — stateful per-key running balance, driver-visible. The stream
+    * folds integer cents (Spark SQL round ↔ DuckDB round agree — the b22
+    * lesson), so every emission is exact; the final emission per user
+    * (its max n_events — n is strictly monotone per user) equals the
+    * batch GROUP BY with zero float drift. */
+  private val b53 = entry(
+    "b53_stream_balance",
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS balance_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val dir = chunkDir53
+    StreamingOps.writeChunks(s, d, dir, n = 8)
+    val withCents = StreamingOps.readStream(s, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val balances = StreamingOps.runningBalanceCents(withCents)
+    s.catalog.dropTempView("b53_replay") // idempotent re-runs
+    val mem = StreamingOps.runToMemory(balances, "b53_replay", "append")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    mem.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("balance_cents"))
+      .orderBy("user_id")
+  }
 
   private val b54 = entry(
     "b54_stream_replay",
@@ -32,5 +95,5 @@ object StreamReplay {
       .orderBy("ws", "event_type")
   }
 
-  val entries: Seq[Entry] = Seq(b54)
+  val entries: Seq[Entry] = Seq(b52, b53, b54)
 }

@@ -26,16 +26,25 @@ object StreamingOps {
   /** Split the batch events table into `n` ordered parquet chunk files under
     * `dir` (named so the file source lists them in order — SURVEY §7 hard
     * point 5), simulating arrival order by event time. */
-  def writeChunks(spark: SparkSession, sfDir: String, dir: String, n: Int): Unit = {
-    val events = graft.sources.Tables.events(spark, sfDir)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .orderBy("ts", "event_id")
-    val total = events.count()
+  def writeChunks(spark: SparkSession, sfDir: String, dir: String, n: Int): Unit =
+    writeChunksDf(
+      graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      dir, n)
+
+  /** [[writeChunks]] over an arbitrary events-shaped DataFrame (the b52
+    * replay injects duplicate rows before chunking). Exact-duplicate rows
+    * share their (ts, event_id) sort key, so they land adjacent — same or
+    * neighboring chunk — which keeps them inside any watermark horizon. */
+  def writeChunksDf(events: DataFrame, dir: String, n: Int): Unit = {
+    val spark = events.sparkSession
+    val ordered = events.orderBy("ts", "event_id")
+    val total = ordered.count()
     val perChunk = math.max(1, (total + n - 1) / n)
-    val rows = events.collect() // test-scale replay harness only
+    val rows = ordered.collect() // test-scale replay harness only
     rows.grouped(perChunk.toInt).zipWithIndex.foreach { case (chunk, i) =>
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(chunk.toSeq, 1), events.schema)
+        spark.sparkContext.parallelize(chunk.toSeq, 1), ordered.schema)
       df.coalesce(1).write.mode("overwrite").parquet(f"$dir/chunk_$i%04d")
     }
   }
@@ -105,6 +114,32 @@ object StreamingOps {
           Iterator((userId, n, math.rint(bal * 10000) / 10000))
       }
       .toDF("user_id", "n_events", "balance")
+  }
+
+  /** B53 (t2 twin) — the same per-key fold over EXACT integer cents
+    * (`cents` column pre-computed with Spark SQL round, which agrees with
+    * DuckDB's — proven by b22): the state is a (count, Long cents) pair,
+    * so the fold is order-independent and the final emission per user
+    * hash-matches a DuckDB GROUP BY with no float-summation drift. This is
+    * what makes B53 driver-visible (b53_stream_balance) rather than
+    * spec-only. */
+  def runningBalanceCents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"), col("cents"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[(Long, Long, Long)],
+              state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, _, c) => n += 1; cents += c }
+          state.update((n, cents))
+          Iterator((userId, n, cents))
+      }
+      .toDF("user_id", "n_events", "balance_cents")
   }
 
   /** B53 (native path) — the same running balance on Spark 4's

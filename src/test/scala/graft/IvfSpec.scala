@@ -11,9 +11,21 @@ class IvfSpec extends AnyFunSuite {
 
   test("IVF assignments cover every vector exactly once") {
     val e = Tables.embeddings(spark, sf)
-    val assigned = Ivf.assignments(e)
+    val assigned = Ivf.assignments(e, Ivf.defaultNumCells(e.count()))
     assert(assigned.count() === e.count())
     assert(assigned.select("vec_id").distinct().count() === e.count())
+  }
+
+  test("centroid cardinality is fixed-k, not linear in the corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val k = Ivf.defaultNumCells(n)
+    assert(k <= 4096 && k <= math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(Ivf.centroids(e, k).count() === k.toLong)
+    // determinism: same k → identical cell set on a re-run
+    val cells1 = Ivf.centroids(e, k).select("cell").collect().map(_.getLong(0)).toSet
+    val cells2 = Ivf.centroids(e, k).select("cell").collect().map(_.getLong(0)).toSet
+    assert(cells1 === cells2)
   }
 
   test("IVF@nProbe=5 recall vs brute-force top-10 is substantial; nProbe=all is exact") {
@@ -26,7 +38,7 @@ class IvfSpec extends AnyFunSuite {
     val recall = (brute intersect ivf5).size.toDouble / brute.size
     assert(recall >= 0.4, f"IVF recall too low: $recall%.3f")
     // probing every cell must reproduce brute force exactly
-    val nCells = Ivf.centroids(e).count().toInt
+    val nCells = Ivf.defaultNumCells(e.count())
     val ivfAll = pairs(Ivf.search(e, col("vec_id") < 20, k = 10, nProbe = nCells))
     assert(ivfAll === brute, "IVF with all cells probed must equal brute force")
   }
