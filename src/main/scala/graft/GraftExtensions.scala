@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProductExpression].getName, "dot_f64"),
       graft.functions.DotProductExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
+    ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }
 }

@@ -138,8 +138,9 @@ object Multimodal {
     * identical features in SQL — a full t2 hash-match through typed
     * Dataset plumbing. avg is spelled as exact-integer-sum / count in
     * both dialects (a native float avg's partial merge order is
-    * run-dependent). ASCII payloads make DuckDB's per-char codepoints
-    * equal the stub's per-byte folds. */
+    * run-dependent). The fold is codepoint-based on all three surfaces
+    * (JVM stub, Spark SQL, DuckDB) — non-ASCII equivalence incl. astral
+    * codepoints is pinned by the b45_fold_unicode fixture entry. */
   private val b47d = entry(
     "b47_multimodal_decode",
     s"""WITH feat AS (

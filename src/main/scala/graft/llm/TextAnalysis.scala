@@ -330,5 +330,40 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
-  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b46, b56, b57)
+  private val unicodeCsv = "/root/repo/fixtures/csv/unicode_probe.csv"
+
+  /** B45± — cross-engine fold lock on NON-ASCII text (the charset-proof
+    * claim the b45f/b47d folds rely on, pinned on data instead of assumed):
+    * the 40-bit polynomial fold and the windowed 5-gram fold minimum,
+    * evaluated by both engines over a fixture containing accented Latin,
+    * CJK, and supplementary-plane (astral: 𝄞, 😀) codepoints. Both engines
+    * count CODEPOINTS in length()/substr() and return full codepoints from
+    * ascii() — including astral (verified: ascii('𝄞') = 119070 in Spark
+    * and DuckDB) — which is exactly what [[Winnowing.polyFoldString]]'s
+    * codePoints iterator matches on the JVM side. */
+  private val b45u = entry(
+    "b45_fold_unicode",
+    s"""SELECT probe_id, length(text) AS n_chars,
+       |       ${Winnowing.polyFoldDuck("text")} AS fold40,
+       |       list_min(list_transform(generate_series(1, length(text) - ${Winnowing.K - 1}),
+       |         i -> list_reduce(list_prepend(0::BIGINT,
+       |                list_transform(generate_series(i, i + ${Winnowing.K - 1}),
+       |                               j -> ascii(substr(text, j, 1)))),
+       |              (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}))) AS min_gram40
+       |FROM read_csv('$unicodeCsv', header=true,
+       |              columns={probe_id: 'BIGINT', text: 'VARCHAR'})
+       |ORDER BY probe_id""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("probe_id", LongType), StructField("text", StringType)))
+    s.read.option("header", "true").schema(schema).csv(unicodeCsv)
+      .select(col("probe_id"), length(col("text")).as("n_chars"),
+        expr(Winnowing.polyFoldSpark("text")).as("fold40"),
+        expr(s"""array_min(transform(sequence(1, length(text) - ${Winnowing.K - 1}),
+                |                    i -> ${Winnowing.PolyGramHash}))""".stripMargin)
+          .as("min_gram40"))
+      .orderBy("probe_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b45u, b46, b56, b57)
 }

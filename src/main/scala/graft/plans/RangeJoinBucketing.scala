@@ -88,7 +88,15 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  /** floor(x / w) as exact integer arithmetic on the micros/raw value.
+  /** floor(x / w) as exact integer arithmetic on the micros/raw value,
+    * spelled overflow-safe: `x div w` corrected down by 1 for negative
+    * non-exact x (Math.floorDiv semantics). The earlier spelling
+    * `(x - pmod(x, w)) div w` overflowed for x within w of Long.MinValue
+    * — an ANSI runtime error (or a silently wrong bucket) where the
+    * original nested-loop join would have succeeded. Here no intermediate
+    * can leave the Long range: w > 0 by detectBand, so `x div w` and
+    * `x % w` are always in range, and the -1 correction moves the
+    * quotient toward zero.
     * TimestampNTZ is deliberately NOT supported: UnixMicros accepts only
     * TimestampType (its inputTypes), so an NTZ rewrite would embed a
     * type-invalid expression into the optimized plan. */
@@ -99,7 +107,10 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
       case _                                             => return Literal(null, LongType)
     }
     val wl = Literal(w, LongType)
-    IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
+    val q = IntegralDivide(x, wl)
+    val r = Remainder(x, wl)
+    If(And(LessThan(x, Literal(0L)), Not(EqualTo(r, Literal(0L)))),
+      Subtract(q, Literal(1L)), q)
   }
 
   private def supportedType(dt: DataType): Boolean = dt match {

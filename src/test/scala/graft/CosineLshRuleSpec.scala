@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** [[graft.plans.CosineLshRewrite]] — the injected optimizer rule that
+  * rescues naive all-pairs `cosine ≥ τ` joins into the banded sign-LSH
+  * candidate+verify shape.
+  *
+  * The sf0.001 embeddings corpus has max pairwise cosine 0.51 between
+  * distinct vectors, so with planted duplicates and τ = 0.9 the TRUE
+  * result set is exactly the planted identical pairs — which sign-LSH
+  * finds with probability 1 (identical projections). That makes
+  * rewritten-vs-naive EQUALITY (not just recall) assertable here.
+  */
+class CosineLshRuleSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private def vecs = {
+    graft.functions.DotProductExpression.register(spark)
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val withDups = base.unionByName(
+      base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    withDups
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(expr("dot_f64(v, v)")))
+  }
+
+  private def naive = {
+    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    a.crossJoin(b).filter(
+      col("a") < col("b") &&
+      expr("dot_f64(va, vb)") / (col("na") * col("nb")) >= lit(0.9))
+      .select(col("a"), col("b"))
+  }
+
+  private def withRuleDisabled[A](f: => A): A = {
+    spark.conf.set("spark.graft.cosineLshRewrite.enabled", "false")
+    try f finally spark.conf.set("spark.graft.cosineLshRewrite.enabled", "true")
+  }
+
+  test("naive cross join + cosine threshold plans with no nested loop / cartesian") {
+    val plan = naive.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(naive.queryExecution.optimizedPlan.toString.contains("__graft_lsh"), "rule did not fire")
+  }
+
+  test("rewritten results equal the exact naive results (planted dups, τ=0.9)") {
+    val got = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = withRuleDisabled(naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(want.nonEmpty, "planted duplicates must qualify")
+    assert(got === want)
+  }
+
+  test("inner-join multiplicity is preserved (each pair exactly once)") {
+    val rows = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.toSet.size, "a pair was emitted through more than one band")
+  }
+
+  test("unit-vector dot spelling (no denominator) is also rescued") {
+    val unit = vecs.select(col("vec_id"),
+      expr("transform(v, x -> x / norm)").as("u"))
+    val a = unit.select(col("vec_id").as("a"), col("u").as("ua"))
+    val b = unit.select(col("vec_id").as("b"), col("u").as("ub"))
+    val j = a.crossJoin(b).filter(
+      col("a") < col("b") && expr("dot_f64(ua, ub)") >= lit(0.9))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val got = j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = withRuleDisabled(
+      j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(got === want)
+  }
+
+  test("joins with an equi key are left alone") {
+    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
+    val j = a.join(b, col("a") === col("b") && expr("dot_f64(va, vb)") >= lit(0.9))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+  }
+
+  test("non-positive thresholds are not rescued (sign-LSH needs τ > 0)") {
+    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
+    val j = a.crossJoin(b).filter(expr("dot_f64(va, vb)") >= lit(-0.5))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+  }
+
+  test("rule can be disabled by conf") {
+    withRuleDisabled {
+      assert(!naive.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    }
+  }
+
+  test("outer joins are not rewritten") {
+    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    val j = a.join(b,
+      expr("dot_f64(va, vb)") / (col("na") * col("nb")) >= lit(0.9), "left")
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+  }
+}

@@ -134,6 +134,31 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite fires through the SQL text path (BETWEEN formulation)") {
+    events.createOrReplaceTempView("rj_events")
+    def j = spark.sql(
+      """SELECT a.event_id, b.event_id AS event_id2
+        |FROM rj_events a JOIN rj_events b
+        |  ON b.ts BETWEEN a.ts AND a.ts + INTERVAL 5 MINUTES""".stripMargin)
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+      "rule did not fire on the spark.sql BETWEEN formulation")
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(j.count() === withRuleDisabled(j.count()))
+  }
+
+  test("integral bands near Long.MinValue do not overflow the bucket math") {
+    // x - pmod(x, w) underflows for these values; the floorDiv spelling
+    // must keep the rewrite correct (and ANSI-error-free) at the extreme
+    val lo = Long.MinValue
+    val a = Seq(lo, lo + 3, lo + 7, 0L, 5L).toDF("x")
+    val b = Seq(lo, lo + 5, lo + 9, 3L, 11L).toDF("y")
+    def j = a.join(b, col("y") >= col("x") && col("y") <= col("x") + lit(10L))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    assert(j.count() === withRuleDisabled(j.count()))
+  }
+
   test("bucketing is exact-floor for negative epochs (pre-1970 timestamps)") {
     // band [t, t+60s] across the epoch boundary: micros -30e6 .. +30e6
     val l = Seq(-30000000L, -1L, 0L, 29999999L).toDF("lm")

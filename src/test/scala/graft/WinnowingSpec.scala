@@ -27,6 +27,21 @@ class WinnowingSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("JVM polyFoldString equals the Spark SQL fold on non-ASCII incl. astral") {
+    import spark.implicits._
+    val samples = Seq(
+      "plain ascii only here",
+      "accented éèü and ç text",
+      "中文文本处理测试",
+      "astral 𝄞 clef and 😀 emoji mix",
+      "mixéd 中 𝄞 ascii ü 😀 tail")
+    val sparkFolds = samples.toDF("text")
+      .select(expr(Winnowing.polyFoldSpark("text")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sparkFolds === samples.map(Winnowing.polyFoldString),
+      "the JVM codePoints fold (decodeStub's path) diverged from the SQL fold")
+  }
+
   test("embedded substring is detected via shared fingerprints") {
     import spark.implicits._
     val base = Tables.documents(spark, sf)
