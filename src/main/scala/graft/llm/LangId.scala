@@ -41,7 +41,7 @@ object LangId {
       |         i -> ascii(substr(text, i, 1)) * 961
       |            + ascii(substr(text, i + 1, 1)) * 31
       |            + ascii(substr(text, i + 2, 1)))) AS tri
-      |  FROM documents WHERE doc_id % 2 = 0),
+      |  FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 3),
       |profile AS (
       |  SELECT lang AS plang, tri FROM (
       |    SELECT lang, tri, count(*) AS cnt,
@@ -54,7 +54,7 @@ object LangId {
       |           i -> ascii(substr(text, i, 1)) * 961
       |              + ascii(substr(text, i + 1, 1)) * 31
       |              + ascii(substr(text, i + 2, 1)))) AS tri
-      |    FROM documents WHERE doc_id % 20 = 1) t),
+      |    FROM documents WHERE doc_id % 20 = 1 AND length(text) >= 3) t),
       |scores AS (
       |  SELECT doc_id, lang, plang, count(*) AS score
       |  FROM test_tri JOIN profile USING (tri)
@@ -78,17 +78,20 @@ object LangId {
         |          i -> element_at(cps, i) * 961
         |             + element_at(cps, i + 1) * 31
         |             + element_at(cps, i + 2))""".stripMargin)
-    val trainTri = docs.filter(col("doc_id") % 2 === 0)
+    // length >= 3 proves the trigram array non-empty → explode_outer is
+    // row-identical AND skips the inferred Generate guard that would
+    // re-evaluate triOf per row (the b43 explode lesson)
+    val trainTri = docs.filter(col("doc_id") % 2 === 0 && length(col("text")) >= 3)
       .withColumn("cps", cps)
-      .select(col("lang"), explode(triOf).as("tri"))
+      .select(col("lang"), explode_outer(triOf).as("tri"))
     val wProf = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
     val profile = trainTri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(wProf))
       .filter(col("rn") <= 20)
       .select(col("lang").as("plang"), col("tri"))
-    val testTri = docs.filter(col("doc_id") % 20 === 1)
+    val testTri = docs.filter(col("doc_id") % 20 === 1 && length(col("text")) >= 3)
       .withColumn("cps", cps)
-      .select(col("doc_id"), col("lang"), explode(triOf).as("tri"))
+      .select(col("doc_id"), col("lang"), explode_outer(triOf).as("tri"))
       .distinct()
     val wBest = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
     testTri.join(broadcast(profile), "tri")

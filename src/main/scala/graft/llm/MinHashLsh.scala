@@ -65,8 +65,11 @@ object MinHashLsh {
     * self-join — see [[LshCaps.capBuckets]]. */
   def candidatePairs(sigs: DataFrame,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
+    // posexplode_outer: sig is always 64 wide → 16 bands, never empty;
+    // the non-outer form would re-evaluate the band-hash transform per
+    // row in an inferred Generate guard (the b43 explode lesson)
     val allBanded = sigs.select(col("doc_id"),
-      posexplode(expr(
+      posexplode_outer(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))

@@ -73,8 +73,10 @@ object SimHash {
   def candidatePairs(sigs: DataFrame, bits: Int = Bits,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
     val bitsPerBand = bits / Bands
+    // posexplode_outer: constant 4-element band array, never empty (and
+    // the non-outer Generate guard would re-evaluate it per row)
     val allBanded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
+      posexplode_outer(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> (simhash >> (b * $bitsPerBand)) & ${(1L << bitsPerBand) - 1})""".stripMargin)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))

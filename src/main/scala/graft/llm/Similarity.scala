@@ -92,8 +92,11 @@ object Similarity {
     * buckets are dropped before the self-join ([[LshCaps.capBuckets]]). */
   def candidatePairs(embeddings: DataFrame,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
+    // posexplode_outer: constant 4-element band array — and critically,
+    // the non-outer Generate guard would inline the ENTIRE 16-plane
+    // sign-projection HOF (signBuckets' sig column) into a per-row filter
     val allBanded = signBuckets(embeddings)
-      .select(col("vec_id"), posexplode(expr(
+      .select(col("vec_id"), posexplode_outer(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> xxhash64(slice(sig, b * $BitsPerBand + 1, $BitsPerBand)))""".stripMargin)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))

@@ -72,9 +72,14 @@ object Winnowing {
   /** (doc_id, fingerprint) — distinct window-minimum k-gram hashes.
     * `gramHash` is a SQL expression over (`text`, position `i`). */
   def fingerprints(docs: DataFrame, gramHash: String = XxGramHash): DataFrame = {
+    // posexplode_OUTER: the non-outer form makes InferFiltersFromGenerate
+    // duplicate the whole per-position gram-hash transform into a pushed
+    // filter evaluated per input row (the b43 lesson, SCALE.md §3.7); the
+    // length >= K guard already proves the array non-empty, so outer is
+    // row-for-row identical
     val grams = docs
       .filter(length(col("text")) >= K)
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), posexplode_outer(expr(
         s"transform(sequence(1, length(text) - ${K - 1}), i -> $gramHash)")))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
