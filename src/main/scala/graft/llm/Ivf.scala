@@ -40,7 +40,7 @@ object Ivf {
     * registered by GraftExtensions or per-entry. */
   private def dot(a: String, b: String) = expr(s"dot_f64($a, $b)")
 
-  private def asDouble(df: DataFrame): DataFrame =
+  private[graft] def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(dot("v", "v")))
 
@@ -54,17 +54,51 @@ object Ivf {
       .limit(k)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
 
-  /** Index: nearest-centroid assignment per corpus vector (broadcast join +
-    * per-vector argmax window). */
-  def assignments(embeddings: DataFrame, k: Int): DataFrame = {
-    val cents = centroids(embeddings, k)
+  /** Nearest-centroid assignment of each vector to the given centroid set
+    * (broadcast join + per-vector argmax window). */
+  def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
-    asDouble(embeddings)
+    vecs
       .join(broadcast(cents))
       .withColumn("sim", dot("v", "cv") / (col("norm") * col("cnorm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+  }
+
+  /** Index: nearest-centroid assignment per corpus vector. */
+  def assignments(embeddings: DataFrame, k: Int): DataFrame =
+    assignTo(asDouble(embeddings), centroids(embeddings, k))
+
+  /** The k-means upgrade path, implemented: spherical-k-means Lloyd
+    * refinement of the hash-sampled quantizer. Each iteration is (1) one
+    * broadcast-assign pass over the corpus and (2) one element-wise mean
+    * per cell — a (cell, dim) hash aggregate whose shuffle carries partial
+    * sums (groups ∝ k·dim, never rows), then a per-cell re-assembly. The
+    * cosine argmax normalizes by the centroid norm, so mean-without-
+    * normalize IS the spherical Lloyd update (average within-cell cosine
+    * is non-decreasing, asserted in IvfSpec). Cells that attract no
+    * vectors are dropped (standard); float partial-sum order makes
+    * refined centroids bit-nondeterministic across runs, which is why the
+    * deterministic t2/bench entry stays on the sampled quantizer and
+    * refinement is the offline index-build API. */
+  def refineCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = asDouble(embeddings)
+    var cents = centroids(embeddings, k)
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(vecs, cents)
+      val byDim = assigned
+        .select(col("cell"), posexplode_outer(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      cents = byDim
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s / n AS m))), e -> e.m)").as("cv"))
+        .withColumn("cnorm", sqrt(dot("cv", "cv")))
+        .filter(col("cnorm") > 0) // degenerate zero-mean cell can't rank
+        .select(col("cell"), col("cv"), col("cnorm"))
+    }
+    cents
   }
 
   /** Top-k cosine search probing only the nProbe nearest cells per query.

@@ -4,12 +4,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
 
-/** Driver-visible streaming proofs (B52-B54): full chunked-file replays of
+/** Driver-visible streaming proofs (B51-B54): full chunked-file replays of
   * the events table through REAL streaming queries (file source,
   * Trigger.AvailableNow, memory sink), each deterministic enough to share
-  * a DuckDB batch oracle. r2 left B52/B53 spec-only — a regression there
+  * a DuckDB batch oracle. r2 left B51-B53 spec-only — a regression there
   * was invisible to CORRECTNESS_r*.json; these entries close that gap.
   *
+  *   - b51: tumbling agg in append mode with the earliest-2h events
+  *     re-ordered to arrive last → the watermark must drop all of them,
+  *     and the oracle is the on-time aggregation over closed windows.
   *   - b52: dropDuplicatesWithinWatermark over a replay with injected
   *     exact-duplicate events → the surviving set IS the original table.
   *   - b53: flatMapGroupsWithState running balance folding EXACT integer
@@ -28,6 +31,50 @@ object StreamReplay {
 
   private lazy val chunkDir53: String =
     java.nio.file.Files.createTempDirectory("graft_b53_chunks").toString
+
+  private lazy val chunkDir51: String =
+    java.nio.file.Files.createTempDirectory("graft_b51_chunks").toString
+
+  /** B51 — watermark late-data drop, driver-visible. On-time events
+    * (everything after the table's first two hours) replay in ts order;
+    * the first-two-hours events arrive LAST, as one extra chunk — hours
+    * behind the watermark (maxTs − 10 min by then), so the streaming
+    * tumbling aggregation must drop every one of them. Append mode also
+    * withholds windows the final watermark never closed, so the oracle is
+    * the batch aggregation over ON-TIME events restricted to windows with
+    * `window_end <= max(ts) − 10 min` — every term a deterministic scalar
+    * of the input table. */
+  private val b51 = entry(
+    "b51_stream_late_drop",
+    """WITH bounds AS (
+      |  SELECT min(ts) + INTERVAL 2 HOUR AS on_time_lo,
+      |         max(ts) - INTERVAL 10 MINUTE AS final_wm
+      |  FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+      |       event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events, bounds
+      |WHERE ts >= on_time_lo
+      |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= final_wm
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    val dir = chunkDir51
+    val events = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val minTs = events.agg(min(col("ts"))).collect().head
+      .getAs[java.sql.Timestamp](0)
+    // interval arithmetic on the literal, NOT Timestamp.getTime + ms: the
+    // literal keeps microsecond precision, matching the oracle's
+    // min(ts) + INTERVAL exactly at the cutoff boundary
+    val cutoff = lit(minTs) + expr("INTERVAL 2 HOURS")
+    StreamingOps.writeChunksDf(events.filter(col("ts") >= cutoff), dir, n = 8)
+    // the late chunk: file-name-ordered AFTER chunk_0007, so the file
+    // source delivers it once the watermark is hours past its event times
+    events.filter(col("ts") < cutoff).coalesce(1)
+      .write.mode("overwrite").parquet(f"$dir/chunk_0008")
+    val agg = StreamingOps.tumbling(StreamingOps.readStream(s, dir))
+    s.catalog.dropTempView("b51_replay") // idempotent re-runs
+    StreamingOps.runToMemory(agg, "b51_replay", "append")
+      .orderBy("ws", "event_type")
+  }
 
   /** B52 — streaming dedup, driver-visible. Every 10th event is injected
     * twice (identical row, identical ts ⇒ adjacent in the (ts, event_id)
@@ -95,5 +142,5 @@ object StreamReplay {
       .orderBy("ws", "event_type")
   }
 
-  val entries: Seq[Entry] = Seq(b52, b53, b54)
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54)
 }

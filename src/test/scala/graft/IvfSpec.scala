@@ -28,6 +28,28 @@ class IvfSpec extends AnyFunSuite {
     assert(cells1 === cells2)
   }
 
+  test("k-means refinement improves average within-cell cosine (spherical Lloyd)") {
+    graft.functions.DotProductExpression.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val k = Ivf.defaultNumCells(e.count())
+    val vecs = Ivf.asDouble(e)
+    def avgCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Ivf.assignTo(vecs, cents)
+        .join(cents, "cell")
+        .agg(avg(expr("dot_f64(v, cv)") / (col("norm") * col("cnorm"))))
+        .collect().head.getDouble(0)
+    val sample = Ivf.centroids(e, k)
+    val refined = Ivf.refineCentroids(e, k, iters = 2)
+    assert(refined.count() <= k.toLong && refined.count() > 0)
+    // spherical Lloyd is monotone in the average within-cell cosine
+    assert(avgCos(refined) >= avgCos(sample) - 1e-9,
+      f"refinement regressed the objective: ${avgCos(refined)}%.4f < ${avgCos(sample)}%.4f")
+    // the refined index still covers every vector exactly once
+    val assigned = Ivf.assignTo(vecs, refined)
+    assert(assigned.count() === e.count())
+    assert(assigned.select("vec_id").distinct().count() === e.count())
+  }
+
   test("IVF@nProbe=5 recall vs brute-force top-10 is substantial; nProbe=all is exact") {
     val e = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
