@@ -60,6 +60,43 @@ object Extensions {
     s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** One temp sink dir per JVM (see b04's comment). */
+  private[operators] lazy val b04jSinkDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b04j_sink").toString + "/out"
+
+  /** B4 (JSON half) — JSON-lines sink + schema'd re-read: the t2 hash is
+    * over the re-read rows against the source-table oracle, proving the
+    * write→read round trip lossless for longs, strings, doubles (Jackson
+    * shortest-repr doubles re-parse bit-exact) and dates. Explicit read
+    * schema — JSON inference is forbidden at scale for the same
+    * extra-full-pass reason as CSV. */
+  private val b04j = entry(
+    "b04_sink_json",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+      |FROM orders WHERE o_totalprice >= 300000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val out = Extensions.b04jSinkDir
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .filter(col("o_totalprice") >= 300000)
+      .coalesce(1)
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", DateType)))
+    // the re-read date is a real DateType (round trip proven); it is
+    // FORMATTED for output because the oracle compare bridges DuckDB DATE
+    // through pandas as datetime — a dtype-family mismatch vs Spark's date
+    s.read.schema(schema).json(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"))
+      .orderBy("o_orderkey")
+  }
+
   /** B24 — the custom weighted-mean Aggregator as an untyped UDAF column:
     * average extended price weighted by quantity, per return flag. */
   private val b24 = entry(
@@ -129,5 +166,5 @@ object Extensions {
       .orderBy("uuid", "pos")
   }
 
-  val entries: Seq[Entry] = Seq(b03, b04, b24, b39, b40)
+  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40)
 }

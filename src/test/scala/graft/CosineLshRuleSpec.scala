@@ -98,6 +98,39 @@ class CosineLshRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("property: recall >= 0.9 on seeded near-parallel pairs at τ=0.95") {
+    // 80 base vectors (seeded), each with a slightly-perturbed twin at
+    // cosine ≈ 0.97-0.99; expected banded sign-LSH recall at that angle is
+    // ~0.99 (p_plane = 1 - θ/π ≈ 0.95, band⁴-of-4 ≈ 1-(1-0.95⁴)⁴), so 0.9
+    // is a robust statistical floor for a fixed seed.
+    graft.functions.DotProductExpression.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 80).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val twin = v.map(x => x + 0.15 * rnd.nextGaussian())
+      Seq((i.toLong, v.toSeq), (i + 1000L, twin.toSeq))
+    }
+    val vecsDf = rows.toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("dot_f64(v, v)")))
+    val a = vecsDf.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val b = vecsDf.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def j = a.crossJoin(b).filter(
+      col("a") < col("b") &&
+      expr("dot_f64(va, vb)") / (col("na") * col("nb")) >= lit(0.95))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    val got = pairsOf(j)
+    val want = withRuleDisabled(pairsOf(j))
+    assert(want.size >= 30, s"seed produced too few qualifying pairs: ${want.size}")
+    assert(got.subsetOf(want), "precision must be exact (residual predicate)")
+    val recall = got.size.toDouble / want.size
+    assert(recall >= 0.9, f"recall $recall%.3f below the statistical floor")
+  }
+
   test("outer joins are not rewritten") {
     val a = vecs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
     val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
