@@ -221,6 +221,22 @@ object WindowsAndAggs {
       .orderBy("l_returnflag")
   }
 
+  /** B23+ — approximate percentile (the B19-class sketch companion of the
+    * exact b23): Spark's percentile_approx (Greenwald-Khanna quantile
+    * summary — constant-size mergeable state per group, the 100 TB path
+    * where the exact percentile's full sort-per-group is unaffordable).
+    * Approximate by design → rows-only driver check; error-vs-exact bound
+    * asserted in ApproxSpec. */
+  private val b23a = entryNoOracle("b23_agg_percentile_approx") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile_approx(l_quantity, 0.25, 10000)"), 4).as("p25"),
+        round(expr("percentile_approx(l_quantity, 0.5, 10000)"), 4).as("p50"),
+        round(expr("percentile_approx(l_quantity, 0.75, 10000)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** B25 — ranking window functions over a deterministic (unique) order. */
   private val b25 = entry(
     "b25_window_ranking",
@@ -395,5 +411,5 @@ object WindowsAndAggs {
   }
 
   val entries: Seq[Entry] =
-    Seq(b19, b20, b20p, b20u, b21, b22, b23, b25, b26, b27, b28, b29, b30, b31)
+    Seq(b19, b20, b20p, b20u, b21, b22, b23, b23a, b25, b26, b27, b28, b29, b30, b31)
 }

@@ -5,6 +5,25 @@ import org.scalatest.funsuite.AnyFunSuite
 /** B19 tolerance check (SURVEY §2B: approximate ops are never hash-matched;
   * they get tolerance tests against the exact twin). */
 class ApproxSpec extends AnyFunSuite {
+  test("percentile_approx is within tolerance of the exact percentile") {
+    val spark = TestSession.spark
+    val sf = TestSession.sf0001
+    val approx = SparkEntry.queries("b23_agg_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("b23_agg_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    for ((k, (a25, a50, a75)) <- approx; (e25, e50, e75) = exact(k)) {
+      // GK summary at accuracy 10000 → rank error ≤ n/10000; quantity is
+      // integer-granular 1..50, so value error beyond one step means a bug
+      assert(math.abs(a25 - e25) <= 1.0, s"$k p25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) <= 1.0, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a75 - e75) <= 1.0, s"$k p75: $a75 vs $e75")
+    }
+  }
+
   test("approx_count_distinct is within the configured rsd of exact") {
     val df = SparkEntry.queries("b19_agg_approx_distinct")(
       TestSession.spark, TestSession.sf0001)
