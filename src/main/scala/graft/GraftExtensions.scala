@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpression].getName, "dot_f64"),
       graft.functions.DotProductExpression.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_lsh_bands"),
+      new ExpressionInfo(classOf[graft.functions.SignLshBandsExpression].getName, "sign_lsh_bands"),
+      graft.functions.SignLshBandsExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }

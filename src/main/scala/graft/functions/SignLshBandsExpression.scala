@@ -83,6 +83,22 @@ object SignLshBandsExpression {
   val Bands = 4
   val BitsPerBand: Int = NumPlanes / Bands
 
+  /** Arity-checked builder (see [[DotProductExpression.build]]). */
+  def build(children: Seq[Expression]): SignLshBandsExpression = {
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "sign_lsh_bands", "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    SignLshBandsExpression(children.head)
+  }
+
+  /** SQL-API form: register `sign_lsh_bands(vec)` (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_lsh_bands", build, "built-in")
+
   /** Zero-mean hyperplane component in [-0.5, 0.5) for (plane, dim). */
   def component(plane: Int, dim: Int): Double = {
     val h = splitmix64((plane.toLong << 32) | (dim.toLong & 0xFFFFFFFFL))

@@ -13,8 +13,9 @@ import graft.sources.Tables
   * Scale posture: the brute-force path broadcasts the (small) probe set and
   * streams the corpus map-side — one narrow pass plus a per-probe top-k
   * window; cost O(|probes|·n). That is the right plan when probes are few.
-  * For all-pairs or large probe sets, [[signBuckets]] hashes vectors by
-  * sign-pattern of deterministic hyperplane projections, so candidates are
+  * For all-pairs or large probe sets, [[candidatePairs]] hashes vectors by
+  * sign-pattern of deterministic hyperplane projections (the native
+  * [[graft.functions.SignLshBandsExpression]]), so candidates are
   * generated per bucket (sub-quadratic), then verified with exact cosine —
   * same verify-after-candidates shape as MinHash dedup.
   */
@@ -67,38 +68,30 @@ object Similarity {
       .orderBy("probe_id", "rn")
   }
 
-  val NumPlanes = 16
-
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * zero-mean value derived from xxhash64(p, j). Sign pattern of the 16
-    * projections = LSH bucket key. */
-  def signBuckets(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${NumPlanes - 1}), p ->
-           |  aggregate(
-           |    zip_with(v, sequence(0, size(v) - 1),
-           |             (x, j) -> x * (CAST(xxhash64(p, j) % 1000001 AS DOUBLE) / 1000001.0)),
-           |    0D, (acc, w) -> acc + w) >= 0D)""".stripMargin))
-
-  val Bands = 4
+  val NumPlanes: Int = graft.functions.SignLshBandsExpression.NumPlanes
+  val Bands: Int = graft.functions.SignLshBandsExpression.Bands
   val BitsPerBand: Int = NumPlanes / Bands
 
   /** Candidate pairs sharing at least one sign-pattern band (a<b). Banding
     * trades one exact 16-bit match (high precision, poor recall) for 4
     * independent 4-bit matches — identical vectors still collide with
     * probability 1 (identical projections → identical signs). Oversize
-    * buckets are dropped before the self-join ([[LshCaps.capBuckets]]). */
+    * buckets are dropped before the self-join ([[LshCaps.capBuckets]]).
+    *
+    * Band-bucket keys come from the native
+    * [[graft.functions.SignLshBandsExpression]] — one fused JVM loop per
+    * row (16 deterministic splitmix64 hyperplanes) instead of the
+    * interpreted 16-plane aggregate/zip_with HOF stack this used in r2,
+    * and the SAME hyperplane family the [[graft.plans.CosineLshRewrite]]
+    * optimizer rescue injects, so the library path and the rewritten
+    * naive path generate identical candidates. */
   def candidatePairs(embeddings: DataFrame,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
-    // posexplode_outer: constant 4-element band array — and critically,
-    // the non-outer Generate guard would inline the ENTIRE 16-plane
-    // sign-projection HOF (signBuckets' sig column) into a per-row filter
-    val allBanded = signBuckets(embeddings)
-      .select(col("vec_id"), posexplode_outer(expr(
-        s"""transform(sequence(0, ${Bands - 1}),
-           |          b -> xxhash64(slice(sig, b * $BitsPerBand + 1, $BitsPerBand)))""".stripMargin)))
+    graft.functions.SignLshBandsExpression.register(embeddings.sparkSession)
+    // posexplode_outer: constant 4-element band array, never empty (and
+    // the non-outer Generate guard would re-evaluate it per row)
+    val allBanded = embeddings
+      .select(col("vec_id"), posexplode_outer(expr("sign_lsh_bands(embedding)")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
     // materialize once: consumed by the self-join (l, r) and the cap pass
     val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
