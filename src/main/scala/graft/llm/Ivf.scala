@@ -102,13 +102,16 @@ object Ivf {
   }
 
   /** Top-k cosine search probing only the nProbe nearest cells per query.
-    * `numCells` defaults to [[defaultNumCells]] of the corpus size (one
-    * parquet-metadata count — no data read). */
+    * `numCells` defaults to [[defaultNumCells]] of the corpus size (a
+    * count() job — cheap, zero-column scan answered from parquet
+    * row-group metadata, but a job; pass numCells to skip it). The
+    * centroid set is built once and shared by the index and the probe
+    * router. */
   def search(embeddings: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int, nProbe: Int, numCells: Option[Int] = None): DataFrame = {
     val nCells = numCells.getOrElse(defaultNumCells(embeddings.count()))
-    val assigned = assignments(embeddings, nCells)
     val cents = centroids(embeddings, nCells)
+    val assigned = assignTo(asDouble(embeddings), cents)
     val probes = asDouble(embeddings.filter(probeFilter))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val wCell = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))

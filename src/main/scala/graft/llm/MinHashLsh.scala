@@ -62,28 +62,20 @@ object MinHashLsh {
 
   /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band.
     * Oversize buckets (degenerate corpora) are dropped before the
-    * self-join — see [[LshCaps.capBuckets]]. */
+    * self-join; the cap/join shape is the shared
+    * [[LshCaps.bandedCandidates]]. */
   def candidatePairs(sigs: DataFrame,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
     // posexplode_outer: sig is always 64 wide → 16 bands, never empty;
     // the non-outer form would re-evaluate the band-hash transform per
     // row in an inferred Generate guard (the b43 explode lesson)
-    val allBanded = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"),
       posexplode_outer(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    // checkpoint before the fan-out: banded feeds the self-join (l AND r)
-    // plus the cap's sizing agg + anti-join — without materialization the
-    // whole signature pipeline would re-run once per consumer (measured
-    // ~3x on the sf0.1 bench). Rows are (id, band, bucket) longs — tiny.
-    val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    LshCaps.bandedCandidates(banded, "doc_id", bucketCap)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
   }
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs via the shingle-hash
@@ -121,12 +113,16 @@ object MinHashLsh {
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val sh = hashedShingles(spread).cache()
+    // candidates are consumed twice by the verifier (common-shingle join
+    // + the left-join base), so cache them too — LAZY cache with an
+    // explicit unpersist, not an eager checkpoint inside candidatePairs:
+    // construction stays job-free and no executor blocks outlive the call
+    val cands = candidatePairs(signaturesFromShingles(sh)).cache()
     try {
-      val cands = candidatePairs(signaturesFromShingles(sh))
       verifyJaccardFromShingles(cands, sh)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .localCheckpoint(true) // materialize before releasing the cache
-    } finally sh.unpersist()
+        .localCheckpoint(true) // materialize before releasing the caches
+    } finally { cands.unpersist(); sh.unpersist() }
   }
 }

@@ -75,20 +75,14 @@ object SimHash {
     val bitsPerBand = bits / Bands
     // posexplode_outer: constant 4-element band array, never empty (and
     // the non-outer Generate guard would re-evaluate it per row)
-    val allBanded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode_outer(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |          b -> (simhash >> (b * $bitsPerBand)) & ${(1L << bitsPerBand) - 1})""".stripMargin)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
-    // materialize once: consumed by the self-join (l, r) and the cap pass
-    val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
-      .distinct()
+    LshCaps.bandedCandidates(banded, "doc_id", bucketCap, carry = Seq("simhash"))
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("simhash_a").as("sig_a"), col("simhash_b").as("sig_b"))
   }
 
   /** Near-dup pairs within `maxHamming` bits (maxHamming < [[Bands]] for

@@ -90,17 +90,11 @@ object Similarity {
     graft.functions.SignLshBandsExpression.register(embeddings.sparkSession)
     // posexplode_outer: constant 4-element band array, never empty (and
     // the non-outer Generate guard would re-evaluate it per row)
-    val allBanded = embeddings
+    val banded = embeddings
       .select(col("vec_id"), posexplode_outer(expr("sign_lsh_bands(embedding)")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
-    // materialize once: consumed by the self-join (l, r) and the cap pass
-    val banded = LshCaps.capBuckets(allBanded.localCheckpoint(true), bucketCap)
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
-      .distinct()
+    LshCaps.bandedCandidates(banded, "vec_id", bucketCap)
+      .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
   }
 
   /** Exact cosine for candidate pairs, thresholded. */

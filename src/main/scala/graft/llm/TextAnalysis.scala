@@ -352,11 +352,17 @@ object TextAnalysis {
        |              (a, c) -> (a * 31 + c) & ${Winnowing.PolyMask}))) AS min_gram40
        |FROM read_csv('$unicodeCsv', header=true,
        |              columns={probe_id: 'BIGINT', text: 'VARCHAR'})
+       |WHERE length(text) >= ${Winnowing.K}
        |ORDER BY probe_id""".stripMargin) { (s, _) =>
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("probe_id", LongType), StructField("text", StringType)))
+    // length >= K guard in BOTH dialects: below it, Spark's
+    // sequence(1, len-4) would run BACKWARDS (auto negative step) while
+    // DuckDB's generate_series yields empty — a silent divergence if a
+    // short fixture row were ever added
     s.read.option("header", "true").schema(schema).csv(unicodeCsv)
+      .filter(length(col("text")) >= Winnowing.K)
       .select(col("probe_id"), length(col("text")).as("n_chars"),
         expr(Winnowing.polyFoldSpark("text")).as("fold40"),
         expr(s"""array_min(transform(sequence(1, length(text) - ${Winnowing.K - 1}),

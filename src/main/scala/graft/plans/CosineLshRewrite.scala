@@ -39,15 +39,24 @@ import graft.functions.SignLshBandsExpression
   *   - no usable cross-side equi conjunct exists (else Spark already hash
   *     joins; also makes the rule idempotent — its own output joins on
   *     band equality);
-  *   - a conjunct bounds `dot_f64(a, b)` or `dot_f64(a, b) / denom` below
-  *     by a positive literal, with `a` and `b` on opposite sides. The
-  *     denominator is assumed nonnegative (it is a norm product in every
-  *     cosine spelling); τ > 0 is required since sign-LSH only clusters
-  *     positive-cosine neighborhoods.
+  *   - a conjunct bounds `dot_f64(a, b) / (x * y)` below by a positive
+  *     literal, with `a` and `b` on opposite sides and the denominator a
+  *     product of one factor per side (the norm-product shape every
+  *     cosine spelling has — this structural check rejects e.g.
+  *     `dot/2 ≥ τ`, whose score is NOT an angle and for which the
+  *     banding recall bound would not hold); τ > 0 is required since
+  *     sign-LSH only clusters positive-cosine neighborhoods.
+  *   - bare `dot_f64(a, b) ≥ τ` (no denominator) is rescued ONLY under
+  *     spark.graft.cosineLshRewrite.assumeUnitVectors=true: a raw dot
+  *     bound equals a cosine bound only for unit vectors, which a plan
+  *     rewrite cannot prove — on unnormalized (MIPS-style) data the
+  *     angular recall bound would silently not apply, so the user must
+  *     assert normalization explicitly.
   */
 object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.cosineLshRewrite.enabled"
+  private val UnitVectorsKey = "spark.graft.cosineLshRewrite.assumeUnitVectors"
   import SignLshBandsExpression.Bands
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -70,13 +79,18 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  /** The similarity score under a `score >= τ` bound: dot_f64 directly
-    * (unit vectors) or dot_f64 / denominator (explicit norms). */
-  private def vectorsOf(score: Expression): Option[(Expression, Expression)] =
+  /** The similarity score under a `score >= τ` bound: dot_f64 / (x * y)
+    * with one denominator factor per join side (the norm-product shape —
+    * checked in rewrite()), or bare dot_f64 when the session asserts unit
+    * vectors. Returns (vecA, vecB, denomFactors). */
+  private def vectorsOf(score: Expression, assumeUnit: Boolean)
+      : Option[(Expression, Expression, Option[(Expression, Expression)])] =
     score match {
-      case graft.functions.DotProductExpression(a, b)             => Some((a, b))
-      case Divide(graft.functions.DotProductExpression(a, b), _, _) => Some((a, b))
-      case _                                                      => None
+      case Divide(graft.functions.DotProductExpression(a, b), Multiply(x, y, _), _) =>
+        Some((a, b, Some((x, y))))
+      case graft.functions.DotProductExpression(a, b) if assumeUnit =>
+        Some((a, b, None))
+      case _ => None
     }
 
   private def positiveLowerBound(e: Expression): Option[(Expression, Expression)] = {
@@ -108,11 +122,24 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (hasEqui) return None
 
+    val assumeUnit = conf.getConfString(UnitVectorsKey, "false") == "true"
     val vectorPair = conjuncts.iterator
       .flatMap(positiveLowerBound(_).toSeq)
-      .flatMap { case (score, _) => vectorsOf(score).toSeq }
-      .flatMap { case (a, b) =>
-        (sideOf(a, j), sideOf(b, j)) match {
+      .flatMap { case (score, _) => vectorsOf(score, assumeUnit).toSeq }
+      .flatMap { case (a, b, denom) =>
+        // the norm-product shape: one denominator factor evaluable on
+        // each side (any pairing) — a constant or single-side product is
+        // NOT an angle normalizer, so the recall bound wouldn't hold
+        val denomOk = denom match {
+          case None => true
+          case Some((x, y)) =>
+            (sideOf(x, j), sideOf(y, j)) match {
+              case (Some(sx), Some(sy)) => sx != sy
+              case _                    => false
+            }
+        }
+        if (!denomOk) None
+        else (sideOf(a, j), sideOf(b, j)) match {
           case (Some(true), Some(false)) => Some((a, b))
           case (Some(false), Some(true)) => Some((b, a))
           case _                         => None

@@ -62,20 +62,34 @@ class CosineLshRuleSpec extends AnyFunSuite {
     assert(rows.length === rows.toSet.size, "a pair was emitted through more than one band")
   }
 
-  test("unit-vector dot spelling (no denominator) is also rescued") {
+  test("unit-vector dot spelling is rescued ONLY under assumeUnitVectors") {
     val unit = vecs.select(col("vec_id"),
       expr("transform(v, x -> x / norm)").as("u"))
     val a = unit.select(col("vec_id").as("a"), col("u").as("ua"))
     val b = unit.select(col("vec_id").as("b"), col("u").as("ub"))
-    val j = a.crossJoin(b).filter(
+    def j = a.crossJoin(b).filter(
       col("a") < col("b") && expr("dot_f64(ua, ub)") >= lit(0.9))
-    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-    val plan = j.queryExecution.sparkPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
-    val got = j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = withRuleDisabled(
-      j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    assert(got === want)
+    // a raw dot bound is only an angle bound for unit vectors, which the
+    // rule cannot prove — without the assertion it must NOT fire
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "true")
+    try {
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+      val plan = j.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+      val got = j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = withRuleDisabled(
+        j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(got === want)
+    } finally spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "false")
+  }
+
+  test("non-norm denominators (dot/2) are not rescued") {
+    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
+    val j = a.crossJoin(b).filter(
+      expr("dot_f64(va, vb)") / (lit(1.0) * lit(2.0)) >= lit(0.9))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
   }
 
   test("joins with an equi key are left alone") {
