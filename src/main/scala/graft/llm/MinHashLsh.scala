@@ -115,8 +115,10 @@ object MinHashLsh {
     val sh = hashedShingles(spread).cache()
     // candidates are consumed twice by the verifier (common-shingle join
     // + the left-join base), so cache them too — LAZY cache with an
-    // explicit unpersist, not an eager checkpoint inside candidatePairs:
-    // construction stays job-free and no executor blocks outlive the call
+    // explicit unpersist: construction stays job-free and the cache
+    // blocks are released here (bandedCandidates' lazy checkpoint blocks
+    // are small and ContextCleaner-released with the DataFrame, see its
+    // scaladoc)
     val cands = candidatePairs(signaturesFromShingles(sh)).cache()
     try {
       verifyJaccardFromShingles(cands, sh)

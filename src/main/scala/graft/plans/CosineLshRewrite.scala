@@ -127,15 +127,19 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .flatMap(positiveLowerBound(_).toSeq)
       .flatMap { case (score, _) => vectorsOf(score, assumeUnit).toSeq }
       .flatMap { case (a, b, denom) =>
-        // the norm-product shape: one denominator factor evaluable on
-        // each side (any pairing) — a constant or single-side product is
-        // NOT an angle normalizer, so the recall bound wouldn't hold
+        // the norm-product shape: one denominator factor ANCHORED on each
+        // side (any pairing) — a constant or single-side product is NOT
+        // an angle normalizer, so the recall bound wouldn't hold. The
+        // nonEmpty-references requirement matters: sideOf classifies a
+        // reference-free literal as "left" (∅ ⊆ any outputSet), which
+        // would let `2.0 * right_norm` masquerade as a norm product.
         val denomOk = denom match {
           case None => true
           case Some((x, y)) =>
             (sideOf(x, j), sideOf(y, j)) match {
-              case (Some(sx), Some(sy)) => sx != sy
-              case _                    => false
+              case (Some(sx), Some(sy)) =>
+                sx != sy && x.references.nonEmpty && y.references.nonEmpty
+              case _ => false
             }
         }
         if (!denomOk) None

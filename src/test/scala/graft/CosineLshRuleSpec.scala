@@ -84,12 +84,22 @@ class CosineLshRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "false")
   }
 
-  test("non-norm denominators (dot/2) are not rescued") {
-    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
-    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
-    val j = a.crossJoin(b).filter(
+  test("non-norm denominators are not rescued") {
+    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    // constant-folded literal denominator: rejected by pattern shape
+    val j1 = a.crossJoin(b).filter(
       expr("dot_f64(va, vb)") / (lit(1.0) * lit(2.0)) >= lit(0.9))
-    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    assert(!j1.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    // literal × one-side factor survives constant folding and reaches the
+    // side check — a reference-free literal must not count as a "side"
+    val j2 = a.crossJoin(b).filter(
+      expr("dot_f64(va, vb)") / (lit(2.0) * col("nb")) >= lit(0.9))
+    assert(!j2.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    // both factors from the SAME side is not a norm product either
+    val j3 = a.crossJoin(b).filter(
+      expr("dot_f64(va, vb)") / (col("na") * col("na")) >= lit(0.9))
+    assert(!j3.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
   }
 
   test("joins with an equi key are left alone") {
@@ -104,6 +114,16 @@ class CosineLshRuleSpec extends AnyFunSuite {
     val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
     val j = a.crossJoin(b).filter(expr("dot_f64(va, vb)") >= lit(-0.5))
     assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+  }
+
+  test("rule is idempotent: reapplying to its own output is a fixpoint") {
+    // extraOptimizations-style installs rerun the batch; the equi-conjunct
+    // bail must make a second application a no-op
+    val once = naive.queryExecution.optimizedPlan // rewrite already applied
+    assert(once.toString.contains("__graft_lsh"))
+    val twice = graft.plans.CosineLshRewrite(once)
+    assert(twice.canonicalized == once.canonicalized,
+      "second application changed the plan")
   }
 
   test("rule can be disabled by conf") {

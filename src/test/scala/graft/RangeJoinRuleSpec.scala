@@ -102,6 +102,14 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(!plan.contains("__graft_bucket"), plan)
   }
 
+  test("rule is idempotent: reapplying to its own output is a fixpoint") {
+    val once = naiveBandJoin("inner").queryExecution.optimizedPlan
+    assert(once.toString.contains("__graft_bucket"))
+    val twice = graft.plans.RangeJoinBucketing(once)
+    assert(twice.canonicalized == once.canonicalized,
+      "second application changed the plan")
+  }
+
   test("rule can be disabled by conf") {
     spark.conf.set("spark.graft.rangeJoinBucketing.enabled", "false")
     try {
