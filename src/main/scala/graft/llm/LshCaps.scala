@@ -51,18 +51,20 @@ object LshCaps {
     * (band, bucket) with `idCol`_a < `idCol`_b, carrying `carry` columns
     * through as <c>_a / <c>_b. Distinct pairs.
     *
-    * The banded relation is cut with a LAZY localCheckpoint (eager=false
-    * — no job runs at DataFrame-construction time, the checkpoint
-    * materializes with the first action): the self-join consumes its
-    * child twice and, measured at sf0.1, exchange-level reuse under AQE
-    * does not deduplicate the signature pipeline above the bucket
-    * exchange (pure: 1.8s, barrier: 0.9s). The checkpointed rows are
-    * (id, band, bucket) longs — tiny — and are released by the
-    * ContextCleaner with the DataFrame; on a cluster the equivalent cut
-    * is a durable checkpoint or a persisted intermediate table. */
+    * The banded relation is cut with an EAGER localCheckpoint — a
+    * deliberate, measured trade. The self-join consumes its child twice
+    * and, at sf0.1, exchange-level reuse under AQE does not deduplicate
+    * the signature pipeline above the bucket exchange (no barrier: 1.8s;
+    * eager barrier: 0.9s; lazy eager=false barrier: bimodal 1.0-2.4s
+    * across runs — AQE's stage planning interacts nondeterministically
+    * with not-yet-materialized checkpoints). Cost of eager: a Spark job
+    * runs when the DataFrame is CONSTRUCTED, and the checkpointed
+    * (id, band, bucket) long rows — tiny — live until the ContextCleaner
+    * collects them. On a cluster the equivalent cut is a durable
+    * checkpoint or a persisted intermediate table. */
   def bandedCandidates(banded: DataFrame, idCol: String, bucketCap: Option[Int],
       carry: Seq[String] = Nil): DataFrame = {
-    val capped = capBuckets(banded.localCheckpoint(false), bucketCap)
+    val capped = capBuckets(banded.localCheckpoint(true), bucketCap)
     def side(suffix: String) = capped.select(
       (Seq(col("band"), col("bucket"), col(idCol).as(s"$idCol$suffix")) ++
         carry.map(c => col(c).as(s"$c$suffix"))): _*)
