@@ -68,7 +68,15 @@ object LangId {
     // codepoints extracted ONCE per doc (split('') is O(len)); the trigram
     // hash is then three O(1) element_at lookups — substring(text, i, 1)
     // per position would be O(i) each (UTF-8 seek), i.e. O(len²) per doc
-    // (measured ~2x the whole query's time at sf0.1)
+    // (measured ~2x the whole query's time at sf0.1).
+    // Surrogate safety: Spark's split (UTF8String regex over UTF-8 bytes)
+    // keeps supplementary-plane characters WHOLE on a zero-width match —
+    // split('a𝄞b','') = [a, 𝄞, b] with ascii = [97, 119070, 98] — unlike
+    // java.lang.String.split(""), which on this JVM yields the two lone
+    // surrogate halves. So this fast path is codepoint-identical to the
+    // oracle's ascii(substr(text, i, 1)) even for astral text; pinned on
+    // data by the b45_tri_unicode fixture entry below (astral + combining
+    // rows) and LlmOpsSpec's surrogate-safety unit test.
     val cps = expr("transform(split(text, ''), c -> ascii(c))")
     // position range from length(text), not size(cps): split('') with
     // Spark's default limit -1 keeps a trailing zero-width match, so cps
@@ -101,6 +109,44 @@ object LangId {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("plang").as("predicted"), col("score"))
       .orderBy("doc_id")
+  }
+
+  private val unicodeCsv = "/root/repo/fixtures/csv/unicode_probe.csv"
+
+  /** B45± — fixture lock for the split('')-based trigram fast path above on
+    * NON-BMP text: the same `transform(split(text,''), ascii)` + element_at
+    * polynomial, evaluated per position over the unicode_probe fixture
+    * (accented Latin, CJK, astral 𝄞/😀 rows), against the oracle's
+    * codepoint-indexed ascii(substr(text, i, 1)). If split('') ever
+    * regressed to UTF-16 code-unit splitting (java.lang.String semantics),
+    * rows 4-5 would shift every position and diverge the hash. */
+  private val b45tu = entry(
+    "b45_tri_unicode",
+    s"""SELECT probe_id, i AS pos,
+       |       ascii(substr(text, i, 1)) * 961
+       |     + ascii(substr(text, i + 1, 1)) * 31
+       |     + ascii(substr(text, i + 2, 1)) AS tri
+       |FROM (
+       |  SELECT probe_id, text,
+       |         unnest(generate_series(1, length(text) - 2)) AS i
+       |  FROM read_csv('$unicodeCsv', header=true,
+       |                columns={probe_id: 'BIGINT', text: 'VARCHAR'})
+       |  WHERE length(text) >= 3) t
+       |ORDER BY probe_id, pos""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("probe_id", LongType), StructField("text", StringType)))
+    val triOf = expr(
+      """transform(sequence(1, length(text) - 2),
+        |          i -> element_at(cps, i) * 961
+        |             + element_at(cps, i + 1) * 31
+        |             + element_at(cps, i + 2))""".stripMargin)
+    s.read.option("header", "true").schema(schema).csv(unicodeCsv)
+      .filter(length(col("text")) >= 3)
+      .withColumn("cps", expr("transform(split(text, ''), c -> ascii(c))"))
+      .select(col("probe_id"), posexplode_outer(triOf))
+      .select(col("probe_id"), (col("pos") + 1).as("pos"), col("col").as("tri"))
+      .orderBy("probe_id", "pos")
   }
 
   /** SimHash near-dup over the dup-injected corpus (identical docs land at
@@ -152,5 +198,5 @@ object LangId {
       .orderBy("doc_a", "doc_b")
   }
 
-  val entries: Seq[Entry] = Seq(b45l, b42s)
+  val entries: Seq[Entry] = Seq(b45l, b45tu, b42s)
 }

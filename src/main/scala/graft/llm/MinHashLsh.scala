@@ -114,11 +114,12 @@ object MinHashLsh {
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val sh = hashedShingles(spread).cache()
     // candidates are consumed twice by the verifier (common-shingle join
-    // + the left-join base), so cache them too — LAZY cache with an
-    // explicit unpersist: construction stays job-free and the cache
-    // blocks are released here (bandedCandidates' lazy checkpoint blocks
-    // are small and ContextCleaner-released with the DataFrame, see its
-    // scaladoc)
+    // + the left-join base), so cache them too, with an explicit
+    // unpersist. NOTE: bandedCandidates itself holds an EAGER
+    // localCheckpoint barrier (see LshCaps scaladoc), so a Spark job for
+    // the banded relation runs at construction time here; this cache only
+    // de-duplicates the post-checkpoint candidate join across the two
+    // verifier consumers
     val cands = candidatePairs(signaturesFromShingles(sh)).cache()
     try {
       verifyJaccardFromShingles(cands, sh)

@@ -29,8 +29,13 @@ import graft.functions.SignLshBandsExpression
   * bands are not generated. Identical vectors are always found (equal
   * projections ⇒ equal buckets); the collision probability decays with
   * angle, which is the standard ANN trade for escaping the O(n²) scan.
-  * Disable with spark.graft.cosineLshRewrite.enabled=false for exact
-  * (quadratic) results.
+  * Because the rewrite is NOT semantics-preserving (a user's exact
+  * quadratic plan silently loses far-apart qualifying pairs), it is
+  * OPT-IN: set spark.graft.cosineLshRewrite.enabled=true to trade exact
+  * results for the sub-quadratic candidate plan — mirroring how the
+  * assumeUnitVectors escalation below already demands an explicit user
+  * assertion. When it does fire the plan is self-announcing: the
+  * `__graft_lsh_*` band/bucket attributes appear in EXPLAIN output.
   *
   * Fires only when:
   *   - the join is Inner/Cross (explode changes outer null-extension, and
@@ -60,7 +65,8 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
   import SignLshBandsExpression.Bands
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    // default OFF: a lossy (recall < 1) rewrite must be explicitly chosen
+    if (conf.getConfString(EnabledKey, "false") != "true") return plan
     plan.transformUp {
       case j: Join if j.resolved && eligible(j.joinType) && j.condition.isDefined =>
         rewrite(j).getOrElse(j)

@@ -38,27 +38,31 @@ class CosineLshRuleSpec extends AnyFunSuite {
       .select(col("a"), col("b"))
   }
 
-  private def withRuleDisabled[A](f: => A): A = {
-    spark.conf.set("spark.graft.cosineLshRewrite.enabled", "false")
-    try f finally spark.conf.set("spark.graft.cosineLshRewrite.enabled", "true")
+  // The rewrite is OPT-IN (lossy recall — see the rule's scaladoc): every
+  // test that wants it firing must enable it; the session default is off.
+  private def withRuleEnabled[A](f: => A): A = {
+    spark.conf.set("spark.graft.cosineLshRewrite.enabled", "true")
+    try f finally spark.conf.unset("spark.graft.cosineLshRewrite.enabled")
   }
 
   test("naive cross join + cosine threshold plans with no nested loop / cartesian") {
-    val plan = naive.queryExecution.sparkPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(naive.queryExecution.optimizedPlan.toString.contains("__graft_lsh"), "rule did not fire")
+    withRuleEnabled {
+      val plan = naive.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(naive.queryExecution.optimizedPlan.toString.contains("__graft_lsh"), "rule did not fire")
+    }
   }
 
   test("rewritten results equal the exact naive results (planted dups, τ=0.9)") {
-    val got = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = withRuleDisabled(naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val got = withRuleEnabled(naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val want = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want.nonEmpty, "planted duplicates must qualify")
     assert(got === want)
   }
 
   test("inner-join multiplicity is preserved (each pair exactly once)") {
-    val rows = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = withRuleEnabled(naive.collect().map(r => (r.getLong(0), r.getLong(1))))
     assert(rows.length === rows.toSet.size, "a pair was emitted through more than one band")
   }
 
@@ -69,67 +73,78 @@ class CosineLshRuleSpec extends AnyFunSuite {
     val b = unit.select(col("vec_id").as("b"), col("u").as("ub"))
     def j = a.crossJoin(b).filter(
       col("a") < col("b") && expr("dot_f64(ua, ub)") >= lit(0.9))
-    // a raw dot bound is only an angle bound for unit vectors, which the
-    // rule cannot prove — without the assertion it must NOT fire
-    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-    spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "true")
-    try {
-      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-      val plan = j.queryExecution.sparkPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
-      val got = j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val want = withRuleDisabled(
-        j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-      assert(got === want)
-    } finally spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "false")
+    withRuleEnabled {
+      // a raw dot bound is only an angle bound for unit vectors, which the
+      // rule cannot prove — without the assertion it must NOT fire
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+      spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "true")
+      try {
+        assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+        val plan = j.queryExecution.sparkPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+        val got = j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.conf.unset("spark.graft.cosineLshRewrite.enabled")
+        val want = j.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want)
+      } finally spark.conf.set("spark.graft.cosineLshRewrite.assumeUnitVectors", "false")
+    }
   }
 
   test("non-norm denominators are not rescued") {
-    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
-    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
-    // constant-folded literal denominator: rejected by pattern shape
-    val j1 = a.crossJoin(b).filter(
-      expr("dot_f64(va, vb)") / (lit(1.0) * lit(2.0)) >= lit(0.9))
-    assert(!j1.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-    // literal × one-side factor survives constant folding and reaches the
-    // side check — a reference-free literal must not count as a "side"
-    val j2 = a.crossJoin(b).filter(
-      expr("dot_f64(va, vb)") / (lit(2.0) * col("nb")) >= lit(0.9))
-    assert(!j2.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-    // both factors from the SAME side is not a norm product either
-    val j3 = a.crossJoin(b).filter(
-      expr("dot_f64(va, vb)") / (col("na") * col("na")) >= lit(0.9))
-    assert(!j3.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    withRuleEnabled {
+      val a = vecs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+      val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+      // constant-folded literal denominator: rejected by pattern shape
+      val j1 = a.crossJoin(b).filter(
+        expr("dot_f64(va, vb)") / (lit(1.0) * lit(2.0)) >= lit(0.9))
+      assert(!j1.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+      // literal × one-side factor survives constant folding and reaches the
+      // side check — a reference-free literal must not count as a "side"
+      val j2 = a.crossJoin(b).filter(
+        expr("dot_f64(va, vb)") / (lit(2.0) * col("nb")) >= lit(0.9))
+      assert(!j2.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+      // both factors from the SAME side is not a norm product either
+      val j3 = a.crossJoin(b).filter(
+        expr("dot_f64(va, vb)") / (col("na") * col("na")) >= lit(0.9))
+      assert(!j3.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    }
   }
 
   test("joins with an equi key are left alone") {
-    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
-    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
-    val j = a.join(b, col("a") === col("b") && expr("dot_f64(va, vb)") >= lit(0.9))
-    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    withRuleEnabled {
+      val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+      val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
+      val j = a.join(b, col("a") === col("b") && expr("dot_f64(va, vb)") >= lit(0.9))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    }
   }
 
   test("non-positive thresholds are not rescued (sign-LSH needs τ > 0)") {
-    val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
-    val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
-    val j = a.crossJoin(b).filter(expr("dot_f64(va, vb)") >= lit(-0.5))
-    assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    withRuleEnabled {
+      val a = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+      val b = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
+      val j = a.crossJoin(b).filter(expr("dot_f64(va, vb)") >= lit(-0.5))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    }
   }
 
   test("rule is idempotent: reapplying to its own output is a fixpoint") {
-    // extraOptimizations-style installs rerun the batch; the equi-conjunct
-    // bail must make a second application a no-op
-    val once = naive.queryExecution.optimizedPlan // rewrite already applied
-    assert(once.toString.contains("__graft_lsh"))
-    val twice = graft.plans.CosineLshRewrite(once)
-    assert(twice.canonicalized == once.canonicalized,
-      "second application changed the plan")
+    withRuleEnabled {
+      // extraOptimizations-style installs rerun the batch; the equi-conjunct
+      // bail must make a second application a no-op
+      val once = naive.queryExecution.optimizedPlan // rewrite already applied
+      assert(once.toString.contains("__graft_lsh"))
+      val twice = graft.plans.CosineLshRewrite(once)
+      assert(twice.canonicalized == once.canonicalized,
+        "second application changed the plan")
+    }
   }
 
-  test("rule can be disabled by conf") {
-    withRuleDisabled {
-      assert(!naive.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-    }
+  test("rule is OFF by default: an unconfigured session keeps the exact plan") {
+    // default-on would silently drop qualifying pairs for exact-result
+    // callers — the lossy rewrite must be an explicit opt-in
+    assert(spark.conf.getOption("spark.graft.cosineLshRewrite.enabled").isEmpty)
+    assert(!naive.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
   }
 
   test("property: recall >= 0.9 on seeded near-parallel pairs at τ=0.95") {
@@ -156,9 +171,11 @@ class CosineLshRuleSpec extends AnyFunSuite {
     def j = a.crossJoin(b).filter(
       col("a") < col("b") &&
       expr("dot_f64(va, vb)") / (col("na") * col("nb")) >= lit(0.95))
-    assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
-    val got = pairsOf(j)
-    val want = withRuleDisabled(pairsOf(j))
+    val got = withRuleEnabled {
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+      pairsOf(j)
+    }
+    val want = pairsOf(j)
     assert(want.size >= 30, s"seed produced too few qualifying pairs: ${want.size}")
     assert(got.subsetOf(want), "precision must be exact (residual predicate)")
     val recall = got.size.toDouble / want.size

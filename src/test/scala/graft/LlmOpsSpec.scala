@@ -146,3 +146,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined === 0)
   }
 }
+
+/** Surrogate safety of the split('')-based codepoint fast path used by
+  * [[graft.llm.LangId]]'s trigram hashing (ADVICE r3): Spark's split —
+  * unlike java.lang.String.split("") on this JVM — must keep
+  * supplementary-plane characters whole on a zero-width match, or every
+  * position after an astral char shifts and the t2 hash diverges from the
+  * oracle's codepoint-indexed ascii(substr(text, i, 1)). */
+class CodepointSplitSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = TestSession.spark
+
+  private val probes = Seq(
+    "a" + new String(Character.toChars(0x1D11E)) + "b",       // astral mid
+    new String(Character.toChars(0x1F600)) + "head",          // astral first
+    "tail" + new String(Character.toChars(0x1F600)),          // astral last
+    "mixéd 中 " + new String(Character.toChars(0x1D11E)) + " ascii",
+    "éclair combining mark",                             // combining acute
+    "plain ascii")
+
+  test("split('') extracts whole codepoints, identically to substring(i,1)") {
+    import spark.implicits._
+    val df = probes.toDF("text")
+    val rows = df.select(
+      expr("transform(split(text, ''), c -> ascii(c))").as("via_split"),
+      expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+        .as("via_substr"),
+      col("text")).collect()
+    for (r <- rows) {
+      val t = r.getString(2)
+      // JVM ground truth: the codepoint sequence
+      val want = t.codePoints().toArray.toSeq
+      val viaSplit = r.getSeq[Int](0)
+      val viaSubstr = r.getSeq[Int](1)
+      assert(viaSubstr === want, s"substring path diverged on '$t'")
+      // split('') may keep one trailing zero-width match (ascii('') = 0) —
+      // LangId bounds positions by length(text), never size(cps), so only
+      // the first length(text) entries are load-bearing
+      assert(viaSplit.take(want.length) === want, s"split('') path diverged on '$t'")
+      assert(viaSplit.drop(want.length).forall(_ == 0),
+        s"unexpected non-empty tail entries on '$t': $viaSplit")
+    }
+  }
+
+  test("JVM String.split('') is NOT surrogate-safe (why the fixture pins Spark's)") {
+    // documents the divergence that makes the b45_tri_unicode lock necessary:
+    // if Spark ever delegated to this semantics, astral rows would shift
+    val s = "a" + new String(Character.toChars(0x1D11E)) + "b"
+    assert(s.split("").length === 4)                // surrogate halves split
+    assert(s.codePoints().count() === 3L)           // but only 3 codepoints
+  }
+}
