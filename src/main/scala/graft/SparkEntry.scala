@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Scalars.entries ++
       operators.TemporalJoins.entries ++
       operators.Extensions.entries ++
+      operators.ScaleOps.entries ++
       operators.WildWebQueries.entries ++
       llm.TextDedup.entries ++
       llm.Similarity.entries ++

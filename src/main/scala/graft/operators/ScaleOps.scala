@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.llm.Winnowing
+import graft.sources.Tables
+
+/** Round-4 scale-pipeline operators (SURVEY §2B round-4 additions): the
+  * pieces a 100 TB training-data job leans on between the query operators
+  * and the LLM suite — frequency analysis, reproducible sampling, join
+  * prefiltering, and write-side data layout.
+  *
+  * Design rules shared by all four:
+  *   - exact results stay oracle-checked (the bloom prefilter and the
+  *     layout write are RESULT-invisible — correctness must prove that);
+  *   - nothing here materializes per-row data on the driver; the only
+  *     driver-side values are O(1) scalars/sketches (documented per op).
+  */
+object ScaleOps {
+
+  /** Events with two PLANTED heavy users (7 and 13, each tripled) so the
+    * detector observably fires at every sf. The testdata keeps the mean
+    * events-per-user at ~67 for every sf while the user count scales, and
+    * the organic max/mean ratio measured across sf0.001/0.01/0.1 is
+    * ≤ 1.48 while the tripled keys sit at ≥ 1.87× — so a 5/3× mean
+    * threshold separates cleanly at all three scales (integer-exact as
+    * 3·cnt·users > 5·total; no float share ever computed). */
+  private[graft] def plantedEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+    val hot = ev.filter(col("user_id").isin(7, 13))
+    ev.unionByName(hot).unionByName(hot)
+  }
+
+  private val plantedSql =
+    """SELECT event_id, user_id FROM events
+      |UNION ALL SELECT event_id, user_id FROM events WHERE user_id IN (7, 13)
+      |UNION ALL SELECT event_id, user_id FROM events WHERE user_id IN (7, 13)""".stripMargin
+
+  /** B58 — exact heavy hitters (frequent items): keys whose frequency
+    * exceeds 5/3× the mean key frequency. One hash-agg shuffle on the key
+    * (map-side partial combine), then a broadcast of the single-row
+    * (total, users) aggregate — no driver-side scalar, no second scan.
+    * Output carries exact BIGINTs (cnt, total, users) instead of a rounded
+    * share: cnt/total at a rounding boundary is the b22 float-vs-decimal
+    * trap, and the caller can divide.
+    *
+    * Scale: the agg output is |distinct keys| rows, not |input|; for
+    * key spaces too large to aggregate exactly, the count-min-sketch twin
+    * ([[countMinEstimates]], b58_agg_countmin) is the single-pass
+    * mergeable-sketch path with the same planted-hitter shape. */
+  private val b58 = entry(
+    "b58_agg_heavyhitters",
+    s"""WITH aug AS ($plantedSql),
+       |counts AS (SELECT user_id, count(*) AS cnt FROM aug GROUP BY user_id),
+       |tot AS (SELECT sum(cnt) AS total, count(*) AS users FROM counts)
+       |SELECT user_id, cnt, total, users
+       |FROM counts CROSS JOIN tot
+       |WHERE cnt * users * 3 > 5 * total
+       |ORDER BY cnt DESC, user_id""".stripMargin) { (s, d) =>
+    val counts = plantedEvents(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("users"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("users") * 3 > lit(5) * col("total"))
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
+  /** Count-min-sketch estimates for the planted hitters — the approximate
+    * twin of b58 (rows-only by design, like b19/b23a: sketch estimates are
+    * not SQL-replicable). The sketch build is fully distributed (mergeable
+    * per-partition sketches, one reduce); only the ~KB sketch itself
+    * reaches the driver, where the bounded candidate set is probed.
+    * Guarantee (ε=0.001, δ=0.01): estimate ∈ [true, true + ε·n] with
+    * probability ≥ 1-δ — asserted in ScaleOpsSpec. */
+  def countMinEstimates(s: SparkSession, d: String): DataFrame = {
+    val aug = plantedEvents(s, d)
+    val cms = aug.stat.countMinSketch(col("user_id"), eps = 0.001,
+      confidence = 0.99, seed = 42)
+    import s.implicits._
+    Seq(7L, 13L).map(k => (k, cms.estimateCount(k)))
+      .toDF("user_id", "est").orderBy("user_id")
+  }
+
+  private val b58c = entryNoOracle("b58_agg_countmin")(countMinEstimates)
+
+  /** B59 — deterministic stratified sampling: per-stratum rates applied as
+    * `polyhash(salt || key) % 10000 < rate_bp(stratum)`. Like b56's hash
+    * split this is a PURE FUNCTION of the row key: rerun-, engine- and
+    * partitioning-stable, and new rows join the sample incrementally — the
+    * properties seeded `sampleBy`/TABLESAMPLE cannot give at 100 TB (their
+    * draw depends on partition layout and run seed). Map-side only: zero
+    * shuffles, the filter runs inside the scan's codegen stage.
+    *
+    * The salt ("strat:") decorrelates this hash from b56's split buckets —
+    * without it, sampling would systematically favor one split. */
+  private val strataBp = Map("en" -> 2000, "de" -> 5000, "es" -> 4000,
+    "fr" -> 6000, "zh" -> 3000)
+
+  private val b59 = {
+    val caseSql = strataBp.toSeq.sorted
+      .map { case (l, bp) => s"WHEN '$l' THEN $bp" }.mkString(" ")
+    val keyDuck = "('strat:' || CAST(doc_id AS VARCHAR))"
+    val keySpark = "concat('strat:', CAST(doc_id AS STRING))"
+    entry(
+      "b59_sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Winnowing.polyFoldDuck(keyDuck)} % 10000
+         |      < CASE lang $caseSql ELSE 0 END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(expr(s"${Winnowing.polyFoldSpark(keySpark)} % 10000") <
+          expr(s"CASE lang $caseSql ELSE 0 END"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+  }
+
+  /** B60 — bloom-prefiltered join: build a bloom filter over the (already
+    * filtered) dim side's join key, prefilter the fact side BEFORE its
+    * shuffle, then run the exact join. False positives survive the
+    * prefilter but die in the join, so the RESULT is exactly the plain
+    * join's — which is what the oracle (bloom-free SQL) proves.
+    *
+    * Scale rationale: with a 20%-selective dim, ~80% of 100 TB of fact
+    * rows would otherwise be shuffled only to find no partner. The sketch
+    * build is distributed (mergeable per-partition blooms); one ~1 MB
+    * bloom reaches the driver and ships back as a broadcast — the same
+    * shape Spark's own runtime row-level filtering
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled) injects for
+    * shuffle joins, here as an explicit, plannable operator. The probe is
+    * a Scala UDF by necessity: the codegen'd BloomFilterMightContain
+    * expression is Catalyst-internal, and the probe sits in a prefilter
+    * off the join's hot loop. Sized for 2^20 keys at fpp 1% (~1.2 MB);
+    * at real scale the expectedNumItems comes from table stats. */
+  private val b60 = entry(
+    "b60_join_bloom",
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       sum(CAST(l_quantity AS BIGINT)) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderstatus")
+    val bloom = dim.stat.bloomFilter(col("o_orderkey"),
+      expectedNumItems = 1L << 20, fpp = 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bloomB.value.mightContainLong(k))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The bloom-prefiltered fact side alone (spec hook): ScaleOpsSpec
+    * asserts it is a superset of the true matching set and strictly
+    * smaller than the unfiltered fact table — i.e. the prefilter both
+    * preserves recall and actually cuts the shuffle. */
+  def bloomPrefiltered(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloom = dim.stat.bloomFilter(col("o_orderkey"),
+      expectedNumItems = 1L << 20, fpp = 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bloomB.value.mightContainLong(k))
+    Tables.lineitem(s, d).select("l_orderkey")
+      .filter(mightContain(col("l_orderkey")))
+  }
+
+  /** One temp layout dir per JVM (the b04 sink-dir rationale). */
+  private[operators] lazy val b61LayoutDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b61_layout").toString + "/lineitem"
+
+  /** B61 — write-side data layout: hive-partition lineitem by ship month
+    * and sort each file by orderkey, then answer a month-bounded query
+    * from the re-read. The t2 hash is over the re-read result against the
+    * ORIGINAL table's oracle, proving layout is semantics-free; the plan
+    * win is structural: the month predicate becomes partition PRUNING
+    * (non-matching directories are never listed into the scan — asserted
+    * on the plan in ScaleOpsSpec) and the in-file orderkey sort tightens
+    * parquet min/max row-group skipping for key lookups.
+    *
+    * Scale: this is the 100 TB ingest pattern — one repartition by the
+    * partition column at write time (here: coalesced small local write),
+    * then every downstream month-range query reads only its partitions.
+    * 82 months exist in the data; the two-month probe reads ~2.4%. */
+  private val b61 = entry(
+    "b61_layout_partitioned",
+    """SELECT l_returnflag,
+      |       count(*) AS n,
+      |       sum(CAST(l_quantity AS BIGINT)) AS qty,
+      |       count(DISTINCT l_orderkey) AS orders
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-03', '1995-04')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val out = ScaleOps.b61LayoutDir
+    Tables.lineitem(s, d)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      // local[32] writes a small table: one file per partition dir keeps
+      // the fixture tidy; the 100 TB path replaces coalesce with
+      // repartition(ship_month) so each month writes in parallel
+      .coalesce(1)
+      .sortWithinPartitions("ship_month", "l_orderkey")
+      .write.mode("overwrite").partitionBy("ship_month")
+      .parquet(out)
+    s.read.parquet(out)
+      .filter(col("ship_month").isin("1995-03", "1995-04"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        countDistinct(col("l_orderkey")).as("orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The pruned re-read alone (spec hook): ScaleOpsSpec asserts the
+    * month filter lands in the scan's PartitionFilters, not a post-scan
+    * Filter — i.e. pruning actually happens. */
+  def layoutScan(s: SparkSession): DataFrame =
+    s.read.parquet(b61LayoutDir)
+      .filter(col("ship_month").isin("1995-03", "1995-04"))
+
+  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleOps
+import graft.sources.Tables
+
+/** Round-4 scale operators: count-min error bounds, bloom prefilter
+  * recall/reduction, partition pruning on the layout write. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("count-min estimates dominate true counts within eps*n (planted hitters)") {
+    val est = ScaleOps.countMinEstimates(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = SparkEntry.queries("b58_agg_heavyhitters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ScaleOps.plantedEvents(spark, sf).count()
+    for ((k, t) <- truth) {
+      assert(est(k) >= t, s"CMS underestimated key $k: ${est(k)} < $t")
+      assert(est(k) <= t + (0.001 * n).toLong + 1,
+        s"CMS estimate for $k outside the eps*n bound: ${est(k)} vs true $t")
+    }
+  }
+
+  test("exact heavy hitters are exactly the planted keys") {
+    val hitters = SparkEntry.queries("b58_agg_heavyhitters")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(hitters === Set(7L, 13L),
+      s"planted keys 7 and 13 (each x3) must be the only >5/3x-mean keys: $hitters")
+  }
+
+  test("bloom prefilter keeps every true match and drops most others") {
+    val pre = ScaleOps.bloomPrefiltered(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val trueKeys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val factKeys = Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val trueMatches = factKeys.intersect(trueKeys)
+    assert(trueMatches.subsetOf(pre), "bloom dropped a true match (impossible FN)")
+    // fpp=0.01 over ~80% non-matching keys: the pass-through set must stay
+    // close to the true set — allow 5% slack over |trueMatches|
+    assert(pre.size <= (trueMatches.size * 1.05).toInt + 5,
+      s"prefilter barely filtered: ${pre.size} passed vs ${trueMatches.size} true")
+    assert(pre.size < factKeys.size, "prefilter dropped nothing")
+  }
+
+  test("layout re-read prunes non-matching month partitions at the source") {
+    // materialize the layout write first (the entry performs the write)
+    SparkEntry.queries("b61_layout_partitioned")(spark, sf).collect()
+    val scan = ScaleOps.layoutScan(spark)
+    val explained = scan.queryExecution.executedPlan.toString
+    // the month predicate must land in PartitionFilters (directory-level
+    // pruning), not survive as a post-scan data Filter
+    assert(explained.contains("PartitionFilters") &&
+      explained.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("ship_month"),
+      s"ship_month not in PartitionFilters:\n$explained")
+    val monthsRead = scan.select("ship_month").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(monthsRead === Set("1995-03", "1995-04"))
+  }
+}
