@@ -83,7 +83,14 @@ object MinHashLsh {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
     verifyJaccardFromShingles(pairs, hashedShingles(docs))
 
-  /** Input: (doc_id, sh: long) from [[hashedShingles]]. */
+  /** Input: (doc_id, sh: long) from [[hashedShingles]]. Joins the FULL
+    * shingle relation deliberately: at the b43 operating point (τ=0.5,
+    * near the 16×4 banding crossover) the candidate pairs touch most of
+    * the corpus, so prefiltering `sh` to candidate docs was measured
+    * SLOWER (A/B at sf0.1: 1.0s full-join vs 1.6s checkpoint-filtered vs
+    * 3.2s lazy-filtered) — the filter removed almost nothing and added a
+    * barrier. A candidate-doc semi-join only pays off for high-τ sparse
+    * workloads; callers with those can pre-filter `sh` themselves. */
   def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // equi-join on (doc, sh) both times — the shingle key must be part
