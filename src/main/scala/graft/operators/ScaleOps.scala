@@ -228,5 +228,66 @@ object ScaleOps {
     s.read.parquet(b61LayoutDir)
       .filter(col("ship_month").isin("1995-03", "1995-04"))
 
-  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61)
+  /** B62 — CDC snapshot merge (upsert): apply a change batch of
+    * updates / inserts / deletes to a keyed base snapshot in one pass —
+    * the MERGE INTO staple of every periodically-refreshed 100 TB table,
+    * expressed engine-level (no table-format dependency): one full-outer
+    * join on the key, change rows win, delete ops drop the row.
+    *
+    * The change batch is DERIVED deterministically from the base (every
+    * 10th key updated, every 25th inserted under a shifted key, every
+    * 50th deleted) so the operator is exercised against a batch where all
+    * three op kinds bite, and the oracle replays the identical merge.
+    * Money stays exact integer cents end-to-end (the b22 lesson).
+    *
+    * Scale: one shuffle of each side on the merge key — with the base
+    * bucketed/range-partitioned by key at write time (the b61 layout
+    * pattern) the base side's shuffle disappears and only the (much
+    * smaller) change batch moves. Delete is a filter on the joined op,
+    * not a second anti-join pass. */
+  private val b62 = entry(
+    "b62_merge_upsert",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |changes AS (
+      |  SELECT k, 'U' AS op, 'X-UPDATED' AS status, cents + 500 AS cents
+      |  FROM base WHERE k % 10 = 0 AND k % 50 <> 0
+      |  UNION ALL
+      |  SELECT k + 10000000, 'I', 'N-NEW', cents FROM base WHERE k % 25 = 0
+      |  UNION ALL
+      |  SELECT k, 'D', NULL, NULL FROM base WHERE k % 50 = 0)
+      |SELECT k,
+      |       CASE WHEN op IS NOT NULL THEN c.status ELSE b.status END AS status,
+      |       CASE WHEN op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
+      |FROM base b FULL OUTER JOIN changes c USING (k)
+      |WHERE op IS NULL OR op <> 'D'
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val changes =
+      base.filter(col("k") % 10 === 0 && col("k") % 50 =!= 0)
+        .select(col("k"), lit("U").as("op"),
+          lit("X-UPDATED").as("status"), (col("cents") + 500).as("cents"))
+      .unionByName(base.filter(col("k") % 25 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+          lit("N-NEW").as("status"), col("cents")))
+      .unionByName(base.filter(col("k") % 50 === 0)
+        .select(col("k"), lit("D").as("op"),
+          lit(null).cast("string").as("status"), lit(null).cast("long").as("cents")))
+    val b = base.select(col("k"), col("status").as("b_status"), col("cents").as("b_cents"))
+    val c = changes.select(col("k"), col("op"),
+      col("status").as("c_status"), col("cents").as("c_cents"))
+    b.join(c, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op").isNotNull, col("c_status")).otherwise(col("b_status")).as("status"),
+        when(col("op").isNotNull, col("c_cents")).otherwise(col("b_cents")).as("cents"))
+      .orderBy("k")
+  }
+
+  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61, b62)
 }

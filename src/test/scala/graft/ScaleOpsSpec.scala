@@ -63,4 +63,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(monthsRead === Set("1995-03", "1995-04"))
   }
+
+  test("merge upsert: inserts added, deletes gone, updates applied, rest untouched") {
+    val merged = SparkEntry.queries("b62_merge_upsert")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val deleted = base.keySet.filter(_ % 50 == 0)
+    val updated = base.keySet.filter(k => k % 10 == 0 && k % 50 != 0)
+    val inserted = base.keySet.filter(_ % 25 == 0).map(_ + 10000000L)
+    assert(merged.keySet === base.keySet -- deleted ++ inserted)
+    for (k <- updated)
+      assert(merged(k) === ("X-UPDATED", base(k)._2 + 500), s"update not applied at $k")
+    for (k <- inserted)
+      assert(merged(k) === ("N-NEW", base(k - 10000000L)._2), s"bad insert at $k")
+    for (k <- base.keySet -- deleted -- updated)
+      assert(merged(k) === base(k), s"untouched row changed at $k")
+  }
 }
