@@ -39,11 +39,19 @@ object ScaleOps {
 
   /** B58 — exact heavy hitters (frequent items): keys whose frequency
     * exceeds 5/3× the mean key frequency. One hash-agg shuffle on the key
-    * (map-side partial combine), then a broadcast of the single-row
-    * (total, users) aggregate — no driver-side scalar, no second scan.
-    * Output carries exact BIGINTs (cnt, total, users) instead of a rounded
-    * share: cnt/total at a rounding boundary is the b22 float-vs-decimal
-    * trap, and the caller can divide.
+    * (map-side partial combine) materialized ONCE behind an eager
+    * localCheckpoint barrier (the LshCaps precedent): both consumers —
+    * the hitter filter and the single-row (total, users) reduce that
+    * broadcasts back into it — read the checkpointed |keys|-sized
+    * relation, so the raw input is scanned and shuffled exactly once
+    * (without the barrier Catalyst plans the counts subtree twice, once
+    * per crossJoin side: two full scans at 100 TB). No driver-side
+    * scalar, and no `sum OVER ()` window either — that would funnel all
+    * |keys| rows through one partition, while the reduce here combines
+    * map-side to one row per partition first. Output carries exact
+    * BIGINTs (cnt, total, users) instead of a rounded share: cnt/total
+    * at a rounding boundary is the b22 float-vs-decimal trap, and the
+    * caller can divide.
     *
     * Scale: the agg output is |distinct keys| rows, not |input|; for
     * key spaces too large to aggregate exactly, the count-min-sketch twin
@@ -59,6 +67,7 @@ object ScaleOps {
        |WHERE cnt * users * 3 > 5 * total
        |ORDER BY cnt DESC, user_id""".stripMargin) { (s, d) =>
     val counts = plantedEvents(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("users"))
     counts.crossJoin(broadcast(tot))
       .filter(col("cnt") * col("users") * 3 > lit(5) * col("total"))
