@@ -61,7 +61,7 @@ object ScaleOps {
     "b58_agg_heavyhitters",
     s"""WITH aug AS ($plantedSql),
        |counts AS (SELECT user_id, count(*) AS cnt FROM aug GROUP BY user_id),
-       |tot AS (SELECT sum(cnt) AS total, count(*) AS users FROM counts)
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS users FROM counts)
        |SELECT user_id, cnt, total, users
        |FROM counts CROSS JOIN tot
        |WHERE cnt * users * 3 > 5 * total
@@ -145,7 +145,7 @@ object ScaleOps {
     "b60_join_bloom",
     """SELECT o_orderstatus,
       |       count(*) AS n,
-      |       sum(CAST(l_quantity AS BIGINT)) AS qty
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderstatus
@@ -205,7 +205,7 @@ object ScaleOps {
     "b61_layout_partitioned",
     """SELECT l_returnflag,
       |       count(*) AS n,
-      |       sum(CAST(l_quantity AS BIGINT)) AS qty,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
       |       count(DISTINCT l_orderkey) AS orders
       |FROM lineitem
       |WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-03', '1995-04')
