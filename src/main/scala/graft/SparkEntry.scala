@@ -18,7 +18,10 @@ object SparkEntry {
       operators.TemporalJoins.entries ++
       operators.Extensions.entries ++
       operators.ScaleOps.entries ++
+      operators.GraphOps.entries ++
+      operators.PipelineOps.entries ++
       operators.WildWebQueries.entries ++
+      llm.Redact.entries ++
       llm.TextDedup.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++

@@ -166,5 +166,32 @@ object Extensions {
       .orderBy("uuid", "pos")
   }
 
-  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40)
+  /** One temp sink dir per JVM (see b04's comment). */
+  private[operators] lazy val b65SinkDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b65_sink").toString + "/out"
+
+  /** B65 — ORC sink + re-read: the same lossless round-trip contract as
+    * b04, through Spark's native ORC source. DuckDB cannot read ORC, so
+    * the oracle runs over the ORIGINAL parquet table — which is the
+    * stronger statement anyway: write→read through a second columnar
+    * format preserves the exact values. ORC matters at scale as the
+    * interchange format with Hive/Trino estates; predicate pushdown and
+    * column pruning work on the re-read scan exactly as for parquet
+    * (same DataSource V1 scan machinery). */
+  private val b65 = entry(
+    "b65_sink_orc",
+    """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+      |FROM part WHERE p_size >= 40
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val out = Extensions.b65SinkDir
+    Tables.part(s, d)
+      .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      .filter(col("p_size") >= 40)
+      .coalesce(1)
+      .sortWithinPartitions("p_partkey")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("p_partkey")
+  }
+
+  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65)
 }

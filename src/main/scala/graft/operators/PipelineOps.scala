@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Round-5 dataset-maintenance + event-shaping operators: row-level
+  * sessionization (B67), snapshot diff/reconciliation (B68 — the inverse
+  * of B62's merge), and incremental aggregate maintenance (B69).
+  *
+  * Shared posture: all three are single-shuffle plans (one window or one
+  * join or one agg family on the natural key), exact-integer money (the
+  * b22 lesson), and t2-deterministic (unique-key ORDER BY, timestamps
+  * formatted, micros exact).
+  */
+object PipelineOps {
+
+  /** B67 — sessionization: assign each EVENT its session id (gap rule:
+    * >30 min of user inactivity starts a new session). B50 aggregates
+    * sessions; this keeps row grain — the shape a training pipeline needs
+    * to group interaction logs into conversation/episode examples.
+    *
+    * One shuffle on user_id; both window passes (lag flag + running sum)
+    * share the same (user_id, ts, event_id) sort, so Spark plans a single
+    * Exchange + single Sort. The session id is `user#k` with k dense per
+    * user — stable under re-partitioning because it is a pure function of
+    * the user's event history order, not of task layout. */
+  private val b67 = entry(
+    "b67_sessionize",
+    """WITH flagged AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |       CAST(user_id AS VARCHAR) || '#' ||
+      |       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+      |         AS session_id
+      |FROM flagged ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        concat(col("user_id").cast("string"), lit("#"),
+          sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("string")).as("session_id"))
+      .orderBy("event_id")
+  }
+
+  /** The deterministic "current snapshot" twin of B62's change derivation:
+    * base orders with every 10th key updated (+500 cents, new status),
+    * every 25th inserted under a shifted key, every 50th deleted. */
+  private val snapshotsSql =
+    """base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |curr AS (
+      |  SELECT k,
+      |         CASE WHEN k % 10 = 0 AND k % 50 <> 0 THEN 'X-UPDATED' ELSE status END AS status,
+      |         CASE WHEN k % 10 = 0 AND k % 50 <> 0 THEN cents + 500 ELSE cents END AS cents
+      |  FROM base WHERE k % 50 <> 0
+      |  UNION ALL
+      |  SELECT k + 10000000, 'N-NEW', cents FROM base WHERE k % 25 = 0)""".stripMargin
+
+  /** B68 — snapshot diff (reconciliation): given yesterday's and today's
+    * keyed snapshots, emit what changed — added / removed / changed rows
+    * with old and new payloads. The inverse of B62: merge applies a change
+    * batch, diff recovers one; together they close the CDC loop (and diff
+    * is the validation step that catches silent corruption between
+    * refreshes of a 100 TB table).
+    *
+    * One full-outer join on the key; the payload comparison is null-safe
+    * (IS DISTINCT FROM / <=>) so NULL payloads diff correctly. Equal rows
+    * — the overwhelming majority at scale — are filtered out immediately
+    * after the join, so only the change set survives to the sort. At 100 TB
+    * the same bucketed-base argument as B62 removes the big side's
+    * shuffle. */
+  private val b68 = entry(
+    "b68_table_diff",
+    s"""WITH $snapshotsSql
+       |SELECT coalesce(b.k, c.k) AS k,
+       |       CASE WHEN b.k IS NULL THEN 'A'
+       |            WHEN c.k IS NULL THEN 'R' ELSE 'C' END AS kind,
+       |       b.status AS old_status, c.status AS new_status,
+       |       b.cents AS old_cents, c.cents AS new_cents
+       |FROM base b FULL OUTER JOIN curr c ON b.k = c.k
+       |WHERE b.k IS NULL OR c.k IS NULL
+       |   OR b.status IS DISTINCT FROM c.status
+       |   OR b.cents IS DISTINCT FROM c.cents
+       |ORDER BY k""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val updated = col("k") % 10 === 0 && col("k") % 50 =!= 0
+    val curr = base.filter(col("k") % 50 =!= 0)
+      .select(col("k"),
+        when(updated, lit("X-UPDATED")).otherwise(col("status")).as("status"),
+        when(updated, col("cents") + 500).otherwise(col("cents")).as("cents"))
+      .unionByName(base.filter(col("k") % 25 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("N-NEW").as("status"), col("cents")))
+    val b = base.select(col("k").as("b_k"), col("status").as("old_status"),
+      col("cents").as("old_cents"))
+    val c = curr.select(col("k").as("c_k"), col("status").as("new_status"),
+      col("cents").as("new_cents"))
+    b.join(c, col("b_k") === col("c_k"), "full_outer")
+      .filter(col("b_k").isNull || col("c_k").isNull ||
+        !(col("old_status") <=> col("new_status")) ||
+        !(col("old_cents") <=> col("new_cents")))
+      .select(
+        coalesce(col("b_k"), col("c_k")).as("k"),
+        when(col("b_k").isNull, "A").when(col("c_k").isNull, "R")
+          .otherwise("C").as("kind"),
+        col("old_status"), col("new_status"), col("old_cents"), col("new_cents"))
+      .orderBy("k")
+  }
+
+  /** B69 — incremental aggregate maintenance: merge a stored per-group
+    * aggregate STATE with a new batch's partial aggregate instead of
+    * re-scanning history — how a 100 TB rolling metrics table actually
+    * stays current (the base partial is READ from storage there; computing
+    * it here stands in for that read). The t2 oracle is the full
+    * recompute over base ∪ delta, so the hash proves merge ≡ recompute —
+    * valid because (count, sum) states are commutative monoids, the same
+    * algebra Spark's own partial aggregation relies on. Exact integer
+    * cents: float sums would make merge order observable (the b22 trap).
+    *
+    * The merge shuffles |groups| state rows, not |delta| (map-side partial
+    * combine on each side first) — at 100 TB the delta agg dominates and
+    * history is never touched. */
+  private val b69 = entry(
+    "b69_agg_incremental",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    def partialState(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val baseState = partialState(ev.filter(col("event_id") % 10 =!= 0))
+    val deltaState = partialState(ev.filter(col("event_id") % 10 === 0))
+    baseState.unionByName(deltaState)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("cents")).cast("long").as("cents"))
+      .orderBy("event_type")
+  }
+
+  val entries: Seq[Entry] = Seq(b67, b68, b69)
+}

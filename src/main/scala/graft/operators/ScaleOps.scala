@@ -298,5 +298,32 @@ object ScaleOps {
       .orderBy("k")
   }
 
-  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61, b62)
+  /** B66 — skew-salted join, driver-visible: [[ScaleTechniques.saltedJoin]]
+    * run over the planted-skew event stream (users 7/13 tripled — the same
+    * hot keys b58 detects) against a per-user dimension, proving at the t2
+    * level that salting is RESULT-invisible: the oracle is the plain
+    * unsalted join. The left side's hot keys are split across 8 salt
+    * sub-keys (deterministic xxhash64 of event_id — never rand(), t2
+    * rules); the dim side replicates 8×, which is the trade: at 100 TB a
+    * hot key that would pin one reducer at 3× the median instead spreads
+    * across 8, for an 8× copy of the (small) dim side. Row-level output —
+    * the strongest equivalence statement, not an aggregate that could
+    * mask multiplicity bugs. */
+  private val b66 = entry(
+    "b66_join_salted",
+    s"""WITH aug AS ($plantedSql),
+       |dim AS (SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events)
+       |SELECT event_id, user_id, cohort
+       |FROM aug JOIN dim USING (user_id)
+       |ORDER BY event_id, user_id""".stripMargin) { (s, d) =>
+    val dim = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("cohort", col("user_id") % 10)
+    ScaleTechniques.saltedJoin(
+        plantedEvents(s, d), dim, "user_id",
+        saltSource = col("event_id"), saltBuckets = 8)
+      .select("event_id", "user_id", "cohort")
+      .orderBy("event_id", "user_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61, b62, b66)
 }
