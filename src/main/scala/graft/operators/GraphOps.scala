@@ -52,7 +52,6 @@ object GraphOps {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     var lbl = nodes.select(col("n"), col("n").as("lbl")).localCheckpoint(true)
-    var prevSum = Long.MaxValue
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -62,21 +61,40 @@ object GraphOps {
       val nbrMin = und.join(lbl, und("src") === lbl("n"))
         .groupBy(und("dst").as("nn")).agg(min(col("lbl")).as("nbr_min"))
       val prop = lbl.join(nbrMin, lbl("n") === nbrMin("nn"), "left")
-        .select(lbl("n"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .select(lbl("n"), lbl("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
       // labels are always live node ids (min over node ids), so the jump
       // join is total and inner; prop is evaluated once per consumer —
       // two light |V|-row hash joins, cheaper than a second checkpoint
       // barrier per round
       val jumped = prop.as("x").join(prop.as("y"), col("x.lbl") === col("y.n"))
-        .select(col("x.n").as("n"), col("y.lbl").as("lbl"))
-      lbl = jumped.localCheckpoint(true)
-      val s = lbl.agg(sum(col("lbl"))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
+        .select(col("x.n").as("n"), col("x.prev").as("prev"), col("y.lbl").as("lbl"))
+      val next = jumped.localCheckpoint(true)
+      // convergence = no label moved this round. A changed-row count (not a
+      // label-sum compare) stays exact for ids anywhere in the Long range —
+      // hashed ids would overflow a sum — and an empty node set yields 0,
+      // converging immediately instead of NPE-ing on a NULL aggregate.
+      converged = next.filter(col("lbl") =!= col("prev")).count() == 0
+      releaseCheckpoint(lbl)
+      lbl = next
       rounds += 1
     }
+    releaseCheckpoint(und)
     lbl.select(col("n"), col("lbl").as("component"))
   }
+
+  /** Free a localCheckpoint's storage blocks once the round that produced
+    * it is superseded — without this, executor storage holds up to
+    * maxRounds copies of the label relation and relies on GC-driven
+    * ContextCleaner to notice. Safe only because the frame is never read
+    * again (a truncated-lineage RDD cannot recompute). Best-effort: if the
+    * checkpointed plan shape ever changes, the match misses and cleanup
+    * falls back to the ContextCleaner path. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+    }
 
   /** Deterministic test topology over `documents`: the B42 dup-injection
     * pairs ((d, d+1000000) for d % 7 = 0) as edges, PLUS chain edges

@@ -58,21 +58,13 @@ object PipelineOps {
       .orderBy("event_id")
   }
 
-  /** The deterministic "current snapshot" twin of B62's change derivation:
-    * base orders with every 10th key updated (+500 cents, new status),
-    * every 25th inserted under a shifted key, every 50th deleted. */
+  /** The deterministic snapshot pair — shared with B62 via [[CdcSnapshots]]
+    * so the merge/diff inverse relationship stays literally locked. */
   private val snapshotsSql =
-    """base AS (
-      |  SELECT o_orderkey AS k, o_orderstatus AS status,
-      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      |  FROM orders),
-      |curr AS (
-      |  SELECT k,
-      |         CASE WHEN k % 10 = 0 AND k % 50 <> 0 THEN 'X-UPDATED' ELSE status END AS status,
-      |         CASE WHEN k % 10 = 0 AND k % 50 <> 0 THEN cents + 500 ELSE cents END AS cents
-      |  FROM base WHERE k % 50 <> 0
-      |  UNION ALL
-      |  SELECT k + 10000000, 'N-NEW', cents FROM base WHERE k % 25 = 0)""".stripMargin
+    s"""base AS (
+       |  ${CdcSnapshots.baseSql}),
+       |curr AS (
+       |  ${CdcSnapshots.currSql})""".stripMargin
 
   /** B68 — snapshot diff (reconciliation): given yesterday's and today's
     * keyed snapshots, emit what changed — added / removed / changed rows
@@ -100,17 +92,8 @@ object PipelineOps {
        |   OR b.status IS DISTINCT FROM c.status
        |   OR b.cents IS DISTINCT FROM c.cents
        |ORDER BY k""".stripMargin) { (s, d) =>
-    val base = Tables.orders(s, d).select(
-      col("o_orderkey").as("k"),
-      col("o_orderstatus").as("status"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val updated = col("k") % 10 === 0 && col("k") % 50 =!= 0
-    val curr = base.filter(col("k") % 50 =!= 0)
-      .select(col("k"),
-        when(updated, lit("X-UPDATED")).otherwise(col("status")).as("status"),
-        when(updated, col("cents") + 500).otherwise(col("cents")).as("cents"))
-      .unionByName(base.filter(col("k") % 25 === 0)
-        .select((col("k") + 10000000L).as("k"), lit("N-NEW").as("status"), col("cents")))
+    val base = CdcSnapshots.base(s, d)
+    val curr = CdcSnapshots.curr(base)
     val b = base.select(col("k").as("b_k"), col("status").as("old_status"),
       col("cents").as("old_cents"))
     val c = curr.select(col("k").as("c_k"), col("status").as("new_status"),

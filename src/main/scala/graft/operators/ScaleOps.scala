@@ -256,35 +256,30 @@ object ScaleOps {
     * not a second anti-join pass. */
   private val b62 = entry(
     "b62_merge_upsert",
-    """WITH base AS (
-      |  SELECT o_orderkey AS k, o_orderstatus AS status,
-      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      |  FROM orders),
-      |changes AS (
-      |  SELECT k, 'U' AS op, 'X-UPDATED' AS status, cents + 500 AS cents
-      |  FROM base WHERE k % 10 = 0 AND k % 50 <> 0
-      |  UNION ALL
-      |  SELECT k + 10000000, 'I', 'N-NEW', cents FROM base WHERE k % 25 = 0
-      |  UNION ALL
-      |  SELECT k, 'D', NULL, NULL FROM base WHERE k % 50 = 0)
-      |SELECT k,
-      |       CASE WHEN op IS NOT NULL THEN c.status ELSE b.status END AS status,
-      |       CASE WHEN op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
-      |FROM base b FULL OUTER JOIN changes c USING (k)
-      |WHERE op IS NULL OR op <> 'D'
-      |ORDER BY k""".stripMargin) { (s, d) =>
-    val base = Tables.orders(s, d).select(
-      col("o_orderkey").as("k"),
-      col("o_orderstatus").as("status"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    s"""WITH base AS (
+       |  ${CdcSnapshots.baseSql}),
+       |changes AS (
+       |  SELECT k, 'U' AS op, 'X-UPDATED' AS status, cents + ${CdcSnapshots.bump} AS cents
+       |  FROM base WHERE k % ${CdcSnapshots.updMod} = 0 AND k % ${CdcSnapshots.delMod} <> 0
+       |  UNION ALL
+       |  SELECT k + ${CdcSnapshots.shift}, 'I', 'N-NEW', cents FROM base WHERE k % ${CdcSnapshots.insMod} = 0
+       |  UNION ALL
+       |  SELECT k, 'D', NULL, NULL FROM base WHERE k % ${CdcSnapshots.delMod} = 0)
+       |SELECT k,
+       |       CASE WHEN op IS NOT NULL THEN c.status ELSE b.status END AS status,
+       |       CASE WHEN op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
+       |FROM base b FULL OUTER JOIN changes c USING (k)
+       |WHERE op IS NULL OR op <> 'D'
+       |ORDER BY k""".stripMargin) { (s, d) =>
+    val base = CdcSnapshots.base(s, d)
     val changes =
-      base.filter(col("k") % 10 === 0 && col("k") % 50 =!= 0)
+      base.filter(col("k") % CdcSnapshots.updMod === 0 && col("k") % CdcSnapshots.delMod =!= 0)
         .select(col("k"), lit("U").as("op"),
-          lit("X-UPDATED").as("status"), (col("cents") + 500).as("cents"))
-      .unionByName(base.filter(col("k") % 25 === 0)
-        .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+          lit("X-UPDATED").as("status"), (col("cents") + CdcSnapshots.bump).as("cents"))
+      .unionByName(base.filter(col("k") % CdcSnapshots.insMod === 0)
+        .select((col("k") + CdcSnapshots.shift).as("k"), lit("I").as("op"),
           lit("N-NEW").as("status"), col("cents")))
-      .unionByName(base.filter(col("k") % 50 === 0)
+      .unionByName(base.filter(col("k") % CdcSnapshots.delMod === 0)
         .select(col("k"), lit("D").as("op"),
           lit(null).cast("string").as("status"), lit(null).cast("long").as("cents")))
     val b = base.select(col("k"), col("status").as("b_status"), col("cents").as("b_cents"))

@@ -64,6 +64,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === nodes.map(_ -> 0L).toMap)
   }
 
+  test("empty node set returns an empty result, not an error") {
+    assert(run(Seq.empty[Long], Seq.empty[(Long, Long)]) === Map.empty)
+  }
+
+  test("ids near Long.MaxValue resolve exactly (changed-count, not label-sum, convergence)") {
+    // a label-sum convergence metric overflows here; the changed-row count
+    // must stay exact for hashed 64-bit ids
+    val big = Long.MaxValue
+    val nodes = Seq(big, big - 1, big - 2, 5L)
+    val edges = Seq((big, big - 1), (big - 1, big - 2))
+    assert(run(nodes, edges) ===
+      Map(big -> (big - 2), (big - 1) -> (big - 2), (big - 2) -> (big - 2), 5L -> 5L))
+  }
+
   test("non-convergence inside the round budget throws, never returns wrong labels") {
     val nodes = (0L until 64L).toSeq
     val edges = nodes.init.map(i => (i, i + 1))
