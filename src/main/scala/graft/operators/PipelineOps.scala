@@ -145,5 +145,53 @@ object PipelineOps {
       .orderBy("event_type")
   }
 
-  val entries: Seq[Entry] = Seq(b67, b68, b69)
+  /** B71 — time-series gap fill: regularize an irregular event stream onto
+    * a dense per-user hourly grid, with both zero-fill and forward-fill
+    * (last observation carried forward) columns — the resample step
+    * feeding any windowed feature computation over activity logs.
+    *
+    * Plan: hourly buckets (one hash agg), per-user span (agg on the
+    * bucketed — already small — relation), grid = explode_outer of
+    * `sequence(lo, hi, 1 hour)` (OUTER: the generate-guard lesson — a
+    * plain explode would duplicate the sequence expression into an
+    * inferred filter; the span guarantees non-empty anyway), one left
+    * join back, one window pass for the carry-forward. Rounding happens
+    * IN the bucket agg so the window carries already-rounded doubles —
+    * both engines then hash identical bytes (the b22 discipline).
+    *
+    * Scale: grid size is users × span-hours — output-proportional, never
+    * input-proportional; the forward-fill window shuffles the grid once
+    * on user_id. The user_id < 20 probe bound is the t2 fixture's output
+    * cap, not an operator limit. */
+  private val b71 = entry(
+    "b71_timeseries_gapfill",
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 4) AS v
+      |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM spans)
+      |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS h_s,
+      |       coalesce(b.v, 0) AS v,
+      |       last_value(b.v IGNORE NULLS)
+      |         OVER (PARTITION BY g.user_id ORDER BY g.h) AS v_ff
+      |FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+      |ORDER BY g.user_id, h_s""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 4).as("v"))
+    val spans = b.groupBy("user_id").agg(min("h").as("lo"), max("h").as("hi"))
+    val grid = spans.select(col("user_id"),
+      explode_outer(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+    grid.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h_s"),
+        coalesce(col("v"), lit(0.0)).as("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+      .orderBy("user_id", "h_s")
+  }
+
+  val entries: Seq[Entry] = Seq(b67, b68, b69, b71)
 }

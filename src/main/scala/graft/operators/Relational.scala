@@ -289,6 +289,29 @@ object Relational {
     }
   }
 
+  /** B70 — LATERAL correlated subquery join (top-N per outer row): each
+    * customer's two most expensive orders, via the SQL-standard
+    * `FROM outer, LATERAL (correlated ORDER BY ... LIMIT n)` form both
+    * engines accept verbatim. Catalyst decorrelates the per-row LIMIT
+    * into a ranked-window plan (one shuffle on the correlation key) —
+    * the rewrite that keeps the naive "run the subquery per outer row"
+    * formulation viable at 100 TB, where a literal nested-loop execution
+    * would be |outer| subquery scans. Customers with no orders drop
+    * (inner lateral semantics, both engines). */
+  private val b70 = {
+    val sql =
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+    entry("b70_join_lateral", sql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(sql)
+    }
+  }
+
   val entries: Seq[Entry] =
-    Seq(b01, b06, b41sql, b06sub, b07, b09, b10, b11, b12, b13, b14, b17, b18)
+    Seq(b01, b06, b41sql, b06sub, b07, b09, b10, b11, b12, b13, b14, b17, b18, b70)
 }

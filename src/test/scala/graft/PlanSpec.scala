@@ -66,4 +66,11 @@ class PlanSpec extends AnyFunSuite {
     // the expression must appear inline in the projection, not as a ScalaUDF
     assert(codegenPlan.contains("feature_id"), codegenPlan.take(2000))
   }
+
+  test("b70: correlated LATERAL LIMIT decorrelates to a ranked window, not a nested loop") {
+    val plan = physicalPlan("b70_join_lateral")
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
 }
