@@ -11,7 +11,7 @@ import graft.sources.Tables
   * relationship only stays tested while the derivations are literally
   * shared (a constant edited in one copy would silently decouple the
   * twins). Money is exact integer cents end-to-end (the b22 lesson). */
-private[operators] object CdcSnapshots {
+private[graft] object CdcSnapshots {
   /** Every `updMod`-th key is updated (status replaced, +`bump` cents)
     * unless deleted; every `insMod`-th inserted under a `shift`-ed key;
     * every `delMod`-th deleted. */
@@ -54,4 +54,56 @@ private[operators] object CdcSnapshots {
         .select((col("k") + shift).as("k"), lit("N-NEW").as("status"),
           col("cents")))
   }
+
+  /** The change batch as U/I/D op rows — B62's input, and the stream B72
+    * replays chunk by chunk (SQL form; expects a `base` CTE in scope). */
+  val changesSql: String =
+    s"""SELECT k, 'U' AS op, 'X-UPDATED' AS status, cents + $bump AS cents
+       |  FROM base WHERE k % $updMod = 0 AND k % $delMod <> 0
+       |  UNION ALL
+       |  SELECT k + $shift, 'I', 'N-NEW', cents FROM base WHERE k % $insMod = 0
+       |  UNION ALL
+       |  SELECT k, 'D', NULL, NULL FROM base WHERE k % $delMod = 0""".stripMargin
+
+  def changes(baseDf: DataFrame): DataFrame =
+    baseDf.filter(col("k") % updMod === 0 && col("k") % delMod =!= 0)
+      .select(col("k"), lit("U").as("op"),
+        lit("X-UPDATED").as("status"), (col("cents") + bump).as("cents"))
+      .unionByName(baseDf.filter(col("k") % insMod === 0)
+        .select((col("k") + shift).as("k"), lit("I").as("op"),
+          lit("N-NEW").as("status"), col("cents")))
+      .unionByName(baseDf.filter(col("k") % delMod === 0)
+        .select(col("k"), lit("D").as("op"),
+          lit(null).cast("string").as("status"), lit(null).cast("long").as("cents")))
+
+  /** Apply a (k, op, status, cents) change set to a (k, status, cents)
+    * state: one full-outer join on the key; change rows win, delete ops
+    * drop the row. The merge is key-idempotent — each key appears at most
+    * once per batch — so chunked application (B72) commutes with the
+    * one-shot batch merge (B62). */
+  def applyChanges(state: DataFrame, changeSet: DataFrame): DataFrame = {
+    val st = state.select(col("k"), col("status").as("b_status"),
+      col("cents").as("b_cents"))
+    val ch = changeSet.select(col("k"), col("op"),
+      col("status").as("c_status"), col("cents").as("c_cents"))
+    st.join(ch, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op").isNotNull, col("c_status")).otherwise(col("b_status")).as("status"),
+        when(col("op").isNotNull, col("c_cents")).otherwise(col("b_cents")).as("cents"))
+  }
+
+  /** The merged-result oracle — shared verbatim by B62 (one-shot merge)
+    * and B72 (streaming chunked apply): both must land on this table. */
+  val mergedSql: String =
+    s"""WITH base AS (
+       |  $baseSql),
+       |changes AS (
+       |  $changesSql)
+       |SELECT k,
+       |       CASE WHEN op IS NOT NULL THEN c.status ELSE b.status END AS status,
+       |       CASE WHEN op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
+       |FROM base b FULL OUTER JOIN changes c USING (k)
+       |WHERE op IS NULL OR op <> 'D'
+       |ORDER BY k""".stripMargin
 }

@@ -255,41 +255,9 @@ object ScaleOps {
     * smaller) change batch moves. Delete is a filter on the joined op,
     * not a second anti-join pass. */
   private val b62 = entry(
-    "b62_merge_upsert",
-    s"""WITH base AS (
-       |  ${CdcSnapshots.baseSql}),
-       |changes AS (
-       |  SELECT k, 'U' AS op, 'X-UPDATED' AS status, cents + ${CdcSnapshots.bump} AS cents
-       |  FROM base WHERE k % ${CdcSnapshots.updMod} = 0 AND k % ${CdcSnapshots.delMod} <> 0
-       |  UNION ALL
-       |  SELECT k + ${CdcSnapshots.shift}, 'I', 'N-NEW', cents FROM base WHERE k % ${CdcSnapshots.insMod} = 0
-       |  UNION ALL
-       |  SELECT k, 'D', NULL, NULL FROM base WHERE k % ${CdcSnapshots.delMod} = 0)
-       |SELECT k,
-       |       CASE WHEN op IS NOT NULL THEN c.status ELSE b.status END AS status,
-       |       CASE WHEN op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
-       |FROM base b FULL OUTER JOIN changes c USING (k)
-       |WHERE op IS NULL OR op <> 'D'
-       |ORDER BY k""".stripMargin) { (s, d) =>
+    "b62_merge_upsert", CdcSnapshots.mergedSql) { (s, d) =>
     val base = CdcSnapshots.base(s, d)
-    val changes =
-      base.filter(col("k") % CdcSnapshots.updMod === 0 && col("k") % CdcSnapshots.delMod =!= 0)
-        .select(col("k"), lit("U").as("op"),
-          lit("X-UPDATED").as("status"), (col("cents") + CdcSnapshots.bump).as("cents"))
-      .unionByName(base.filter(col("k") % CdcSnapshots.insMod === 0)
-        .select((col("k") + CdcSnapshots.shift).as("k"), lit("I").as("op"),
-          lit("N-NEW").as("status"), col("cents")))
-      .unionByName(base.filter(col("k") % CdcSnapshots.delMod === 0)
-        .select(col("k"), lit("D").as("op"),
-          lit(null).cast("string").as("status"), lit(null).cast("long").as("cents")))
-    val b = base.select(col("k"), col("status").as("b_status"), col("cents").as("b_cents"))
-    val c = changes.select(col("k"), col("op"),
-      col("status").as("c_status"), col("cents").as("c_cents"))
-    b.join(c, Seq("k"), "full_outer")
-      .filter(col("op").isNull || col("op") =!= "D")
-      .select(col("k"),
-        when(col("op").isNotNull, col("c_status")).otherwise(col("b_status")).as("status"),
-        when(col("op").isNotNull, col("c_cents")).otherwise(col("b_cents")).as("cents"))
+    CdcSnapshots.applyChanges(base, CdcSnapshots.changes(base))
       .orderBy("k")
   }
 

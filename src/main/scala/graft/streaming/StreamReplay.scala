@@ -142,5 +142,52 @@ object StreamReplay {
       .orderBy("ws", "event_type")
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54)
+  private lazy val chunkDir72: String =
+    java.nio.file.Files.createTempDirectory("graft_b72_chunks").toString
+
+  private lazy val stateDir72: String =
+    java.nio.file.Files.createTempDirectory("graft_b72_state").toString
+
+  /** B72 — streaming CDC apply: the change batch B62 merges in one shot
+    * arrives here as a STREAM (8 key-ordered chunks, one per micro-batch),
+    * and foreachBatch merges each into a versioned parquet snapshot —
+    * read state vN, applyChanges, write vN+1 — exactly the
+    * periodically-refreshed-table loop a production pipeline runs, with
+    * the same [[graft.operators.CdcSnapshots]] merge both paths share.
+    * The final snapshot must equal B62's one-shot merge (they share
+    * `mergedSql` verbatim): chunked application commutes because each key
+    * appears at most once in the change set, which is what makes
+    * arbitrary micro-batch boundaries safe.
+    *
+    * Scale: state versions are immutable parquet snapshots (the
+    * copy-on-write table-format pattern); each micro-batch's cost is one
+    * keyed join of |state| + |chunk|, and with the state bucketed by k
+    * only the chunk shuffles. Versioning also gives replay/rollback —
+    * v0..vN are retained. */
+  private val b72 = entry(
+    "b72_stream_cdc_apply", graft.operators.CdcSnapshots.mergedSql) { (s, d) =>
+    import graft.operators.CdcSnapshots
+    val dir = chunkDir72
+    val base = CdcSnapshots.base(s, d)
+    StreamingOps.writeChunksDf(CdcSnapshots.changes(base), dir, n = 8,
+      sortCols = Seq("k"))
+    base.coalesce(1).write.mode("overwrite").parquet(s"$stateDir72/v0")
+    var cur = "v0"
+    val changeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    val stream = s.readStream.schema(changeSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk_*")
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      val next = s"v${id + 1}"
+      CdcSnapshots.applyChanges(s.read.parquet(s"$stateDir72/$cur"), batch)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir72/$next")
+      cur = next
+    }
+    s.read.parquet(s"$stateDir72/$cur").orderBy("k")
+  }
+
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72)
 }

@@ -36,9 +36,10 @@ object StreamingOps {
     * replay injects duplicate rows before chunking). Exact-duplicate rows
     * share their (ts, event_id) sort key, so they land adjacent — same or
     * neighboring chunk — which keeps them inside any watermark horizon. */
-  def writeChunksDf(events: DataFrame, dir: String, n: Int): Unit = {
+  def writeChunksDf(events: DataFrame, dir: String, n: Int,
+      sortCols: Seq[String] = Seq("ts", "event_id")): Unit = {
     val spark = events.sparkSession
-    val ordered = events.orderBy("ts", "event_id")
+    val ordered = events.orderBy(sortCols.map(col): _*)
     val total = ordered.count()
     val perChunk = math.max(1, (total + n - 1) / n)
     val rows = ordered.collect() // test-scale replay harness only
