@@ -193,5 +193,42 @@ object Extensions {
     s.read.orc(out).orderBy("p_partkey")
   }
 
-  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65)
+  /** One temp dir pair per JVM (see b04's comment). */
+  private[operators] lazy val b74Dir: String =
+    java.nio.file.Files.createTempDirectory("graft_b74_evo").toString
+
+  /** B74 — schema-evolution read: two parquet generations of the same
+    * table — v1 written before a column existed, v2 with the added
+    * o_orderstatus — read together with mergeSchema, the old generation
+    * null-padded. This is how a 100 TB table actually evolves: columns
+    * are ADDED, history is never rewritten, and every reader must handle
+    * the union schema. The oracle replays the generational split over the
+    * original table (v1 rows get NULL status), proving the merged read is
+    * exactly the logical union — nothing dropped, nothing misaligned.
+    *
+    * Footer-schema merging is a listing-time cost, not a scan cost; at
+    * scale `spark.sql.parquet.mergeSchema` stays off globally and the
+    * union schema comes from the table catalog — the read path exercised
+    * here is identical. */
+  private val b74 = entry(
+    "b74_schema_evolution",
+    """SELECT o_orderkey, o_totalprice,
+      |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val out = Extensions.b74Dir
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen=1", s"$out/gen=2")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65, b74)
 }

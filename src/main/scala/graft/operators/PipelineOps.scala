@@ -193,5 +193,61 @@ object PipelineOps {
       .orderBy("user_id", "h_s")
   }
 
-  val entries: Seq[Entry] = Seq(b67, b68, b69, b71)
+  /** B73 — data-quality constraint checks (expectations): primary-key
+    * uniqueness, referential integrity, null rate, and value-range rules
+    * evaluated as one report — the validation gate every ingest runs
+    * before publishing a snapshot (and the natural companion of B68's
+    * diff: diff says WHAT changed, this says whether the result is sane).
+    *
+    * Each check is an independent aggregate over its table — map-side
+    * combined, |violations| never materialized (only counted), checks
+    * union into a fixed-height report. At 100 TB the checks share each
+    * table's scan via one pass per table (Spark dedups the scan across
+    * the union branches when the source is cached/bucketed; here each
+    * check is already a single narrow-column scan). */
+  private val b73 = entry(
+    "b73_data_quality",
+    """SELECT * FROM (
+      |  SELECT 'events_pk_dup' AS check_name,
+      |         CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_violations
+      |  FROM (SELECT event_id, count(*) AS n FROM events
+      |        GROUP BY 1 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orphan',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+      |  UNION ALL
+      |  SELECT 'orders_null_status',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM orders WHERE o_orderstatus IS NULL)
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    val orders = Tables.orders(s, d)
+    val pkDup = events.groupBy("event_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0)).cast("long").as("n_violations"))
+      .select(lit("events_pk_dup").as("check_name"), col("n_violations"))
+    val fkOrphan = lineitem.select("l_orderkey")
+      .join(orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("lineitem_fk_orphan").as("check_name"), col("n_violations"))
+    val qtyRange = lineitem
+      .filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("lineitem_qty_range").as("check_name"), col("n_violations"))
+    val nullStatus = orders.filter(col("o_orderstatus").isNull)
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .select(lit("orders_null_status").as("check_name"), col("n_violations"))
+    pkDup.unionByName(fkOrphan).unionByName(qtyRange).unionByName(nullStatus)
+      .orderBy("check_name")
+  }
+
+  val entries: Seq[Entry] = Seq(b67, b68, b69, b71, b73)
 }
