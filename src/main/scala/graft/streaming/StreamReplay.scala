@@ -173,13 +173,11 @@ object StreamReplay {
       sortCols = Seq("k"))
     base.coalesce(1).write.mode("overwrite").parquet(s"$stateDir72/v0")
     var cur = "v0"
-    val changeSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
-    val stream = s.readStream.schema(changeSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk_*")
+    // schema DERIVED from the shared change derivation, never restated:
+    // a renamed/retyped change column must fail loudly here, not degrade
+    // to all-null file-source reads
+    val stream = StreamingOps.readStream(s, dir,
+      schema = CdcSnapshots.changes(base).schema)
     StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
       val next = s"v${id + 1}"
       CdcSnapshots.applyChanges(s.read.parquet(s"$stateDir72/$cur"), batch)

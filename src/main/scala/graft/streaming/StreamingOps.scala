@@ -51,10 +51,12 @@ object StreamingOps {
   }
 
   /** File-source stream over the chunk directory (one chunk per trigger →
-    * deterministic arrival order). */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
+    * deterministic arrival order). Defaults to the events shape; B72
+    * streams change batches through the same reader with its own schema. */
+  def readStream(spark: SparkSession, dir: String,
+      schema: StructType = eventSchema): DataFrame =
     spark.readStream
-      .schema(eventSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/chunk_*")
 
