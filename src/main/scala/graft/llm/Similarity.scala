@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
@@ -123,5 +123,70 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  val entries: Seq[Entry] = Seq(b44, b44lsh)
+  /** The b75 corpus: embeddings plus planted duplicate vectors — every
+    * 5th vec_id re-appears shifted by 1e6, every 10th ALSO by 2e6, so dup
+    * classes of size 2 and 3 exist and cluster resolution must close the
+    * transitive triangle. Shared by the query and SimilaritySpec. */
+  private[llm] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    base
+      .unionByName(base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .unionByName(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** B75 — embedding-cosine near-dup DEDUP (the cluster-resolution
+    * counterpart of b44's pair search): sign-LSH candidates → exact cosine
+    * verify at τ=0.9 → [[graft.operators.GraphOps.connectedComponents]]
+    * over the surviving pairs → every vector labeled with its duplicate
+    * class's canonical (minimum) id; singletons label themselves. Keeping
+    * `component` rows where `vec_id = component` is the dedup'd corpus.
+    *
+    * Unlike b44_similarity_lsh this IS t2-hash-checked against a full SQL
+    * oracle (exact all-pairs + recursive-CTE closure), because on this
+    * corpus LSH recall is provably 1, not approximately 1: the testdata's
+    * max organic pairwise cosine is 0.51, so the only pairs ≥ τ are the
+    * planted bit-identical copies, and identical vectors produce identical
+    * sign bands — they collide in EVERY band, so no qualifying pair can be
+    * missed. False candidates die in the exact verify. `bucketCap = None`
+    * keeps that recall proof unconditional (a capped hot bucket could drop
+    * a planted pair); production corpora with unknown dup structure set
+    * the cap and accept the documented hot-bucket trade (SkewCapSpec).
+    *
+    * Scale: candidates are O(Σ bucket²) not O(n²); verify touches only
+    * candidates; components shuffle O(V+E) per round for O(log diameter)
+    * rounds (diameter ≤ 2 here). The oracle's recursive closure is the
+    * sf0.01 crutch, not the plan. */
+  private val b75 = entry(
+    "b75_dedup_embedding",
+    """WITH RECURSIVE
+      |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |aug AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL SELECT vec_id + 1000000, v FROM base WHERE vec_id % 5 = 0
+      |  UNION ALL SELECT vec_id + 2000000, v FROM base WHERE vec_id % 10 = 0),
+      |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM aug),
+      |pairs AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM nv x JOIN nv y ON x.vec_id < y.vec_id
+      |  WHERE list_dot_product(x.v, y.v) / (x.norm * y.norm) >= 0.9),
+      |edges(a, b) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT vec_id, vec_id FROM aug
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+      |SELECT n AS vec_id, min(m) AS component
+      |FROM reach GROUP BY n ORDER BY vec_id""".stripMargin) { (s, d) =>
+    register(s)
+    val aug = plantedCorpus(s, d)
+    val pairs = verifyCosine(candidatePairs(aug, bucketCap = None), aug, threshold = 0.9)
+      .select(col("a"), col("b"))
+    graft.operators.GraphOps
+      .connectedComponents(pairs, aug.select(col("vec_id").as("n")))
+      .select(col("n").as("vec_id"), col("component"))
+      .orderBy("vec_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b44, b44lsh, b75)
 }

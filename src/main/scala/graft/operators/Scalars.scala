@@ -159,15 +159,26 @@ object Scalars {
       |       CAST(list_sum(list_transform([p_size, p_size * 2, 42], x -> x + 1)) AS BIGINT) AS sum_plus1,
       |       array_to_string(list_transform(generate_series(1, 3), i -> i * p_size), ',') AS seq_scaled,
       |       array_to_string(flatten([[p_size], [42]]), ',') AS flat,
-      |       [p_size, 42][2] AS second_elem
+      |       [p_size, p_size * 2, 42][2] AS second_elem
       |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
     // array/map-typed OUTPUT columns crash the driver's pandas row-sort
     // (r01: unhashable ndarray) — the HOFs still run, but every collection
     // is serialized through array_join before leaving the query.
-    val arr = array(col("p_size"), col("p_size") * 2, lit(42))
+    //
+    // The base array is materialized in its OWN projection, not repeated
+    // inline in every output column: six copies of the subtree make
+    // subexpression elimination hoist it, and the HOF fallbacks then
+    // reference the hoisted isNull across a codegen split-method boundary
+    // — janino "isNull_N is not an rvalue", the whole projection falling
+    // back to interpreted mode. Two stacked projections keep codegen
+    // compiled AND evaluate the array once per row. (CollapseProject
+    // leaves this alone: the alias is non-cheap and multiply referenced.)
+    val arr = col("arr")
     def joined(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array_join(transform(c, x => x.cast("string")), ",")
     Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size"),
+        array(col("p_size"), col("p_size") * 2, lit(42)).as("arr"))
       .select(
         col("p_partkey"),
         joined(sort_array(arr)).as("arr_sorted"),
@@ -180,7 +191,12 @@ object Scalars {
           .as("sum_plus1"),
         joined(transform(sequence(lit(1), lit(3)), i => i * col("p_size"))).as("seq_scaled"),
         joined(flatten(array(array(col("p_size")), array(lit(42))))).as("flat"),
-        element_at(array(col("p_size"), lit(42)), 2).as("second_elem"))
+        // element_at over the arr ATTRIBUTE, not an inline CreateArray:
+        // Spark 4.1.2 splits ElementAt(CreateArray(nullable), lit) into a
+        // helper method that assigns the parent's undeclared isNull —
+        // janino "isNull_N is not an rvalue" — and the whole projection
+        // silently drops to interpreted mode.
+        element_at(arr, 2).as("second_elem"))
       .orderBy("p_partkey")
   }
 

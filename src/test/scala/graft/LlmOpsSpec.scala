@@ -92,6 +92,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(brute.get(pair).exists(b => math.abs(b - cos) < 1e-9),
         s"pair $pair cosine $cos disagrees with brute force ${brute.get(pair)}")
   }
+
+  test("b75 embedding dedup collapses planted dup classes to the min id") {
+    val out = SparkEntry.queries("b75_dedup_embedding")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    val ids = Tables.embeddings(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    // every corpus vector present exactly once, plus the planted copies
+    val planted5 = ids.filter(_ % 5 == 0)
+    val planted10 = ids.filter(_ % 10 == 0)
+    assert(out.size == n + planted5.length + planted10.length)
+    for (id <- planted5) assert(out(id + 1000000L) == id,
+      s"copy of $id not labeled with its canonical id")
+    for (id <- planted10) assert(out(id + 2000000L) == id,
+      s"second copy of $id not labeled with its canonical id")
+    // organic vectors (max pairwise cosine 0.51 < tau) stay singletons
+    for (id <- ids) assert(out(id) == id, s"organic vector $id got clustered")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
