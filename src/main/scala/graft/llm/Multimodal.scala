@@ -85,16 +85,35 @@ object Multimodal {
 
   /** Resize stage (STUB math, real plan shape): fit decoded dims into a
     * bounding box preserving aspect ratio — a narrow typed map, no
-    * shuffle; chains after [[decodeFeatures]] like a real codec pass. */
+    * shuffle; chains after [[decodeFeatures]] like a real codec pass.
+    *
+    * INTEGER arithmetic throughout (compare cross-products to pick the
+    * binding dimension, then one multiply + floor-div): a float
+    * `round(dim * scale)` would make the result depend on the engine's
+    * half-way rounding at representation boundaries (the b22 trap), while
+    * this is exactly replicable in the b79 oracle's SQL. */
   def resize(features: Dataset[MediaFeature], maxW: Int, maxH: Int): Dataset[MediaFeature] = {
     val spark = features.sparkSession
     import spark.implicits._
-    features.map { f =>
-      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
-      f.copy(width = math.max(1, math.round(f.width * scale).toInt),
-        height = math.max(1, math.round(f.height * scale).toInt))
-    }
+    features.map { f => resizeDims(f, maxW, maxH) }
   }
+
+  /** JVM twin of the b79 oracle's resize expressions. The scaled dimension
+    * rounds to NEAREST via `(num + den/2) div den` — floor division would
+    * lose up to a pixel on the small dimension of extreme aspect ratios
+    * (visible aspect drift), and a float `round` would reintroduce the
+    * engine-dependent half-way case this exists to avoid. */
+  def resizeDims(f: MediaFeature, maxW: Int, maxH: Int): MediaFeature =
+    if (f.width <= maxW && f.height <= maxH) f
+    else if (maxW.toLong * f.height <= maxH.toLong * f.width)
+      // width-bound: width pins to maxW, height scales by maxW/width
+      f.copy(width = maxW,
+        height = math.max(1,
+          ((f.height.toLong * maxW + f.width / 2) / f.width).toInt))
+    else
+      f.copy(width = math.max(1,
+          ((f.width.toLong * maxH + f.height / 2) / f.height).toInt),
+        height = maxH)
 
   /** Frame sampling (video/audio): keep every `stride`-th frame index —
     * deterministic, emitted as (media_id, frame_idx) rows for downstream
@@ -172,5 +191,50 @@ object Multimodal {
       .orderBy("kind")
   }
 
-  val entries: Seq[Entry] = Seq(b47, b47d)
+  /** B79 — the decode → resize → frame-sample chain, driver-visible: per
+    * sampled video frame one (media_id, width, height, frame_idx) row, the
+    * unit of work a per-frame feature extractor consumes. All three stages
+    * are STUB math with real plan shape (mapPartitions decode, narrow typed
+    * resize map, generator-shaped sampling — zero shuffles before the final
+    * t2 ORDER BY); because the stub derives everything from the
+    * cross-dialect polynomial fold and the resize is integer-exact, the
+    * ORACLE replays the whole chain in SQL — a full t2 hash-match through
+    * typed Dataset plumbing. Stride 30 ≈ one frame per second of 30 fps
+    * video. */
+  private val b79 = entry(
+    "b79_multimodal_frames",
+    s"""WITH feat AS (
+       |  SELECT doc_id AS media_id,
+       |         ${Winnowing.polyFoldDuck("text")} AS h
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |dims AS (
+       |  SELECT media_id,
+       |         CAST((h % 1920) + 1 AS INTEGER) AS w,
+       |         CAST(((h // 1920) % 1080) + 1 AS INTEGER) AS ht,
+       |         CAST((h % 300) + 1 AS INTEGER) AS frames
+       |  FROM feat),
+       |resized AS (
+       |  SELECT media_id, frames,
+       |         CASE WHEN w <= 224 AND ht <= 224 THEN w
+       |              WHEN 224 * ht <= 224 * w THEN 224
+       |              ELSE greatest(1, CAST((w * 224 + ht // 2) // ht AS INTEGER)) END AS width,
+       |         CASE WHEN w <= 224 AND ht <= 224 THEN ht
+       |              WHEN 224 * ht <= 224 * w THEN greatest(1, CAST((ht * 224 + w // 2) // w AS INTEGER))
+       |              ELSE 224 END AS height
+       |  FROM dims)
+       |SELECT media_id, width, height,
+       |       CAST(unnest(generate_series(0, frames - 1, 30)) AS INTEGER) AS frame_idx
+       |FROM resized
+       |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val videos = resize(
+      decodeFeatures(mediaTable(s, d)).filter(col("kind") === "video/mp4"),
+      maxW = 224, maxH = 224)
+    videos.flatMap(f => (0 until f.frames by 30)
+        .map(i => (f.media_id, f.width, f.height, i)))
+      .toDF("media_id", "width", "height", "frame_idx")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val entries: Seq[Entry] = Seq(b47, b47d, b79)
 }

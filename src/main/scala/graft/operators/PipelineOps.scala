@@ -249,5 +249,86 @@ object PipelineOps {
       .orderBy("check_name")
   }
 
-  val entries: Seq[Entry] = Seq(b67, b68, b69, b71, b73)
+  /** B77 — table integrity fingerprint: per-segment (ship year) row count
+    * plus an ORDER-INDEPENDENT checksum — `bit_xor` of a per-row
+    * fingerprint — so two replicas of a 100 TB table compare by exchanging
+    * |segments| tiny rows instead of running b68's full-diff join. XOR is
+    * the right combine: commutative/associative (partition-order and
+    * shuffle-layout invariant, map-side combined), overflow-free (unlike
+    * an integer sum of hashes), and self-inverse, so replica drift shows
+    * up as the XOR of exactly the differing rows' fingerprints.
+    *
+    * The per-row fingerprint is the shared cross-engine polynomial fold
+    * ([[graft.llm.Winnowing.polyFoldSpark]]) over a canonical '|'-joined
+    * rendering of key + payload columns — the one row-hash both engines
+    * compute identically, which is what makes this t2-checkable. Engine-
+    * local callers swap in xxhash64 (one codegen'd hash vs a per-char
+    * fold — the Winnowing XxGramHash precedent); the checksum algebra is
+    * hash-agnostic.
+    *
+    * Scale: one narrow scan, one hash agg to |segments| rows; nothing
+    * driver-side but the report itself. */
+  private val b77 = {
+    import graft.llm.Winnowing
+    val sparkRow =
+      """concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+        |  CAST(CAST(l_quantity AS BIGINT) AS STRING), l_returnflag,
+        |  date_format(l_shipdate, 'yyyy-MM-dd'))""".stripMargin
+    val duckRow =
+      """(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+        |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' || l_returnflag || '|' ||
+        |  strftime(l_shipdate, '%Y-%m-%d'))""".stripMargin
+    entry(
+      "b77_integrity_checksum",
+      s"""WITH f AS (
+         |  SELECT year(l_shipdate) AS yr,
+         |         ${Winnowing.polyFoldDuck(duckRow)} AS fp
+         |  FROM lineitem)
+         |SELECT yr, count(*) AS n, CAST(bit_xor(fp) AS BIGINT) AS chk
+         |FROM f GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(year(col("l_shipdate")).as("yr"),
+          expr(Winnowing.polyFoldSpark(s"(${sparkRow.replace('\n', ' ')})")).as("fp"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").cast("long").as("chk"))
+        .orderBy("yr")
+    }
+  }
+
+  /** B78 — sketch-state maintenance: the approximate twin of B69. Per-group
+    * HLL sketches (DataSketches binary state) are stored for the base, the
+    * delta is sketched alone, and the rollup is `hll_union_agg` over the
+    * partial sketches — never a rescan of history. The invariant that makes
+    * stored sketch states trustworthy is MERGE ≡ RECOMPUTE: unioning the
+    * base and delta sketches yields bit-for-bit the same estimate as
+    * sketching all rows from scratch (asserted in PipelineOpsSpec, along
+    * with a 2% tolerance against exact distinct). Approximate by design →
+    * rows-only here (the estimate is not SQL-replicable in DuckDB's
+    * different HLL implementation).
+    *
+    * Scale: this is how 100 TB distinct-user metrics stay fresh — the
+    * delta agg shuffles |groups| KB-sized sketch states, history is one
+    * stored table of the same shape; estimates extract map-side. */
+  private val b78 = entryNoOracle("b78_sketch_maintenance") { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("user_id"))
+    def sketchState(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val baseState = sketchState(ev.filter(col("event_id") % 10 =!= 0))
+    val deltaState = sketchState(ev.filter(col("event_id") % 10 === 0))
+    baseState.unionByName(deltaState)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** Full-recompute twin of [[b78]]'s merged estimate (spec hook): sketch
+    * every row from scratch. PipelineOpsSpec asserts merge ≡ recompute
+    * exactly, and both within tolerance of exact count(distinct). */
+  def sketchRecompute(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d).select(col("event_type"), col("user_id"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+      .orderBy("event_type")
+
+  val entries: Seq[Entry] = Seq(b67, b68, b69, b71, b73, b77, b78)
 }

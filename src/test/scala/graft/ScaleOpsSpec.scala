@@ -82,4 +82,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     for (k <- base.keySet -- deleted -- updated)
       assert(merged(k) === base(k), s"untouched row changed at $k")
   }
+
+  test("z_order2 matches the JVM interleave twin and handles nulls/masking") {
+    graft.functions.ZOrderExpression.register(spark)
+    import spark.implicits._
+    val probes = Seq[(java.lang.Long, java.lang.Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
+      (graft.functions.ZOrderExpression.Mask, graft.functions.ZOrderExpression.Mask),
+      // out-of-range inputs must wrap (mask), not corrupt
+      ((1L << 40) + 7L, 2L), (null, 1L), (1L, null))
+    val got = probes.toDF("x", "y").selectExpr("x", "y", "z_order2(x, y) AS z")
+      .collect()
+    for (r <- got) {
+      if (r.isNullAt(0) || r.isNullAt(1)) assert(r.isNullAt(2), s"null in, null out: $r")
+      else assert(r.getLong(2) ===
+        graft.functions.ZOrderExpression.interleave(r.getLong(0), r.getLong(1)), s"$r")
+    }
+    // ordering sanity: z-order of (hi, hi) dominates (lo, lo)
+    assert(graft.functions.ZOrderExpression.interleave(100, 100) >
+      graft.functions.ZOrderExpression.interleave(3, 3))
+  }
+
+  test("z-order layout: both range predicates reach the scan as pushed filters") {
+    SparkEntry.queries("b76_layout_zorder")(spark, sf).collect()
+    val scan = spark.read.parquet(ScaleOps.b76LayoutDir)
+      .filter(col("l_orderkey") <= 100 && col("l_partkey") <= 50)
+    val explained = scan.queryExecution.executedPlan.toString
+    val pushed = explained.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pushed.contains("l_orderkey") && pushed.contains("l_partkey"),
+      s"2-D predicates not pushed to the scan:\n$explained")
+  }
+
+  test("sketch maintenance: merged partials equal full recompute, near exact") {
+    val merged = SparkEntry.queries("b78_sketch_maintenance")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recomputed = graft.operators.PipelineOps.sketchRecompute(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === recomputed, "sketch merge != from-scratch recompute")
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, est) <- merged)
+      assert(math.abs(est - exact(k)).toDouble <= math.max(2.0, 0.02 * exact(k)),
+        s"estimate $est too far from exact ${exact(k)} for $k")
+  }
 }
