@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sign_lsh_bands"),
       new ExpressionInfo(classOf[graft.functions.SignLshBandsExpression].getName, "sign_lsh_bands"),
       graft.functions.SignLshBandsExpression.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("z_order2"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderExpression].getName, "z_order2"),
+      graft.functions.ZOrderExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }

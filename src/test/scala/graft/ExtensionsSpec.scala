@@ -15,6 +15,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val got = TestSession.spark.sql("SELECT feature_id('abc') AS fid")
       .collect().head.getString(0)
     assert(got === "wildweb-abc")
+    // the other injected natives resolve through the same conf route
+    val z = TestSession.spark.sql("SELECT z_order2(3L, 5L) AS z")
+      .collect().head.getLong(0)
+    assert(z === graft.functions.ZOrderExpression.interleave(3L, 5L))
   }
 
   test("dot_f64 native expression matches the HOF fold bit-for-bit and codegens") {
