@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("z_order2"),
       new ExpressionInfo(classOf[graft.functions.ZOrderExpression].getName, "z_order2"),
       graft.functions.ZOrderExpression.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("trigram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.TrigramHashExpression].getName, "trigram_hashes"),
+      graft.functions.TrigramHashExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }

@@ -64,33 +64,20 @@ object LangId {
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
       |  FROM scores) r
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
+    graft.functions.TrigramHashExpression.register(s)
     val docs = Tables.documents(s, d)
-    // codepoints extracted ONCE per doc (split('') is O(len)); the trigram
-    // hash is then three O(1) element_at lookups — substring(text, i, 1)
-    // per position would be O(i) each (UTF-8 seek), i.e. O(len²) per doc
-    // (measured ~2x the whole query's time at sf0.1).
-    // Surrogate safety: Spark's split (UTF8String regex over UTF-8 bytes)
-    // keeps supplementary-plane characters WHOLE on a zero-width match —
-    // split('a𝄞b','') = [a, 𝄞, b] with ascii = [97, 119070, 98] — unlike
-    // java.lang.String.split(""), which on this JVM yields the two lone
-    // surrogate halves. So this fast path is codepoint-identical to the
-    // oracle's ascii(substr(text, i, 1)) even for astral text; pinned on
-    // data by the b45_tri_unicode fixture entry below (astral + combining
-    // rows) and LlmOpsSpec's surrogate-safety unit test.
-    val cps = expr("transform(split(text, ''), c -> ascii(c))")
-    // position range from length(text), not size(cps): split('') with
-    // Spark's default limit -1 keeps a trailing zero-width match, so cps
-    // may carry one empty-string entry past the last character
-    val triOf = expr(
-      """transform(sequence(1, length(text) - 2),
-        |          i -> element_at(cps, i) * 961
-        |             + element_at(cps, i + 1) * 31
-        |             + element_at(cps, i + 2))""".stripMargin)
+    // Trigram hashes come from the native fused-loop Expression — one
+    // codepoint scan per doc emitting 4-byte ints. The r3 split('') + two
+    // interpreted transform lambdas spelling (and before it the O(len²)
+    // substring-seek spelling) live on in the b45_tri_unicode fixture's
+    // spec cross-check; the codepoint semantics (incl. astral text, where
+    // String.split("") would yield lone surrogate halves) are pinned on
+    // data by b45_tri_unicode and by TrigramHashSpec.
+    val triOf = expr("trigram_hashes(text)")
     // length >= 3 proves the trigram array non-empty → explode_outer is
     // row-identical AND skips the inferred Generate guard that would
     // re-evaluate triOf per row (the b43 explode lesson)
     val trainTri = docs.filter(col("doc_id") % 2 === 0 && length(col("text")) >= 3)
-      .withColumn("cps", cps)
       .select(col("lang"), explode_outer(triOf).as("tri"))
     val wProf = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
     val profile = trainTri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
@@ -98,7 +85,6 @@ object LangId {
       .filter(col("rn") <= 20)
       .select(col("lang").as("plang"), col("tri"))
     val testTri = docs.filter(col("doc_id") % 20 === 1 && length(col("text")) >= 3)
-      .withColumn("cps", cps)
       .select(col("doc_id"), col("lang"), explode_outer(triOf).as("tri"))
       .distinct()
     val wBest = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
@@ -113,13 +99,15 @@ object LangId {
 
   private val unicodeCsv = "/root/repo/fixtures/csv/unicode_probe.csv"
 
-  /** B45± — fixture lock for the split('')-based trigram fast path above on
-    * NON-BMP text: the same `transform(split(text,''), ascii)` + element_at
-    * polynomial, evaluated per position over the unicode_probe fixture
-    * (accented Latin, CJK, astral 𝄞/😀 rows), against the oracle's
-    * codepoint-indexed ascii(substr(text, i, 1)). If split('') ever
-    * regressed to UTF-16 code-unit splitting (java.lang.String semantics),
-    * rows 4-5 would shift every position and diverge the hash. */
+  /** B45± — fixture lock for the NATIVE trigram path above on NON-BMP
+    * text: [[graft.functions.TrigramHashExpression]] evaluated over the
+    * unicode_probe fixture (accented Latin, CJK, astral 𝄞/😀 rows),
+    * against the oracle's codepoint-indexed ascii(substr(text, i, 1)).
+    * If the native codepoint scan ever regressed to UTF-16 code units
+    * (java.lang.String.split("") semantics — lone surrogate halves),
+    * rows 4-5 would shift every position and diverge the hash.
+    * TrigramHashSpec additionally cross-checks the native expression
+    * against the r3 split('')-HOF spelling on the same fixture. */
   private val b45tu = entry(
     "b45_tri_unicode",
     s"""SELECT probe_id, i AS pos,
@@ -133,18 +121,13 @@ object LangId {
        |                columns={probe_id: 'BIGINT', text: 'VARCHAR'})
        |  WHERE length(text) >= 3) t
        |ORDER BY probe_id, pos""".stripMargin) { (s, _) =>
+    graft.functions.TrigramHashExpression.register(s)
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("probe_id", LongType), StructField("text", StringType)))
-    val triOf = expr(
-      """transform(sequence(1, length(text) - 2),
-        |          i -> element_at(cps, i) * 961
-        |             + element_at(cps, i + 1) * 31
-        |             + element_at(cps, i + 2))""".stripMargin)
     s.read.option("header", "true").schema(schema).csv(unicodeCsv)
       .filter(length(col("text")) >= 3)
-      .withColumn("cps", expr("transform(split(text, ''), c -> ascii(c))"))
-      .select(col("probe_id"), posexplode_outer(triOf))
+      .select(col("probe_id"), posexplode_outer(expr("trigram_hashes(text)")))
       .select(col("probe_id"), (col("pos") + 1).as("pos"), col("col").as("tri"))
       .orderBy("probe_id", "pos")
   }

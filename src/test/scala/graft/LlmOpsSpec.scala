@@ -213,4 +213,37 @@ class CodepointSplitSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s.split("").length === 4)                // surrogate halves split
     assert(s.codePoints().count() === 3L)           // but only 3 codepoints
   }
+
+  test("native trigram_hashes equals the split('')-HOF spelling and codegens") {
+    graft.functions.TrigramHashExpression.register(spark)
+    import spark.implicits._
+    val df = probes.toDF("text") // all ≥ 3 codepoints (the LangId gate)
+    val rows = df
+      .withColumn("cps", expr("transform(split(text, ''), c -> ascii(c))"))
+      .select(
+        expr("trigram_hashes(text)").as("native"),
+        expr("""transform(sequence(1, length(text) - 2),
+               |  i -> element_at(cps, i) * 961
+               |     + element_at(cps, i + 1) * 31
+               |     + element_at(cps, i + 2))""".stripMargin).as("hof"),
+        col("text"))
+      .collect()
+    for (r <- rows)
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1),
+        s"native trigram diverged on '${r.getString(2)}'")
+    // under-3-codepoint input → empty array; null in, null out
+    val short = spark.sql(
+      "SELECT size(trigram_hashes('ab')), trigram_hashes(CAST(NULL AS STRING))")
+      .collect().head
+    assert(short.getInt(0) === 0)
+    assert(short.isNullAt(1))
+    // stays inside whole-stage codegen over non-literal (scan) input —
+    // a local Seq collapses to LocalTableScan, which has no WSCG stage
+    // (the `*(n)` prefix marks the WholeStageCodegen span in this
+    // rendering — the dot_f64 spec's convention)
+    val plan = graft.sources.Tables.documents(spark, TestSession.sf0001)
+      .select(expr("trigram_hashes(text)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [trigram_hashes"), plan)
+  }
 }
