@@ -116,15 +116,16 @@ object Multimodal {
         height = maxH)
 
   /** Frame sampling (video/audio): keep every `stride`-th frame index —
-    * deterministic, emitted as (media_id, frame_idx) rows for downstream
-    * per-frame feature extraction. Generator-shaped (one row per kept
-    * frame), still shuffle-free. */
+    * deterministic, one row per kept frame carrying the (possibly resized)
+    * dims for downstream per-frame feature extraction. Generator-shaped,
+    * still shuffle-free. THE one stride definition — b79 consumes this
+    * same function, so the t2 oracle pins it. */
   def sampleFrames(features: Dataset[MediaFeature], stride: Int): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     features.flatMap(f =>
-        (0 until f.frames by stride).map(i => (f.media_id, f.kind, i)))
-      .toDF("media_id", "kind", "frame_idx")
+        (0 until f.frames by stride).map(i => (f.media_id, f.kind, f.width, f.height, i)))
+      .toDF("media_id", "kind", "width", "height", "frame_idx")
   }
 
   /** B47 — binary payload + metadata: size, digests, content-type dispatch.
@@ -226,13 +227,15 @@ object Multimodal {
        |       CAST(unnest(generate_series(0, frames - 1, 30)) AS INTEGER) AS frame_idx
        |FROM resized
        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
-    import s.implicits._
+    // filter BEFORE the typed decode: Catalyst cannot push a predicate
+    // through mapPartitions, so filtering on kind afterwards would run
+    // the (stand-in for an expensive) codec on the 2/3 non-video rows
     val videos = resize(
-      decodeFeatures(mediaTable(s, d)).filter(col("kind") === "video/mp4"),
+      decodeFeatures(mediaTable(s, d)
+        .filter(col("meta.content_type") === "video/mp4")),
       maxW = 224, maxH = 224)
-    videos.flatMap(f => (0 until f.frames by 30)
-        .map(i => (f.media_id, f.width, f.height, i)))
-      .toDF("media_id", "width", "height", "frame_idx")
+    sampleFrames(videos, stride = 30)
+      .select("media_id", "width", "height", "frame_idx")
       .orderBy("media_id", "frame_idx")
   }
 

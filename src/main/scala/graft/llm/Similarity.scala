@@ -126,7 +126,8 @@ object Similarity {
   /** The b75 corpus: embeddings plus planted duplicate vectors — every
     * 5th vec_id re-appears shifted by 1e6, every 10th ALSO by 2e6, so dup
     * classes of size 2 and 3 exist and cluster resolution must close the
-    * transitive triangle. Shared by the query and SimilaritySpec. */
+    * transitive triangle. The b75 oracle SQL replays the same planting;
+    * SimilaritySpec re-derives it independently as a cross-check. */
   private[llm] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     base

@@ -270,14 +270,22 @@ object PipelineOps {
     * driver-side but the report itself. */
   private val b77 = {
     import graft.llm.Winnowing
-    val sparkRow =
-      """concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
-        |  CAST(CAST(l_quantity AS BIGINT) AS STRING), l_returnflag,
-        |  date_format(l_shipdate, 'yyyy-MM-dd'))""".stripMargin
-    val duckRow =
-      """(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
-        |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' || l_returnflag || '|' ||
-        |  strftime(l_shipdate, '%Y-%m-%d'))""".stripMargin
+    // null-total rendering: every field coalesces to chr(1) (a control
+    // char that cannot appear in these rendered values), so a NULL field
+    // hashes deterministically and identically in both engines — Spark's
+    // concat_ws would silently SKIP a null argument (colliding with a
+    // different row's rendering) and DuckDB's '||' would null the whole
+    // row, which bit_xor then skips: both would mis-fingerprint.
+    def rendered(cast: String => String, dateFmt: String) = Seq(
+      cast("l_orderkey"), cast("l_linenumber"),
+      cast("CAST(l_quantity AS BIGINT)"), "l_returnflag", dateFmt)
+      .map(f => s"coalesce($f, chr(1))")
+    val sparkRow = "concat_ws('|', " +
+      rendered(c => s"CAST($c AS STRING)", "date_format(l_shipdate, 'yyyy-MM-dd')")
+        .mkString(", ") + ")"
+    val duckRow = "(" +
+      rendered(c => s"CAST($c AS VARCHAR)", "strftime(l_shipdate, '%Y-%m-%d')")
+        .mkString(" || '|' || ") + ")"
     entry(
       "b77_integrity_checksum",
       s"""WITH f AS (
@@ -286,9 +294,13 @@ object PipelineOps {
          |  FROM lineitem)
          |SELECT yr, count(*) AS n, CAST(bit_xor(fp) AS BIGINT) AS chk
          |FROM f GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
+      // the rendered row string is its OWN projection: polyFold's lambda
+      // references its input per character, and interpreted HOF lambdas
+      // don't CSE-hoist — inlining the concat would rebuild the full
+      // string for every character position (the b36/langid lesson)
       Tables.lineitem(s, d)
-        .select(year(col("l_shipdate")).as("yr"),
-          expr(Winnowing.polyFoldSpark(s"(${sparkRow.replace('\n', ' ')})")).as("fp"))
+        .select(year(col("l_shipdate")).as("yr"), expr(sparkRow).as("row_str"))
+        .select(col("yr"), expr(Winnowing.polyFoldSpark("row_str")).as("fp"))
         .groupBy("yr")
         .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").cast("long").as("chk"))
         .orderBy("yr")

@@ -104,5 +104,21 @@ object StreamingBatchTwins {
       .orderBy("purchase_id", "view_id")
   }
 
-  val entries: Seq[Entry] = Seq(b48, b49, b50, b55)
+  /** B80 twin — stream-static enrichment join + windowed cohort agg,
+    * executed in batch through the SAME [[StreamingOps.cohortHourly]] the
+    * streaming path runs (StreamingSpec pins stream ≡ this twin); the
+    * oracle replays join + date_trunc in SQL. */
+  private val b80 = entry(
+    "b80_stream_static_batch",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+      |       cohort, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events
+      |JOIN (SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events) d
+      |  USING (user_id)
+      |GROUP BY 1, 2 ORDER BY ws, cohort""".stripMargin) { (s, d) =>
+    StreamingOps.cohortHourly(Tables.events(s, d), StreamingOps.cohortDim(s, d))
+      .orderBy("ws", "cohort")
+  }
+
+  val entries: Seq[Entry] = Seq(b48, b49, b50, b55, b80)
 }

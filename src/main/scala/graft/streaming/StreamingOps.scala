@@ -187,6 +187,32 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** B80 — stream-static enrichment join: the streaming fact joined to a
+    * STATIC (batch) dimension, then a windowed per-cohort aggregate. ONE
+    * implementation for both execution modes (the b62/b72 sharing rule):
+    * with a streaming `events` this plans a stateless per-micro-batch
+    * broadcast join + stateful windowed agg; with a batch `events` the
+    * EliminateEventTimeWatermark rule drops the watermark and it IS the
+    * t2-checked batch twin (b80_stream_static_batch). Only the stream
+    * side keeps state — a static dim needs none (vs B55's double-buffered
+    * stream-stream join), which is why enrichment dims should join
+    * stream-static whenever freshness allows. */
+  def cohortHourly(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("cohort"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("cohort"), col("n"), col("total"))
+
+  /** The B80 static dimension: per-user cohort, derived from the batch
+    * events table (stands in for a slowly-changing user dim). */
+  def cohortDim(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", col("user_id") % 10)
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =

@@ -55,9 +55,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val explained = scan.queryExecution.executedPlan.toString
     // the month predicate must land in PartitionFilters (directory-level
     // pruning), not survive as a post-scan data Filter
-    assert(explained.contains("PartitionFilters") &&
-      explained.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
-        .contains("ship_month"),
+    val parts = explained
+      .replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    // replaceAll returns the INPUT unchanged on no match — a renamed plan
+    // field must fail the assert, not silently match the full plan string
+    assert(parts != explained && parts.contains("ship_month"),
       s"ship_month not in PartitionFilters:\n$explained")
     val monthsRead = scan.select("ship_month").distinct()
       .collect().map(_.getString(0)).toSet
@@ -107,10 +109,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     SparkEntry.queries("b76_layout_zorder")(spark, sf).collect()
     val scan = spark.read.parquet(ScaleOps.b76LayoutDir)
       .filter(col("l_orderkey") <= 100 && col("l_partkey") <= 50)
-    val explained = scan.queryExecution.executedPlan.toString
-    val pushed = explained.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
-    assert(pushed.contains("l_orderkey") && pushed.contains("l_partkey"),
-      s"2-D predicates not pushed to the scan:\n$explained")
+    // read the scan node's own metadata — the plan's toString TRUNCATES
+    // long field lists ("..."), which a string regex can't see past
+    val pushed = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters")
+    }.getOrElse(fail("no FileSourceScanExec in the re-read plan"))
+    assert(pushed.contains("LessThanOrEqual(l_orderkey") &&
+      pushed.contains("LessThanOrEqual(l_partkey"),
+      s"2-D predicates not pushed to the scan: $pushed")
   }
 
   test("sketch maintenance: merged partials equal full recompute, near exact") {

@@ -33,6 +33,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("B80: stream-static enrichment join converges to batch twin") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.cohortHourly(StreamingOps.readStream(spark, chunkDir),
+        StreamingOps.cohortDim(spark, sf)),
+      "t_cohort", "complete")
+    val batch = SparkEntry.queries("b80_stream_static_batch")(spark, sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("B49: streaming sliding window converges to batch twin") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.sliding(StreamingOps.readStream(spark, chunkDir)),
