@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TemporalJoins.entries ++
       operators.Extensions.entries ++
       operators.ScaleOps.entries ++
+      operators.MaintenanceOps.entries ++
       operators.GraphOps.entries ++
       operators.PipelineOps.entries ++
       operators.WildWebQueries.entries ++

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Round-5 table-maintenance operators: file-level zone-map pruning (B81)
+  * and small-file compaction (B82) — the two jobs that keep a 100 TB
+  * parquet table readable, beyond the write-time layouts b61 (hive
+  * partitioning) and b76 (Z-order) already pin.
+  *
+  * Both are RESULT-invisible: the t2 oracle is the plain query over the
+  * ORIGINAL table, so correctness proves the maintenance step changed
+  * physical layout only. The structural win (files pruned / files merged)
+  * is asserted on the artifacts in MaintenanceOpsSpec.
+  */
+object MaintenanceOps {
+
+  /** One temp layout dir per JVM (the b04/b61/b76 sink-dir rationale). */
+  private[graft] lazy val b81LayoutDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b81_zonemap").toString + "/lineitem"
+
+  /** Per-file (min, max, rows) manifest over `key` — the zone map. One
+    * distributed pass grouping on the hidden `_metadata.file_path` column;
+    * output is O(|files|) rows. At 100 TB the same relation is maintained
+    * incrementally at write time (parquet footers already hold these
+    * stats); deriving it with a scan here keeps the operator
+    * self-contained while the CONSUMER side — prune-then-read — is
+    * exactly the manifest protocol. */
+  def zoneMap(layout: DataFrame, key: String): DataFrame =
+    layout
+      .select(col(key), col("_metadata.file_path").as("file"))
+      .groupBy("file")
+      .agg(min(col(key)).as("mn"), max(col(key)).as("mx"),
+        count(lit(1)).as("rows"))
+
+  /** The file paths whose [mn, mx] zone intersects [lo, hi] — the pruned
+    * read set. The collect is O(|files|) driver-side rows (a few KB per
+    * thousand files): manifests are SUPPOSED to come to the driver — that
+    * is what lets the scheduler skip listing/opening the other files. */
+  def prunedFiles(manifest: DataFrame, lo: Long, hi: Long): Seq[String] =
+    manifest.filter(col("mx") >= lo && col("mn") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** B81 — zone-map (file-skipping manifest) scan: range-cluster lineitem
+    * by orderkey into 16 files, derive the per-file min/max manifest,
+    * prune the file list against an orderkey range probe, and answer the
+    * query from ONLY the surviving files (plus the residual row filter —
+    * zone granularity over-admits; false positives die in the filter,
+    * which is what keeps the result exact and the oracle green).
+    *
+    * b61/b76 push skipping into the format (hive dirs, parquet row-group
+    * stats); this is the third, engine-agnostic level: an explicit
+    * manifest relation the planner consults BEFORE any file is opened —
+    * the Iceberg/Delta file-pruning protocol, expressed as two operators
+    * ([[zoneMap]], [[prunedFiles]]) of this engine itself.
+    *
+    * Driver-side values: the 2 probe bounds (O(1) agg row, table stats at
+    * 100 TB) and the pruned path list (O(|files|) — see [[prunedFiles]]).
+    * The probe spans ~1/10 of the key range → ~2-3 of 16 zones survive;
+    * MaintenanceOpsSpec asserts the pruning on the manifest itself. */
+  private val b81 = entry(
+    "b81_scan_zonemap",
+    """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+      |p AS (SELECT lo + (hi - lo) // 3 AS plo,
+      |             lo + (hi - lo) // 3 + (hi - lo) // 10 AS phi FROM b)
+      |SELECT l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |       count(DISTINCT l_orderkey) AS orders
+      |FROM lineitem, p
+      |WHERE l_orderkey BETWEEN plo AND phi
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    // O(1) driver row: probe bounds from the key extent (stats at 100 TB)
+    val b = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val plo = lo + (hi - lo) / 3
+    val phi = plo + (hi - lo) / 10
+    val out = b81LayoutDir
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    val files = prunedFiles(zoneMap(s.read.parquet(out), "l_orderkey"), plo, phi)
+    s.read.parquet(files: _*)
+      .filter(col("l_orderkey").between(plo, phi))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        countDistinct(col("l_orderkey")).as("orders"))
+      .orderBy("l_linestatus")
+  }
+
+  private[graft] lazy val b82SmallDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b82_small").toString + "/events"
+  private[graft] lazy val b82CompactDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b82_compact").toString + "/events"
+
+  /** Target rows per compacted file. At 100 TB this is derived from the
+    * target file SIZE (e.g. 512 MB) / avg row width from table stats; a
+    * row-count knob keeps the local fixture deterministic. */
+  private[graft] val CompactRowsPerFile = 4096L
+
+  /** Compact `smallDir` (many under-sized files) into `outDir`:
+    * ceil(rows / rowsPerFile) files, range-clustered AND sorted by `key`
+    * so compaction doubles as re-clustering — merged files keep tight
+    * min/max zones on the key instead of interleaving rows arbitrarily
+    * (what a plain repartition(n) would do, destroying b81-style
+    * skipping). Returns the compacted re-read.
+    *
+    * One count() scalar (O(1)) + one range-exchange of the small files'
+    * rows. The 100 TB job runs per partition-directory (b61 layout) so
+    * each month compacts independently — same code, pushed down a level. */
+  def compact(spark: SparkSession, smallDir: String, outDir: String,
+      key: String, rowsPerFile: Long = CompactRowsPerFile): DataFrame = {
+    val small = spark.read.parquet(smallDir)
+    val rows = small.count() // O(1) driver scalar
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    small.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** B82 — small-file compaction: shatter events into 64 under-sized
+    * files (the streaming-ingest pathology: every micro-batch commit
+    * writes one file per partition), then [[compact]] them to
+    * ceil(n/4096) range-clustered files and answer the query from the
+    * compacted re-read against the ORIGINAL table's oracle.
+    *
+    * Why it matters at 100 TB: file count, not byte count, drives
+    * scheduler/listing/footer overhead — 10M under-sized files can cost
+    * more wall-clock than the scan itself. Money uses the b62 exact
+    * integer-cents convention (round(value*100) per ROW, then BIGINT
+    * sums — never a float aggregate). */
+  private val b82 = entry(
+    "b82_maintain_compact",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       count(DISTINCT user_id) AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .repartition(64) // the ingest pathology: 64 tiny files
+      .write.mode("overwrite").parquet(b82SmallDir)
+    compact(s, b82SmallDir, b82CompactDir, key = "event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+  }
+
+  val entries: Seq[Entry] = Seq(b81, b82)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MaintenanceOps
+import graft.sources.Tables
+
+/** Round-5 maintenance operators: zone-map file pruning actually skips
+  * files (and loses no rows); compaction actually merges files (and loses
+  * no rows). The t2 entries prove result-equivalence to the original
+  * table; these specs pin the STRUCTURAL effect the oracle cannot see. */
+class MaintenanceOpsSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("zone-map pruning skips most files and the pruned read loses no rows") {
+    // materialize the layout + probe exactly as the entry does
+    SparkEntry.queries("b81_scan_zonemap")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    val b = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val plo = lo + (hi - lo) / 3
+    val phi = plo + (hi - lo) / 10
+    val manifest = MaintenanceOps.zoneMap(
+      spark.read.parquet(MaintenanceOps.b81LayoutDir), "l_orderkey")
+    val total = manifest.count()
+    val pruned = MaintenanceOps.prunedFiles(manifest, plo, phi)
+    assert(total === 16L, s"expected 16 zone files, got $total")
+    // a ~1/10-range probe over range-clustered files must skip most zones
+    assert(pruned.nonEmpty && pruned.size <= 4,
+      s"probe spanning ~1/10 of the key range should survive in <=4 of 16 zones, got ${pruned.size}")
+    val fromPruned = spark.read.parquet(pruned: _*)
+      .filter(col("l_orderkey").between(plo, phi)).count()
+    val fromOriginal = li.filter(col("l_orderkey").between(plo, phi)).count()
+    assert(fromPruned === fromOriginal,
+      "pruned file set dropped matching rows — zone map is incorrect")
+  }
+
+  test("compaction merges small files to ceil(rows/target) and keeps every row") {
+    SparkEntry.queries("b82_maintain_compact")(spark, sf).collect()
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles((_, n) =>
+        n.startsWith("part-") && n.endsWith(".parquet")).length
+    val smallFiles = partFiles(MaintenanceOps.b82SmallDir)
+    val compactFiles = partFiles(MaintenanceOps.b82CompactDir)
+    val rows = Tables.events(spark, sf).count()
+    val expected = math.max(1L,
+      (rows + MaintenanceOps.CompactRowsPerFile - 1) / MaintenanceOps.CompactRowsPerFile).toInt
+    assert(smallFiles === 64, s"ingest fixture should write 64 files, got $smallFiles")
+    assert(compactFiles === expected,
+      s"compaction should write ceil($rows/${MaintenanceOps.CompactRowsPerFile}) = $expected files, got $compactFiles")
+    assert(compactFiles < smallFiles, "compaction did not reduce file count")
+    val compactRows = spark.read.parquet(MaintenanceOps.b82CompactDir).count()
+    assert(compactRows === rows, "compaction lost or duplicated rows")
+  }
+}
