@@ -120,5 +120,24 @@ object StreamingBatchTwins {
       .orderBy("ws", "cohort")
   }
 
-  val entries: Seq[Entry] = Seq(b48, b49, b50, b55, b80)
+  /** B83 twin — the LEFT OUTER interval join, batch-executed through the
+    * SAME [[StreamingOps.viewPurchaseJoinOuter]] the stream runs. The
+    * oracle LEFT-joins filtered subqueries (the event_type predicates
+    * must NOT sit in the outer join's ON clause — they would turn it
+    * back into a semi-filtered inner match); NULLS FIRST matches Spark's
+    * asc default on the nullable view_id. */
+  private val b83 = entry(
+    "b83_stream_join_outer_batch",
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+      |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      |  AND v.ts >= p.ts - INTERVAL 240 MINUTE AND v.ts <= p.ts
+      |ORDER BY purchase_id, view_id NULLS FIRST""".stripMargin) { (s, d) =>
+    StreamingOps.viewPurchaseJoinOuter(Tables.events(s, d))
+      .orderBy("purchase_id", "view_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b48, b49, b50, b55, b80, b83)
 }

@@ -187,6 +187,38 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** B83 — stream-stream LEFT OUTER interval join: B55's join, but every
+    * purchase survives — view-less purchases emit with NULL view columns.
+    * The semantic difference is WHEN: an inner join emits matches as they
+    * arrive, but an outer row can only emit once the watermark proves no
+    * matching view can still arrive (p_ts + interval < watermark), so
+    * null-emission is watermark-DRIVEN — the part batch twins can't show
+    * and StreamingSpec pins with a flush sentinel that advances the
+    * watermark past the tail. State stays bounded exactly as B55 (both
+    * sides watermarked + time-range condition → eviction).
+    *
+    * ONE implementation for both modes (the b62/b72/b80 sharing rule):
+    * batch execution drops the watermarks (EliminateEventTimeWatermark)
+    * and plans a plain left join — the t2-checked
+    * b83_stream_join_outer_batch twin. */
+  def viewPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 240 MINUTES") &&
+        col("v_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** B80 — stream-static enrichment join: the streaming fact joined to a
     * STATIC (batch) dimension, then a windowed per-cohort aggregate. ONE
     * implementation for both execution modes (the b62/b72 sharing rule):

@@ -91,6 +91,38 @@ class StreamingSpec extends AnyFunSuite {
       s"join state ($buffered) did not stay below total input ($totalInput) — eviction broken")
   }
 
+  test("B83: outer interval join emits watermark-driven nulls, converges to twin") {
+    // A left-outer stream-stream join can only emit an UNMATCHED purchase
+    // once the watermark proves no matching view can still arrive — the
+    // tail of a finite replay would stay buffered forever. Flush sentinels
+    // (one per side, far past max ts + interval + delay) advance the
+    // watermark so every real purchase resolves; the sentinel ids are
+    // filtered from the comparison (the sentinel purchase itself is the
+    // one row legitimately still buffered at stop).
+    val dir = Files.createTempDirectory("graft_outer").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val flushTs = new Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+    import spark.implicits._
+    val flush = Seq(
+      (9000001L, flushTs, -1L, "view", 0.0, "{}"),
+      (9000002L, flushTs, -2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 6)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.viewPurchaseJoinOuter(StreamingOps.readStream(spark, dir)),
+      "t_ssouter", "append")
+    val got = streamed.filter(col("purchase_id") < 9000000L)
+      .select("purchase_id", "view_id", "user_id", "gap_us")
+    val batch = SparkEntry.queries("b83_stream_join_outer_batch")(spark, sf)
+      .select("purchase_id", "view_id", "user_id", "gap_us")
+    assert(sortedRows(got) === sortedRows(batch))
+    // and the outer join genuinely adds view-less purchases vs the inner
+    assert(got.filter(col("view_id").isNull).count() > 0,
+      "fixture has no unmatched purchases — outer semantics untested")
+  }
+
   test("B53: stateful running balance folds to the batch per-user totals") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningBalance(StreamingOps.readStream(spark, chunkDir)),
