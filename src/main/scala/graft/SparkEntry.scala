@@ -26,6 +26,7 @@ object SparkEntry {
       llm.TextDedup.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
+      llm.Pq.entries ++
       llm.TextAnalysis.entries ++
       llm.LangId.entries ++
       llm.Multimodal.entries ++

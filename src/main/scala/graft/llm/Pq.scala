@@ -1,0 +1,167 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Product quantization (PQ) approximate nearest-neighbor search — SURVEY
+  * B44 scale path #3, the memory-compression leg beside sign-LSH (hashing)
+  * and IVF (partition pruning). Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", IEEE TPAMI 2011 (public literature).
+  *
+  * The 64-dim vector is split into `m` subvectors; each subspace gets a
+  * `ksub`-entry codebook, and a vector is stored as `m` small codes (the
+  * default 16 codes of 4 bits = 8 bytes vs 256 bytes of floats — a 32×
+  * compression of what the scoring join must carry; m trades recall
+  * against code size). Search is asymmetric (ADC): the
+  * probe stays exact; per (probe, subspace, code) partial dot products are
+  * tabulated once, and each corpus vector scores as `m` table lookups
+  * instead of a 64-term float dot product.
+  *
+  * Scale shape, stage by stage:
+  *   - codebook: deterministic ksub-vector sample (smallest xxhash64 — the
+  *     IVF quantizer rule: fixed cardinality, never linear in n), sliced
+  *     into m subspaces → m·ksub tiny rows, broadcast everywhere below.
+  *     At 100 TB the sample seeds per-subspace Lloyd exactly like
+  *     [[Ivf.refineCentroids]]; the index layout is identical either way.
+  *   - encode (index build): one broadcast join + per-(vec, sub) argmin —
+  *     the shuffle carries (vec_id, sub, code) triples, never raw vectors.
+  *     The n·m·ksub work is the one-off build cost, embarrassingly
+  *     parallel. (A fused native Expression — the dot_f64/trigram_hashes
+  *     pattern — would do it shuffle-free; the declarative form keeps
+  *     every step a checkable relation.)
+  *   - distance tables: probes × codebook = p·m·ksub partial dots,
+  *     computed distributed, then collected — p·m·ksub doubles (a few KB
+  *     for 20 probes; the bloom/CMS O(sketch) driver rule) and broadcast
+  *     back as one flattened array per probe.
+  *   - score: broadcast probe tables × encoded corpus; each pair costs m
+  *     array lookups via one `aggregate` HOF, and the corpus side of the
+  *     join carries 4-byte codes + one cached norm instead of the vector.
+  *     Top-k per probe by the same window as b44.
+  *
+  * Approximate by construction → rows-only entry (b19/b43-minhash rules);
+  * PqSpec pins determinism (identical vectors ⇒ identical codes), code
+  * shape, exactness in the self-coded limit, and recall vs brute force.
+  */
+object Pq {
+
+  private def dot(a: String, b: String) = expr(s"dot_f64($a, $b)")
+
+  /** Deterministic per-subspace codebook: the `ksub` corpus vectors with
+    * the smallest xxhash64(vec_id) (partitioning/order-independent),
+    * sliced into `m` subvectors; `code` = sample rank, identical across
+    * subspaces. Output: (sub, code, cv) — m·ksub rows, broadcast-sized. */
+  def codebook(embeddings: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val d = 64 // embeddings table dimension (TESTDATA.md)
+    require(d % m == 0, s"m=$m must divide dim $d")
+    val dsub = d / m
+    Ivf.asDouble(embeddings)
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(ksub)
+      .withColumn("code", row_number().over(
+        Window.orderBy(col("hk"), col("vec_id"))) - 1)
+      .select(col("code"), posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $dsub + 1, $dsub))")))
+      .select(col("pos").as("sub"), col("code"), col("col").as("cv"))
+  }
+
+  /** PQ encoding: per (vector, subspace) nearest codebook entry by L2
+    * (‖x‖² − 2x·c + ‖c‖² — ‖x‖² is rank-constant per (vec, sub), so the
+    * argmin needs only −2x·c + ‖c‖²). One broadcast join, one argmin
+    * window, one collect_list re-assembly; shuffles carry codes, not
+    * vectors. Output: (vec_id, codes array<int> of length m, norm). */
+  def encode(embeddings: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val d = 64
+    val dsub = d / m
+    val subs = Ivf.asDouble(embeddings)
+      .select(col("vec_id"), col("norm"), posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $dsub + 1, $dsub))")))
+      .select(col("vec_id"), col("norm"), col("pos").as("sub"), col("col").as("xv"))
+    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist2"), col("code"))
+    subs.join(broadcast(cb), "sub")
+      .withColumn("dist2", -lit(2) * dot("xv", "cv") + dot("cv", "cv"))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id", "norm")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), e -> e.code)")
+        .as("codes"))
+      .select(col("vec_id"), col("codes"), col("norm"))
+  }
+
+  /** ADC top-k cosine search with exact re-ranking. Stage 1 scores every
+    * corpus vector from its codes via per-probe lookup tables (approximate
+    * cosine Σ_s pv_s·c_{s,code_s} / (‖p‖·‖x‖) — exact norms, quantized
+    * direction) and keeps a `shortlist`-deep candidate set; stage 2
+    * re-scores ONLY the shortlist with the exact dot product — the
+    * candidates-then-verify pattern (MinHashLsh/SimHash rule). The full
+    * corpus is touched only through its 4-byte codes; exact vectors are
+    * fetched for p·shortlist rows. Recall = P(true top-k ⊆ ADC shortlist),
+    * pinned in PqSpec. */
+  def searchAdc(embeddings: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int, m: Int = 16, ksub: Int = 16, shortlist: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    val d = 64
+    val dsub = d / m
+    val cb = codebook(embeddings, m, ksub).cache()
+    try {
+      val coded = encode(embeddings, cb, m)
+      val probes = Ivf.asDouble(embeddings.filter(probeFilter))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm"))
+      // distance tables: p·m·ksub partial dots, computed distributed then
+      // collected (a few KB — the O(sketch) driver rule) and re-broadcast
+      // as one flat array per probe: entry s·ksub+code = pv_s · c_{s,code}
+      val tableRows = probes
+        .select(col("probe_id"), col("pnorm"), posexplode(
+          expr(s"transform(sequence(0, ${m - 1}), s -> slice(pv, s * $dsub + 1, $dsub))")))
+        .select(col("probe_id"), col("pnorm"), col("pos").as("sub"), col("col").as("pv_s"))
+        .join(broadcast(cb), "sub")
+        .select(col("probe_id"), col("pnorm"), col("sub"), col("code"),
+          dot("pv_s", "cv").as("pd"))
+        .collect()
+      import spark.implicits._
+      val tables = tableRows.groupBy(r => (r.getLong(0), r.getDouble(1)))
+        .map { case ((pid, pnorm), rows) =>
+          val flat = new Array[Double](m * ksub)
+          rows.foreach(r => flat(r.getInt(2) * ksub + r.getInt(3)) = r.getDouble(4))
+          (pid, pnorm, flat.toSeq)
+        }.toSeq.toDF("probe_id", "pnorm", "dtable")
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_pq").desc, col("vec_id"))
+      val candidates = coded.crossJoin(broadcast(tables))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("adc", expr(
+          s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + dtable[s * $ksub + codes[s]])"))
+        .withColumn("cos_pq", col("adc") / (col("pnorm") * col("norm")))
+        .withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= shortlist)
+        .select(col("probe_id"), col("vec_id"))
+      // exact re-rank of the shortlist only: fetch true vectors for the
+      // p·shortlist candidate rows, never the whole corpus
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      candidates
+        .join(Ivf.asDouble(embeddings), "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .withColumn("cos", dot("pv", "v") / (col("pnorm") * col("norm")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cosine"), col("rn"))
+    } finally cb.unpersist()
+  }
+
+  /** B44 scale path #3 — PQ/ADC top-10 for the same probe set as the
+    * brute-force query (approximate: recall + determinism in PqSpec). */
+  private val b84pq = entryNoOracle("b84_similarity_pq") { (s, d) =>
+    graft.functions.DotProductExpression.register(s)
+    searchAdc(Tables.embeddings(s, d), col("vec_id") < 20, k = 10)
+      .orderBy("probe_id", "rn")
+  }
+
+  val entries: Seq[Entry] = Seq(b84pq)
+}

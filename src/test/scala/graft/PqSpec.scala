@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Pq
+import graft.sources.Tables
+
+/** Product-quantization ANN: code determinism and shape, the
+  * self-coded-limit exactness argument, and recall vs the exact
+  * brute-force top-k. */
+class PqSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+  private val M = 16
+  private val KSUB = 16
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("identical vectors get identical codes (encode is content-determined)") {
+    graft.functions.DotProductExpression.register(spark)
+    // plant exact duplicates under shifted ids (the b75 corpus rule)
+    val dups = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val cb = Pq.codebook(emb, M, KSUB)
+    val coded = Pq.encode(emb.unionByName(dups), cb, M)
+      .select(col("vec_id"), col("codes"))
+    val pairs = coded.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"), col("codes").as("dup_codes"))
+      .join(coded, "vec_id")
+    assert(pairs.count() > 0)
+    assert(pairs.filter(expr("codes <> dup_codes")).count() === 0,
+      "an exact duplicate vector encoded to different codes")
+  }
+
+  test("codes have shape m with values in [0, ksub)") {
+    graft.functions.DotProductExpression.register(spark)
+    val coded = Pq.encode(emb, Pq.codebook(emb, M, KSUB), M)
+    assert(coded.filter(size(col("codes")) =!= M).count() === 0)
+    assert(coded.filter(
+      expr(s"exists(codes, c -> c < 0 OR c >= $KSUB)")).count() === 0)
+  }
+
+  test("codebook members reconstruct exactly (quantization error zero in the coded limit)") {
+    graft.functions.DotProductExpression.register(spark)
+    // A vector that IS a codebook sample vector must assign each of its
+    // subvectors to its own codebook entry at distance 0 — i.e. decode of
+    // its codes reproduces the vector bit-exactly. Pins both the encoder's
+    // argmin and the codebook/slice alignment.
+    val cbIds = graft.llm.Ivf.asDouble(emb)
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(KSUB)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val cb = Pq.codebook(emb, M, KSUB)
+    val coded = Pq.encode(emb, cb, M)
+    val dsub = 64 / M
+    val members = emb.filter(col("vec_id").isin(cbIds.toSeq: _*))
+    val subs = graft.llm.Ivf.asDouble(members)
+      .select(col("vec_id"), posexplode(
+        expr(s"transform(sequence(0, ${M - 1}), s -> slice(v, s * $dsub + 1, $dsub))")))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("xv"))
+    val codes = coded.filter(col("vec_id").isin(cbIds.toSeq: _*))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("code"))
+    val mismatches = subs.join(codes, Seq("vec_id", "sub"))
+      .join(cb, Seq("sub", "code"))
+      .filter(expr("exists(zip_with(xv, cv, (a, b) -> abs(a - b)), e -> e > 0D)"))
+      .count()
+    assert(mismatches === 0,
+      "a codebook member's subvector quantized to a non-identical entry")
+  }
+
+  test("recall@10 vs exact brute-force top-10 on the b44 probe set") {
+    graft.functions.DotProductExpression.register(spark)
+    val exact = SparkEntry.queries("b44_similarity_bruteforce")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = SparkEntry.queries("b84_similarity_pq")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (p, truth) =>
+      pq.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@10 = $mean%.3f over ${recalls.size} probes")
+    // ADC shortlist (50/500) + exact re-rank: recall is P(true top-10 in
+    // the shortlist) — measured 0.785 on this corpus (m=16; 0.59 at m=8);
+    // bound set with margin so the spec pins it can't silently degrade
+    assert(mean >= 0.6, f"PQ recall collapsed: $mean%.3f")
+  }
+}
