@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("trigram_hashes"),
       new ExpressionInfo(classOf[graft.functions.TrigramHashExpression].getName, "trigram_hashes"),
       graft.functions.TrigramHashExpression.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigExpression].getName, "minhash_sigs"),
+      graft.functions.MinHashSigExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }

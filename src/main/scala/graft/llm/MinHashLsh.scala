@@ -109,17 +109,40 @@ object MinHashLsh {
           .as("jaccard"))
   }
 
+  /** 64-wide MinHash signature per doc via the native fused
+    * [[graft.functions.MinHashSigExpression]]: a map-side PROJECTION of
+    * the document row — no explode, no 64-column agg buffers, no
+    * signature shuffle. Bit-identical to [[signaturesFromShingles]]
+    * (same two xxhash64 evaluations per shingle, and min over the
+    * multiset ≡ min over the distinct set), pinned in MinHashLshSpec. */
+  def signaturesNative(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSigExpression.register(docs.sparkSession)
+    TextDedup.withShingleArr(docs)
+      .select(col("doc_id"), expr("minhash_sigs(sh_arr)").as("sig"))
+  }
+
   /** End-to-end near-dup detection: LSH candidates, then exact verification
-    * at `threshold`. The hashed shingle set feeds both signature generation
-    * and verification — cached so the explode+distinct+hash pass runs once. */
+    * at `threshold`. The distinct shingle ARRAY (one row per doc) feeds
+    * both the native signature projection and the verifier's exploded
+    * hashed-shingle relation — cached so the split+shingle HOF pass runs
+    * once and the cache holds one row per doc, not one per shingle. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    // pin fan-out before the explode (the b43_dedup_jaccard lesson): the
-    // local parquet scan is 1-2 splits, which would leave the shingle
-    // explode + the 64-way map-side min-aggregation on 1-2 threads; the
-    // pinned count stops AQE from coalescing the tiny-input shuffle back
+    graft.functions.MinHashSigExpression.register(docs.sparkSession)
+    // pin fan-out before the shingle HOF pass (the b43_dedup_jaccard
+    // lesson): the local parquet scan is 1-2 splits, which would leave
+    // shingling + signatures on 1-2 threads; the pinned count stops AQE
+    // from coalescing the tiny-input shuffle back
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    val sh = hashedShingles(spread).cache()
+    val shArr = TextDedup.withShingleArr(spread).cache()
+    val sigs = shArr.select(col("doc_id"), expr("minhash_sigs(sh_arr)").as("sig"))
+    // the verifier reads the exploded hashed relation three times (both
+    // common-join sides + counts) — cache it too, derived from the array
+    // cache so the shingle HOF pass still runs exactly once
+    val sh = shArr
+      .select(col("doc_id"), explode_outer(col("sh_arr")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .cache()
     // candidates are consumed twice by the verifier (common-shingle join
     // + the left-join base), so cache them too, with an explicit
     // unpersist. NOTE: bandedCandidates itself holds an EAGER
@@ -127,12 +150,12 @@ object MinHashLsh {
     // the banded relation runs at construction time here; this cache only
     // de-duplicates the post-checkpoint candidate join across the two
     // verifier consumers
-    val cands = candidatePairs(signaturesFromShingles(sh)).cache()
+    val cands = candidatePairs(sigs).cache()
     try {
       verifyJaccardFromShingles(cands, sh)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .localCheckpoint(true) // materialize before releasing the caches
-    } finally { cands.unpersist(); sh.unpersist() }
+    } finally { cands.unpersist(); sh.unpersist(); shArr.unpersist() }
   }
 }

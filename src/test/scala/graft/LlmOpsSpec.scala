@@ -39,6 +39,18 @@ class MinHashLshSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 1.0))
   }
 
+  test("native minhash_sigs signatures are bit-identical to the agg spelling") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val native = MinHashLsh.signaturesNative(docs)
+      .select(col("doc_id"), col("sig"))
+    val declarative = MinHashLsh.signatures(docs)
+      .select(col("doc_id"), col("sig").as("sig_agg"))
+    val joined = native.join(declarative, "doc_id")
+    assert(joined.count() === docs.filter(size(split(col("text"), " ")) >= 3).count())
+    assert(joined.filter(expr("sig <> sig_agg")).count() === 0,
+      "fused native signature diverged from the exploded 64-min aggregation")
+  }
+
   test("LSH verified jaccard equals exact jaccard on candidate pairs") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val cands = MinHashLsh.candidatePairs(MinHashLsh.signatures(docs)).limit(20)
