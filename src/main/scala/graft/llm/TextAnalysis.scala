@@ -371,5 +371,71 @@ object TextAnalysis {
       .orderBy("probe_id")
   }
 
-  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b45u, b46, b56, b57)
+  /** B85 — repetition-based quality signals (the Gopher/MassiveText rules,
+    * word-grain since the synthetic corpus has no line structure): per-doc
+    * duplicate-word mass and most-frequent-bigram mass, rolled up per
+    * language with an integer-threshold flag count. The output carries
+    * exact BIGINT masses, never per-doc float fractions (the b58 rule:
+    * a ratio at a rounding boundary is the b22 trap; callers divide).
+    * Thresholds as integer cross-products: dup_frac > 0.7 ⇔ 10·(n−nd) >
+    * 7·n, top_bigram_frac > 0.18 ⇔ 100·2·top > 18·n ⇔ 100·top > 9·n.
+    *
+    * Plan shape: word stats are map-side array ops (no explode); only the
+    * bigram mode needs a (doc, bigram) explode + two-level agg — the
+    * LangId profile shape, shuffle ∝ distinct bigrams per doc. Docs with
+    * <2 words have no bigram: left join + zero-fill, identical in both
+    * dialects. */
+  private val b85 = entry(
+    "b85_text_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+      |stats AS (
+      |  SELECT doc_id, lang, len(words) AS n, len(list_distinct(words)) AS nd
+      |  FROM w),
+      |big AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(words) - 1),
+      |                i -> words[i] || ' ' || words[i + 1])) AS bg
+      |  FROM w WHERE len(words) >= 2),
+      |topb AS (
+      |  SELECT doc_id, max(c) AS top_cnt FROM (
+      |    SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2) t
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT s.doc_id, s.lang, s.n, s.nd,
+      |         coalesce(tb.top_cnt, 0) AS top_cnt
+      |  FROM stats s LEFT JOIN topb tb ON s.doc_id = tb.doc_id)
+      |SELECT lang, count(*) AS docs,
+      |       CAST(sum(n) AS BIGINT) AS total_words,
+      |       CAST(sum(n - nd) AS BIGINT) AS dup_word_mass,
+      |       CAST(sum(top_cnt) AS BIGINT) AS top_bigram_mass,
+      |       CAST(sum(CASE WHEN 10 * (n - nd) > 7 * n
+      |                       OR 100 * top_cnt > 9 * n
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+    val stats = w.select(col("doc_id"), col("lang"),
+      size(col("words")).as("n"),
+      size(array_distinct(col("words"))).as("nd"))
+    val big = w.filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode_outer(expr(
+        """transform(sequence(0, size(words) - 2),
+          |          i -> concat(words[i], ' ', words[i + 1]))""".stripMargin)).as("bg"))
+    val topb = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+    stats.join(topb, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_cnt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n")).cast("long").as("total_words"),
+        sum(col("n") - col("nd")).cast("long").as("dup_word_mass"),
+        sum(col("top_cnt")).cast("long").as("top_bigram_mass"),
+        sum(when(lit(10) * (col("n") - col("nd")) > lit(7) * col("n") ||
+                 lit(100) * col("top_cnt") > lit(9) * col("n"), 1L)
+          .otherwise(0L)).cast("long").as("flagged"))
+      .orderBy("lang")
+  }
+
+  val entries: Seq[Entry] = Seq(b45, b45q, b45f, b45w, b45u, b46, b56, b57, b85)
 }
