@@ -31,23 +31,34 @@ case class MinHashSigExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
 
+  /** Accepts the shingle STRINGS (hashes them first — the standalone
+    * spelling) or pre-hashed shingle LONGS (the [[ShingleHashesExpression]]
+    * pipeline, where xxhash64 already ran inside the fused shingler). */
+  private def fromHashes: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<string>, got ${other.catalogString}")
+          s"$prettyName requires array<string> or array<long>, got ${other.catalogString}")
     }
 
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSigExpression.sigs(input.asInstanceOf[ArrayData])
+    if (fromHashes) MinHashSigExpression.sigsFromHashes(input.asInstanceOf[ArrayData])
+    else MinHashSigExpression.sigs(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (fromHashes) "sigsFromHashes" else "sigs"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashSigExpression.sigs($c)")
+      c => s"graft.functions.MinHashSigExpression.$fn($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpression =
     copy(child = newChild)
@@ -67,19 +78,34 @@ object MinHashSigExpression {
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val sh = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
-      val a = sh & MaskA
-      val b = XXH64.hashLong(sh, SeedB) & MaskB
-      var v = a
-      var i = 0
-      while (i < NumHashes) {
-        if (v < mins(i)) mins(i) = v
-        v += b
-        i += 1
-      }
+      fold(XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L), mins)
       j += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** [[sigs]] over pre-hashed shingles (array<long> input). */
+  def sigsFromHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      fold(arr.getLong(j), mins)
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private def fold(sh: Long, mins: Array[Long]): Unit = {
+    val a = sh & MaskA
+    val b = XXH64.hashLong(sh, SeedB) & MaskB
+    var v = a
+    var i = 0
+    while (i < NumHashes) {
+      if (v < mins(i)) mins(i) = v
+      v += b
+      i += 1
+    }
   }
 
   def build(children: Seq[Expression]): MinHashSigExpression = {

@@ -122,27 +122,29 @@ object MinHashLsh {
   }
 
   /** End-to-end near-dup detection: LSH candidates, then exact verification
-    * at `threshold`. The distinct shingle ARRAY (one row per doc) feeds
-    * both the native signature projection and the verifier's exploded
-    * hashed-shingle relation — cached so the split+shingle HOF pass runs
-    * once and the cache holds one row per doc, not one per shingle. */
+    * at `threshold`. The distinct hashed-shingle ARRAY (one row per doc,
+    * 8-byte longs — shingle strings never materialize, see
+    * [[graft.functions.ShingleHashesExpression]]) feeds both the native
+    * signature projection and the verifier's exploded relation; cached so
+    * the fused shingling pass runs once, and each consumer's explode off
+    * the cached long-array is near-free. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     graft.functions.MinHashSigExpression.register(docs.sparkSession)
-    // pin fan-out before the shingle HOF pass (the b43_dedup_jaccard
+    graft.functions.ShingleHashesExpression.register(docs.sparkSession)
+    // pin fan-out before the shingling pass (the b43_dedup_jaccard
     // lesson): the local parquet scan is 1-2 splits, which would leave
     // shingling + signatures on 1-2 threads; the pinned count stops AQE
     // from coalescing the tiny-input shuffle back
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    val shArr = TextDedup.withShingleArr(spread).cache()
-    val sigs = shArr.select(col("doc_id"), expr("minhash_sigs(sh_arr)").as("sig"))
-    // the verifier reads the exploded hashed relation three times (both
-    // common-join sides + counts) — cache it too, derived from the array
-    // cache so the shingle HOF pass still runs exactly once
-    val sh = shArr
-      .select(col("doc_id"), explode_outer(col("sh_arr")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // size > 0 replays withShingleArr's `size(words) >= 3` gate (the
+    // expression returns the empty array below 3 words)
+    val hArr = spread
+      .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
+      .filter(size(col("hs")) > 0)
       .cache()
+    val sigs = hArr.select(col("doc_id"), expr("minhash_sigs(hs)").as("sig"))
+    val sh = hArr.select(col("doc_id"), explode_outer(col("hs")).as("sh"))
     // candidates are consumed twice by the verifier (common-shingle join
     // + the left-join base), so cache them too, with an explicit
     // unpersist. NOTE: bandedCandidates itself holds an EAGER
@@ -156,6 +158,6 @@ object MinHashLsh {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .localCheckpoint(true) // materialize before releasing the caches
-    } finally { cands.unpersist(); sh.unpersist(); shArr.unpersist() }
+    } finally { cands.unpersist(); hArr.unpersist() }
   }
 }

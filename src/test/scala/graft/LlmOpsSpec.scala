@@ -39,6 +39,38 @@ class MinHashLshSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 1.0))
   }
 
+  test("native shingle_hashes equals distinct xxhash64 of declarative shingles") {
+    graft.functions.ShingleHashesExpression.register(spark)
+    import spark.implicits._
+    // corpus + spacing/unicode edge rows the synthetic data never hits:
+    // double/leading/trailing spaces (empty tokens), <3 words, empty text,
+    // non-ASCII multi-byte words
+    val edges = Seq(
+      (9001L, "a  b c"), (9002L, " a b c"), (9003L, "a b c "),
+      (9004L, "one two"), (9005L, ""), (9006L, "  "),
+      (9007L, "héllo wörld 智能 モデル data"), (9008L, "x y z x y z x y z"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(edges)
+    val native = docs
+      .select(col("doc_id"), expr("array_sort(shingle_hashes(text))").as("hs"))
+    // declarative spelling WITHOUT the size>=3 row filter, so short/empty
+    // rows are compared too (both sides must yield the empty array)
+    val decl = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """array_sort(array_distinct(transform(
+          |  CASE WHEN size(words) >= 3
+          |       THEN transform(sequence(0, size(words) - 3),
+          |                      i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+          |       ELSE array() END,
+          |  s -> xxhash64(s))))""".stripMargin).as("hs_decl"))
+    val joined = native.join(decl, "doc_id")
+    assert(joined.count() === docs.count())
+    assert(joined.filter(expr("hs <> hs_decl")).count() === 0,
+      "fused shingle hashing diverged from split+concat_ws+xxhash64")
+  }
+
   test("native minhash_sigs signatures are bit-identical to the agg spelling") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val native = MinHashLsh.signaturesNative(docs)
