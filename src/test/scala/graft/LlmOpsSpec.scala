@@ -71,6 +71,39 @@ class MinHashLshSpec extends AnyFunSuite {
       "fused shingle hashing diverged from split+concat_ws+xxhash64")
   }
 
+  test("shingle_hashes property: random spacing/unicode strings match the declarative spelling") {
+    graft.functions.ShingleHashesExpression.register(spark)
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // words of ASCII/accented/CJK/astral chars, joined with 1-3 spaces,
+    // with optional leading/trailing space — the full split edge space
+    val wordGen = Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf('é', 'ß', '智', 'モ'),
+      1 -> Gen.const('\uD83D'), 1 -> Gen.const('\uDE00'))).map(_.mkString)
+    val textGen = for {
+      words <- Gen.listOfN(8, wordGen)
+      seps <- Gen.listOfN(8, Gen.oneOf(" ", "  ", "   "))
+      lead <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", " ")
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString.trim + trail
+    val texts = (0 until 300).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      expr("array_sort(shingle_hashes(text))").as("hs"))
+    val decl = df.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """array_sort(array_distinct(transform(
+          |  CASE WHEN size(words) >= 3
+          |       THEN transform(sequence(0, size(words) - 3),
+          |                      i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+          |       ELSE array() END,
+          |  s -> xxhash64(s))))""".stripMargin).as("hs_decl"))
+    val bad = native.join(decl, "doc_id").filter(expr("hs <> hs_decl")).count()
+    assert(bad === 0, s"$bad generated strings diverged from the declarative spelling")
+  }
+
   test("native minhash_sigs signatures are bit-identical to the agg spelling") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val native = MinHashLsh.signaturesNative(docs)
