@@ -150,5 +150,48 @@ object MaintenanceOps {
       .orderBy("event_type")
   }
 
-  val entries: Seq[Entry] = Seq(b81, b82)
+  /** B86 — bucketed-table layout: both join sides written `bucketBy(8,
+    * key)` + `sortBy(key)` ([[ScaleTechniques.writeBucketed]]), then the
+    * fact-fact join reads them CO-LOCATED — zero Exchange below the join
+    * (asserted on the plan in MaintenanceOpsSpec; the only shuffle left
+    * is the aggregation's, ∝ groups). The write-side twin of b13's
+    * sort-merge join: at 100 TB, bucketing moves the fact table's join
+    * shuffle from EVERY query to the one-time write — the third layout
+    * lever after partition dirs (b61) and file clustering (b76/b81).
+    *
+    * The oracle is the plain join over the original tables: bucketing,
+    * like every layout op, must be RESULT-invisible. */
+  private val b86 = entry(
+    "b86_layout_bucketed",
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |       count(DISTINCT o_custkey) AS custs
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    ScaleTechniques.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+      "graft_b86_lineitem", "l_orderkey", buckets = 8)
+    ScaleTechniques.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_custkey"),
+      "graft_b86_orders", "o_orderkey", buckets = 8)
+    bucketedJoin(s)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        countDistinct(col("o_custkey")).as("custs"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The bucketed fact-fact join alone (spec hook): MaintenanceOpsSpec
+    * asserts no ShuffleExchange exists below the join. The merge hint
+    * keeps the planner on the sort-merge path the buckets exist for —
+    * at the local test scale it would otherwise broadcast the small side
+    * and never touch the bucketing (fact-fact sides at 100 TB are both
+    * far past any broadcast threshold). */
+  def bucketedJoin(s: SparkSession): DataFrame =
+    s.table("graft_b86_lineitem").hint("merge")
+      .join(s.table("graft_b86_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+
+  val entries: Seq[Entry] = Seq(b81, b82, b86)
 }

@@ -41,10 +41,24 @@ object ScaleTechniques {
     spark.table(leftTable).join(spark.table(rightTable), key)
 
   /** Write a DataFrame as a bucketed managed table (sorted within buckets
-    * for merge-friendly reads). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * for merge-friendly reads). Drops any same-named table first AND
+    * clears an orphaned warehouse location a previous JVM may have left
+    * behind (the in-memory catalog forgets tables on exit, but their
+    * directories survive and block CREATE). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase(java.util.Locale.ROOT))
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

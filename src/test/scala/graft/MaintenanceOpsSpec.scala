@@ -36,6 +36,22 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       "pruned file set dropped matching rows — zone map is incorrect")
   }
 
+  test("bucketed join plans with zero Exchange below the join") {
+    SparkEntry.queries("b86_layout_bucketed")(spark, sf).collect()
+    val joined = MaintenanceOps.bucketedJoin(spark)
+    joined.collect() // force a real execution through the bucketed scans
+    // string-match the AQE FINAL plan: tree collect does not descend into
+    // AdaptiveSparkPlanExec's resolved subtree
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"),
+      s"bucketed fact-fact join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over buckets:\n$plan")
+    // the scans must actually USE the bucketing, not merely read the files
+    assert(plan.contains("Bucketed: true"),
+      s"scan did not read bucketed:\n$plan")
+  }
+
   test("compaction merges small files to ceil(rows/target) and keeps every row") {
     SparkEntry.queries("b82_maintain_compact")(spark, sf).collect()
     def partFiles(dir: String): Int =
