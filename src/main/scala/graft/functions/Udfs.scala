@@ -39,3 +39,40 @@ object WeightedMeanAgg extends Aggregator[(Double, Double), (Double, Double), Do
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** B87 — exact grouped top-k as a BOUNDED-STATE Aggregator: the state is
+  * the k best (value, id) pairs seen so far, kept sorted (value desc, id
+  * asc — the id tiebreak makes the result total and engine-stable).
+  * Spark's two-phase aggregation then gives top-k the right 100 TB shape
+  * for free: each map task reduces its rows into a k-row buffer, the
+  * shuffle carries ≤ k pairs PER GROUP PER PARTITION, and merge zips two
+  * sorted buffers — versus the window formulation (b25/b29), which
+  * shuffles and sorts EVERY row of every group before row_number can
+  * discard all but k. Same result (oracle is the window SQL), shuffle
+  * volume groups·k instead of rows.
+  */
+case class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Insert keeping the buffer sorted-best-first and ≤ k long. */
+  private def insert(s: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (s.size >= k && !better(x, s.last)) s
+    else {
+      val (front, back) = s.span(better(_, x))
+      (front ++ (x +: back)).take(k)
+    }
+
+  override def zero: Seq[(Double, Long)] = Nil
+  override def reduce(s: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    insert(s, a)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(s: Seq[(Double, Long)]): Seq[(Double, Long)] = s
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Registry._
-import graft.functions.{FeatureIdExpression, Udfs, WeightedMeanAgg}
+import graft.functions.{FeatureIdExpression, TopKAgg, Udfs, WeightedMeanAgg}
 import graft.sources.Tables
 
 /** SURVEY §2B extension-path operators: B3 (CSV scan), B4 (sorted sink +
@@ -112,6 +112,35 @@ object Extensions {
         round(wmean(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+  }
+
+  /** B87 — grouped top-k via the bounded-state [[TopKAgg]] Aggregator:
+    * top-5 events by value per event_type, WITHOUT a window sort — the
+    * agg buffer holds k pairs, map-side combine reduces each partition
+    * to ≤ k rows per group before the shuffle (shuffle ∝ groups·k, not
+    * rows — the b25/b29 window formulation shuffles every row). The
+    * oracle IS the window SQL: same result, different physical cost.
+    * Nulls are filtered explicitly so the agg's ordering domain is total
+    * (the window spelling would sort them NULLS LAST — a silent
+    * divergence if a null value ever appeared). */
+  private val b87 = entry(
+    "b87_agg_topk",
+    """SELECT event_type, rank, event_id, round(value, 4) AS value
+      |FROM (
+      |  SELECT event_type, event_id, value,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY value DESC, event_id) AS INTEGER) AS rank
+      |  FROM events WHERE value IS NOT NULL) t
+      |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin) { (s, d) =>
+    val topk = udaf(TopKAgg(5))
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("event_id"), round(col("col._1"), 4).as("value"))
+      .orderBy("event_type", "rank")
   }
 
   /** B39 — scalar UDF (haversine) + the native codegen FeatureIdExpression,
@@ -230,5 +259,5 @@ object Extensions {
       .orderBy("o_orderkey")
   }
 
-  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65, b74)
+  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65, b74, b87)
 }
