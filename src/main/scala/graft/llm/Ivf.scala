@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
@@ -27,7 +27,9 @@ import graft.sources.Tables
   * ≤ k vectors regardless of corpus size. Search cost drops from O(n)
   * per probe to O(n · nProbe / k), and the cells are a partitioning key —
   * a 100 TB corpus stores cell-partitioned parquet so a probe reads only
-  * its cells' files (partition pruning on disk, not just in memory).
+  * its cells' files: [[writeCellPartitioned]] / [[searchFromLayout]]
+  * implement that layout (directory-level PartitionFilters asserted in
+  * IvfSpec, result-equal to the in-memory index).
   */
 object Ivf {
 
@@ -123,6 +125,51 @@ object Ivf {
     val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     probeCells
       .join(assigned, "cell") // only the probed cells' vectors are scored
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dot("pv", "v") / (col("pnorm") * col("norm")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+
+  /** The on-disk index (the docstring's 100 TB layout, implemented):
+    * nearest-centroid assignments written as CELL-PARTITIONED parquet —
+    * one directory per cell — plus the centroid set at `_centroids` so
+    * the index is self-contained. A probe then reads ONLY its nProbe
+    * cells' directories: the cell predicate becomes directory-level
+    * PartitionFilters (asserted on the plan in IvfSpec), which at 100 TB
+    * means the other k − nProbe cells are never even listed. */
+  def writeCellPartitioned(embeddings: DataFrame, k: Int, dir: String): Unit = {
+    val cents = centroids(embeddings, k)
+    assignTo(asDouble(embeddings), cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    cents.write.mode("overwrite").parquet(s"$dir/_centroids")
+  }
+
+  /** Top-k cosine search against a [[writeCellPartitioned]] layout. Same
+    * routing as [[search]] (broadcast centroid argmax per probe), but the
+    * scored vectors come from the pruned on-disk read: `cell IN (...)`
+    * over the partition column. The probed cell-id list is O(p·nProbe)
+    * driver-side values — the manifest rule (b81). */
+  def searchFromLayout(spark: SparkSession, dir: String,
+      probes0: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val probes = asDouble(probes0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val wCell = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("csim", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("pnorm"), col("cell"))
+    val wantedCells = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)) // O(p·nProbe) driver-side ids
+    val assigned = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(wantedCells: _*))
+    val wTop = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    probeCells
+      .join(assigned, "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", dot("pv", "v") / (col("pnorm") * col("norm")))
       .withColumn("rn", row_number().over(wTop))

@@ -50,6 +50,28 @@ class IvfSpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() === e.count())
   }
 
+  test("cell-partitioned layout: pruned on-disk search equals in-memory, prunes dirs") {
+    graft.functions.DotProductExpression.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val k = Ivf.defaultNumCells(e.count())
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    Ivf.writeCellPartitioned(e, k, dir)
+    val fromDisk = Ivf.searchFromLayout(spark, dir,
+      e.filter(col("vec_id") < 20), k = 10, nProbe = 5)
+    val inMem = Ivf.search(e, col("vec_id") < 20, k = 10, nProbe = 5,
+      numCells = Some(k))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(fromDisk) === rows(inMem),
+      "on-disk pruned search diverged from the in-memory index")
+    // the cell predicate must land in directory-level PartitionFilters
+    val scan = spark.read.parquet(s"$dir/cells").filter(col("cell").isin(1L, 2L))
+    val planStr = scan.queryExecution.executedPlan.toString
+    val parts = planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(parts != planStr && parts.contains("cell"),
+      s"cell not in PartitionFilters:\n$planStr")
+  }
+
   test("IVF@nProbe=5 recall vs brute-force top-10 is substantial; nProbe=all is exact") {
     val e = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
