@@ -24,8 +24,9 @@ import graft.sources.Tables
   *   - codebook: deterministic ksub-vector sample (smallest xxhash64 — the
   *     IVF quantizer rule: fixed cardinality, never linear in n), sliced
   *     into m subspaces → m·ksub tiny rows, broadcast everywhere below.
-  *     At 100 TB the sample seeds per-subspace Lloyd exactly like
-  *     [[Ivf.refineCentroids]]; the index layout is identical either way.
+  *     At 100 TB the sample seeds per-subspace Lloyd — [[refineCodebook]]
+  *     implements it (monotonicity pinned in PqSpec); the index layout is
+  *     identical either way.
   *   - encode (index build): one broadcast join + per-(vec, sub) argmin —
   *     the shuffle carries (vec_id, sub, code) triples, never raw vectors.
   *     The n·m·ksub work is the one-off build cost, embarrassingly
@@ -74,12 +75,7 @@ object Pq {
     * window, one collect_list re-assembly; shuffles carry codes, not
     * vectors. Output: (vec_id, codes array<int> of length m, norm). */
   def encode(embeddings: DataFrame, cb: DataFrame, m: Int): DataFrame = {
-    val d = 64
-    val dsub = d / m
-    val subs = Ivf.asDouble(embeddings)
-      .select(col("vec_id"), col("norm"), posexplode(
-        expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $dsub + 1, $dsub))")))
-      .select(col("vec_id"), col("norm"), col("pos").as("sub"), col("col").as("xv"))
+    val subs = subvectors(embeddings, m)
     val wMin = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist2"), col("code"))
     subs.join(broadcast(cb), "sub")
@@ -90,6 +86,61 @@ object Pq {
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), e -> e.code)")
         .as("codes"))
       .select(col("vec_id"), col("codes"), col("norm"))
+  }
+
+  /** Per-(vector, subspace) subvector rows — the shared input of
+    * [[encode]], [[refineCodebook]] and [[reconstructionError]]. */
+  private def subvectors(embeddings: DataFrame, m: Int): DataFrame = {
+    val dsub = 64 / m
+    Ivf.asDouble(embeddings)
+      .select(col("vec_id"), col("norm"), posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $dsub + 1, $dsub))")))
+      .select(col("vec_id"), col("norm"), col("pos").as("sub"), col("col").as("xv"))
+  }
+
+  /** The per-subspace Lloyd refinement the sampled codebook seeds
+    * ([[Ivf.refineCentroids]]'s PQ twin, so the scaladoc's upgrade path
+    * is code, not prose). Each iteration: one broadcast argmin assign
+    * over the (vec, sub) rows, then an element-wise mean per (sub, code,
+    * dim) — the shuffle carries partial sums bounded by m·ksub·dsub
+    * groups, never rows. Codes that attract no subvectors vanish WITHOUT
+    * renumbering (the code id space must stay stable: ADC tables index
+    * by code), and like the IVF refinement the result is
+    * bit-nondeterministic across runs (float partial-sum order), so the
+    * deterministic entry stays on the sampled codebook. PqSpec pins the
+    * Lloyd monotonicity: mean reconstruction error never increases. */
+  def refineCodebook(embeddings: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val subs = subvectors(embeddings, m)
+    var cb = codebook(embeddings, m, ksub)
+    for (_ <- 1 to iters) {
+      val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist2"), col("code"))
+      val assigned = subs.join(broadcast(cb), "sub")
+        .withColumn("dist2", -lit(2) * dot("xv", "cv") + dot("cv", "cv"))
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .select(col("sub"), col("code"), col("xv"))
+      cb = assigned
+        .select(col("sub"), col("code"), posexplode(col("xv")))
+        .groupBy("sub", "code", "pos").agg(avg(col("col")).as("mu"))
+        .groupBy("sub", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu AS v))), e -> e.v)")
+          .as("cv"))
+    }
+    cb
+  }
+
+  /** Mean squared quantization error over all (vector, subspace) pairs —
+    * the Lloyd objective ([[refineCodebook]]'s monotone quantity). */
+  def reconstructionError(embeddings: DataFrame, cb: DataFrame, m: Int): Double = {
+    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("full2"), col("code"))
+    subvectors(embeddings, m).join(broadcast(cb), "sub")
+      .withColumn("full2",
+        dot("xv", "xv") - lit(2) * dot("xv", "cv") + dot("cv", "cv"))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .agg(avg(col("full2"))).head().getDouble(0)
   }
 
   /** ADC top-k cosine search with exact re-ranking. Stage 1 scores every

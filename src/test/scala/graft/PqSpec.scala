@@ -69,6 +69,22 @@ class PqSpec extends AnyFunSuite {
       "a codebook member's subvector quantized to a non-identical entry")
   }
 
+  test("codebook refinement is Lloyd-monotone and keeps code ids valid") {
+    graft.functions.DotProductExpression.register(spark)
+    val sampled = Pq.codebook(emb, M, KSUB)
+    val refined = Pq.refineCodebook(emb, M, KSUB, iters = 2)
+    val e0 = Pq.reconstructionError(emb, sampled, M)
+    val e2 = Pq.reconstructionError(emb, refined, M)
+    info(f"reconstruction error: sampled $e0%.5f -> refined $e2%.5f")
+    assert(e2 <= e0 + 1e-9,
+      f"Lloyd refinement increased the objective: $e2%.5f > $e0%.5f")
+    // code id space stays within [0, ksub) without renumbering, and
+    // encoding against the refined codebook still yields valid shapes
+    assert(refined.filter(col("code") < 0 || col("code") >= KSUB).count() === 0)
+    val coded = Pq.encode(emb, refined, M)
+    assert(coded.filter(size(col("codes")) =!= M).count() === 0)
+  }
+
   test("recall@10 vs exact brute-force top-10 on the b44 probe set") {
     graft.functions.DotProductExpression.register(spark)
     val exact = SparkEntry.queries("b44_similarity_bruteforce")(spark, sf)
