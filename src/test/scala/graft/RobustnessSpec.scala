@@ -33,6 +33,44 @@ class RobustnessSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("id") === "wildweb-evo1")
   }
 
+  test("corrupt file in a scan directory fails loudly; opt-in skip reads the rest") {
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // a truncated/garbage .parquet alongside the good file — the scan
+    // must FAIL by default (silently dropping data at 100 TB is the
+    // worst outcome), and read the good rows under the explicit opt-in
+    Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "not a parquet file".getBytes)
+    val err = intercept[Exception] {
+      spark.read.parquet(dir).count()
+    }
+    assert(err.getMessage != null)
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try
+      assert(spark.read.parquet(dir).count() === 2L,
+        "ignoreCorruptFiles should read the intact file's rows")
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", p)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
+  test("ANSI mode: integer cast overflow throws instead of wrapping") {
+    // Spark 4 defaults to ANSI; the engine RELIES on that for exact
+    // integer arithmetic (the b22/b58 exact-sums convention) — silent
+    // wraparound would corrupt those results instead of failing the job
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val err = intercept[Exception] {
+      spark.range(1).select(expr("CAST(3000000000L AS INT)")).collect()
+    }
+    assert(err.getMessage.contains("CAST_OVERFLOW") ||
+      err.getMessage.toLowerCase.contains("overflow"),
+      s"expected a cast-overflow error, got: ${err.getMessage}")
+  }
+
   test("B4 scale path: partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft_part").toString + "/docs"
     Tables.documents(spark, TestSession.sf0001)
