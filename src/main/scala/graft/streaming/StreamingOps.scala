@@ -245,6 +245,25 @@ object StreamingOps {
       .select(col("user_id")).distinct()
       .withColumn("cohort", col("user_id") % 10)
 
+  /** B50+ (native timers) — session windows via [[SessionProcessor]]:
+    * transformWithState with EVENT-TIME timers, the only mechanism that
+    * can ever emit a key's final session in a stream (session_window
+    * relies on the engine's internal state timeout; this is the
+    * user-managed equivalent). Micros carried alongside the watermark
+    * column so the fold uses the b50 micros-exact gap rule. */
+  def sessionsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsm"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(), TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_micros", "n", "total")
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =

@@ -123,6 +123,51 @@ class StreamingSpec extends AnyFunSuite {
       "fixture has no unmatched purchases — outer semantics untested")
   }
 
+  test("B50+: event-time timers close every session, matching the batch twin") {
+    // transformWithState + timers require the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // flush sentinel (its own user) advances the watermark past every
+      // real session's end so the FINAL session per user — reachable only
+      // through timer expiry — actually emits before the replay stops
+      val dir = Files.createTempDirectory("graft_sess_tws").toString
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val flushTs = new Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+      import spark.implicits._
+      val flush = Seq((9000001L, flushTs, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 6)
+      val streamed = StreamingOps.runToMemory(
+        StreamingOps.sessionsTws(StreamingOps.readStream(spark, dir)),
+        "t_sess_tws", "append")
+      val got = streamed.filter(col("user_id") >= 0)
+        .select(
+          date_format(timestamp_micros(col("start_micros")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("user_id"), col("n"), col("total"))
+      val batch = SparkEntry.queries("b50_window_session_batch")(spark, sf)
+      // join on the session identity; totals compared with a float
+      // tolerance (the processor folds in ts order, the batch agg in
+      // partition order — same values, different float summation order)
+      val joined = got.join(batch,
+        Seq("session_start", "user_id", "n"), "full_outer")
+      assert(got.count() === batch.count(),
+        s"session count mismatch: ${got.count()} streamed vs ${batch.count()} batch")
+      assert(joined.filter(got("total").isNull || batch("total").isNull).count() === 0,
+        "a session exists on only one side")
+      assert(joined.filter(abs(got("total") - batch("total")) > 1e-6).count() === 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B53: stateful running balance folds to the batch per-user totals") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningBalance(StreamingOps.readStream(spark, chunkDir)),
