@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[graft.functions.ShingleHashesExpression].getName, "shingle_hashes"),
       graft.functions.ShingleHashesExpression.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[graft.functions.LshBandsExpression].getName, "lsh_bands"),
+      graft.functions.LshBandsExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }

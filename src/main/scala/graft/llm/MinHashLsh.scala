@@ -66,13 +66,15 @@ object MinHashLsh {
     * [[LshCaps.bandedCandidates]]. */
   def candidatePairs(sigs: DataFrame,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
+    graft.functions.LshBandsExpression.register(sigs.sparkSession)
     // posexplode_outer: sig is always 64 wide → 16 bands, never empty;
-    // the non-outer form would re-evaluate the band-hash transform per
-    // row in an inferred Generate guard (the b43 explode lesson)
+    // the non-outer form would re-evaluate the band-hash expression per
+    // row in an inferred Generate guard (the b43 explode lesson).
+    // lsh_bands is the native fused spelling of
+    // transform(sequence(0,15), b -> xxhash64(slice(sig, b*4+1, 4))) —
+    // bit-identical, spec-pinned in MinHashLshSpec
     val banded = sigs.select(col("doc_id"),
-      posexplode_outer(expr(
-        s"""transform(sequence(0, ${Bands - 1}),
-           |          b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin)))
+      posexplode_outer(expr("lsh_bands(sig)")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     LshCaps.bandedCandidates(banded, "doc_id", bucketCap)
       .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))

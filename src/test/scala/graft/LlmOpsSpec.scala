@@ -116,6 +116,20 @@ class MinHashLshSpec extends AnyFunSuite {
       "fused native signature diverged from the exploded 64-min aggregation")
   }
 
+  test("native lsh_bands equals the transform+slice+xxhash64 spelling") {
+    graft.functions.LshBandsExpression.register(spark)
+    val sigs = MinHashLsh.signaturesNative(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val both = sigs.select(col("doc_id"),
+      expr("lsh_bands(sig)").as("native"),
+      expr("""transform(sequence(0, 15),
+             |          b -> xxhash64(slice(sig, b * 4 + 1, 4)))""".stripMargin)
+        .as("decl"))
+    assert(both.count() > 0)
+    assert(both.filter(expr("native <> decl")).count() === 0,
+      "fused band hashing diverged from the declarative spelling")
+  }
+
   test("LSH verified jaccard equals exact jaccard on candidate pairs") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val cands = MinHashLsh.candidatePairs(MinHashLsh.signatures(docs)).limit(20)
