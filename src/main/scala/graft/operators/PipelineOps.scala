@@ -313,7 +313,7 @@ object PipelineOps {
     * partial sketches — never a rescan of history. The invariant that makes
     * stored sketch states trustworthy is MERGE ≡ RECOMPUTE: unioning the
     * base and delta sketches yields bit-for-bit the same estimate as
-    * sketching all rows from scratch (asserted in PipelineOpsSpec, along
+    * sketching all rows from scratch (asserted in ScaleOpsSpec, along
     * with a 2% tolerance against exact distinct). Approximate by design →
     * rows-only here (the estimate is not SQL-replicable in DuckDB's
     * different HLL implementation).
@@ -334,7 +334,7 @@ object PipelineOps {
   }
 
   /** Full-recompute twin of [[b78]]'s merged estimate (spec hook): sketch
-    * every row from scratch. PipelineOpsSpec asserts merge ≡ recompute
+    * every row from scratch. ScaleOpsSpec asserts merge ≡ recompute
     * exactly, and both within tolerance of exact count(distinct). */
   def sketchRecompute(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.events(s, d).select(col("event_type"), col("user_id"))
