@@ -72,7 +72,7 @@ object LangId {
     // substring-seek spelling) live on in the b45_tri_unicode fixture's
     // spec cross-check; the codepoint semantics (incl. astral text, where
     // String.split("") would yield lone surrogate halves) are pinned on
-    // data by b45_tri_unicode and by TrigramHashSpec.
+    // data by b45_tri_unicode and by CodepointSplitSpec.
     val triOf = expr("trigram_hashes(text)")
     // length >= 3 proves the trigram array non-empty → explode_outer is
     // row-identical AND skips the inferred Generate guard that would
@@ -106,7 +106,7 @@ object LangId {
     * If the native codepoint scan ever regressed to UTF-16 code units
     * (java.lang.String.split("") semantics — lone surrogate halves),
     * rows 4-5 would shift every position and diverge the hash.
-    * TrigramHashSpec additionally cross-checks the native expression
+    * CodepointSplitSpec additionally cross-checks the native expression
     * against the r3 split('')-HOF spelling on the same fixture. */
   private val b45tu = entry(
     "b45_tri_unicode",

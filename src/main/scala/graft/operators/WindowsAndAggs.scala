@@ -141,7 +141,7 @@ object WindowsAndAggs {
     * therefore normalized with `+ 0.0` on BOTH sides — IEEE 754 guarantees
     * `-0.0 + 0.0 = +0.0`, and every other double is unchanged.
     * The native stddev_samp/var_samp/corr/covar_samp/covar_pop aggregates are
-    * exercised against these closed forms in WindowsAndAggsSpec (tolerance).
+    * exercised against these closed forms in ApproxSpec (tolerance).
     */
   private val b22 = entry(
     "b22_agg_stats",

@@ -24,6 +24,40 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("b22 closed-form statistics match the native stats aggregates") {
+    // the t2 twin derives stddev/var/corr/covar from exact integer sums;
+    // the native float aggregates must agree within float tolerance on
+    // the identical cents-scaled inputs — pins the closed forms to the
+    // engine's own definitions (sample vs population, corr normalization)
+    import org.apache.spark.sql.functions._
+    val spark = TestSession.spark
+    val sf = TestSession.sf0001
+    val closed = SparkEntry.queries("b22_agg_stats")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val native = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (round(col("l_quantity") * 100).cast("long") / 100.0).as("q"),
+        (round(col("l_discount") * 100).cast("long") / 100.0).as("di"),
+        (round(col("l_tax") * 100).cast("long") / 100.0).as("t"))
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("q")).as("sd_qty"),
+        var_samp(col("q")).as("var_qty"),
+        corr(col("di"), col("t")).as("corr_disc_tax"),
+        covar_samp(col("di"), col("t")).as("covar_s"),
+        covar_pop(col("di"), col("t")).as("covar_p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(closed.keySet === native.keySet && closed.nonEmpty)
+    for ((k, c) <- closed; n = native(k)) {
+      def ok(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= 5e-4 * math.max(1.0, math.abs(b)),
+          s"$k $what: closed-form $a vs native $b")
+      ok(c._1, n._1, "stddev_samp"); ok(c._2, n._2, "var_samp")
+      ok(c._3, n._3, "corr"); ok(c._4, n._4, "covar_samp"); ok(c._5, n._5, "covar_pop")
+    }
+  }
+
   test("approx_count_distinct is within the configured rsd of exact") {
     val df = SparkEntry.queries("b19_agg_approx_distinct")(
       TestSession.spark, TestSession.sf0001)
