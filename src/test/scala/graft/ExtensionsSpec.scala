@@ -21,6 +21,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(z === graft.functions.ZOrderExpression.interleave(3L, 5L))
   }
 
+  test("TopKAgg property: random data (with ties) matches the window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark = TestSession.spark
+    import spark.implicits._
+    // few distinct values force ties; the id tiebreak must resolve them
+    // identically in the agg and in the window ORDER BY
+    val rowGen = for {
+      key <- Gen.choose(0, 4)
+      value <- Gen.choose(0, 9).map(_ * 0.5)
+    } yield (key, value)
+    val rows = (0 until 500).flatMap(i =>
+      rowGen.apply(Gen.Parameters.default, Seed(11L + i)))
+      .zipWithIndex.map { case ((k, v), id) => (k.toLong, v, id.toLong) }
+    val df = rows.toDF("k", "v", "id")
+    val topk = udaf(graft.functions.TopKAgg(7))
+    val got = df.groupBy("k").agg(topk(col("v"), col("id")).as("top"))
+      .select(col("k"), posexplode(col("top")))
+      .select(col("k"), (col("pos") + 1).as("rank"),
+        col("col._1").as("v"), col("col._2").as("id"))
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7).select("k", "rank", "v", "id")
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "bounded-state top-k diverged from the window formulation")
+  }
+
   test("dot_f64 native expression matches the HOF fold bit-for-bit and codegens") {
     val spark = TestSession.spark
     val df = spark.sql(
