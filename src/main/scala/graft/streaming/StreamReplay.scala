@@ -187,5 +187,65 @@ object StreamReplay {
     s.read.parquet(s"$stateDir72/$cur").orderBy("k")
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72)
+  private lazy val chunkDir88: String =
+    java.nio.file.Files.createTempDirectory("graft_b88_chunks").toString
+
+  /** B88 — transformWithState sessions with EVENT-TIME TIMERS,
+    * driver-visible. [[StreamingOps.sessionsCentsTws]] replays the events
+    * chunked with a flush sentinel (its own user, max ts + 10 h) so the
+    * watermark passes every real session's end and the per-key timers —
+    * the only mechanism that can emit a key's FINAL session — all fire
+    * before the replay stops. Exact integer cents make every emission
+    * deterministic (the b53 convention), so the oracle is the b50-style
+    * gaps-and-islands SQL with BIGINT sums. Requires the RocksDB state
+    * store (transformWithState contract); the conf is set for the replay
+    * and restored after. */
+  private val b88 = entry(
+    "b88_stream_session_timers",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts, cents,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged)
+      |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM islands GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val dir = chunkDir88
+    val ev = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+    import s.implicits._
+    val flush = Seq((9000001L, flushTs, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 8)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = StreamingOps.sessionsCentsTws(StreamingOps.readStream(s, dir))
+      s.catalog.dropTempView("b88_replay") // idempotent re-runs
+      StreamingOps.runToMemory(sessions, "b88_replay", "append")
+        .filter(col("user_id") >= 0) // drop the flush sentinel's own row
+        .select(
+          date_format(timestamp_micros(col("start_micros")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("user_id"), col("n"), col("cents"))
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88)
 }

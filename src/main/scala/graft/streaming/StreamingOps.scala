@@ -264,6 +264,22 @@ object StreamingOps {
       .toDF("user_id", "start_micros", "n", "total")
   }
 
+  /** [[sessionsTws]] folding EXACT integer cents (the b53 convention) —
+    * the deterministic instance the driver-visible b88 entry replays. */
+  def sessionsCentsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsm"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessorCents(), TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_micros", "n", "cents")
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
