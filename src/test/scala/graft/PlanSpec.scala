@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.exists(_.contains("partial")) || aggs.size >= 2, plan)
   }
 
+  test("b87: bounded-state top-k aggregates in two phases (map-side partial)") {
+    // the whole 100 TB argument for TopKAgg is that each map task reduces
+    // its rows to <= k pairs per group BEFORE the shuffle — the plan must
+    // show partial-then-final ObjectHashAggregate, not a single-phase agg
+    val plan = physicalPlan("b87_agg_topk")
+    val aggs = plan.linesIterator
+      .filter(l => l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+      .toSeq
+    assert(aggs.exists(_.contains("partial")), plan)
+    assert(aggs.size >= 2, plan)
+  }
+
   test("b39: custom feature_id expression participates in codegen (no UDF wrapper)") {
     val df = SparkEntry.queries("b39_udf_expression")(spark, sf)
     val codegenPlan = df.queryExecution.executedPlan.toString
