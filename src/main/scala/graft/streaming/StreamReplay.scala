@@ -247,5 +247,32 @@ object StreamReplay {
     }
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88)
+  private lazy val chunkDir89: String =
+    java.nio.file.Files.createTempDirectory("graft_b89_chunks").toString
+
+  /** B89 — JSON-lines streaming source, driver-visible: b54's tumbling
+    * replay with the chunks serialized as JSON instead of parquet (the
+    * wire shape of real event feeds, and the reference's own input
+    * format). The only new machinery is precision: timestamps round-trip
+    * through an explicit MICROSECOND format on both the writer and the
+    * streaming reader — the default JSON format is millisecond-granular
+    * and would silently shift every event-time window. Same oracle as
+    * b54 (the replay must be format-invisible). */
+  private val b89 = entry(
+    "b89_stream_json_replay",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+      |       event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    val dir = chunkDir89
+    StreamingOps.writeChunksJson(
+      graft.sources.Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      dir, n = 8)
+    val agg = StreamingOps.tumbling(StreamingOps.readStreamJson(s, dir))
+    s.catalog.dropTempView("b89_replay") // idempotent re-runs
+    StreamingOps.runToMemory(agg, "b89_replay", "complete")
+      .orderBy("ws", "event_type")
+  }
+
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89)
 }

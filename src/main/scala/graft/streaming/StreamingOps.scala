@@ -60,6 +60,39 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/chunk_*")
 
+  /** Timestamp format carrying MICROSECOND precision through JSON — the
+    * default JSON timestamp format is millisecond-granular and would
+    * silently truncate event times (diverging every event-time operator
+    * downstream). Shared by the B89 writer and reader. */
+  val JsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** JSON-lines chunk replay (B89): same ordered chunking as
+    * [[writeChunksDf]], serialized as JSON — the wire shape of most real
+    * event feeds (the reference's own input is JSON). */
+  def writeChunksJson(events: DataFrame, dir: String, n: Int): Unit = {
+    val spark = events.sparkSession
+    val ordered = events.orderBy(col("ts"), col("event_id"))
+    val total = ordered.count()
+    val perChunk = math.max(1, (total + n - 1) / n)
+    val rows = ordered.collect() // test-scale replay harness only
+    rows.grouped(perChunk.toInt).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toSeq, 1), ordered.schema)
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", JsonTsFormat)
+        .json(f"$dir/chunk_$i%04d")
+    }
+  }
+
+  /** File-source stream over JSON chunks (explicit schema — inference is
+    * forbidden at scale, and a streaming source cannot infer anyway). */
+  def readStreamJson(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("timestampFormat", JsonTsFormat)
+      .json(s"$dir/chunk_*")
+
   /** B48 — tumbling 1h window counts/sums per event_type, with watermark. */
   def tumbling(events: DataFrame): DataFrame =
     events
