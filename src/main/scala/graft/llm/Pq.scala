@@ -40,7 +40,11 @@ import graft.sources.Tables
   *   - score: broadcast probe tables × encoded corpus; each pair costs m
   *     array lookups via one `aggregate` HOF, and the corpus side of the
   *     join carries 4-byte codes + one cached norm instead of the vector.
-  *     Top-k per probe by the same window as b44.
+  *     Top-k per probe by the same window as b44. [[searchAdc]]'s cross
+  *     join is O(n·probes) rows — exhaustive ADC; [[searchIvfAdc]] is the
+  *     100 TB form: the IVF coarse quantizer routes each probe to nProbe
+  *     cells and the scoring join is keyed on cell, cutting the input to
+  *     ≈ nProbe/nCells of the corpus (pruning ratio pinned in PqSpec).
   *
   * Approximate by construction → rows-only entry (b19/b43-minhash rules);
   * PqSpec pins determinism (identical vectors ⇒ identical codes), code
@@ -143,6 +147,63 @@ object Pq {
       .agg(avg(col("full2"))).head().getDouble(0)
   }
 
+  /** Per-probe ADC lookup tables: p·m·ksub partial dots, computed
+    * distributed then collected (a few KB for 20 probes — the bloom/CMS
+    * O(sketch) driver rule) and re-broadcast as ONE flat array per probe;
+    * entry s·ksub+code = pv_s · c_{s,code}. Shared by [[searchAdc]] and
+    * [[searchIvfAdc]]. Output: (probe_id, pnorm, dtable). */
+  private def distanceTables(probes: DataFrame, cb: DataFrame,
+      m: Int, ksub: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val dsub = 64 / m
+    val tableRows = probes
+      .select(col("probe_id"), col("pnorm"), posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), s -> slice(pv, s * $dsub + 1, $dsub))")))
+      .select(col("probe_id"), col("pnorm"), col("pos").as("sub"), col("col").as("pv_s"))
+      .join(broadcast(cb), "sub")
+      .select(col("probe_id"), col("pnorm"), col("sub"), col("code"),
+        dot("pv_s", "cv").as("pd"))
+      .collect()
+    import spark.implicits._
+    tableRows.groupBy(r => (r.getLong(0), r.getDouble(1)))
+      .map { case ((pid, pnorm), rows) =>
+        val flat = new Array[Double](m * ksub)
+        rows.foreach(r => flat(r.getInt(2) * ksub + r.getInt(3)) = r.getDouble(4))
+        (pid, pnorm, flat.toSeq)
+      }.toSeq.toDF("probe_id", "pnorm", "dtable")
+  }
+
+  /** ADC shortlist + exact re-rank: stage-2 of both ADC searches. Takes
+    * the scoring input (each row = one (probe, coded vector) pair to ADC-
+    * score, carrying probe_id/pnorm/dtable/vec_id/codes/norm), keeps a
+    * `shortlist`-deep candidate set per probe by quantized cosine, then
+    * re-scores ONLY the shortlist with the exact dot product. */
+  private def adcShortlistRerank(scoring: DataFrame, embeddings: DataFrame,
+      probes: DataFrame, k: Int, m: Int, ksub: Int, shortlist: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+    val candidates = scoring
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + dtable[s * $ksub + codes[s]])"))
+      .withColumn("cos_pq", col("adc") / (col("pnorm") * col("norm")))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= shortlist)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank of the shortlist only: fetch true vectors for the
+    // p·shortlist candidate rows, never the whole corpus
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .join(Ivf.asDouble(embeddings), "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos", dot("pv", "v") / (col("pnorm") * col("norm")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rn"))
+  }
+
   /** ADC top-k cosine search with exact re-ranking. Stage 1 scores every
     * corpus vector from its codes via per-probe lookup tables (approximate
     * cosine Σ_s pv_s·c_{s,code_s} / (‖p‖·‖x‖) — exact norms, quantized
@@ -154,56 +215,70 @@ object Pq {
     * pinned in PqSpec. */
   def searchAdc(embeddings: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int, m: Int = 16, ksub: Int = 16, shortlist: Int = 50): DataFrame = {
-    val spark = embeddings.sparkSession
-    val d = 64
-    val dsub = d / m
     val cb = codebook(embeddings, m, ksub).cache()
     try {
       val coded = encode(embeddings, cb, m)
       val probes = Ivf.asDouble(embeddings.filter(probeFilter))
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("norm").as("pnorm"))
-      // distance tables: p·m·ksub partial dots, computed distributed then
-      // collected (a few KB — the O(sketch) driver rule) and re-broadcast
-      // as one flat array per probe: entry s·ksub+code = pv_s · c_{s,code}
-      val tableRows = probes
-        .select(col("probe_id"), col("pnorm"), posexplode(
-          expr(s"transform(sequence(0, ${m - 1}), s -> slice(pv, s * $dsub + 1, $dsub))")))
-        .select(col("probe_id"), col("pnorm"), col("pos").as("sub"), col("col").as("pv_s"))
-        .join(broadcast(cb), "sub")
-        .select(col("probe_id"), col("pnorm"), col("sub"), col("code"),
-          dot("pv_s", "cv").as("pd"))
-        .collect()
-      import spark.implicits._
-      val tables = tableRows.groupBy(r => (r.getLong(0), r.getDouble(1)))
-        .map { case ((pid, pnorm), rows) =>
-          val flat = new Array[Double](m * ksub)
-          rows.foreach(r => flat(r.getInt(2) * ksub + r.getInt(3)) = r.getDouble(4))
-          (pid, pnorm, flat.toSeq)
-        }.toSeq.toDF("probe_id", "pnorm", "dtable")
-      val wAdc = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_pq").desc, col("vec_id"))
-      val candidates = coded.crossJoin(broadcast(tables))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("adc", expr(
-          s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + dtable[s * $ksub + codes[s]])"))
-        .withColumn("cos_pq", col("adc") / (col("pnorm") * col("norm")))
-        .withColumn("arn", row_number().over(wAdc))
-        .filter(col("arn") <= shortlist)
-        .select(col("probe_id"), col("vec_id"))
-      // exact re-rank of the shortlist only: fetch true vectors for the
-      // p·shortlist candidate rows, never the whole corpus
-      val wTop = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      candidates
-        .join(Ivf.asDouble(embeddings), "vec_id")
-        .join(broadcast(probes), "probe_id")
-        .withColumn("cos", dot("pv", "v") / (col("pnorm") * col("norm")))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= k)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 4).as("cosine"), col("rn"))
+      val tables = distanceTables(probes, cb, m, ksub)
+      val scoring = coded.crossJoin(broadcast(tables))
+      adcShortlistRerank(scoring, embeddings, probes, k, m, ksub, shortlist)
     } finally cb.unpersist()
+  }
+
+  /** The IVFADC scoring input (Jégou et al. §V: coarse quantizer + PQ):
+    * each output row is one (probe, coded vector) pair that the ADC stage
+    * will score — i.e. the coded corpus JOINED ON CELL to the probes'
+    * nProbe nearest coarse cells, instead of [[searchAdc]]'s probe ×
+    * full-corpus cross join. Exposed so PqSpec can assert the pruning
+    * ratio (rows ≈ p·n·nProbe/nCells, not p·n). */
+  private[graft] def ivfAdcScoringInput(embeddings: DataFrame,
+      probeFilter: org.apache.spark.sql.Column, m: Int, ksub: Int,
+      nProbe: Int, numCells: Option[Int] = None): DataFrame = {
+    val nCells = numCells.getOrElse(Ivf.defaultNumCells(embeddings.count()))
+    val cents = Ivf.centroids(embeddings, nCells)
+    // coarse index: cell id per corpus vector, attached to the PQ codes so
+    // the scoring join carries (cell, codes, norm) — never raw vectors
+    val cb = codebook(embeddings, m, ksub)
+    val codedCells = encode(embeddings, cb, m)
+      .join(Ivf.assignTo(Ivf.asDouble(embeddings), cents)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val probes = Ivf.asDouble(embeddings.filter(probeFilter))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+    // probe router (Ivf.search's): nProbe nearest cells per probe
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("csim", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nProbe)
+      .select(col("probe_id"), col("cell"))
+    val tables = distanceTables(probes, cb, m, ksub)
+    // THE scale fix over searchAdc: the broadcast side is (probe, cell,
+    // dtable) and the join is keyed on cell, so only vectors in probed
+    // cells are ADC-scored — nProbe/nCells of the corpus per probe
+    codedCells.join(broadcast(probeCells.join(tables, "probe_id")), "cell")
+  }
+
+  /** IVFADC top-k cosine search (SURVEY B44: the composition of scale
+    * paths #2 and #3): coarse quantizer routes each probe to its nProbe
+    * nearest cells, ADC scores ONLY those cells' codes, exact re-rank on
+    * the shortlist. Fixes [[searchAdc]]'s one 100 TB weakness — its
+    * scoring join is O(n·p) rows even with 8-byte codes — by cutting the
+    * scoring input to ≈ nProbe/nCells of the corpus, the same pruning
+    * [[Ivf.search]] applies to exact scoring. Recall = P(true top-k in
+    * probed cells AND in ADC shortlist); pinned vs brute force in PqSpec
+    * alongside the pruning-ratio assert. */
+  def searchIvfAdc(embeddings: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int, m: Int = 16, ksub: Int = 16, shortlist: Int = 50,
+      nProbe: Int = 8, numCells: Option[Int] = None): DataFrame = {
+    val probes = Ivf.asDouble(embeddings.filter(probeFilter))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+    val scoring = ivfAdcScoringInput(embeddings, probeFilter, m, ksub, nProbe, numCells)
+    adcShortlistRerank(scoring, embeddings, probes, k, m, ksub, shortlist)
   }
 
   /** B44 scale path #3 — PQ/ADC top-10 for the same probe set as the
@@ -214,5 +289,13 @@ object Pq {
       .orderBy("probe_id", "rn")
   }
 
-  val entries: Seq[Entry] = Seq(b84pq)
+  /** B44 scale-path composition — IVFADC top-10 for the same probe set
+    * (approximate: recall + pruning ratio pinned in PqSpec). */
+  private val b84bIvfPq = entryNoOracle("b84b_similarity_ivfpq") { (s, d) =>
+    graft.functions.DotProductExpression.register(s)
+    searchIvfAdc(Tables.embeddings(s, d), col("vec_id") < 20, k = 10, nProbe = 10)
+      .orderBy("probe_id", "rn")
+  }
+
+  val entries: Seq[Entry] = Seq(b84pq, b84bIvfPq)
 }

@@ -105,4 +105,47 @@ class PqSpec extends AnyFunSuite {
     // bound set with margin so the spec pins it can't silently degrade
     assert(mean >= 0.6, f"PQ recall collapsed: $mean%.3f")
   }
+
+  test("IVFADC scoring join touches only probed cells (pruning ratio)") {
+    graft.functions.DotProductExpression.register(spark)
+    val nCells = 25
+    val nProbe = 5
+    val probeFilter = col("vec_id") < 20
+    val p = emb.filter(probeFilter).count()
+    val n = emb.count()
+    val scoring = Pq.ivfAdcScoringInput(emb, probeFilter, M, KSUB,
+      nProbe, numCells = Some(nCells)).count()
+    val full = p * n // what searchAdc's cross join would score
+    val expected = full.toDouble * nProbe / nCells
+    info(f"IVFADC scoring rows = $scoring (full cross join = $full, " +
+      f"nProbe/nCells share = $expected%.0f)")
+    // hash-sampled cells aren't balanced, so allow 2× the ideal share —
+    // still far below the full cross join searchAdc pays
+    assert(scoring <= 2 * expected,
+      f"IVFADC scored $scoring rows — pruning lost (ideal $expected%.0f)")
+  }
+
+  test("IVFADC recall@10 vs exact brute-force top-10 on the b44 probe set") {
+    graft.functions.DotProductExpression.register(spark)
+    val exact = SparkEntry.queries("b44_similarity_bruteforce")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfpq = SparkEntry.queries("b84b_similarity_ivfpq")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (p, truth) =>
+      ivfpq.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVFADC recall@10 = $mean%.3f over ${recalls.size} probes")
+    // recall = P(true neighbor in the nProbe probed cells AND in the ADC
+    // shortlist): the cell filter costs recall vs plain ADC's 0.785 —
+    // that's the pruning trade. Measured 0.620 (nProbe=10 of 23 cells;
+    // 0.575 at nProbe=8); the whole pipeline is deterministic (hash-
+    // sampled centroids, deterministic codes and tie-breaks) so the
+    // measurement is exact and the b44 gate of 0.6 is pinned directly.
+    assert(mean >= 0.6, f"IVFADC recall collapsed: $mean%.3f")
+  }
 }
