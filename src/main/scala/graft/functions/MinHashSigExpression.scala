@@ -48,7 +48,13 @@ case class MinHashSigExpression(child: Expression) extends UnaryExpression {
           s"$prettyName requires array<string> or array<long>, got ${other.catalogString}")
     }
 
-  override def nullable: Boolean = child.nullable
+  /** Null on empty input too (not just null input): a shingle-less doc has
+    * NO MinHash signature — the declarative groupBy-min spelling emits no
+    * row for it. A non-null sentinel here (64 × Long.MaxValue) would make
+    * every empty doc band-collide in every LSH band and flood candidate
+    * generation, and the function is registered session-wide, so unguarded
+    * SQL use must stay safe without the call sites' size(...) > 0 gates. */
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     if (fromHashes) MinHashSigExpression.sigsFromHashes(input.asInstanceOf[ArrayData])
@@ -56,8 +62,10 @@ case class MinHashSigExpression(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (fromHashes) "sigsFromHashes" else "sigs"
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashSigExpression.$fn($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSigExpression.$fn($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpression =
@@ -72,9 +80,12 @@ object MinHashSigExpression {
   private val SeedB = XxHash64Function.hash(1, IntegerType, 42L)
 
   /** One fused pass: shingle bytes → (a, b) → 64 running minima. Shared
-    * by eval, the generated code, and the spec's JVM oracle. */
+    * by eval, the generated code, and the spec's JVM oracle. Null for an
+    * empty input — min over nothing is undefined (see [[MinHashSigExpression
+    * .nullable]]). */
   def sigs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    if (n == 0) return null
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -87,6 +98,7 @@ object MinHashSigExpression {
   /** [[sigs]] over pre-hashed shingles (array<long> input). */
   def sigsFromHashes(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    if (n == 0) return null
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {

@@ -123,6 +123,21 @@ object MinHashLsh {
       .select(col("doc_id"), expr("minhash_sigs(sh_arr)").as("sig"))
   }
 
+  /** Fan-out pin for the shingling pass (the b43_dedup_jaccard lesson):
+    * a local parquet scan is 1-2 splits, which would leave shingling +
+    * signatures on 1-2 of the 32 threads, so narrow inputs repartition to
+    * defaultParallelism (the pinned count stops AQE from coalescing the
+    * tiny-input shuffle back). GATED on the input actually being narrower
+    * than the cluster: a 100 TB corpus already has thousands of splits,
+    * and an unconditional repartition there would force a gratuitous
+    * full-corpus text shuffle for nothing. Gate pinned in MinHashLshSpec. */
+  private[graft] def spreadNarrowInput(docs: DataFrame): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism, col("doc_id"))
+    else docs
+  }
+
   /** End-to-end near-dup detection: LSH candidates, then exact verification
     * at `threshold`. The distinct hashed-shingle ARRAY (one row per doc,
     * 8-byte longs — shingle strings never materialize, see
@@ -130,15 +145,11 @@ object MinHashLsh {
     * signature projection and the verifier's exploded relation; cached so
     * the fused shingling pass runs once, and each consumer's explode off
     * the cached long-array is near-free. */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDuplicates(docs: DataFrame, threshold: Double,
+      bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
     graft.functions.MinHashSigExpression.register(docs.sparkSession)
     graft.functions.ShingleHashesExpression.register(docs.sparkSession)
-    // pin fan-out before the shingling pass (the b43_dedup_jaccard
-    // lesson): the local parquet scan is 1-2 splits, which would leave
-    // shingling + signatures on 1-2 threads; the pinned count stops AQE
-    // from coalescing the tiny-input shuffle back
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val spread = spreadNarrowInput(docs)
     // size > 0 replays withShingleArr's `size(words) >= 3` gate (the
     // expression returns the empty array below 3 words)
     val hArr = spread
@@ -154,7 +165,7 @@ object MinHashLsh {
     // the banded relation runs at construction time here; this cache only
     // de-duplicates the post-checkpoint candidate join across the two
     // verifier consumers
-    val cands = candidatePairs(sigs).cache()
+    val cands = candidatePairs(sigs, bucketCap).cache()
     try {
       verifyJaccardFromShingles(cands, sh)
         .filter(col("jaccard") >= threshold)

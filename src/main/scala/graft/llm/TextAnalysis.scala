@@ -88,11 +88,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val n = Tables.documents(s, d).count() // corpus size: one scalar, driver-safe
+    // corpus size as a cross-joined 1-row aggregate (the oracle's CROSS
+    // JOIN n shape): part of the plan, so no separate count() job — at
+    // 100 TB the driver-side count was one whole extra metadata pass
+    val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.filter(col("doc_id") % 100 === 0)
       .join(df, "term")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n") / col("df")))
       .select(col("doc_id"), col("term"), col("score"), row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"), col("rn"))

@@ -48,13 +48,20 @@ object ScaleTechniques {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = java.nio.file.Paths.get(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      table.toLowerCase(java.util.Locale.ROOT))
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    // warehouse.dir may be a file: URI or a raw path, possibly with
+    // characters (spaces) that URI parsing rejects — try URI, fall back raw
+    val warehousePath =
+      try java.nio.file.Paths.get(java.net.URI.create(warehouse))
+      catch { case _: IllegalArgumentException | _: java.nio.file.FileSystemNotFoundException =>
+        java.nio.file.Paths.get(warehouse.stripPrefix("file:"))
+      }
+    val loc = warehousePath.resolve(table.toLowerCase(java.util.Locale.ROOT))
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)

@@ -50,7 +50,7 @@ object StreamingBatchTwins {
   private val b50 = entry(
     "b50_window_session_batch",
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS new_s
@@ -58,7 +58,7 @@ object StreamingBatchTwins {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |islands AS (
       |  SELECT user_id, ts, value,
-      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                          ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM flagged)
       |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,

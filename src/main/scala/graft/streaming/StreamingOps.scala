@@ -37,16 +37,26 @@ object StreamingOps {
     * share their (ts, event_id) sort key, so they land adjacent — same or
     * neighboring chunk — which keeps them inside any watermark horizon. */
   def writeChunksDf(events: DataFrame, dir: String, n: Int,
-      sortCols: Seq[String] = Seq("ts", "event_id")): Unit = {
+      sortCols: Seq[String] = Seq("ts", "event_id")): Unit =
+    writeChunksWith(events, dir, n, sortCols) { (df, path) =>
+      df.write.mode("overwrite").parquet(path)
+    }
+
+  /** The one collect-order-chunk loop behind every replay serializer
+    * (parquet and JSON share ordering semantics by construction — the two
+    * copies previously here could silently diverge). Test-scale replay
+    * harness only: collects the full table to the driver to cut exact,
+    * deterministic chunk boundaries. */
+  private def writeChunksWith(events: DataFrame, dir: String, n: Int,
+      sortCols: Seq[String])(write: (DataFrame, String) => Unit): Unit = {
     val spark = events.sparkSession
     val ordered = events.orderBy(sortCols.map(col): _*)
-    val total = ordered.count()
-    val perChunk = math.max(1, (total + n - 1) / n)
-    val rows = ordered.collect() // test-scale replay harness only
-    rows.grouped(perChunk.toInt).zipWithIndex.foreach { case (chunk, i) =>
+    val rows = ordered.collect()
+    val perChunk = math.max(1, (rows.length + n - 1) / n)
+    rows.grouped(perChunk).zipWithIndex.foreach { case (chunk, i) =>
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(chunk.toSeq, 1), ordered.schema)
-      df.coalesce(1).write.mode("overwrite").parquet(f"$dir/chunk_$i%04d")
+      write(df.coalesce(1), f"$dir/chunk_$i%04d")
     }
   }
 
@@ -66,23 +76,16 @@ object StreamingOps {
     * downstream). Shared by the B89 writer and reader. */
   val JsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-  /** JSON-lines chunk replay (B89): same ordered chunking as
-    * [[writeChunksDf]], serialized as JSON — the wire shape of most real
-    * event feeds (the reference's own input is JSON). */
-  def writeChunksJson(events: DataFrame, dir: String, n: Int): Unit = {
-    val spark = events.sparkSession
-    val ordered = events.orderBy(col("ts"), col("event_id"))
-    val total = ordered.count()
-    val perChunk = math.max(1, (total + n - 1) / n)
-    val rows = ordered.collect() // test-scale replay harness only
-    rows.grouped(perChunk.toInt).zipWithIndex.foreach { case (chunk, i) =>
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(chunk.toSeq, 1), ordered.schema)
-        .coalesce(1).write.mode("overwrite")
+  /** JSON-lines chunk replay (B89): THE SAME chunking loop as
+    * [[writeChunksDf]] — only the serializer differs — so the two formats
+    * cannot drift in ordering semantics. */
+  def writeChunksJson(events: DataFrame, dir: String, n: Int,
+      sortCols: Seq[String] = Seq("ts", "event_id")): Unit =
+    writeChunksWith(events, dir, n, sortCols) { (df, path) =>
+      df.write.mode("overwrite")
         .option("timestampFormat", JsonTsFormat)
-        .json(f"$dir/chunk_$i%04d")
+        .json(path)
     }
-  }
 
   /** File-source stream over JSON chunks (explicit schema — inference is
     * forbidden at scale, and a streaming source cannot infer anyway). */

@@ -39,6 +39,22 @@ class MinHashLshSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 1.0))
   }
 
+  test("repartition gate: narrow input fans out, wide input keeps its partitioning") {
+    val parallelism = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the local fixture IS the narrow case (1-2 parquet splits)
+    assert(docs.rdd.getNumPartitions < parallelism, "fixture unexpectedly wide")
+    val spread = MinHashLsh.spreadNarrowInput(docs)
+    assert(spread.rdd.getNumPartitions === parallelism,
+      "narrow input did not fan out to defaultParallelism")
+    // a corpus already wider than the cluster must pass through untouched —
+    // at 100 TB the unconditional repartition would be a full-text shuffle
+    val wide = docs.repartition(parallelism * 2, col("doc_id"))
+    val kept = MinHashLsh.spreadNarrowInput(wide)
+    assert(kept.rdd.getNumPartitions === parallelism * 2,
+      "already-wide input was repartitioned (gratuitous full shuffle)")
+  }
+
   test("native shingle_hashes equals distinct xxhash64 of declarative shingles") {
     graft.functions.ShingleHashesExpression.register(spark)
     import spark.implicits._
@@ -114,6 +130,23 @@ class MinHashLshSpec extends AnyFunSuite {
     assert(joined.count() === docs.filter(size(split(col("text"), " ")) >= 3).count())
     assert(joined.filter(expr("sig <> sig_agg")).count() === 0,
       "fused native signature diverged from the exploded 64-min aggregation")
+  }
+
+  test("minhash_sigs of an empty array is NULL, matching the agg spelling's no-row") {
+    graft.functions.MinHashSigExpression.register(spark)
+    import spark.implicits._
+    // a shingle-less doc has no signature: the groupBy-min spelling emits
+    // no row, so the session-registered function must not emit a sentinel
+    // that would band-collide every empty doc (ADVICE r5)
+    val out = Seq(("empty", 0), ("nonempty", 1)).toDF("tag", "k")
+      .select(col("tag"),
+        expr("minhash_sigs(CAST(array() AS array<string>))").as("s_str"),
+        expr("minhash_sigs(CAST(array() AS array<bigint>))").as("s_long"),
+        expr("minhash_sigs(array('a b c'))").as("s_ok"))
+      .collect()
+    assert(out.forall(_.isNullAt(1)), "empty array<string> input must yield NULL")
+    assert(out.forall(_.isNullAt(2)), "empty array<bigint> input must yield NULL")
+    assert(out.forall(!_.isNullAt(3)), "non-empty input must stay non-null")
   }
 
   test("native lsh_bands equals the transform+slice+xxhash64 spelling") {

@@ -105,15 +105,21 @@ class StreamingSpec extends AnyFunSuite {
     val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
     val flushTs = new Timestamp(maxTs.getTime + 10L * 3600 * 1000)
     import spark.implicits._
+    val sentinelViewId = 9000001L
+    val sentinelPurchaseId = 9000002L
+    // exact-key sentinel handling (ADVICE r5): assert the fixture can't
+    // collide with the sentinel ids instead of range-filtering real rows
+    assert(ev.agg(max("event_id")).head().getLong(0) < sentinelViewId,
+      "fixture event_id range grew into the sentinel ids")
     val flush = Seq(
-      (9000001L, flushTs, -1L, "view", 0.0, "{}"),
-      (9000002L, flushTs, -2L, "purchase", 0.0, "{}"))
+      (sentinelViewId, flushTs, -1L, "view", 0.0, "{}"),
+      (sentinelPurchaseId, flushTs, -2L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 6)
     val streamed = StreamingOps.runToMemory(
       StreamingOps.viewPurchaseJoinOuter(StreamingOps.readStream(spark, dir)),
       "t_ssouter", "append")
-    val got = streamed.filter(col("purchase_id") < 9000000L)
+    val got = streamed.filter(col("purchase_id") =!= sentinelPurchaseId)
       .select("purchase_id", "view_id", "user_id", "gap_us")
     val batch = SparkEntry.queries("b83_stream_join_outer_batch")(spark, sf)
       .select("purchase_id", "view_id", "user_id", "gap_us")
