@@ -174,5 +174,66 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val entries: Seq[Entry] = Seq(b42, b43, b43lsh)
+  /** B90 — TEXT near-dup dedup END-TO-END (the [[graft.llm.Similarity]]
+    * b75 pattern for the MinHash path): shingle → banded-LSH candidates →
+    * exact-Jaccard verify at τ=0.99 → connected components → every doc
+    * labeled with its dup class's canonical (minimum) id. b43 emits pairs;
+    * this closes the classes — the row a corpus-dedup pipeline actually
+    * consumes (`doc_id = canonical_id` is the kept corpus).
+    *
+    * t2-HASH-CHECKED despite the LSH stage, because on this corpus recall
+    * is provably 1 (the b75 argument, re-established for text): measured
+    * over the dup-injected documents table at every SF, EVERY pair with
+    * jaccard ≥ 0.99 has jaccard exactly 1.0 — identical distinct-shingle
+    * sets (max non-identical organic pair: 0.989) — and identical shingle
+    * sets give identical signatures, which collide in EVERY band, so no
+    * qualifying pair can be missed. False candidates die in the exact
+    * verify. `bucketCap = None` keeps the proof unconditional (a capped
+    * hot bucket could drop a qualifying pair); production corpora set the
+    * cap and accept the documented trade (SkewCapSpec).
+    *
+    * Scale: candidates O(Σ bucket²), verify touches candidates only,
+    * components shuffle O(V+E)·O(log diameter) — the oracle's recursive
+    * closure is the sf0.01 crutch, not the plan. */
+  private val b90 = entry(
+    "b90_dedup_text_e2e",
+    """WITH RECURSIVE
+      |all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM words WHERE len(w) >= 3),
+      |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |qual AS (
+      |  SELECT da, db FROM pairs
+      |  JOIN counts ca ON ca.doc_id = da
+      |  JOIN counts cb ON cb.doc_id = db
+      |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.99),
+      |edges(a, b) AS (SELECT da, db FROM qual UNION SELECT db, da FROM qual),
+      |reach(n, m) AS (
+      |  SELECT doc_id, doc_id FROM all_docs
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+      |SELECT n AS doc_id, min(m) AS canonical_id
+      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = docsWithDups(s, d)
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.99, bucketCap = None)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.GraphOps
+      .connectedComponents(pairs, docs.select(col("doc_id").as("n")))
+      .select(col("n").as("doc_id"), col("component").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b42, b43, b43lsh, b90)
 }

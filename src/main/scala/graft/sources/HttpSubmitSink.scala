@@ -26,11 +26,23 @@ object HttpSubmitSink {
 
   /** POST a feature DataFrame (wildweb Feature schema) as one GeoJSON
     * FeatureCollection. Returns the HTTP status. */
-  def submit(features: DataFrame, url: String, batchId: Long = -1L): Int = {
-    val body = graft.wildweb.WildWebPipeline.featureCollectionJson(features)
+  def submit(features: DataFrame, url: String, batchId: Long = -1L): Int =
+    post(graft.wildweb.WildWebPipeline.featureCollectionJson(features),
+      "application/geo+json", url, batchId)
+
+  /** POST any DataFrame as JSON-lines (one object per row) — the
+    * schema-agnostic delivery twin of [[submit]], and the body shape the
+    * B91 t2 loop re-reads and hash-matches. The collect IS the sink edge:
+    * one bounded micro-batch per POST, by the same contract that bounds
+    * the FeatureCollection. */
+  def submitJsonLines(df: DataFrame, url: String, batchId: Long = -1L): Int =
+    post(df.toJSON.collect().mkString("\n"), "application/x-ndjson", url, batchId)
+
+  private def post(body: String, contentType: String, url: String,
+      batchId: Long): Int = {
     val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
     val req = HttpRequest.newBuilder(URI.create(url))
-      .header("Content-Type", "application/geo+json")
+      .header("Content-Type", contentType)
       .header("X-Batch-Id", batchId.toString)
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .build()

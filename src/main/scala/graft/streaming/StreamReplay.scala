@@ -203,7 +203,8 @@ object StreamReplay {
   private val b88 = entry(
     "b88_stream_session_timers",
     """WITH flagged AS (
-      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+      |  SELECT user_id, ts, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS new_s
@@ -211,7 +212,7 @@ object StreamReplay {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |islands AS (
       |  SELECT user_id, ts, cents,
-      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                          ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM flagged)
       |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
@@ -224,8 +225,11 @@ object StreamReplay {
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
     import s.implicits._
-    val flush = Seq((9000001L, flushTs, -1L, "view", 0.0, "{}"))
+    val flushUserId = -1L // no fixture user_id is negative (asserted below)
+    val flush = Seq((9000001L, flushTs, flushUserId, "view", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    require(ev.agg(min(col("user_id"))).head().getLong(0) > flushUserId,
+      s"fixture contains user_id <= $flushUserId — flush sentinel key collides")
     StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 8)
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -234,7 +238,7 @@ object StreamReplay {
       val sessions = StreamingOps.sessionsCentsTws(StreamingOps.readStream(s, dir))
       s.catalog.dropTempView("b88_replay") // idempotent re-runs
       StreamingOps.runToMemory(sessions, "b88_replay", "append")
-        .filter(col("user_id") >= 0) // drop the flush sentinel's own row
+        .filter(col("user_id") =!= flushUserId) // drop EXACTLY the sentinel's row
         .select(
           date_format(timestamp_micros(col("start_micros")),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
@@ -274,5 +278,59 @@ object StreamReplay {
       .orderBy("ws", "event_type")
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89)
+  private lazy val chunkDir91: String =
+    java.nio.file.Files.createTempDirectory("graft_b91_chunks").toString
+
+  /** B91 — the HTTP submit sink INSIDE the t2 loop (previously B5 was
+    * spec-only): b54's tumbling replay delivered per micro-batch through
+    * foreachBatch → [[graft.sources.HttpSubmitSink.submitJsonLines]] to an
+    * in-process receiver; each POST body lands as one JSON-lines file, and
+    * the query result is the LAST landed delivery re-read with an explicit
+    * schema — complete mode makes it the full final aggregate, so the
+    * round trip (aggregate → HTTP wire → landed bytes → re-read) must
+    * hash-match b54's oracle exactly. What this adds over b54: the sink
+    * leg itself is now inside the hash gate — a serialization bug (e.g.
+    * double truncation, column drop) in delivery would turn the row red. */
+  private val b91 = entry(
+    "b91_stream_submit_sink",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+      |       event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    val dir = chunkDir91
+    StreamingOps.writeChunks(s, d, dir, n = 8)
+    val landing = java.nio.file.Files.createTempDirectory("graft_b91_landing")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/submit", exchange => {
+      val batchId = exchange.getRequestHeaders.getFirst("X-Batch-Id").toLong
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.writeString(
+        landing.resolve(f"batch_$batchId%06d.jsonl"), body)
+      exchange.sendResponseHeaders(200, 2)
+      exchange.getResponseBody.write("ok".getBytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/submit"
+      val agg = StreamingOps.tumbling(StreamingOps.readStream(s, dir))
+      StreamingOps.runForeachBatch(agg, "complete") { (batch, id) =>
+        graft.sources.HttpSubmitSink.submitJsonLines(batch, url, id); ()
+      }
+      // highest batch id = the final complete-mode delivery
+      val walk = java.nio.file.Files.list(landing)
+      val last = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.toString).max
+      } finally walk.close()
+      // explicit schema: inference is forbidden at scale, and `n` would
+      // otherwise come back as the wrong integer width
+      s.read.schema("ws STRING, event_type STRING, n BIGINT, total DOUBLE")
+        .json(last)
+        .orderBy("ws", "event_type")
+    } finally server.stop(0)
+  }
+
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89, b91)
 }
