@@ -24,6 +24,8 @@ object SparkEntry {
       operators.WildWebQueries.entries ++
       llm.Redact.entries ++
       llm.TextDedup.entries ++
+      llm.SpanDedup.entries ++
+      llm.Decontaminate.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

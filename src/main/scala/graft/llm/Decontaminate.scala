@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Benchmark decontamination (SURVEY §2B round-6 row B92): flag training
+  * documents that overlap a held-out evaluation/benchmark set by exact
+  * word-n-gram match — the standard pre-training hygiene pass (the GPT-3
+  * paper's 13-gram filter; done here at 8-gram granularity so the ~60-word
+  * synthetic docs can overlap at all).
+  *
+  * Semantics: a corpus doc is CONTAMINATED when it shares ≥ `MinOverlap`
+  * distinct 8-grams with ANY benchmark doc. Exact by construction (no
+  * sketching), so the whole operator is SQL-expressible and t2-checked.
+  *
+  * Scale posture: the benchmark set is small by definition (thousands of
+  * eval questions vs a 100 TB corpus) — its distinct-gram relation
+  * BROADCASTS, and the corpus side streams map-side through one
+  * explode → broadcast-semi-ish join → per-doc count, with one shuffle
+  * for the per-doc aggregate. The corpus grams are never collected or
+  * self-joined. At 100 TB the gram strings would drop to xxhash64 longs
+  * before the join (the MinHashLsh rule: shuffle 8-byte hashes, never
+  * strings); the t2 entry keeps strings so the oracle compares exactly —
+  * the plan shape is identical either way.
+  */
+object Decontaminate {
+
+  val GramWords = 8
+  /** Flag threshold: ≥ 3 shared 8-grams ≈ a ≥ 10-word verbatim span,
+    * tolerating single-gram coincidences in a small vocabulary. */
+  val MinOverlap = 3
+
+  /** Distinct word-8-grams per doc: (doc_id, gram). */
+  private def grams(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= GramWords)
+      .select(col("doc_id"), explode_outer(array_distinct(expr(
+        s"""transform(sequence(0, size(w) - $GramWords),
+           |          i -> array_join(slice(w, i + 1, $GramWords), ' '))""".stripMargin)))
+        .as("gram"))
+
+  /** The planted-contamination corpus: originals plus, for every doc with
+    * `doc_id % 100 = 1`, a copy (id + 3000000) whose text is extended with
+    * benchmark doc 0's text — verbatim benchmark leakage. The flagged set
+    * is the 5 planted docs PLUS one organic hit (sf0.01 doc 332, a
+    * near-verbatim copy of a benchmark doc — the corpus's jaccard-0.989
+    * organic near-dup pair straddles the benchmark split), which is
+    * exactly what a decontamination pass exists to catch. */
+  private[llm] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bench0 = docs.filter(col("doc_id") === 0)
+      .select(col("text").as("bench_text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 100 === 1)
+        .crossJoin(broadcast(bench0))
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", col("text"), col("bench_text")).as("text")))
+  }
+
+  /** Overlap report: every non-benchmark corpus doc sharing ≥1 gram with
+    * the benchmark set, its distinct-gram overlap count, and the
+    * contamination flag. `benchmark` = original docs with doc_id % 40 = 0. */
+  def overlapReport(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .withColumn("contaminated", col("overlap_ngrams") >= MinOverlap)
+      .orderBy("doc_id")
+  }
+
+  /** B92 — benchmark decontamination over the planted corpus. */
+  private val b92 = entry(
+    "b92_text_decontaminate",
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM docs
+       |  UNION ALL
+       |  SELECT d.doc_id + 3000000, d.text || ' ' || b.text
+       |  FROM docs d, (SELECT text FROM docs WHERE doc_id = 0) b
+       |  WHERE d.doc_id % 100 = 1),
+       |bench AS (SELECT doc_id, text FROM docs WHERE doc_id % 40 = 0),
+       |bgrams AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - ${GramWords - 1}),
+       |    i -> array_to_string(string_split(text, ' ')[i:i + ${GramWords - 1}], ' ')))) AS gram
+       |  FROM bench WHERE len(string_split(text, ' ')) >= $GramWords),
+       |cgrams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - ${GramWords - 1}),
+       |    i -> array_to_string(string_split(text, ' ')[i:i + ${GramWords - 1}], ' ')))) AS gram
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= $GramWords
+       |    AND doc_id NOT IN (SELECT doc_id FROM bench))
+       |SELECT doc_id, count(*) AS overlap_ngrams,
+       |       count(*) >= $MinOverlap AS contaminated
+       |FROM cgrams JOIN bgrams USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val corpus = plantedCorpus(s, d)
+      .filter(!(col("doc_id") % 40 === 0 && col("doc_id") < 3000000L))
+    val benchmark = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 40 === 0)
+    overlapReport(corpus, benchmark)
+  }
+
+  val entries: Seq[Entry] = Seq(b92)
+}

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+
+/** Repeated-span removal (SURVEY §2B round-6 row B93): corpus-wide EXACT
+  * substring dedup at word-k-gram granularity — the ExactSubstr pass of
+  * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  * Better"), which removes verbatim re-used spans WITHIN documents that
+  * are otherwise distinct (doc-level dedup like B42/B43/B90 never sees
+  * them). Their suffix-array machinery is a single-node construction;
+  * the distributed equivalent is fixed-width span fingerprints: every
+  * word-5-gram occurrence in the corpus is keyed, and every occurrence
+  * EXCEPT the globally first (by doc_id, then position) of a gram that
+  * occurs more than once has its 5 word positions deleted from its
+  * document. Exact by construction → fully SQL-expressible → t2-checked.
+  *
+  * Scale posture: the only corpus-wide state is the per-gram occurrence
+  * relation — one shuffle keyed on the gram (at 100 TB the key drops to
+  * xxhash64(gram), the MinHashLsh 8-byte rule; strings are kept here so
+  * the oracle compares exactly). First-occurrence selection is a
+  * min-struct aggregate per gram — map-side combinable, state O(1) per
+  * gram — NOT a row_number window (which would sort whole hot-gram
+  * partitions). Position deletion and text reassembly are per-document
+  * (explode → anti join → sorted re-join), no cross-doc state. The
+  * output is proportional to the corpus, the intermediate to the span
+  * count (≈ words × 1).
+  */
+object SpanDedup {
+
+  val SpanWords = 5
+
+  /** (doc_id, pos, word) — 0-based word positions. */
+  private def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+
+  /** (doc_id, pos, gram) — every word-k-gram occurrence, pos = 0-based
+    * start. Docs shorter than k words contribute none (and can't contain
+    * a duplicated span). */
+  private def spans(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= SpanWords)
+      .select(col("doc_id"), posexplode_outer(expr(
+        s"""transform(sequence(0, size(w) - $SpanWords),
+           |          i -> array_join(slice(w, i + 1, $SpanWords), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+
+  /** Cleaned corpus: every non-first occurrence of a corpus-duplicated
+    * span has its word positions removed; text is reassembled from the
+    * survivors. Output: (doc_id, n_words, n_removed, clean_text), one row
+    * per input doc (a fully-deleted doc keeps its row with empty text). */
+  def removeRepeatedSpans(docs: DataFrame): DataFrame = {
+    val occ = spans(docs)
+    // per-gram (count, first occurrence) as ONE map-side-combinable
+    // aggregate — min over struct(doc_id, pos) is the global (doc, pos)
+    // order because doc_id is the struct's leading field
+    val gramStats = occ.groupBy("gram").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dupOcc = occ.join(gramStats, "gram")
+      .filter(col("cnt") > 1 &&
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val covered = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(SpanWords - 1))).as("pos"))
+      .distinct()
+    val kept = words(docs).join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, word))), e -> e.word)"), " ")
+        .as("clean_text"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** B93 — repeated-span removal over the dup-injected corpus (every 7th
+    * doc re-appears shifted by 1e6, so every one of its spans is a
+    * non-first duplicate and the copy must clean to empty — while organic
+    * cross-doc 5-gram repeats, if any, are removed surgically). */
+  private val b93 = entry(
+    "b93_dedup_spans",
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+       |words AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+       |      i -> {'pos': i - 1, 'word': w[i]})) AS u
+       |    FROM dw)),
+       |occ AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(w) - ${SpanWords - 1}),
+       |      i -> {'pos': i - 1,
+       |            'gram': array_to_string(w[i:i + ${SpanWords - 1}], ' ')})) AS u
+       |    FROM dw WHERE len(w) >= $SpanWords)),
+       |gram_stats AS (
+       |  SELECT gram, count(*) AS cnt,
+       |         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+       |  FROM occ GROUP BY gram),
+       |dup_occ AS (
+       |  SELECT o.doc_id, o.pos
+       |  FROM occ o JOIN gram_stats g USING (gram)
+       |  WHERE g.cnt > 1
+       |    AND NOT (o.doc_id = g.first['doc_id'] AND o.pos = g.first['pos'])),
+       |covered AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(generate_series(pos, pos + ${SpanWords - 1})) AS pos
+       |  FROM dup_occ),
+       |kept AS (
+       |  SELECT w.doc_id, w.pos, w.word FROM words w
+       |  ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(word, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(w) AS n_words,
+       |       len(w) - coalesce(r.n_kept, 0) AS n_removed,
+       |       coalesce(r.clean_text, '') AS clean_text
+       |FROM dw d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    removeRepeatedSpans(TextDedup.docsWithDups(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b93)
+}

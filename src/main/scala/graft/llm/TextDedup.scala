@@ -22,8 +22,10 @@ object TextDedup {
 
   /** Documents with injected duplicates (every 7th doc re-appears under a
     * shifted id) — the testdata has no exact dups, so dedup semantics are
-    * exercised against a corpus where they bite. */
-  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    * exercised against a corpus where they bite. Shared with
+    * [[SpanDedup]] (B93), whose planted copies' spans must all be
+    * duplicates of the originals'. */
+  private[graft] def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") % 7 === 0)

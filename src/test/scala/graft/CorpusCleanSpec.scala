@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Decontaminate, SpanDedup, TextDedup}
+import graft.sources.Tables
+
+/** Corpus-cleaning operators beyond doc-level dedup: benchmark
+  * decontamination (B92) and repeated-span removal (B93). */
+class CorpusCleanSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  test("B92: every planted benchmark-leak doc is flagged contaminated") {
+    val report = SparkEntry.queries("b92_text_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0) + 3000000L)
+    assert(planted.nonEmpty)
+    for (id <- planted)
+      assert(report.getOrElse(id, false), s"planted leak doc $id not flagged")
+  }
+
+  test("B92: benchmark docs themselves never appear in the report") {
+    val ids = SparkEntry.queries("b92_text_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bench = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 40 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bench.nonEmpty)
+    assert(ids.intersect(bench).isEmpty,
+      "a benchmark doc leaked into its own contamination report")
+  }
+
+  test("B93: every injected duplicate copy cleans to empty") {
+    // the copy's doc_id (1e6 + x) is always greater than its original's,
+    // so no span occurrence in a copy can be a gram's first — every word
+    // of every copy is covered and must be removed
+    val out = SparkEntry.queries("b93_dedup_spans")(spark, sf)
+      .filter(col("doc_id") >= 1000000L).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(2) === r.getLong(1),
+        s"copy ${r.getLong(0)}: removed ${r.getLong(2)} of ${r.getLong(1)} words")
+      assert(r.getString(3) === "", s"copy ${r.getLong(0)} kept text")
+    }
+  }
+
+  test("B93: untouched docs reassemble to their original text verbatim") {
+    val docs = TextDedup.docsWithDups(spark, sf)
+    val joined = SpanDedup.removeRepeatedSpans(docs)
+      .join(docs, "doc_id")
+    val untouched = joined.filter(col("n_removed") === 0)
+    assert(untouched.count() > 0, "no doc survived untouched — fixture degenerate")
+    assert(untouched.filter(col("clean_text") =!= col("text")).count() === 0,
+      "a zero-removal doc did not reassemble to its original text")
+    // and removal accounting is exact for every doc
+    assert(joined.filter(
+      col("n_words") - col("n_removed") =!=
+        when(col("clean_text") === "", 0L)
+          .otherwise(size(split(col("clean_text"), " ")))).count() === 0,
+      "kept-word accounting diverged from the reassembled text")
+  }
+}
