@@ -49,6 +49,19 @@ import graft.sources.Tables
   * Approximate by construction → rows-only entry (b19/b43-minhash rules);
   * PqSpec pins determinism (identical vectors ⇒ identical codes), code
   * shape, exactness in the self-coded limit, and recall vs brute force.
+  *
+  * Negative result (round 6, recorded so it isn't re-tried): RESIDUAL
+  * encoding — PQ over x − c(x) (Jégou §V), including the cosine-correct
+  * orthogonal form x = (x·ĉ)ĉ + r with the scalar x·ĉ stored exactly —
+  * was measured at recall@10 0.24-0.25 vs 0.62 for raw codes on this
+  * corpus. Cause: the DETERMINISTIC sampled codebook works precisely
+  * because corpus vectors cluster (a sampled entry sits near every
+  * cluster); residuals subtract that cluster structure away, leaving
+  * near-isotropic remainders a 16-entry sample can't cover. Residual
+  * encoding pays off only with Lloyd-REFINED codebooks
+  * ([[refineCodebook]] over residuals — float-nondeterministic, hence
+  * excluded from the deterministic entry), so the registered b84b stays
+  * on raw codes.
   */
 object Pq {
 
