@@ -26,6 +26,7 @@ object SparkEntry {
       llm.TextDedup.entries ++
       llm.SpanDedup.entries ++
       llm.Decontaminate.entries ++
+      llm.CleanPipeline.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

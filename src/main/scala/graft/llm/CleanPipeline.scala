@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** The corpus-CLEANING capstone (SURVEY §2B round-6 row B94) — the hygiene
+  * half of the pipeline b57 predates, composed in production order:
+  *
+  *   1. repeated-span removal ([[SpanDedup]], B93) — verbatim re-used
+  *      word-5-gram spans deleted corpus-wide (keep-first); docs cleaned
+  *      to empty are dropped;
+  *   2. benchmark decontamination ([[Decontaminate]], B92) — cleaned docs
+  *      sharing ≥ 3 word-8-grams with the held-out benchmark set dropped;
+  *   3. exact dedup (B42's rule) — one survivor per distinct cleaned
+  *      text, canonical min doc_id;
+  *   4. per-language rollup — (lang, n_docs, n_words) of what remains.
+  *
+  * Every stage is exact, so the WHOLE composition is hash-checked against
+  * one chained-CTE oracle — the point (as with b57) is that the stages
+  * COMPOSE into the job a user actually runs, not just pass in isolation.
+  * Stage order matters and is pinned by the hash: decontamination sees
+  * CLEANED text (span removal can delete the very spans that overlap the
+  * benchmark — the doc-332 organic leak is partially cleaned by stage 1),
+  * and dedup sees post-decontamination survivors.
+  *
+  * Shuffle budget = the stages' own: one gram-keyed shuffle + per-doc
+  * rebuild (B93), one broadcast join + per-doc agg (B92), one digest-keyed
+  * agg (B42), one |langs|-row rollup. Nothing new moves.
+  */
+object CleanPipeline {
+
+  private val b94 = entry(
+    "b94_clean_pipeline",
+    s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |words AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+       |      i -> {'pos': i - 1, 'word': w[i]})) AS u
+       |    FROM dw)),
+       |occ AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(w) - ${SpanDedup.SpanWords - 1}),
+       |      i -> {'pos': i - 1,
+       |            'gram': array_to_string(w[i:i + ${SpanDedup.SpanWords - 1}], ' ')})) AS u
+       |    FROM dw WHERE len(w) >= ${SpanDedup.SpanWords})),
+       |gram_stats AS (
+       |  SELECT gram, count(*) AS cnt,
+       |         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+       |  FROM occ GROUP BY gram),
+       |dup_occ AS (
+       |  SELECT o.doc_id, o.pos
+       |  FROM occ o JOIN gram_stats g USING (gram)
+       |  WHERE g.cnt > 1
+       |    AND NOT (o.doc_id = g.first['doc_id'] AND o.pos = g.first['pos'])),
+       |covered AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(generate_series(pos, pos + ${SpanDedup.SpanWords - 1})) AS pos
+       |  FROM dup_occ),
+       |kept AS (
+       |  SELECT w.doc_id, w.pos, w.word FROM words w
+       |  ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos),
+       |cleaned AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+       |  FROM kept GROUP BY doc_id),
+       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+       |bgrams AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - ${Decontaminate.GramWords - 1}),
+       |    i -> array_to_string(string_split(text, ' ')[i:i + ${Decontaminate.GramWords - 1}], ' ')))) AS gram
+       |  FROM bench WHERE len(string_split(text, ' ')) >= ${Decontaminate.GramWords}),
+       |corpus AS (SELECT doc_id, text FROM cleaned WHERE doc_id % 40 <> 0),
+       |cgrams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - ${Decontaminate.GramWords - 1}),
+       |    i -> array_to_string(string_split(text, ' ')[i:i + ${Decontaminate.GramWords - 1}], ' ')))) AS gram
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= ${Decontaminate.GramWords}),
+       |contaminated AS (
+       |  SELECT doc_id FROM cgrams JOIN bgrams USING (gram)
+       |  GROUP BY doc_id HAVING count(*) >= ${Decontaminate.MinOverlap}),
+       |survivors AS (
+       |  SELECT doc_id, text FROM corpus
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |deduped AS (
+       |  SELECT min(doc_id) AS doc_id, text
+       |  FROM survivors GROUP BY text)
+       |SELECT d.lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS n_words
+       |FROM deduped k JOIN documents d ON d.doc_id = k.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    // 1. span removal over the plain corpus; empty survivors drop out
+    val cleaned = SpanDedup.removeRepeatedSpans(docs.select(col("doc_id"), col("text")))
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // 2. decontamination on CLEANED text vs the original benchmark split
+    val bench = docs.filter(col("doc_id") % 40 === 0).select(col("doc_id"), col("text"))
+    val corpus = cleaned.filter(col("doc_id") % 40 =!= 0)
+    val contaminated = Decontaminate.overlapReport(corpus, bench)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val survivors = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. exact dedup on the cleaned text, canonical min id
+    val deduped = survivors.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    // 4. per-language rollup of the kept corpus
+    deduped
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+      .orderBy("lang")
+  }
+
+  val entries: Seq[Entry] = Seq(b94)
+}

@@ -47,6 +47,27 @@ class CorpusCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("B94: the clean pipeline never keeps more than the input, and stages bite") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("b94_clean_pipeline")(spark, sf).collect()
+    val keptDocs = out.map(_.getLong(1)).sum
+    val keptWords = out.map(_.getLong(2)).sum
+    val inDocs = docs.count()
+    val inWords = docs.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(keptDocs < inDocs,
+      s"pipeline dropped nothing ($keptDocs of $inDocs docs) — no stage bit")
+    assert(keptWords < inWords,
+      s"pipeline removed no words ($keptWords of $inWords)")
+    // the benchmark split alone accounts for some drop; the stages must
+    // remove MORE than just the benchmark exclusion
+    val benchDocs = docs.filter(col("doc_id") % 40 === 0).count()
+    assert(keptDocs < inDocs - benchDocs + 1,
+      s"only the benchmark exclusion bit: kept $keptDocs of $inDocs ($benchDocs bench)")
+    // deterministic: a rerun yields the identical rollup
+    val again = SparkEntry.queries("b94_clean_pipeline")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("B93: untouched docs reassemble to their original text verbatim") {
     val docs = TextDedup.docsWithDups(spark, sf)
     val joined = SpanDedup.removeRepeatedSpans(docs)
