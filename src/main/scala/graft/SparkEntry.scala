@@ -27,6 +27,7 @@ object SparkEntry {
       llm.SpanDedup.entries ++
       llm.Decontaminate.entries ++
       llm.CleanPipeline.entries ++
+      llm.Perplexity.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Perplexity-proxy quality bucketing (SURVEY §2B round-6 row B95) — the
+  * CCNet pattern (Wenzek et al. 2020): score each document by its
+  * surprisal under a language model trained on the corpus, then split
+  * each language into head/middle/tail quality tertiles. CCNet uses a
+  * KenLM 5-gram; the deterministic, SQL-expressible stand-in here is a
+  * character-trigram LM with Laplace smoothing over the [[LangId]]
+  * trigram machinery:
+  *
+  *   - train split (even doc_ids) → per-(lang, trigram) counts;
+  *   - p(tri | lang) = (cnt + 1) / (total + vocab) — add-one smoothing,
+  *     so unseen trigrams cost a finite, maximal surprisal;
+  *   - per test doc (odd doc_ids): bits = −mean(ln p)/ln 2 over ALL its
+  *     trigram occurrences (a log-perplexity, lower = more fluent);
+  *   - bucket = ntile(3) per lang over (rounded bits, doc_id) — the
+  *     rounded sort key keeps the tertile boundary decision identical
+  *     across engines (raw float sums differ at ~1e-13 between Spark's
+  *     and DuckDB's summation orders).
+  *
+  * Scale posture: the model is a (lang, tri, cnt) aggregate bounded by
+  * |langs| · |charset|³ — broadcast-sized by construction at trigram
+  * order (a real KenLM upgrade keys the scoring join on the gram
+  * instead); the test side is one explode + broadcast join + per-doc
+  * aggregate, map-side combinable. No driver materialization.
+  */
+object Perplexity {
+
+  /** Per-doc surprisal + tertile report over an events-shaped corpus:
+    * train on even doc_ids, score odd ones. Exposed so the spec can feed
+    * modified corpora (e.g. garbage-injected docs). Output:
+    * (doc_id, lang, n_tris, bits, bucket). */
+  def perplexityReport(docs: DataFrame): DataFrame = {
+    graft.functions.TrigramHashExpression.register(docs.sparkSession)
+    val triOf = expr("trigram_hashes(text)")
+    val train = docs.filter(col("doc_id") % 2 === 0 && length(col("text")) >= 3)
+      .select(col("lang"), explode_outer(triOf).as("tri"))
+    val model = train.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+    val totals = model.groupBy("lang")
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+    val test = docs.filter(col("doc_id") % 2 === 1 && length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode_outer(triOf).as("tri"))
+    val scored = test
+      .join(broadcast(model), Seq("lang", "tri"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(broadcast(totals), "lang")
+      .select(col("doc_id"), col("lang"),
+        log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")))
+          .as("lnp"))
+    val perDoc = scored.groupBy("doc_id", "lang").agg(
+      count(lit(1)).as("n_tris"),
+      round(-avg(col("lnp")) / lit(math.log(2.0)), 4).as("bits"))
+    val wTile = Window.partitionBy(col("lang")).orderBy(col("bits"), col("doc_id"))
+    perDoc
+      .withColumn("bucket", ntile(3).over(wTile))
+      .orderBy("doc_id")
+  }
+
+  /** B95 — trigram-LM surprisal + per-lang quality tertiles. */
+  private val b95 = entry(
+    "b95_text_perplexity",
+    """WITH train_tri AS (
+      |  SELECT lang, unnest(list_transform(generate_series(1, length(text) - 2),
+      |         i -> ascii(substr(text, i, 1)) * 961
+      |            + ascii(substr(text, i + 1, 1)) * 31
+      |            + ascii(substr(text, i + 2, 1)))) AS tri
+      |  FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 3),
+      |model AS (SELECT lang, tri, count(*) AS cnt FROM train_tri GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT lang, sum(cnt) AS total, count(*) AS vocab FROM model GROUP BY lang),
+      |test_tri AS (
+      |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 2),
+      |         i -> ascii(substr(text, i, 1)) * 961
+      |            + ascii(substr(text, i + 1, 1)) * 31
+      |            + ascii(substr(text, i + 2, 1)))) AS tri
+      |  FROM documents WHERE doc_id % 2 = 1 AND length(text) >= 3),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang,
+      |         ln((coalesce(m.cnt, 0) + 1) * 1.0 / (tt.total + tt.vocab)) AS lnp
+      |  FROM test_tri t
+      |  LEFT JOIN model m ON m.lang = t.lang AND m.tri = t.tri
+      |  JOIN totals tt ON tt.lang = t.lang),
+      |perdoc AS (
+      |  SELECT doc_id, lang, count(*) AS n_tris,
+      |         round(-avg(lnp) / ln(2), 4) AS bits
+      |  FROM scored GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_tris, bits,
+      |       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY bits, doc_id) AS INTEGER) AS bucket
+      |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    perplexityReport(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang")))
+  }
+
+  val entries: Seq[Entry] = Seq(b95)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Perplexity
+import graft.sources.Tables
+
+/** B95 perplexity-proxy quality bucketing: surprisal semantics and the
+  * tertile split. */
+class PerplexitySpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"), col("lang"))
+
+  test("tertile buckets are 1..3, balanced within 1 per lang, ordered by bits") {
+    val out = Perplexity.perplexityReport(docs).cache()
+    try {
+      assert(out.filter(col("bucket") < 1 || col("bucket") > 3).count() === 0)
+      val sizes = out.groupBy("lang", "bucket").count()
+        .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      assert(sizes.filter(col("spread") > 1).count() === 0,
+        "ntile tertiles unbalanced by more than 1 within a language")
+      // bucket ordering respects bits: max(bits) of bucket b <= min(bits)
+      // of bucket b+1 within each lang (ties broken by doc_id can only
+      // split EQUAL bits across a boundary)
+      val bounds = out.groupBy("lang", "bucket")
+        .agg(min("bits").as("lo"), max("bits").as("hi"))
+      val crossed = bounds.as("a").join(bounds.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.bucket") + 1 === col("b.bucket") &&
+          col("a.hi") > col("b.lo"))
+      assert(crossed.count() === 0, "a higher bucket contains lower surprisal")
+    } finally out.unpersist()
+  }
+
+  test("garbage-injected docs score strictly higher surprisal than their originals") {
+    // append unseen control-char trigrams to some odd (test-split) docs:
+    // every injected trigram is unseen by the trained model, so the
+    // add-one-smoothed surprisal must rise
+    val garbage = (1 to 60).map(i => ('\u0001' + i % 26).toChar).mkString
+    val tainted = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" " + garbage)).as("text"), col("lang"))
+    val out = Perplexity.perplexityReport(docs.unionByName(tainted))
+    val pairs = out.filter(col("doc_id") >= 5000000L)
+      .select((col("doc_id") - 5000000L).as("doc_id"), col("bits").as("tainted_bits"))
+      .join(out.filter(col("doc_id") < 5000000L), "doc_id")
+    assert(pairs.count() > 0, "no tainted pair materialized")
+    assert(pairs.filter(col("tainted_bits") <= col("bits")).count() === 0,
+      "garbage injection did not raise surprisal")
+  }
+
+  test("report is rerun-deterministic") {
+    val a = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
+    val b = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty)
+  }
+}
