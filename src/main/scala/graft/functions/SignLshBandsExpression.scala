@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * the session hash functions.
   *
   * Accepts array<float> (the raw embedding column) or array<double>; a
-  * NULL array or NULL element yields NULL (the row simply generates no
-  * candidates — the residual predicate would reject it anyway).
+  * NULL array, NULL element, or EMPTY array yields NULL (the row simply
+  * generates no candidates — the residual predicate would reject it
+  * anyway). The empty case matters because every empty vector projects
+  * to 0 on every plane: a non-null result would give all empty vectors
+  * ONE shared signature that collides in every band and floods candidate
+  * generation (the minhash_sigs empty-input rule, r5 ADVICE).
   * CodegenFallback: evaluated once per input row (not per candidate
   * pair), off the join's hot loop.
   */
@@ -51,6 +55,7 @@ case class SignLshBandsExpression(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     var bits = 0
     var p = 0
     while (p < NumPlanes) {

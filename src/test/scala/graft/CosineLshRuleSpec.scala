@@ -45,6 +45,20 @@ class CosineLshRuleSpec extends AnyFunSuite {
     try f finally spark.conf.unset("spark.graft.cosineLshRewrite.enabled")
   }
 
+  test("sign_lsh_bands of an empty vector is NULL (no shared all-zero signature)") {
+    // an empty vector projects to 0 on every plane — a non-null result
+    // would give ALL empty vectors one shared signature that collides in
+    // every band (the minhash_sigs empty-input rule, r5 ADVICE)
+    import spark.implicits._
+    val out = Seq(1).toDF("k")
+      .select(
+        expr("sign_lsh_bands(CAST(array() AS array<double>))").as("empty_bands"),
+        expr("sign_lsh_bands(array(1.0D, -2.0D))").as("ok_bands"))
+      .collect().head
+    assert(out.isNullAt(0), "empty vector must yield NULL bands")
+    assert(!out.isNullAt(1), "non-empty vector must stay non-null")
+  }
+
   test("naive cross join + cosine threshold plans with no nested loop / cartesian") {
     withRuleEnabled {
       val plan = naive.queryExecution.sparkPlan.toString
