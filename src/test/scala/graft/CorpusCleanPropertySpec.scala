@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Decontaminate, SpanDedup}
+
+/** Randomized cross-checks of the corpus-hygiene operators against
+  * INDEPENDENT plain-JVM oracles (SURVEY §5B.4). The DuckDB t2 twins
+  * mirror the SQL shape, so a semantic bug shared by both spellings
+  * could pass the hash; these oracles are written from the operator's
+  * DEFINITION with Scala collections and share nothing with either
+  * engine. Seeds are fixed (the WildWebPropertySpec convention) so runs
+  * are deterministic. */
+class CorpusCleanPropertySpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  import spark.implicits._
+
+  private val K = SpanDedup.SpanWords
+
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(77L + i)))
+
+  // tiny vocabulary so random K-gram collisions actually occur
+  private val vocab = Vector("a", "b", "c", "d")
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(3, 10)
+    docs <- Gen.listOfN(n, docGen)
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  /** Independent oracle: keep-first duplicated-span removal, by
+    * definition, with plain collections. split(" ", -1) mirrors Spark's
+    * split(text, ' ') (empty tokens kept, "" → one empty word). */
+  private def jvmSpanRemoval(
+      corpus: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val words = corpus.map { case (id, t) => id -> t.split(" ", -1).toVector }.toMap
+    val occ = for {
+      (id, _) <- corpus
+      ws = words(id)
+      if ws.length >= K
+      i <- 0 to ws.length - K
+    } yield (ws.slice(i, i + K).mkString(" "), id, i)
+    val covered = scala.collection.mutable.Set[(Long, Int)]()
+    for ((_, os) <- occ.groupBy(_._1) if os.size > 1) {
+      val first = os.map(o => (o._2, o._3)).min
+      for ((_, id, pos) <- os if (id, pos) != first; p <- pos until pos + K)
+        covered += ((id, p))
+    }
+    corpus.map { case (id, _) =>
+      val ws = words(id)
+      val kept = ws.zipWithIndex.collect { case (w, p) if !covered((id, p)) => w }
+      id -> ((ws.length.toLong, (ws.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("property: span removal equals the independent JVM oracle on random corpora") {
+    for ((corpus, ci) <- sample(corpusGen, 8).zipWithIndex) {
+      val df = corpus.toDF("doc_id", "text")
+      val got = SpanDedup.removeRepeatedSpans(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val want = jvmSpanRemoval(corpus)
+      assert(got === want, s"random corpus #$ci diverged from the JVM oracle")
+    }
+  }
+
+  /** Independent oracle: distinct word-G-gram overlap per corpus doc
+    * against the union of benchmark grams, by definition. */
+  private def jvmOverlap(corpus: Seq[(Long, String)],
+      bench: Seq[String]): Map[Long, Long] = {
+    val G = Decontaminate.GramWords
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1).toVector
+      if (ws.length < G) Set.empty
+      else (0 to ws.length - G).map(i => ws.slice(i, i + G).mkString(" ")).toSet
+    }
+    val benchGrams = bench.flatMap(grams).toSet
+    corpus.map { case (id, t) => id -> grams(t).count(benchGrams).toLong }
+      .filter(_._2 > 0).toMap
+  }
+
+  test("property: decontamination overlap counts equal the JVM oracle with planted leaks") {
+    val leakyGen: Gen[(Seq[(Long, String)], Seq[String])] = for {
+      corpus <- corpusGen
+      bench <- Gen.listOfN(2, Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" ")))
+      leakFrom <- Gen.oneOf(bench)
+    } yield {
+      // one corpus doc gets a verbatim benchmark span appended — the
+      // planted leak that makes 8-gram overlap reachable at this size
+      val planted = corpus :+ (900L, corpus.headOption.map(_._2).getOrElse("") + " " + leakFrom)
+      (planted, bench)
+    }
+    for (((corpus, bench), ci) <- sample(leakyGen, 6).zipWithIndex) {
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val benchDf = bench.zipWithIndex
+        .map { case (t, i) => (5000L + i, t) }.toDF("doc_id", "text")
+      val got = Decontaminate.overlapReport(corpusDf, benchDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = jvmOverlap(corpus, bench)
+      assert(got === want, s"random corpus #$ci overlap diverged from the JVM oracle")
+      assert(want.contains(900L), s"corpus #$ci: the planted leak doc has no overlap")
+    }
+  }
+}
