@@ -85,14 +85,37 @@ object MinHashLsh {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
     verifyJaccardFromShingles(pairs, hashedShingles(docs))
 
-  /** Input: (doc_id, sh: long) from [[hashedShingles]]. Joins the FULL
-    * shingle relation deliberately: at the b43 operating point (τ=0.5,
-    * near the 16×4 banding crossover) the candidate pairs touch most of
-    * the corpus, so prefiltering `sh` to candidate docs was measured
-    * SLOWER (A/B at sf0.1: 1.0s full-join vs 1.6s checkpoint-filtered vs
-    * 3.2s lazy-filtered) — the filter removed almost nothing and added a
-    * barrier. A candidate-doc semi-join only pays off for high-τ sparse
-    * workloads; callers with those can pre-filter `sh` themselves. */
+  /** Exact Jaccard from the per-doc distinct hash ARRAYS (one row per
+    * doc): each candidate pair fetches both docs' arrays by two doc-keyed
+    * joins and computes `size(array_intersect)` per row. Supersedes the
+    * exploded spelling below on every axis measured (r6 A/B at sf0.1:
+    * 0.30s vs 0.55s warm, 0.59s vs 1.49s cold, bit-identical output):
+    * the shuffles carry the SAME total hash bytes in ~shingles-per-doc×
+    * fewer rows, and the per-pair (doc_a, doc_b) groupBy — whose input is
+    * |cands|·shingles rows — becomes an O(|a|+|b|) per-row hash-set
+    * intersection. Arrays are distinct by construction
+    * ([[ShingleHashesExpression]] / [[TextDedup.withShingleArr]]), so
+    * intersect size ≡ common count. */
+  def verifyJaccardFromArrays(pairs: DataFrame, hArr: DataFrame): DataFrame = {
+    val a = hArr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hArr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common"))).as("jaccard"))
+  }
+
+  /** Input: (doc_id, sh: long) from [[hashedShingles]] — the exploded
+    * spelling, kept as the API for callers holding a (doc, sh) relation
+    * (and as the independent twin [[verifyJaccardFromArrays]] is
+    * spec-checked against). Joins the FULL shingle relation deliberately:
+    * at the b43 operating point (τ=0.5, near the 16×4 banding crossover)
+    * the candidate pairs touch most of the corpus, so prefiltering `sh`
+    * to candidate docs was measured SLOWER (r4 A/B at sf0.1: 1.0s
+    * full-join vs 1.6s checkpoint-filtered vs 3.2s lazy-filtered) — the
+    * filter removed almost nothing and added a barrier. The r6 finding
+    * that DID pay is the array reformulation above. */
   def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // equi-join on (doc, sh) both times — the shingle key must be part
@@ -141,10 +164,14 @@ object MinHashLsh {
   /** End-to-end near-dup detection: LSH candidates, then exact verification
     * at `threshold`. The distinct hashed-shingle ARRAY (one row per doc,
     * 8-byte longs — shingle strings never materialize, see
-    * [[graft.functions.ShingleHashesExpression]]) feeds both the native
-    * signature projection and the verifier's exploded relation; cached so
-    * the fused shingling pass runs once, and each consumer's explode off
-    * the cached long-array is near-free. */
+    * [[graft.functions.ShingleHashesExpression]]) feeds the native
+    * signature projection AND the array-intersect verifier directly;
+    * cached so the fused shingling pass runs once. Since r6 the verifier
+    * is [[verifyJaccardFromArrays]] (the shingle hashes never explode at
+    * all — see its A/B numbers), which also consumes the candidates once,
+    * so only `hArr` needs a cache. bandedCandidates still holds its EAGER
+    * localCheckpoint barrier (LshCaps scaladoc), so a Spark job for the
+    * banded relation runs at construction time here. */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       bucketCap: Option[Int] = Some(LshCaps.DefaultBucketCap)): DataFrame = {
     graft.functions.MinHashSigExpression.register(docs.sparkSession)
@@ -157,20 +184,11 @@ object MinHashLsh {
       .filter(size(col("hs")) > 0)
       .cache()
     val sigs = hArr.select(col("doc_id"), expr("minhash_sigs(hs)").as("sig"))
-    val sh = hArr.select(col("doc_id"), explode_outer(col("hs")).as("sh"))
-    // candidates are consumed twice by the verifier (common-shingle join
-    // + the left-join base), so cache them too, with an explicit
-    // unpersist. NOTE: bandedCandidates itself holds an EAGER
-    // localCheckpoint barrier (see LshCaps scaladoc), so a Spark job for
-    // the banded relation runs at construction time here; this cache only
-    // de-duplicates the post-checkpoint candidate join across the two
-    // verifier consumers
-    val cands = candidatePairs(sigs, bucketCap).cache()
     try {
-      verifyJaccardFromShingles(cands, sh)
+      verifyJaccardFromArrays(candidatePairs(sigs, bucketCap), hArr)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .localCheckpoint(true) // materialize before releasing the caches
-    } finally { cands.unpersist(); hArr.unpersist() }
+        .localCheckpoint(true) // materialize before releasing the cache
+    } finally hArr.unpersist()
   }
 }

@@ -178,6 +178,24 @@ class MinHashLshSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(2) - exact) < 1e-9)
     }
   }
+
+  test("array-intersect verify is bit-identical to the exploded-join verify") {
+    graft.functions.ShingleHashesExpression.register(spark)
+    // the r6 hot-path reformulation (verifyJaccardFromArrays) must agree
+    // with the exploded (doc, sh) join spelling on EVERY candidate pair
+    val docs = docsWithDups
+    val hArr = docs
+      .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sh = hArr.select(col("doc_id"), explode_outer(col("hs")).as("sh"))
+    val cands = MinHashLsh.candidatePairs(
+      hArr.select(col("doc_id"), expr("minhash_sigs(hs)").as("sig")))
+    val viaArrays = MinHashLsh.verifyJaccardFromArrays(cands, hArr)
+    val viaExplode = MinHashLsh.verifyJaccardFromShingles(cands, sh)
+    assert(viaArrays.count() === viaExplode.count())
+    assert(viaArrays.exceptAll(viaExplode).count() === 0)
+    assert(viaExplode.exceptAll(viaArrays).count() === 0)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
