@@ -67,6 +67,48 @@ class CorpusCleanPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: text-dedup e2e (LSH→verify→components) equals a JVM union-find oracle") {
+    // at ≤30-word docs every shingle set has ≤28 elements, so jaccard ≥
+    // 0.99 IMPLIES identical shingle sets (max non-identical value is
+    // 27/28 ≈ 0.964) — and identical sets collide in every band, so LSH
+    // recall is provably 1 and set equality (not just recall) holds
+    val dupCorpusGen: Gen[Seq[(Long, String)]] = for {
+      base <- corpusGen
+      dupOf <- Gen.someOf(base.filter(_._2.split(" ", -1).length >= 3))
+    } yield base ++ dupOf.zipWithIndex.map { case ((_, t), i) => (100L + i, t) }
+    for ((corpus, ci) <- sample(dupCorpusGen, 6).zipWithIndex) {
+      val df = corpus.toDF("doc_id", "text")
+      val pairs = graft.llm.MinHashLsh
+        .nearDuplicates(df, threshold = 0.99, bucketCap = None)
+        .select(org.apache.spark.sql.functions.col("doc_a").as("a"),
+          org.apache.spark.sql.functions.col("doc_b").as("b"))
+      val got = graft.operators.GraphOps
+        .connectedComponents(pairs,
+          df.select(org.apache.spark.sql.functions.col("doc_id").as("n")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // JVM oracle: identical-shingle-set pairs + union-find closure
+      val shingleSets = corpus.map { case (id, t) =>
+        val ws = t.split(" ", -1).toVector
+        id -> (if (ws.length < 3) Set.empty[String]
+               else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet)
+      }.toMap
+      val parent = scala.collection.mutable.Map(
+        corpus.map { case (id, _) => id -> id }: _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for {
+        (a, sa) <- shingleSets if sa.nonEmpty
+        (b, sb) <- shingleSets if a < b && sa == sb
+      } parent(find(math.max(a, b))) = find(math.min(a, b))
+      val want = corpus.map(_._1).map { id =>
+        // canonical label = min id in the class
+        val cls = corpus.map(_._1).filter(x => find(x) == find(id))
+        id -> cls.min
+      }.toMap
+      assert(got === want, s"random corpus #$ci components diverged from union-find")
+    }
+  }
+
   /** Independent oracle: distinct word-G-gram overlap per corpus doc
     * against the union of benchmark grams, by definition. */
   private def jvmOverlap(corpus: Seq[(Long, String)],
