@@ -68,6 +68,24 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("B92 plan: the benchmark gram side broadcasts (corpus side streams map-side)") {
+    val plan = SparkEntry.queries("b92_text_decontaminate")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the overlap join shuffled the corpus side:\n$plan")
+  }
+
+  test("B93 plan: first-occurrence selection is a two-phase partial aggregate, not a window") {
+    val plan = SpanDedup.removeRepeatedSpans(
+      TextDedup.docsWithDups(spark, sf)).queryExecution.sparkPlan.toString
+    assert(plan.contains("partial_min"),
+      s"per-gram first-occurrence lost its map-side partial aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window operator appeared in span removal (hot-gram sort risk):\n$plan")
+  }
+
   test("B93: untouched docs reassemble to their original text verbatim") {
     val docs = TextDedup.docsWithDups(spark, sf)
     val joined = SpanDedup.removeRepeatedSpans(docs)

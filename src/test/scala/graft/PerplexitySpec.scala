@@ -52,6 +52,16 @@ class PerplexitySpec extends AnyFunSuite {
       "garbage injection did not raise surprisal")
   }
 
+  test("plan: the LM model and totals broadcast to the scoring join") {
+    val plan = Perplexity.perplexityReport(docs).queryExecution.sparkPlan.toString
+    // both small sides carry explicit broadcast hints; the corpus-side
+    // trigram stream must never shuffle for the lookups
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"model/totals did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the scoring join shuffled the corpus side:\n$plan")
+  }
+
   test("report is rerun-deterministic") {
     val a = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
     val b = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
