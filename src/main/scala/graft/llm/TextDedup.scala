@@ -135,17 +135,18 @@ object TextDedup {
     // stream map-side without a shuffle. The broadcast holds while the
     // probe set is small (the probe-workload contract of this query);
     // corpus-scale self-join is the LSH path (b43_dedup_minhash).
-    // repartition the corpus BEFORE the explode: locally the parquet scan
-    // is 1-2 splits, and a map-side (broadcast) join would otherwise run
+    // spread the corpus BEFORE the explode: locally the parquet scan is
+    // 1-2 splits, and a map-side (broadcast) join would otherwise run
     // the 10M-row explode+join+partial-agg nearly single-threaded. The
     // shuffle moves 5k full-text rows — ~30x smaller than shuffling the
     // exploded shingle relation as the r2 shuffle-join plan did. The count
     // is pinned (defaultParallelism): an un-pinned repartition(col) is
     // AQE-coalescible and 50MB of text collapses right back to 1
-    // partition. On a real cluster the scan has thousands of splits and
-    // this is a no-op knob.
+    // partition. GATED on the input being narrower than the cluster
+    // (MinHashLsh.spreadNarrowInput — the r5 advice): a 100 TB scan has
+    // thousands of splits and must not pay a full-text shuffle here.
     val docs = Tables.documents(s, d)
-    val corpus = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val corpus = MinHashLsh.spreadNarrowInput(docs)
     val counts = withShingleArr(docs).select(col("doc_id"), size(col("sh_arr")).as("n"))
     val probes = shingles(docs.filter(col("doc_id") % 50 === 0))
       .select(col("doc_id").as("da"), col("shingle"))
