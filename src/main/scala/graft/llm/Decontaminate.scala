@@ -73,9 +73,10 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
-  /** B92 — benchmark decontamination over the planted corpus. */
-  private val b92 = entry(
-    "b92_text_decontaminate",
+  /** Shared DuckDB oracle for B92 (batch) and B96 (the same operator as
+    * a chunked-stream replay): the replay must be execution-mode-
+    * invisible, so one SQL string gates both. */
+  private val overlapOracleSql: String =
     s"""WITH docs AS (SELECT doc_id, text FROM documents),
        |corpus AS (
        |  SELECT doc_id, text FROM docs
@@ -99,7 +100,10 @@ object Decontaminate {
        |SELECT doc_id, count(*) AS overlap_ngrams,
        |       count(*) >= $MinOverlap AS contaminated
        |FROM cgrams JOIN bgrams USING (gram)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** B92 — benchmark decontamination over the planted corpus. */
+  private val b92 = entry("b92_text_decontaminate", overlapOracleSql) { (s, d) =>
     val corpus = plantedCorpus(s, d)
       .filter(!(col("doc_id") % 40 === 0 && col("doc_id") < 3000000L))
     val benchmark = Tables.documents(s, d)
@@ -108,5 +112,39 @@ object Decontaminate {
     overlapReport(corpus, benchmark)
   }
 
-  val entries: Seq[Entry] = Seq(b92)
+  private lazy val chunkDir96: String =
+    java.nio.file.Files.createTempDirectory("graft_b96_chunks").toString
+
+  /** B96 — the SAME [[overlapReport]] implementation run as a STREAM
+    * (the b80 one-implementation-two-modes pattern): the planted corpus
+    * replays in 6 doc_id-ordered chunks through a file source, the
+    * benchmark gram side is a static broadcast (stream-static, stateless),
+    * and the per-doc overlap aggregate runs in complete mode — the final
+    * table IS the batch report, hash-matched against b92's oracle. A doc
+    * never splits across chunks, so chunk boundaries can't split its
+    * gram set. What this adds: corpus hygiene runs on INGEST streams in
+    * production, and this pins that the operator is execution-mode-
+    * invisible. State note: the per-doc aggregate is keyed state ∝ docs
+    * seen — a production stream windows or TTLs it; the replay is finite
+    * by construction. */
+  private val b96 = entry("b96_stream_decontaminate", overlapOracleSql) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val dir = chunkDir96
+    val corpus = plantedCorpus(s, d)
+      .filter(!(col("doc_id") % 40 === 0 && col("doc_id") < 3000000L))
+    graft.streaming.StreamingOps.writeChunksDf(corpus, dir, n = 6,
+      sortCols = Seq("doc_id"))
+    val benchmark = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 40 === 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = graft.streaming.StreamingOps.readStream(s, dir, schema)
+    s.catalog.dropTempView("b96_replay") // idempotent re-runs
+    graft.streaming.StreamingOps
+      .runToMemory(overlapReport(stream, benchmark), "b96_replay", "complete")
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b92, b96)
 }
