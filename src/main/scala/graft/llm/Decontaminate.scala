@@ -62,10 +62,21 @@ object Decontaminate {
 
   /** Overlap report: every non-benchmark corpus doc sharing ≥1 gram with
     * the benchmark set, its distinct-gram overlap count, and the
-    * contamination flag. `benchmark` = original docs with doc_id % 40 = 0. */
-  def overlapReport(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
-    val benchGrams = grams(benchmark).select(col("gram")).distinct()
-    grams(corpus)
+    * contamination flag. `benchmark` = original docs with doc_id % 40 = 0.
+    *
+    * `hashedGramKey` is the 100 TB path (the MinHashLsh 8-byte rule): the
+    * broadcast benchmark relation and the join compares carry
+    * xxhash64(gram) longs instead of gram strings — the broadcast shrinks
+    * ~10× and the probe compares are single-word — at the cost of the
+    * documented 2^-64-per-pair collision (a false overlap count of +1).
+    * The t2 entries keep strings so the oracle compares exactly; path
+    * equality on real data is pinned in CorpusCleanSpec. */
+  def overlapReport(corpus: DataFrame, benchmark: DataFrame,
+      hashedGramKey: Boolean = false): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      if (hashedGramKey) df.withColumn("gram", xxhash64(col("gram"))) else df
+    val benchGrams = keyed(grams(benchmark)).select(col("gram")).distinct()
+    keyed(grams(corpus))
       .join(broadcast(benchGrams), "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap_ngrams"))

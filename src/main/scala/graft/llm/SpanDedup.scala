@@ -51,9 +51,20 @@ object SpanDedup {
   /** Cleaned corpus: every non-first occurrence of a corpus-duplicated
     * span has its word positions removed; text is reassembled from the
     * survivors. Output: (doc_id, n_words, n_removed, clean_text), one row
-    * per input doc (a fully-deleted doc keeps its row with empty text). */
-  def removeRepeatedSpans(docs: DataFrame): DataFrame = {
-    val occ = spans(docs)
+    * per input doc (a fully-deleted doc keeps its row with empty text).
+    *
+    * `hashedGramKey` is the 100 TB path (the MinHashLsh 8-byte rule): the
+    * gram SHUFFLE key becomes xxhash64(gram) — the string is hashed
+    * map-side and never crosses the wire — at the cost of the documented
+    * 2^-64-per-pair collision (two distinct grams merging would delete a
+    * coincidental span). The t2 entry keeps strings so the oracle
+    * compares exactly; equality of the two paths on real data is pinned
+    * in CorpusCleanSpec. */
+  def removeRepeatedSpans(docs: DataFrame, hashedGramKey: Boolean = false): DataFrame = {
+    val occ0 = spans(docs)
+    val occ =
+      if (hashedGramKey) occ0.withColumn("gram", xxhash64(col("gram")))
+      else occ0
     // per-gram (count, first occurrence) as ONE map-side-combinable
     // aggregate — min over struct(doc_id, pos) is the global (doc, pos)
     // order because doc_id is the struct's leading field

@@ -68,6 +68,23 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("hashed-gram-key scale paths equal the string-key paths (B92 + B93)") {
+    // the 100 TB spelling shuffles/broadcasts xxhash64(gram) longs instead
+    // of gram strings; results must be identical absent a 2^-64 collision
+    val docs = TextDedup.docsWithDups(spark, sf)
+    val spanStr = SpanDedup.removeRepeatedSpans(docs)
+    val spanHash = SpanDedup.removeRepeatedSpans(docs, hashedGramKey = true)
+    assert(spanStr.exceptAll(spanHash).count() === 0)
+    assert(spanHash.exceptAll(spanStr).count() === 0)
+    val corpus = docs.filter(col("doc_id") % 40 =!= 0)
+    val bench = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 40 === 0)
+    val ovStr = Decontaminate.overlapReport(corpus, bench)
+    val ovHash = Decontaminate.overlapReport(corpus, bench, hashedGramKey = true)
+    assert(ovStr.exceptAll(ovHash).count() === 0)
+    assert(ovHash.exceptAll(ovStr).count() === 0)
+  }
+
   test("B92 plan: the benchmark gram side broadcasts (corpus side streams map-side)") {
     val plan = SparkEntry.queries("b92_text_decontaminate")(spark, sf)
       .queryExecution.sparkPlan.toString
