@@ -62,6 +62,42 @@ class PerplexitySpec extends AnyFunSuite {
       s"the scoring join shuffled the corpus side:\n$plan")
   }
 
+  test("surprisal equals an independent JVM recomputation of the trigram LM") {
+    // definition-level oracle sharing nothing with either engine's SQL:
+    // codepoint trigrams (c1*961 + c2*31 + c3), per-lang Laplace model
+    // over even docs, -mean ln p / ln 2 over the odd docs' occurrences
+    def tris(text: String): Seq[Int] = {
+      val cps = text.codePoints().toArray
+      if (cps.length < 3) Seq.empty
+      else (0 to cps.length - 3).map(i => cps(i) * 961 + cps(i + 1) * 31 + cps(i + 2))
+    }
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val model = rows.filter(t => t._1 % 2 == 0 && t._2.length >= 3)
+      .flatMap { case (_, text, lang) => tris(text).map(lang -> _) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = model.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val want = rows.filter(t => t._1 % 2 == 1 && t._2.length >= 3)
+      .filter(t => totals.contains(t._3))
+      .map { case (id, text, lang) =>
+        val (total, vocab) = totals(lang)
+        val lnps = tris(text).map(tri =>
+          math.log((model.getOrElse((lang, tri), 0L) + 1).toDouble / (total + vocab)))
+        val bits = BigDecimal(-lnps.sum / lnps.size / math.log(2.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((lnps.size.toLong, bits))
+      }.toMap
+    val got = Perplexity.perplexityReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === want.keySet)
+    for ((id, (nTris, bits)) <- want) {
+      assert(got(id)._1 === nTris, s"doc $id trigram count diverged")
+      assert(math.abs(got(id)._2 - bits) < 1e-9,
+        s"doc $id surprisal diverged: engine ${got(id)._2} vs JVM $bits")
+    }
+  }
+
   test("report is rerun-deterministic") {
     val a = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
     val b = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
