@@ -125,6 +125,21 @@ class PqSpec extends AnyFunSuite {
       f"IVFADC scored $scoring rows — pruning lost (ideal $expected%.0f)")
   }
 
+  test("IVFADC equals exhaustive ADC in the nProbe = nCells limit") {
+    graft.functions.DotProductExpression.register(spark)
+    // with every cell probed the coarse quantizer filters nothing, so the
+    // composition must reproduce searchAdc EXACTLY — pins that the cell
+    // routing/join machinery only ever PRUNES, never alters scores
+    val nCells = 10
+    val probeFilter = col("vec_id") < 20
+    val full = Pq.searchAdc(emb, probeFilter, k = 10)
+    val ivfAll = Pq.searchIvfAdc(emb, probeFilter, k = 10,
+      nProbe = nCells, numCells = Some(nCells))
+    assert(full.count() === ivfAll.count())
+    assert(full.exceptAll(ivfAll).count() === 0)
+    assert(ivfAll.exceptAll(full).count() === 0)
+  }
+
   test("IVFADC recall@10 vs exact brute-force top-10 on the b44 probe set") {
     graft.functions.DotProductExpression.register(spark)
     val exact = SparkEntry.queries("b44_similarity_bruteforce")(spark, sf)
