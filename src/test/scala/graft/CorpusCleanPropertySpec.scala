@@ -14,6 +14,7 @@ import graft.llm.{Decontaminate, SpanDedup}
   * are deterministic. */
 class CorpusCleanPropertySpec extends AnyFunSuite {
   private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
   import spark.implicits._
 
   private val K = SpanDedup.SpanWords
@@ -122,6 +123,43 @@ class CorpusCleanPropertySpec extends AnyFunSuite {
     val benchGrams = bench.flatMap(grams).toSet
     corpus.map { case (id, t) => id -> grams(t).count(benchGrams).toLong }
       .filter(_._2 > 0).toMap
+  }
+
+  test("b94's full composition equals a plain-JVM pipeline over the real corpus") {
+    // span removal → decontamination of cleaned text → exact dedup →
+    // per-lang rollup, recomputed entirely with Scala collections from
+    // the collected sf0.001 documents table; the chained-CTE oracle
+    // mirrors the stage ORDER, this recomputation shares nothing
+    val G = Decontaminate.GramWords
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val langOf = rows.map { case (id, _, lang) => id -> lang }.toMap
+    // stage 1: span removal over (doc_id, text), drop empties
+    val cleaned = jvmSpanRemoval(rows.map { case (id, t, _) => (id, t) })
+      .toSeq.collect { case (id, (_, _, clean)) if clean.nonEmpty => (id, clean) }
+    // stage 2: decontamination of CLEANED text vs the original benchmark split
+    val bench = rows.filter(_._1 % 40 == 0).map(_._2)
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1).toVector
+      if (ws.length < G) Set.empty
+      else (0 to ws.length - G).map(i => ws.slice(i, i + G).mkString(" ")).toSet
+    }
+    val benchGrams = bench.flatMap(grams).toSet
+    val survivors = cleaned
+      .filter { case (id, _) => id % 40 != 0 }
+      .filter { case (_, t) => grams(t).count(benchGrams) < Decontaminate.MinOverlap }
+    // stage 3: exact dedup on cleaned text, canonical min id
+    val deduped = survivors.groupBy(_._2).map { case (t, g) => (g.map(_._1).min, t) }
+    // stage 4: per-lang rollup
+    val want = deduped.toSeq
+      .groupBy { case (id, _) => langOf(id) }
+      .map { case (lang, g) =>
+        lang -> ((g.size.toLong, g.map(_._2.split(" ", -1).length.toLong).sum))
+      }
+    val got = SparkEntry.queries("b94_clean_pipeline")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want, "b94 composition diverged from the plain-JVM pipeline")
   }
 
   test("property: decontamination overlap counts equal the JVM oracle with planted leaks") {
