@@ -186,12 +186,16 @@ object Pq {
       }.toSeq.toDF("probe_id", "pnorm", "dtable")
   }
 
-  /** ADC shortlist + exact re-rank: stage-2 of both ADC searches. Takes
+  /** ADC shortlist + exact re-rank: stage-2 of all ADC searches. Takes
     * the scoring input (each row = one (probe, coded vector) pair to ADC-
     * score, carrying probe_id/pnorm/dtable/vec_id/codes/norm), keeps a
     * `shortlist`-deep candidate set per probe by quantized cosine, then
-    * re-scores ONLY the shortlist with the exact dot product. */
-  private def adcShortlistRerank(scoring: DataFrame, embeddings: DataFrame,
+    * re-scores ONLY the shortlist with the exact dot product against
+    * `vectors` — a (vec_id, v, norm) relation that must cover every
+    * possible shortlist member (the full corpus for the in-memory
+    * searches; the PRUNED cell read for the on-disk index, since the
+    * shortlist is a subset of the probed cells). */
+  private def adcShortlistRerank(scoring: DataFrame, vectors: DataFrame,
       probes: DataFrame, k: Int, m: Int, ksub: Int, shortlist: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_pq").desc, col("vec_id"))
@@ -208,7 +212,7 @@ object Pq {
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     candidates
-      .join(Ivf.asDouble(embeddings), "vec_id")
+      .join(vectors.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .join(broadcast(probes), "probe_id")
       .withColumn("cos", dot("pv", "v") / (col("pnorm") * col("norm")))
       .withColumn("rn", row_number().over(wTop))
@@ -236,7 +240,7 @@ object Pq {
           col("norm").as("pnorm"))
       val tables = distanceTables(probes, cb, m, ksub)
       val scoring = coded.crossJoin(broadcast(tables))
-      adcShortlistRerank(scoring, embeddings, probes, k, m, ksub, shortlist)
+      adcShortlistRerank(scoring, Ivf.asDouble(embeddings), probes, k, m, ksub, shortlist)
     } finally cb.unpersist()
   }
 
@@ -291,7 +295,60 @@ object Pq {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("norm").as("pnorm"))
     val scoring = ivfAdcScoringInput(embeddings, probeFilter, m, ksub, nProbe, numCells)
-    adcShortlistRerank(scoring, embeddings, probes, k, m, ksub, shortlist)
+    adcShortlistRerank(scoring, Ivf.asDouble(embeddings), probes, k, m, ksub, shortlist)
+  }
+
+  /** The on-disk IVFADC index (the [[Ivf.writeCellPartitioned]] pattern
+    * extended with codes): per-vector PQ codes AND exact vectors written
+    * as CELL-PARTITIONED parquet, plus the centroid set and codebook, so
+    * the index is self-contained. A probe then reads ONLY its nProbe
+    * cells' directories — the cell predicate becomes directory-level
+    * PartitionFilters (asserted in PqSpec), so at 100 TB the other
+    * nCells − nProbe cells' files are never even listed, for BOTH the
+    * ADC scoring read and the exact re-rank read. */
+  def writeIvfPqIndex(embeddings: DataFrame, dir: String,
+      m: Int = 16, ksub: Int = 16, numCells: Option[Int] = None): Unit = {
+    val nCells = numCells.getOrElse(Ivf.defaultNumCells(embeddings.count()))
+    val cents = Ivf.centroids(embeddings, nCells)
+    val cb = codebook(embeddings, m, ksub)
+    val assigned = Ivf.assignTo(Ivf.asDouble(embeddings), cents)
+    encode(embeddings, cb, m)
+      .join(assigned.select(col("vec_id"), col("cell"), col("v")), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    cents.write.mode("overwrite").parquet(s"$dir/_centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/_codebook")
+  }
+
+  /** IVFADC search against a [[writeIvfPqIndex]] layout: same routing and
+    * scoring as [[searchIvfAdc]], but the probed cells are pruned at the
+    * SCAN — `cell IN (...)` over the partition column — so the join-level
+    * pruning becomes I/O pruning. The probed cell-id list is O(p·nProbe)
+    * driver-side values (the b81 manifest rule); the exact re-rank reads
+    * its vectors from the same pruned relation (the shortlist is a subset
+    * of the probed cells by construction). Result-equal to the in-memory
+    * search, pinned in PqSpec. */
+  def searchIvfAdcFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes0: DataFrame, k: Int, m: Int = 16, ksub: Int = 16,
+      shortlist: Int = 50, nProbe: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cb = spark.read.parquet(s"$dir/_codebook")
+    val probes = Ivf.asDouble(probes0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("csim", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nProbe)
+      .select(col("probe_id"), col("cell"))
+    val wantedCells = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)) // O(p·nProbe) driver-side ids
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(wantedCells: _*))
+    val tables = distanceTables(probes, cb, m, ksub)
+    val scoring = cells.join(broadcast(probeCells.join(tables, "probe_id")), "cell")
+    adcShortlistRerank(scoring, cells, probes, k, m, ksub, shortlist)
   }
 
   /** B44 scale path #3 — PQ/ADC top-10 for the same probe set as the

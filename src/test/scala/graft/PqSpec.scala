@@ -140,6 +140,25 @@ class PqSpec extends AnyFunSuite {
     assert(ivfAll.exceptAll(full).count() === 0)
   }
 
+  test("on-disk IVFADC index is result-equal to in-memory and prunes cells at the scan") {
+    graft.functions.DotProductExpression.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Pq.writeIvfPqIndex(emb, dir)
+    val fromIndex = Pq.searchIvfAdcFromIndex(spark, dir,
+      emb.filter(col("vec_id") < 20), k = 10, nProbe = 10)
+    val inMemory = Pq.searchIvfAdc(emb, col("vec_id") < 20, k = 10, nProbe = 10)
+    assert(fromIndex.count() === inMemory.count())
+    assert(fromIndex.exceptAll(inMemory).count() === 0)
+    assert(inMemory.exceptAll(fromIndex).count() === 0)
+    // the cell predicate must land in directory-level PartitionFilters:
+    // the other nCells - nProbe cells' files are never even listed
+    val scan = spark.read.parquet(s"$dir/cells").filter(col("cell").isin(1L, 2L))
+    val planStr = scan.queryExecution.executedPlan.toString
+    val parts = planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(parts != planStr && parts.contains("cell"),
+      s"cell not in PartitionFilters:\n$planStr")
+  }
+
   test("IVFADC recall@10 vs exact brute-force top-10 on the b44 probe set") {
     graft.functions.DotProductExpression.register(spark)
     val exact = SparkEntry.queries("b44_similarity_bruteforce")(spark, sf)
