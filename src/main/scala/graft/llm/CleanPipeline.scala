@@ -88,11 +88,15 @@ object CleanPipeline {
        |SELECT d.lang, count(*) AS n_docs,
        |       CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS n_words
        |FROM deduped k JOIN documents d ON d.doc_id = k.doc_id
-       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
-    // 1. span removal over the plain corpus; empty survivors drop out
+    // 1. span removal over the plain corpus; FULLY-DELETED docs drop out.
+    // "Fully deleted" is n_removed = n_words (zero kept words), NOT
+    // clean_text = "" — an originally-empty doc also has empty clean_text
+    // (its single empty token is never span-covered) but keeps its row in
+    // the oracle's kept/cleaned CTEs, so it must survive here too.
     val cleaned = SpanDedup.removeRepeatedSpans(docs.select(col("doc_id"), col("text")))
-      .filter(col("clean_text") =!= "")
+      .filter(col("n_removed") < col("n_words"))
       .select(col("doc_id"), col("clean_text").as("text"))
     // 2. decontamination on CLEANED text vs the original benchmark split
     val bench = docs.filter(col("doc_id") % 40 === 0).select(col("doc_id"), col("text"))

@@ -26,8 +26,9 @@ import graft.sources.Tables
   *
   * Scale posture: the model is a (lang, tri, cnt) aggregate bounded by
   * |langs| · |charset|³ — broadcast-sized by construction at trigram
-  * order (a real KenLM upgrade keys the scoring join on the gram
-  * instead); the test side is one explode + broadcast join + per-doc
+  * order; `gramKeyedModel = true` is the beyond-trigram (KenLM-order)
+  * path that shuffles the scoring join keyed on (lang, gram) instead of
+  * broadcasting the model. The test side is one explode + join + per-doc
   * aggregate, map-side combinable. No driver materialization.
   */
 object Perplexity {
@@ -35,8 +36,24 @@ object Perplexity {
   /** Per-doc surprisal + tertile report over an events-shaped corpus:
     * train on even doc_ids, score odd ones. Exposed so the spec can feed
     * modified corpora (e.g. garbage-injected docs). Output:
-    * (doc_id, lang, n_tris, bits, bucket). */
-  def perplexityReport(docs: DataFrame): DataFrame = {
+    * (doc_id, lang, n_tris, bits, bucket).
+    *
+    * UNTRAINED-LANGUAGE CONTRACT: a test doc whose lang has NO train-split
+    * docs is dropped from the report entirely (the inner `totals` join —
+    * same clause in the DuckDB oracle). There is no model to score it
+    * against; emitting an invented max-surprisal would silently pollute
+    * the tertiles. Callers that must not lose such docs should anti-join
+    * the report back against the test split to surface them
+    * (PerplexitySpec pins the drop).
+    *
+    * `gramKeyedModel` is the beyond-trigram scale path the scaladoc above
+    * names: at KenLM order (5-grams and up) the model stops being
+    * broadcast-sized, so the scoring join shuffles BOTH sides keyed on
+    * (lang, gram) instead of broadcasting the model. Result-identical at
+    * any order (it is the same left join); equality at trigram order is
+    * spec-pinned. `totals` stays broadcast in both modes — it is |langs|
+    * rows by construction. */
+  def perplexityReport(docs: DataFrame, gramKeyedModel: Boolean = false): DataFrame = {
     graft.functions.TrigramHashExpression.register(docs.sparkSession)
     val triOf = expr("trigram_hashes(text)")
     val train = docs.filter(col("doc_id") % 2 === 0 && length(col("text")) >= 3)
@@ -46,8 +63,10 @@ object Perplexity {
       .agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
     val test = docs.filter(col("doc_id") % 2 === 1 && length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), explode_outer(triOf).as("tri"))
+    val modelSide =
+      if (gramKeyedModel) model.hint("shuffle_hash") else broadcast(model)
     val scored = test
-      .join(broadcast(model), Seq("lang", "tri"), "left")
+      .join(modelSide, Seq("lang", "tri"), "left")
       .na.fill(0L, Seq("cnt"))
       .join(broadcast(totals), "lang")
       .select(col("doc_id"), col("lang"),
@@ -92,7 +111,7 @@ object Perplexity {
       |  FROM scored GROUP BY doc_id, lang)
       |SELECT doc_id, lang, n_tris, bits,
       |       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY bits, doc_id) AS INTEGER) AS bucket
-      |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM perdoc ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     perplexityReport(Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang")))
   }

@@ -252,18 +252,38 @@ object Pq {
     * ratio (rows ≈ p·n·nProbe/nCells, not p·n). */
   private[graft] def ivfAdcScoringInput(embeddings: DataFrame,
       probeFilter: org.apache.spark.sql.Column, m: Int, ksub: Int,
-      nProbe: Int, numCells: Option[Int] = None): DataFrame = {
+      nProbe: Int, numCells: Option[Int] = None): DataFrame =
+    ivfAdcScoringInputFor(embeddings, ivfProbes(embeddings, probeFilter),
+      m, ksub, nProbe, numCells)
+
+  /** The probe relation every ADC consumer shares — (probe_id, pv, pnorm),
+    * materialized once (localCheckpoint): the distance-table collect, the
+    * cell routing join, and the re-rank broadcast would otherwise each
+    * re-scan the corpus behind the probe filter. O(p) rows. */
+  private def ivfProbes(embeddings: DataFrame,
+      probeFilter: org.apache.spark.sql.Column): DataFrame =
+    Ivf.asDouble(embeddings.filter(probeFilter))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+      .localCheckpoint(true)
+
+  private def ivfAdcScoringInputFor(embeddings: DataFrame, probes: DataFrame,
+      m: Int, ksub: Int, nProbe: Int, numCells: Option[Int]): DataFrame = {
     val nCells = numCells.getOrElse(Ivf.defaultNumCells(embeddings.count()))
-    val cents = Ivf.centroids(embeddings, nCells)
+    // codebook + centroids are each consumed twice-plus (encode's broadcast
+    // join, the distance-table collect, cell assignment AND routing); both
+    // are tiny by construction (m·ksub / nCells rows), so materialize ONCE.
+    // localCheckpoint, not searchAdc's cache()/unpersist: the RETURNED lazy
+    // plan still references them after this function exits, so there is no
+    // safe point to unpersist — each extra consumption would otherwise
+    // re-run the sample sort+limit job over the corpus (ADVICE r6).
+    val cents = Ivf.centroids(embeddings, nCells).localCheckpoint(true)
+    val cb = codebook(embeddings, m, ksub).localCheckpoint(true)
     // coarse index: cell id per corpus vector, attached to the PQ codes so
     // the scoring join carries (cell, codes, norm) — never raw vectors
-    val cb = codebook(embeddings, m, ksub)
     val codedCells = encode(embeddings, cb, m)
       .join(Ivf.assignTo(Ivf.asDouble(embeddings), cents)
         .select(col("vec_id"), col("cell")), "vec_id")
-    val probes = Ivf.asDouble(embeddings.filter(probeFilter))
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("norm").as("pnorm"))
     // probe router (Ivf.search's): nProbe nearest cells per probe
     val wCell = Window.partitionBy(col("probe_id"))
       .orderBy(col("csim").desc, col("cell"))
@@ -291,10 +311,8 @@ object Pq {
   def searchIvfAdc(embeddings: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int, m: Int = 16, ksub: Int = 16, shortlist: Int = 50,
       nProbe: Int = 8, numCells: Option[Int] = None): DataFrame = {
-    val probes = Ivf.asDouble(embeddings.filter(probeFilter))
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("norm").as("pnorm"))
-    val scoring = ivfAdcScoringInput(embeddings, probeFilter, m, ksub, nProbe, numCells)
+    val probes = ivfProbes(embeddings, probeFilter) // built ONCE, shared below
+    val scoring = ivfAdcScoringInputFor(embeddings, probes, m, ksub, nProbe, numCells)
     adcShortlistRerank(scoring, Ivf.asDouble(embeddings), probes, k, m, ksub, shortlist)
   }
 
@@ -367,5 +385,25 @@ object Pq {
       .orderBy("probe_id", "rn")
   }
 
-  val entries: Seq[Entry] = Seq(b84pq, b84bIvfPq)
+  /** One index dir per JVM (the StreamReplay chunk-dir rule): overwrite
+    * mode makes re-runs idempotent without accumulating index copies. */
+  private lazy val indexDir84c: String =
+    java.nio.file.Files.createTempDirectory("graft_b84c_ivfpq_index").toString
+
+  /** B44 scale-path composition, ON-DISK — the driver-visible twin of the
+    * PqSpec on-disk asserts: builds the cell-partitioned [[writeIvfPqIndex]]
+    * layout, then searches it via [[searchIvfAdcFromIndex]], so a
+    * regression in the index write/read/prune path turns this row red
+    * instead of hiding in the test suite. Same probes/k/nProbe as b84b
+    * (whose in-memory search is result-equal by PqSpec). */
+  private val b84cIndex = entryNoOracle("b84c_similarity_ivfpq_index") { (s, d) =>
+    graft.functions.DotProductExpression.register(s)
+    val emb = Tables.embeddings(s, d)
+    writeIvfPqIndex(emb, indexDir84c)
+    searchIvfAdcFromIndex(s, indexDir84c, emb.filter(col("vec_id") < 20),
+      k = 10, nProbe = 10)
+      .orderBy("probe_id", "rn")
+  }
+
+  val entries: Seq[Entry] = Seq(b84pq, b84bIvfPq, b84cIndex)
 }

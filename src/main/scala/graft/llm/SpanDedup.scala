@@ -142,7 +142,7 @@ object SpanDedup {
        |       len(w) - coalesce(r.n_kept, 0) AS n_removed,
        |       coalesce(r.clean_text, '') AS clean_text
        |FROM dw d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY d.doc_id""".stripMargin, bench = true) { (s, d) =>
     removeRepeatedSpans(TextDedup.docsWithDups(s, d))
   }
 

@@ -228,7 +228,7 @@ object TextDedup {
       |  UNION
       |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
       |SELECT n AS doc_id, min(m) AS canonical_id
-      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     val docs = docsWithDups(s, d)
     val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.99, bucketCap = None)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

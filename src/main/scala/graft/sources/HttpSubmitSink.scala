@@ -38,14 +38,38 @@ object HttpSubmitSink {
   def submitJsonLines(df: DataFrame, url: String, batchId: Long = -1L): Int =
     post(df.toJSON.collect().mkString("\n"), "application/x-ndjson", url, batchId)
 
+  /** Per-PARTITION JSON-lines delivery — the 100 TB form of
+    * [[submitJsonLines]]: each non-empty partition POSTs its own rows from
+    * the executor that holds them, so no whole-batch driver collect exists
+    * anywhere on the sink edge. Every POST carries X-Batch-Id plus
+    * X-Chunk-Id = the partition id; a failed task is retried by Spark and
+    * may re-POST its chunk, so the receiver must land chunks idempotently
+    * keyed on (batch, chunk) — the same redelivery contract batchId
+    * already gives whole batches. Chunk reassembly is order-free by
+    * format: JSON-lines concatenate, and the B91 re-read consumes the
+    * landed chunk set as one directory. Returns the number of POSTs
+    * (= non-empty partitions; empty partitions send nothing). */
+  def submitJsonLinesChunked(df: DataFrame, url: String, batchId: Long = -1L): Long = {
+    val chunks = df.sparkSession.sparkContext.longAccumulator("http_submit_chunks")
+    df.toJSON.foreachPartition { (rows: Iterator[String]) =>
+      if (rows.hasNext) {
+        val chunkId = org.apache.spark.TaskContext.getPartitionId()
+        post(rows.mkString("\n"), "application/x-ndjson", url, batchId,
+          chunkId = Some(chunkId))
+        chunks.add(1L)
+      }
+    }
+    chunks.value
+  }
+
   private def post(body: String, contentType: String, url: String,
-      batchId: Long): Int = {
+      batchId: Long, chunkId: Option[Int] = None): Int = {
     val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
-    val req = HttpRequest.newBuilder(URI.create(url))
+    val builder = HttpRequest.newBuilder(URI.create(url))
       .header("Content-Type", contentType)
       .header("X-Batch-Id", batchId.toString)
-      .POST(HttpRequest.BodyPublishers.ofString(body))
-      .build()
+    chunkId.foreach(c => builder.header("X-Chunk-Id", c.toString))
+    val req = builder.POST(HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     // non-2xx → error, mirroring the fetch guard (task.ts:84-86)
     if (resp.statusCode() / 100 != 2)

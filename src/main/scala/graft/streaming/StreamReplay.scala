@@ -283,14 +283,17 @@ object StreamReplay {
 
   /** B91 — the HTTP submit sink INSIDE the t2 loop (previously B5 was
     * spec-only): b54's tumbling replay delivered per micro-batch through
-    * foreachBatch → [[graft.sources.HttpSubmitSink.submitJsonLines]] to an
-    * in-process receiver; each POST body lands as one JSON-lines file, and
-    * the query result is the LAST landed delivery re-read with an explicit
-    * schema — complete mode makes it the full final aggregate, so the
-    * round trip (aggregate → HTTP wire → landed bytes → re-read) must
-    * hash-match b54's oracle exactly. What this adds over b54: the sink
-    * leg itself is now inside the hash gate — a serialization bug (e.g.
-    * double truncation, column drop) in delivery would turn the row red. */
+    * foreachBatch → [[graft.sources.HttpSubmitSink.submitJsonLinesChunked]]
+    * to an in-process receiver — the per-PARTITION delivery mode, so the
+    * sink edge has NO whole-batch driver collect. Each partition's POST
+    * lands as one (batch, chunk) JSON-lines file; the query result is the
+    * LAST batch's landed chunk SET re-read as a directory glob with an
+    * explicit schema — complete mode makes it the full final aggregate,
+    * so the round trip (aggregate → partitioned HTTP wire → landed chunk
+    * files → re-read) must hash-match b54's oracle exactly across chunk
+    * boundaries. What this adds over b54: the sink leg itself is inside
+    * the hash gate — a serialization bug (double truncation, column drop,
+    * a row lost at a chunk boundary) in delivery turns the row red. */
   private val b91 = entry(
     "b91_stream_submit_sink",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
@@ -303,10 +306,14 @@ object StreamReplay {
       new java.net.InetSocketAddress(0), 0)
     server.createContext("/submit", exchange => {
       val batchId = exchange.getRequestHeaders.getFirst("X-Batch-Id").toLong
+      val chunkId = Option(exchange.getRequestHeaders.getFirst("X-Chunk-Id"))
+        .map(_.toLong).getOrElse(0L)
       val body = new String(exchange.getRequestBody.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
+      // idempotent landing keyed on (batch, chunk): a Spark task retry
+      // re-POSTs the same chunk id and simply overwrites the same file
       java.nio.file.Files.writeString(
-        landing.resolve(f"batch_$batchId%06d.jsonl"), body)
+        landing.resolve(f"batch_$batchId%06d_chunk_$chunkId%04d.jsonl"), body)
       exchange.sendResponseHeaders(200, 2)
       exchange.getResponseBody.write("ok".getBytes)
       exchange.close()
@@ -315,19 +322,17 @@ object StreamReplay {
     try {
       val url = s"http://localhost:${server.getAddress.getPort}/submit"
       val agg = StreamingOps.tumbling(StreamingOps.readStream(s, dir))
+      var lastBatch = -1L
       StreamingOps.runForeachBatch(agg, "complete") { (batch, id) =>
-        graft.sources.HttpSubmitSink.submitJsonLines(batch, url, id); ()
+        graft.sources.HttpSubmitSink.submitJsonLinesChunked(batch, url, id)
+        lastBatch = math.max(lastBatch, id)
       }
-      // highest batch id = the final complete-mode delivery
-      val walk = java.nio.file.Files.list(landing)
-      val last = try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.map(_.toString).max
-      } finally walk.close()
+      // highest batch id = the final complete-mode delivery; its chunk
+      // set (however many partitions posted) re-reads as one glob
       // explicit schema: inference is forbidden at scale, and `n` would
       // otherwise come back as the wrong integer width
       s.read.schema("ws STRING, event_type STRING, n BIGINT, total DOUBLE")
-        .json(last)
+        .json(f"$landing%s/batch_$lastBatch%06d_chunk_*.jsonl")
         .orderBy("ws", "event_type")
     } finally server.stop(0)
   }

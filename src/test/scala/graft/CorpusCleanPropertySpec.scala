@@ -135,9 +135,11 @@ class CorpusCleanPropertySpec extends AnyFunSuite {
       .selectExpr("doc_id", "text", "lang").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val langOf = rows.map { case (id, _, lang) => id -> lang }.toMap
-    // stage 1: span removal over (doc_id, text), drop empties
+    // stage 1: span removal over (doc_id, text), drop the FULLY-DELETED
+    // (n_removed = n_words) — not clean == "", which would also drop an
+    // originally-empty doc the oracle keeps (the b94 filter contract)
     val cleaned = jvmSpanRemoval(rows.map { case (id, t, _) => (id, t) })
-      .toSeq.collect { case (id, (_, _, clean)) if clean.nonEmpty => (id, clean) }
+      .toSeq.collect { case (id, (nw, nr, clean)) if nr < nw => (id, clean) }
     // stage 2: decontamination of CLEANED text vs the original benchmark split
     val bench = rows.filter(_._1 % 40 == 0).map(_._2)
     def grams(t: String): Set[String] = {

@@ -47,6 +47,26 @@ class CorpusCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("B94 edge: 'originally empty' survives span removal; 'fully deleted' does not") {
+    // the b94 filter is n_removed < n_words, NOT clean_text != "": an
+    // originally-empty doc (split("") = [""], 1 uncoverable empty token)
+    // keeps its row in the oracle's kept/cleaned CTEs and must survive,
+    // while a fully-span-deleted doc (n_removed = n_words) must drop
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g"), // original — all spans first occurrences
+      (2L, "a b c d e f g"), // verbatim copy — fully deleted
+      (3L, "")               // originally empty
+    ).toDF("doc_id", "text")
+    val cleaned = SpanDedup.removeRepeatedSpans(corpus)
+      .filter(col("n_removed") < col("n_words"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cleaned.keySet === Set(1L, 3L),
+      s"survivor set wrong: ${cleaned.keySet}")
+    assert(cleaned(1L) === "a b c d e f g")
+    assert(cleaned(3L) === "", "originally-empty doc must survive with empty text")
+  }
+
   test("B94: the clean pipeline never keeps more than the input, and stages bite") {
     val docs = Tables.documents(spark, sf)
     val out = SparkEntry.queries("b94_clean_pipeline")(spark, sf).collect()

@@ -98,6 +98,36 @@ class PerplexitySpec extends AnyFunSuite {
     }
   }
 
+  test("gramKeyedModel (the KenLM-order scale path) equals the broadcast path") {
+    // result-identical by construction (same left join, different physical
+    // strategy); pinned here at trigram order so flipping the flag at
+    // 5-gram order cannot silently change scores
+    val a = Perplexity.perplexityReport(docs).collect().map(_.toString).toSeq
+    val b = Perplexity.perplexityReport(docs, gramKeyedModel = true)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "gram-keyed scoring diverged from the broadcast path")
+    // and the physical plan actually changed: the model join shuffles
+    // (hash-keyed) instead of broadcasting — one fewer BroadcastHashJoin,
+    // one ShuffledHashJoin in its place
+    val plan = Perplexity.perplexityReport(docs, gramKeyedModel = true)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gramKeyedModel did not shuffle the model join:\n$plan")
+  }
+
+  test("untrained-language test docs are DROPPED (the documented totals-join contract)") {
+    // a lang appearing only in the test split (odd doc_ids) has no model
+    // and no totals row → its docs must vanish from the report, matching
+    // the oracle's inner totals join (documented in perplexityReport)
+    val alien = Seq((4999999L, "zz qq xx vv ww yy kk jj", "xx_alien"))
+    import spark.implicits._
+    val out = Perplexity.perplexityReport(
+      docs.unionByName(alien.toDF("doc_id", "text", "lang")))
+    assert(out.filter(col("lang") === "xx_alien").count() === 0,
+      "untrained-language doc leaked into the report")
+    assert(out.filter(col("doc_id") === 4999999L).count() === 0)
+  }
+
   test("report is rerun-deterministic") {
     val a = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
     val b = SparkEntry.queries("b95_text_perplexity")(spark, sf).collect()
