@@ -28,6 +28,8 @@ object SparkEntry {
       llm.Decontaminate.entries ++
       llm.CleanPipeline.entries ++
       llm.Perplexity.entries ++
+      llm.SequencePack.entries ++
+      llm.MixtureResample.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++
