@@ -30,6 +30,8 @@ object SparkEntry {
       llm.Perplexity.entries ++
       llm.SequencePack.entries ++
       llm.MixtureResample.entries ++
+      llm.SemDedup.entries ++
+      llm.DsirResample.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

@@ -60,11 +60,21 @@ object SpanDedup {
     * coincidental span). The t2 entry keeps strings so the oracle
     * compares exactly; equality of the two paths on real data is pinned
     * in CorpusCleanSpec. */
-  def removeRepeatedSpans(docs: DataFrame, hashedGramKey: Boolean = false): DataFrame = {
+  def removeRepeatedSpans(docs: DataFrame, hashedGramKey: Boolean = false,
+      materializeOcc: Boolean = true): DataFrame = {
     val occ0 = spans(docs)
-    val occ =
+    val occKeyed =
       if (hashedGramKey) occ0.withColumn("gram", xxhash64(col("gram")))
       else occ0
+    // occ is consumed TWICE (the gram-stats aggregate and the dup join),
+    // so the lazy plan re-runs the corpus-wide posexplode per consumer.
+    // Materializing the one pass (eager localCheckpoint) measured b93
+    // 2.53 → 2.05 s at sf0.1 INCLUDING the checkpoint build (r7 A/B).
+    // 100 TB: with hashedGramKey the materialized relation is 16-byte
+    // rows ≈ corpus-sized, the standard two-pass disk trade; set
+    // materializeOcc = false to keep the pure recompute form (results
+    // identical either way — pinned in CorpusCleanSpec).
+    val occ = if (materializeOcc) occKeyed.localCheckpoint(true) else occKeyed
     // per-gram (count, first occurrence) as ONE map-side-combinable
     // aggregate — min over struct(doc_id, pos) is the global (doc, pos)
     // order because doc_id is the struct's leading field

@@ -47,6 +47,14 @@ class CorpusCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("B93: materializeOcc is result-invisible (recompute path ≡ checkpointed path)") {
+    val docs = TextDedup.docsWithDups(spark, sf)
+    val a = SpanDedup.removeRepeatedSpans(docs).collect().map(_.toString).toSeq
+    val b = SpanDedup.removeRepeatedSpans(docs, materializeOcc = false)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "occurrence materialization changed results")
+  }
+
   test("B94 edge: 'originally empty' survives span removal; 'fully deleted' does not") {
     // the b94 filter is n_removed < n_words, NOT clean_text != "": an
     // originally-empty doc (split("") = [""], 1 uncoverable empty token)
