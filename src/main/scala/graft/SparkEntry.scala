@@ -32,6 +32,9 @@ object SparkEntry {
       llm.MixtureResample.entries ++
       llm.SemDedup.entries ++
       llm.DsirResample.entries ++
+      llm.TrainPrep.entries ++
+      llm.IntKMeans.entries ++
+      llm.Chunker.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

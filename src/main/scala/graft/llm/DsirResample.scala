@@ -55,6 +55,7 @@ object DsirResample {
     * bigrams), bucketed. Map-side only: split, guarded bigram
     * transform, explode, polyfold. */
   def featureBuckets(docs: DataFrame): DataFrame = {
+    graft.functions.PolyFoldExpression.register(docs.sparkSession)
     val ws = docs.select(col("doc_id"), col("lang"),
       split(col("text"), " ").as("ws"))
     val bigrams = expr(
@@ -64,8 +65,12 @@ object DsirResample {
         |   CAST(array() AS ARRAY<STRING>))""".stripMargin)
     ws.select(col("doc_id"), col("lang"),
         explode(concat(col("ws"), bigrams)).as("f"))
+      // native codepoint fold (PolyFoldExpression) — the HOF spelling
+      // allocates per CHARACTER and dominated the first bench of this
+      // entry (14.2 s at sf0.1); equality with the SQL fold is
+      // spec-pinned in PolyFoldSpec
       .select(col("doc_id"), col("lang"),
-        (expr(Winnowing.polyFoldSpark("concat('dsir:', f)")) % Buckets).as("b"))
+        (expr("poly_fold(concat('dsir:', f))") % Buckets).as("b"))
   }
 
   /** The 1024-row fixed-point weight table w[b] from one pass's bucket
@@ -88,11 +93,18 @@ object DsirResample {
 
   /** Selected manifest: (doc_id, lang, score) of the top ⌊count/10⌋ docs
     * by target-likeness, doc_id order. */
+  /** Exact BIGINT per-doc scores against a given weight table — works
+    * unchanged on a STREAMING docs relation (stateless explode +
+    * stream-static broadcast join + per-doc agg), which is what B104
+    * replays. */
+  def scoreDocs(docs: DataFrame, wt: DataFrame): DataFrame =
+    featureBuckets(docs).join(broadcast(wt), "b")
+      .groupBy("doc_id").agg(sum("w").as("score"))
+
   def select(docs: DataFrame, targetLang: String): DataFrame = {
     val fb = featureBuckets(docs)
     val wt = bucketWeights(fb, targetLang)
-    val scored = fb.join(broadcast(wt), "b")
-      .groupBy("doc_id").agg(sum("w").as("score"))
+    val scored = scoreDocs(docs, wt)
     val topN = (docs.count() / 10).toInt
     val sel = scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
     sel.join(docs.select("doc_id", "lang"), "doc_id")
@@ -132,9 +144,66 @@ object DsirResample {
        |SELECT s.doc_id, d.lang, s.score
        |FROM score s JOIN documents d ON d.doc_id = s.doc_id, n
        |QUALIFY row_number() OVER (ORDER BY s.score DESC, s.doc_id) <= n.topn
-       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY s.doc_id""".stripMargin, bench = true) { (s, d) =>
     select(Tables.documents(s, d).select("doc_id", "text", "lang"), "de")
   }
 
-  val entries: Seq[Entry] = Seq(b100)
+  private lazy val chunkDir104: String =
+    java.nio.file.Files.createTempDirectory("graft_b104_chunks").toString
+
+  /** B104 — STREAMING DSIR scoring (the b96 one-implementation-two-modes
+    * pattern for the selection surface): the weight table is trained on
+    * the BATCH corpus and FROZEN (localCheckpoint — production trains
+    * offline and ships the 1024-row model to the scorer), then the same
+    * [[scoreDocs]] runs over a 6-chunk doc_id-ordered file-stream replay
+    * with a stream-static broadcast of the model and the per-doc
+    * aggregate in complete mode. Scores are exact BIGINTs (B100's
+    * fixed-point contract), so execution mode can't perturb even a
+    * rounding: the final table must hash-match the batch oracle
+    * verbatim. State note: per-doc keyed state ∝ docs seen — the b96
+    * replay-only caveat applies. */
+  private val b104 = entry(
+    "b104_stream_dsir_score",
+    s"""WITH
+       |w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang, unnest(
+       |    list_concat(ws,
+       |      list_transform(generate_series(1, len(ws) - 1),
+       |                     i -> ws[i] || ' ' || ws[i+1]))) AS f
+       |  FROM w),
+       |fb AS (SELECT doc_id, lang,
+       |              ${Winnowing.polyFoldDuck("('dsir:' || f)")} % $Buckets AS b
+       |       FROM feats),
+       |cnt_r AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+       |cnt_t AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'de' GROUP BY b),
+       |tot AS (SELECT (SELECT sum(cr) FROM cnt_r) AS tr,
+       |               (SELECT sum(ct) FROM cnt_t) AS tt),
+       |wt AS (
+       |  SELECT r.b,
+       |         CAST(floor((ln((COALESCE(t.ct, 0) + 1) * 1.0 / (tot.tt + $Buckets))
+       |                   - ln((r.cr + 1) * 1.0 / (tot.tr + $Buckets))) * $WScale + 0.5)
+       |              AS BIGINT) AS w
+       |  FROM cnt_r r LEFT JOIN cnt_t t ON t.b = r.b, tot)
+       |SELECT fb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+       |FROM fb JOIN wt ON wt.b = fb.b GROUP BY fb.doc_id
+       |ORDER BY fb.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    // frozen model: trained on the batch corpus, materialized once
+    val wt = bucketWeights(featureBuckets(docs), "de").localCheckpoint(true)
+    val dir = chunkDir104
+    graft.streaming.StreamingOps.writeChunksDf(docs, dir, n = 6,
+      sortCols = Seq("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val stream = graft.streaming.StreamingOps.readStream(s, dir, schema)
+    s.catalog.dropTempView("b104_replay") // idempotent re-runs
+    graft.streaming.StreamingOps
+      .runToMemory(scoreDocs(stream, wt), "b104_replay", "complete")
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b100, b104)
 }

@@ -23,7 +23,12 @@ import graft.sources.Tables
   *      (polyfold("sem:"‖vec_id), vec_id) — the B56/B59/B98
   *      pure-function-of-the-key rule, so the clustering is rerun- and
   *      engine-stable (the IVF-style sampled quantizer, Ivf.centroids'
-  *      pattern, in oracle-replicable arithmetic);
+  *      pattern, in oracle-replicable arithmetic). DOCUMENTED
+  *      DEGENERACY: on short sequential ids the 40-bit fold never wraps
+  *      (h is strictly increasing in key length), so the seeds reduce to
+  *      ids 0..K−1; production UUID/snowflake keys mix fully, and B102's
+  *      Lloyd refinement (IntKMeans.refineSeeds) repairs seed placement
+  *      regardless — compose it when cluster quality matters;
   *   3. ASSIGN map-side: cell = argmin over seeds of the integer L2
   *      distance Σ(q−c)², tiebreak smallest seed id. The K seed vectors
   *      are collected (O(K·dim) scalars — the b84 distance-table rule)
@@ -60,16 +65,16 @@ object SemDedup {
   val TauNum = 1849L
   val TauDen = 10000L
 
-  private val sumLong = (arr: Column) =>
-    aggregate(arr, lit(0L), (a: Column, c: Column) => a + c)
-
-  /** (vec_id, qv BIGINT[], qq = |qv|²) — exact in both engines. */
+  /** (vec_id, qv BIGINT[], qq = |qv|²) — exact in both engines. The
+    * norm is the native dot_i64 (integer sums are order-insensitive, so
+    * the fused loop is bit-equal to any fold spelling). */
   def quantize(embeddings: DataFrame): DataFrame = {
-    val q = embeddings.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * QuantScale + lit(0.5d)).cast("long"))
-        .as("qv"))
-    q.withColumn("qq", sumLong(transform(col("qv"), x => x * x)))
+    graft.functions.LongVecExpressions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * QuantScale + lit(0.5d)).cast("long"))
+          .as("qv"))
+      .withColumn("qq", expr("dot_i64(qv, qv)"))
   }
 
   /** K deterministic seeds: smallest (polyfold("sem:"‖vec_id), vec_id).
@@ -83,17 +88,19 @@ object SemDedup {
   }
 
   /** Map-side cell assignment: the collected seed set (O(K·dim) scalars)
-    * becomes a literal array of (cid, cv) structs; argmin of the integer
-    * L2 distance via array_sort on (d2, cid) structs — no exchange. */
+    * is unrolled as K literal vectors; argmin of the integer L2 distance
+    * = `least` over K (sqdist_i64, cid) structs (lexicographic struct
+    * compare — distance then seed-id tiebreak), one fused codegen'd
+    * projection with no exchange and no interpreted lambdas. */
   def assignCells(quantized: DataFrame, seedRows: Array[(Long, Seq[Long])]): DataFrame = {
-    val seedArr = array(seedRows.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), typedLit(cv).as("cv"))
-    }.toIndexedSeq: _*)
-    val d2 = (s: Column) => sumLong(
-      zip_with(col("qv"), s.getField("cv"), (x, y) => (x - y) * (x - y)))
-    val best = array_sort(transform(seedArr,
-      s => struct(d2(s).as("d2"), s.getField("cid").as("cid"))))
-      .getItem(0).getField("cid")
+    graft.functions.LongVecExpressions.register(quantized.sparkSession)
+    require(seedRows.nonEmpty, "assignCells needs at least one seed")
+    val cand = seedRows.toIndexedSeq.map { case (cid, cv) =>
+      val arr = cv.mkString("array(", "L, ", "L)")
+      expr(s"struct(sqdist_i64(qv, $arr) AS d2, ${cid}L AS cid)")
+    }
+    val best =
+      (if (cand.size == 1) cand.head else least(cand: _*)).getField("cid")
     quantized.withColumn("cell", best)
   }
 
@@ -104,13 +111,16 @@ object SemDedup {
     val q = quantize(embeddings)
     val seedRows = seeds(q, k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    val cells = assignCells(q, seedRows)
+    // cells is consumed three times (both self-join sides + the final
+    // manifest join); materialize the one quantize+assign pass instead
+    // of re-running it per consumer (the b93 lesson)
+    val cells = assignCells(q, seedRows).localCheckpoint(true)
 
     val a = cells.select(col("vec_id").as("u"), col("qv").as("qva"),
       col("qq").as("qa"), col("cell"))
     val b = cells.select(col("vec_id").as("v"), col("qv").as("qvb"),
       col("qq").as("qb"), col("cell"))
-    val dp = sumLong(zip_with(col("qva"), col("qvb"), (x, y) => x * y))
+    val dp = expr("dot_i64(qva, qvb)")
     val edges = a.join(b, Seq("cell"))
       .filter(col("u") < col("v"))
       .withColumn("dp", dp)
@@ -178,7 +188,7 @@ object SemDedup {
        |FROM cells c
        |JOIN (SELECT n, min(m) AS rep_id FROM reach GROUP BY n) rep
        |  ON rep.n = c.vec_id
-       |ORDER BY c.vec_id""".stripMargin) { (s, d) =>
+       |ORDER BY c.vec_id""".stripMargin, bench = true) { (s, d) =>
     semDedup(Tables.embeddings(s, d).select("vec_id", "embedding"))
   }
 

@@ -72,6 +72,20 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("B99: raising τ only shrinks the dropped set (dedup monotone in τ)") {
+    // a doc dropped at high τ has an edge to a smaller id; lowering τ
+    // only adds edges, so components only merge and reps only decrease —
+    // dropped(τ₂) ⊆ dropped(τ₁) for τ₂ > τ₁
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val strict = SemDedup.semDedup(emb, tauNum = 2500L, tauDen = 10000L) // τ=0.50
+      .filter(!org.apache.spark.sql.functions.col("kept"))
+      .collect().map(_.getLong(0)).toSet
+    val loose = sparkRows.filter(!_._4).map(_._1).toSet // τ=0.43 default
+    assert(strict.subsetOf(loose),
+      s"strict-τ dropped ${strict -- loose} that loose τ kept")
+    assert(strict.size < loose.size, "τ change had no observable effect")
+  }
+
   test("B99: cell assignment is map-side — zero exchanges below it") {
     val q = SemDedup.quantize(
       Tables.embeddings(spark, sf).select("vec_id", "embedding"))
