@@ -95,6 +95,13 @@ object CleanPipeline {
     // clean_text = "" — an originally-empty doc also has empty clean_text
     // (its single empty token is never span-covered) but keeps its row in
     // the oracle's kept/cleaned CTEs, so it must survive here too.
+    // cleaned is consumed twice (the decontamination gram explode and the
+    // survivor anti-join's left side). NEGATIVE RESULT (r7 same-JVM
+    // alternating A/B at sf0.1): localCheckpointing it measured ~5%
+    // SLOWER (min 4.02 vs 3.84 s) — the occ relation inside
+    // removeRepeatedSpans is already materialized, and writing the full
+    // cleaned TEXT costs more than re-running the residual gram-stats
+    // joins; don't re-try without a new A/B.
     val cleaned = SpanDedup.removeRepeatedSpans(docs.select(col("doc_id"), col("text")))
       .filter(col("n_removed") < col("n_words"))
       .select(col("doc_id"), col("clean_text").as("text"))
