@@ -54,5 +54,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.LshBandsExpression.build _))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowScanRewrite)
   }
 }

@@ -259,5 +259,41 @@ object Extensions {
       .orderBy("o_orderkey")
   }
 
-  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65, b74, b87)
+  /** B106 — the GLOBAL running sum anti-pattern, auto-repaired: the naive
+    * `sum(x) OVER (ORDER BY k)` spelling (no PARTITION BY — what a SQL
+    * user writes for a prefix sum) normally plans as Exchange
+    * SinglePartition + one Window task over the whole relation.
+    * [[graft.plans.GlobalWindowScanRewrite]] decomposes it into the B97
+    * two-phase bucketed scan automatically; this entry runs the NAIVE SQL
+    * through the rule and the driver hash pins semantic equivalence
+    * (GlobalWindowSpec additionally pins rule-on ≡ rule-off and the
+    * partitioned plan shape). The COALESCE makes the summed column
+    * provably non-nullable — the rule's integer-exactness precondition. */
+  private val b106 = entry(
+    "b106_global_running_sum",
+    """WITH cents AS (
+      |  SELECT o_orderkey,
+      |         COALESCE(CAST(floor(o_totalprice * 100) AS BIGINT), 0) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, cents,
+      |       CAST(sum(cents) OVER (ORDER BY o_orderkey
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      |FROM cents ORDER BY o_orderkey""".stripMargin, bench = true) { (s, d) =>
+    if (!s.experimental.extraOptimizations.contains(graft.plans.GlobalWindowScanRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.GlobalWindowScanRewrite
+    Tables.registerAll(s, d)
+    // floor (exact in both engines) before the BIGINT cast: Spark's
+    // double→long cast truncates where DuckDB's ROUNDS — casting the raw
+    // product would silently diverge on half-cent values
+    s.sql(
+      """SELECT o_orderkey, cents,
+        |       sum(cents) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS running
+        |FROM (SELECT o_orderkey,
+        |             COALESCE(CAST(floor(o_totalprice * 100) AS BIGINT), 0) AS cents
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val entries: Seq[Entry] = Seq(b03, b04, b04j, b24, b39, b40, b65, b74, b87, b106)
 }
