@@ -64,6 +64,49 @@ class GlobalWindowSpec extends AnyFunSuite {
     assert(on._1 === off)
   }
 
+  test("randomized equivalence: rule-on ≡ rule-off across widths, ties, frames") {
+    val WidthKey = "spark.graft.globalWindowScan.bucketWidth"
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 50 + rnd.nextInt(150)
+      // duplicate-heavy keys (ties!), negatives, nulls
+      val rows = Seq.tabulate(n) { i =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else Long.box(rnd.nextInt(40) - 10L)
+        (k, rnd.nextInt(1000).toLong, i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id")
+      // ROWS frame needs a total order (ties make it nondeterministic in
+      // ANY plan) → order by (k, id); RANGE frame is tie-safe on k alone
+      val rowsWin = W.orderBy(col("k").asc_nulls_first, col("id"))
+      val rangeWin = W.orderBy(col("k").asc_nulls_first)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+      val width = Seq("1", "3", "97", "100000")(trial % 4)
+      def run(on: Boolean)(q: () => org.apache.spark.sql.DataFrame) =
+        withRule(on) {
+          spark.conf.set(WidthKey, width)
+          try q().orderBy(col("id")).collect().map(_.toString).toSeq
+          finally spark.conf.unset(WidthKey)
+        }
+      // ROWS over the composite order: key id is the SECOND order col →
+      // rule requires a single key, so it must NOT fire; still equal
+      val qRows = () => df.withColumn("r",
+        sum(col("v") + lit(0L)).over(rowsWin.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      assert(run(on = true)(qRows) === run(on = false)(qRows), s"trial $trial ROWS")
+      // RANGE over k alone: eligible (ties share a bucket) — must fire and agree
+      val qRange = () => df.withColumn("r", sum(col("v") + lit(0L)).over(rangeWin))
+      val fired = withRule(on = true) {
+        spark.conf.set(WidthKey, width)
+        try qRange().queryExecution.optimizedPlan.toString.contains("_gw_bucket_l")
+        finally spark.conf.unset(WidthKey)
+      }
+      assert(fired, s"trial $trial: rule did not fire on the RANGE window")
+      assert(run(on = true)(qRange) === run(on = false)(qRange),
+        s"trial $trial RANGE width=$width")
+    }
+  }
+
   test("ineligible windows are left alone (avg; nullable argument; desc key)") {
     val df = Seq((1L, 1.0, 1L), (2L, 2.0, 2L)).toDF("k", "x", "v")
     val rows = W.orderBy(col("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
