@@ -54,12 +54,16 @@ object Chunker {
     val toks = ws.select(col("doc_id"), col("ws"),
         posexplode_outer(col("ws")).as(Seq("p", "tok")))
       .withColumn("i", col("p") + 1)
+      // Nested CASE, not `A AND B` (ADVICE r7): element_at(ws, 0) throws if
+      // ever evaluated, so the warm-up guard must be an explicit branch
+      // rather than relying on And's evaluation order staying lazy.
       .withColumn("bnd", expr(
-        s"""CASE WHEN i >= $WindowTokens AND
-           |  poly_fold(concat('cdc:', element_at(ws, i - 2), ' ',
-           |                   element_at(ws, i - 1), ' ',
-           |                   element_at(ws, i))) % $Modulus = 0
-           |THEN 1 ELSE 0 END""".stripMargin))
+        s"""CASE WHEN i >= $WindowTokens THEN
+           |  CASE WHEN poly_fold(concat('cdc:', element_at(ws, i - 2), ' ',
+           |                      element_at(ws, i - 1), ' ',
+           |                      element_at(ws, i))) % $Modulus = 0
+           |       THEN 1 ELSE 0 END
+           |ELSE 0 END""".stripMargin))
       .select("doc_id", "i", "tok", "bnd")
     val prior = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)

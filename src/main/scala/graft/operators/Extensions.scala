@@ -279,9 +279,7 @@ object Extensions {
       |       CAST(sum(cents) OVER (ORDER BY o_orderkey
       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
       |FROM cents ORDER BY o_orderkey""".stripMargin, bench = true) { (s, d) =>
-    if (!s.experimental.extraOptimizations.contains(graft.plans.GlobalWindowScanRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.GlobalWindowScanRewrite
+    graft.plans.RuleInstall.ensure(s, graft.plans.GlobalWindowScanRewrite)
     Tables.registerAll(s, d)
     // floor (exact in both engines) before the BIGINT cast: Spark's
     // double→long cast truncates where DuckDB's ROUNDS — casting the raw

@@ -66,9 +66,7 @@ object TemporalJoins {
       |  ON e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
       |  AND e2.event_id <> e1.event_id
       |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin) { (s, d) =>
-    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketing))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketing
+    graft.plans.RuleInstall.ensure(s, graft.plans.RangeJoinBucketing)
     val e = Tables.events(s, d).select(col("event_id"), col("ts"))
     val e2 = e.select(col("event_id").as("event_id2"), col("ts").as("ts2"))
     e.join(e2,

@@ -54,10 +54,18 @@ object GlobalWindowScanRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
-    val width = conf.getConfString(WidthKey, "1000").toLong
-    plan.transformUp {
-      case w: Window if w.resolved && eligible(w) =>
-        rewrite(w, width).getOrElse(w)
+    // Defensive parse (ADVICE r7): a malformed width must skip the rewrite,
+    // not throw inside the optimizer (which would fail EVERY query in the
+    // session); a width < 1 would make bucketOf decreasing/undefined in the
+    // order key and silently corrupt the running sums.
+    scala.util.Try(conf.getConfString(WidthKey, "1000").toLong).toOption
+      .filter(_ >= 1L) match {
+      case None => plan
+      case Some(width) =>
+        plan.transformUp {
+          case w: Window if w.resolved && eligible(w) =>
+            rewrite(w, width).getOrElse(w)
+        }
     }
   }
 

@@ -107,6 +107,25 @@ class GlobalWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed or nonpositive bucketWidth skips the rewrite, never throws") {
+    val WidthKey = "spark.graft.globalWindowScan.bucketWidth"
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v")
+    val win = W.orderBy(col("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val q = () => df.withColumn("r", sum(col("v") + lit(0L)).over(win)).orderBy("k")
+    val expected = withRule(on = false) { q().collect().map(_.toString).toSeq }
+    for (bad <- Seq("bogus", "-5", "0", "")) {
+      withRule(on = true) {
+        spark.conf.set(WidthKey, bad)
+        try {
+          val d = q()
+          assert(!d.queryExecution.optimizedPlan.toString.contains("_gw_bucket"),
+            s"rule fired with width='$bad'")
+          assert(d.collect().map(_.toString).toSeq === expected, s"width='$bad'")
+        } finally spark.conf.unset(WidthKey)
+      }
+    }
+  }
+
   test("ineligible windows are left alone (avg; nullable argument; desc key)") {
     val df = Seq((1L, 1.0, 1L), (2L, 2.0, 2L)).toDF("k", "x", "v")
     val rows = W.orderBy(col("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
