@@ -35,6 +35,7 @@ object SparkEntry {
       llm.TrainPrep.entries ++
       llm.IntKMeans.entries ++
       llm.Chunker.entries ++
+      llm.Retrieval.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

@@ -1,0 +1,192 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Registry._
+import graft.sources.Tables
+
+/** FULL-TEXT RETRIEVAL over the documents corpus (SURVEY §2B round-8 rows
+  * B107/B108) — the query side of a training-data store: BM25 ranking and
+  * the inverted-index layout that serves it.
+  *
+  * B107 — Okapi BM25 top-k: the standard lexical ranking function
+  * (Robertson et al.; the Lucene variant of idf). Everything feeding the
+  * score is an exact integer (tf, df, N, dl) produced by one corpus
+  * aggregation; the float math is a fixed scalar expression evaluated
+  * identically in both engines, and ranking uses the ROUNDED score with a
+  * doc_id tiebreak (the b95 rule) so rank boundaries are engine-identical.
+  * RetrievalSpec measures every score's distance from its 4dp rounding
+  * boundary (≫ cross-engine float drift).
+  *
+  * B108 — inverted index: term → sorted postings, each posting PACKED as
+  * `doc_id * 4096 + position` into one BIGINT (delta-friendly, and array
+  * hashing stays primitive — no nested structs on the t2 surface). The
+  * phrase entry (b108b) answers "table hash" FROM THE WRITTEN INDEX:
+  * probe reads are term-pruned at the scan (range-clustered, sorted file
+  * layout → row-group min/max pruning, PushedFilters asserted in
+  * RetrievalSpec), and phrase adjacency is `array_intersect(p1+1, p2)` on
+  * the packed postings — position arithmetic without ever rejoining the
+  * corpus. The oracle recomputes the phrase from raw text, so hash-green
+  * proves the index write → prune → intersect path lossless.
+  *
+  * Scale posture (100 TB): the query set is a broadcast literal; tf/df
+  * aggregate only (doc, query-term) pairs — the corpus-wide explode is
+  * map-side and the semi join on query terms prunes BEFORE the shuffle;
+  * dl/avgdl is one per-doc count reused broadcast; the ranking window
+  * partitions by query_id. The index build is one gram-keyed aggregation
+  * (b93's shuffle shape); per-term posting lists are the classic IR skew
+  * point — a production build splits a term's postings into fixed-size
+  * blocks (term, block_no) to bound row size, noted here because the
+  * 31-word testdata vocab cannot exercise it. Max position 4095 is a
+  * documented pack limit; longer docs chunk first (B103).
+  */
+object Retrieval {
+
+  private val PosBits = 4096L
+
+  /** The literal query workload: (query_id, term). */
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "stream",
+    3L -> "fast", 3L -> "table", 3L -> "scan")
+
+  private def queriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    QueryTerms.toDF("query_id", "term")
+  }
+
+  private def duckQueryValues: String =
+    QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** BM25 contribution — written ONCE as SQL text so Spark and DuckDB
+    * evaluate the identical float expression tree (k1=1.2, b=0.75,
+    * Lucene idf). All inputs integral except avgdl. */
+  private def bm25Expr(ln: String): String =
+    s"$ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+
+  /** B107 — BM25 top-10 docs per query. */
+  private val b107 = entry(
+    "b107_text_bm25",
+    s"""WITH q AS (SELECT * FROM (VALUES $duckQueryValues) AS v(query_id, term)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT term FROM q),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df
+       |       FROM toks JOIN qt USING (term) GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         ${bm25Expr("ln")} AS c
+       |  FROM q JOIN tf USING (term) JOIN df USING (term)
+       |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+       |score AS (SELECT query_id, doc_id, sum(c) AS s
+       |          FROM contrib GROUP BY query_id, doc_id)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id, bm25 FROM (
+       |  SELECT query_id, doc_id, round(s, 4) AS bm25,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(s, 4) DESC, doc_id) AS INTEGER) AS rn
+       |  FROM score) t
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val q = queriesDf(s)
+    val qt = q.select("term").distinct()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // n from dl, not a second documents scan: every doc has >= 1 token
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.join(broadcast(qt), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.join(broadcast(qt), "term")
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("s"), 4).desc, col("doc_id"))
+    broadcast(q).join(tf, "term").join(broadcast(dfreq), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("c", expr(bm25Expr("ln")))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("doc_id"),
+        round(col("s"), 4).as("bm25"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** The inverted-index relation: one row per term with df, total
+    * occurrences, and the sorted packed postings list. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode_outer(split(col("text"), " ")).as(Seq("p", "tok")))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cnt"),
+        sort_array(collect_list(col("doc_id") * PosBits + col("p") + 1))
+          .as("postings"))
+      .select(col("tok").as("term"), col("df"), col("cnt"), col("postings"))
+
+  private def indexOracleCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |toks AS (
+       |  SELECT doc_id, ws,
+       |         unnest(generate_series(1, len(ws))) AS i,
+       |         unnest(ws) AS tok
+       |  FROM w)""".stripMargin
+
+  /** B108 — inverted-index build. Postings joined to one string on the t2
+    * surface (the b21 rule: no complex-typed result columns); the on-disk
+    * index b108b serves from keeps the real BIGINT arrays. */
+  private val b108 = entry(
+    "b108_index_build",
+    s"""WITH $indexOracleCtes
+       |SELECT tok AS term,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |       CAST(count(*) AS BIGINT) AS cnt,
+       |       array_to_string(list_sort(list(doc_id * $PosBits + i)), ',') AS postings
+       |FROM toks GROUP BY tok ORDER BY term""".stripMargin) { (s, d) =>
+    invertedIndex(Tables.documents(s, d).select("doc_id", "text"))
+      .withColumn("postings", array_join(col("postings"), ","))
+      .orderBy("term")
+  }
+
+  /** B108b — phrase query "table hash" SERVED FROM THE WRITTEN INDEX:
+    * range-clustered sorted write, term-pruned probe read, packed-postings
+    * adjacency intersect. Oracle recomputes from raw text. */
+  private val b108b = entry(
+    "b108b_index_phrase",
+    s"""WITH $indexOracleCtes,
+       |m AS (SELECT t1.doc_id
+       |      FROM toks t1 JOIN toks t2
+       |        ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+       |      WHERE t1.tok = 'table' AND t2.tok = 'hash')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_b108_index").toString + "/index"
+    invertedIndex(Tables.documents(s, d).select("doc_id", "text"))
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(path)
+    phraseFromIndex(s.read.parquet(path), "table", "hash")
+  }
+
+  /** Adjacency from packed postings: positions of `first` shifted +1
+    * intersected with positions of `second` — same doc iff same
+    * `div $PosBits` quotient, which +1 can never cross (pos < 4095). */
+  def phraseFromIndex(index: DataFrame, first: String, second: String): DataFrame = {
+    val p1 = index.filter(col("term") === first)
+      .select(expr("transform(postings, x -> x + 1)").as("p1"))
+    val p2 = index.filter(col("term") === second)
+      .select(col("postings").as("p2"))
+    p1.crossJoin(p2) // 1 row x 1 row
+      .select(explode(expr("array_intersect(p1, p2)")).as("m"))
+      .select(expr(s"m div $PosBits").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b107, b108, b108b)
+}
