@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Retrieval
+import graft.sources.Tables
+
+/** B107/B108/B108b contracts (the house pattern for every operator
+  * family — VERDICT r8 item 1):
+  *
+  *  - a plain-JVM BM25 oracle replaying b107's full ranking (tokenize →
+  *    tf/df/dl → Lucene-idf Okapi score → rounded-score + doc_id-tiebreak
+  *    top-10) compared row-for-row against the Spark output;
+  *  - the b95/b100 boundary-margin contract: every BM25 score's distance
+  *    from its 4dp rounding boundary is MEASURED and must dwarf
+  *    cross-engine libm drift (~1e-13 at these magnitudes), so the t2
+  *    hash cannot flip on a different ln implementation;
+  *  - blocked-index equivalence: [[Retrieval.invertedIndexBlocked]] at a
+  *    forced-small block size (so the testdata vocab exercises >1 block
+  *    per term) merges to EXACTLY the monolithic single-block index, and
+  *    [[Retrieval.phraseFromIndex]] over the written small-block index
+  *    matches a JVM phrase scan of the raw text;
+  *  - the [[Retrieval.MaxPos]] pack guard fails LOUDLY on an over-long
+  *    doc instead of silently aliasing postings into the next doc_id;
+  *  - the b108b probe read is term-pruned AT THE SCAN: PushedFilters
+  *    carries the term equality into the parquet reader (the PlanSpec
+  *    pattern).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  // ---- plain-JVM corpus replay ------------------------------------------
+
+  /** (doc_id, tokens) — split with limit -1 to mirror Spark's split
+    * semantics (trailing empty strings kept). */
+  private lazy val corpus: Seq[(Long, Array[String])] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+
+  private val queryTerms: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "stream",
+    3L -> "fast", 3L -> "table", 3L -> "scan")
+
+  /** Raw (un-rounded) BM25 score per (query_id, doc_id), the JVM oracle. */
+  private lazy val jvmScores: Map[(Long, Long), Double] = {
+    val dl = corpus.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val n = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val tf: Map[(Long, String), Long] = corpus.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, os) => (id, t) -> os.length.toLong }
+    }.toMap
+    val qts = queryTerms.map(_._2).distinct
+    val df: Map[String, Long] =
+      qts.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val grouped = queryTerms.groupBy(_._1)
+    (for {
+      (qid, terms) <- grouped.toSeq
+      docId <- corpus.map(_._1)
+      contribs = terms.flatMap { case (_, term) =>
+        tf.get((docId, term)).map { f =>
+          val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+          idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(docId) / avgdl))
+        }
+      }
+      if contribs.nonEmpty
+    } yield (qid, docId) -> contribs.sum).toMap
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** JVM top-10 per query by (rounded score desc, doc_id asc). */
+  private lazy val jvmTop10: Seq[(Long, Int, Long, Double)] =
+    jvmScores.toSeq.groupBy(_._1._1).toSeq.flatMap { case (qid, scored) =>
+      scored.map { case ((_, d), s) => (d, round4(s)) }
+        .sortBy { case (d, r) => (-r, d) }
+        .take(10).zipWithIndex
+        .map { case ((d, r), i) => (qid, i + 1, d, r) }
+    }.sortBy(t => (t._1, t._2))
+
+  test("B107: Spark BM25 top-10 ≡ plain-JVM oracle, row for row") {
+    val got = SparkEntry.queries("b107_text_bm25")(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got == jvmTop10,
+      s"spark=${got.take(5)}... jvm=${jvmTop10.take(5)}...")
+  }
+
+  test("B107: every score sits ≥ 1e-10 from its 4dp rounding boundary") {
+    // margin of s from the half-up boundary: distance of s*1e4 from the
+    // nearest x.5, rescaled. Cross-engine drift (libm ln ulps + a
+    // different summation order over ≤5 contributions at magnitude ~15)
+    // is ~1e-14 absolute. Measured minima over the full score relation:
+    // 2.0e-8 at sf0.001 (this corpus), 4.9e-10 at sf0.01 and 3.4e-9 at
+    // sf0.1 (DuckDB, round-9 sweep) — every scale ≥4 orders above drift.
+    val margins = jvmScores.values.map { s =>
+      val scaled = s * 1e4
+      val frac = scaled - math.floor(scaled)
+      math.abs(frac - 0.5)
+    }
+    val minMargin = margins.min / 1e4
+    assert(minMargin >= 1e-10,
+      f"a BM25 score sits $minMargin%.3e from its 4dp rounding boundary " +
+        "— cross-engine drift could flip the t2 hash; change the query " +
+        "workload or widen the rounding")
+  }
+
+  // ---- B108 blocked build ------------------------------------------------
+
+  private def docsDf = Tables.documents(spark, sf).select("doc_id", "text")
+
+  test("B108: small-block build merges to exactly the monolithic index") {
+    val mono = Retrieval.invertedIndex(docsDf, docsPerBlock = 1L << 40)
+      .orderBy("term").collect()
+    val merged = Retrieval.invertedIndex(docsDf, docsPerBlock = 4L)
+      .orderBy("term").collect()
+    assert(mono.length == merged.length)
+    mono.zip(merged).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1), s"df differs for ${a.getString(0)}")
+      assert(a.getLong(2) == b.getLong(2), s"cnt differs for ${a.getString(0)}")
+      assert(a.getSeq[Long](3) == b.getSeq[Long](3),
+        s"postings differ for ${a.getString(0)}")
+    }
+  }
+
+  test("B108: forced-small block size actually exercises >1 block per term") {
+    val blocks = Retrieval.invertedIndexBlocked(docsDf, docsPerBlock = 4L)
+    val multi = blocks.groupBy("term").agg(countDistinct("block_no").as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(multi > 0, "no term spans more than one block — the " +
+      "equivalence test above would be vacuous")
+  }
+
+  test("B108: a doc beyond MaxPos tokens fails loudly at build, never aliases") {
+    import spark.implicits._
+    val longDoc = Seq((7L, Array.fill(Retrieval.MaxPos.toInt + 1)("w")
+      .mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Retrieval.invertedIndexBlocked(longDoc).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("chunk first"),
+      s"expected the B108 pack-limit raise_error, got: ${e.getMessage}")
+  }
+
+  test("B108: null text passes the pack guard (posexplode_outer row kept)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, null: String)).toDF("doc_id", "text")
+    // must not raise; the null-token row aggregates under a null term
+    assert(Retrieval.invertedIndexBlocked(docs).collect().nonEmpty)
+  }
+
+  // ---- B108b written-index phrase serving --------------------------------
+
+  private lazy val writtenIndexPath: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_retrieval_spec").toString + "/index"
+    Retrieval.invertedIndexBlocked(docsDf, docsPerBlock = 4L)
+      .repartitionByRange(4, col("term"))
+      .sortWithinPartitions("term", "block_no")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("B108b: phrase-from-written-index ≡ JVM phrase scan of raw text") {
+    val jvm = corpus.map { case (id, ts) =>
+      id -> ts.indices.dropRight(1)
+        .count(i => ts(i) == "table" && ts(i + 1) == "hash")
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = Retrieval
+      .phraseFromIndex(spark.read.parquet(writtenIndexPath), "table", "hash")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getLong(1).toInt)
+    assert(got == jvm, s"index=$got jvm=$jvm")
+  }
+
+  test("B108b: probe read is term-pruned at the parquet scan (PushedFilters)") {
+    val probe = spark.read.parquet(writtenIndexPath)
+      .filter(col("term") === "table")
+    val plan = probe.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("EqualTo(term,table)"),
+      s"term equality not pushed to the scan:\n$plan")
+  }
+}
