@@ -36,6 +36,7 @@ object SparkEntry {
       llm.IntKMeans.entries ++
       llm.Chunker.entries ++
       llm.Retrieval.entries ++
+      llm.Hybrid.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++
       llm.Pq.entries ++

@@ -7,8 +7,10 @@ import graft.Registry._
 import graft.sources.Tables
 
 /** FULL-TEXT RETRIEVAL over the documents corpus (SURVEY §2B rows
-  * B107/B108/B108b) — the query side of a training-data store: BM25
-  * ranking and the inverted-index layout that serves it.
+  * B107/B108/B108b/B109) — the query side of a training-data store: BM25
+  * ranking, the inverted-index layout that serves it, and incremental
+  * maintenance of the written index ([[mergeIndex]]: delta-keyed
+  * broadcast split, untouched blocks pass through untouched).
   *
   * B107 — Okapi BM25 top-k: the standard lexical ranking function
   * (Robertson et al.; the Lucene variant of idf). Everything feeding the
@@ -89,9 +91,10 @@ object Retrieval {
     s"$ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
       "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
 
-  /** B107 — BM25 top-10 docs per query. */
-  private val b107 = entry(
-    "b107_text_bm25",
+  /** The full-corpus BM25 oracle — shared verbatim by b107 (corpus-scan
+    * spelling) and b111 (index-served spelling): both must produce the
+    * identical ranking, so both hash against the one definition. */
+  private def bm25OracleSql: String =
     s"""WITH q AS (SELECT * FROM (VALUES $duckQueryValues) AS v(query_id, term)),
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -112,12 +115,33 @@ object Retrieval {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY round(s, 4) DESC, doc_id) AS INTEGER) AS rn
        |  FROM score) t
-       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** The scoring tail both BM25 spellings share once (tf, df, dl, stats)
+    * exist: broadcast-joined contributions, per-query sum, top-10 on the
+    * ROUNDED score with doc_id tiebreak. */
+  private def bm25Rank(s: SparkSession, tf: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("s"), 4).desc, col("doc_id"))
+    broadcast(queriesDf(s)).join(tf, "term").join(broadcast(dfreq), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("c", expr(bm25Expr("ln")))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("doc_id"),
+        round(col("s"), 4).as("bm25"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** B107 — BM25 top-10 docs per query, computed by corpus scan. */
+  private val b107 = entry(
+    "b107_text_bm25", bm25OracleSql,
     bench = true) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val q = queriesDf(s)
-    val qt = q.select("term").distinct()
+    val qt = queriesDf(s).select("term").distinct()
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // n from dl, not a second documents scan: every doc has >= 1 token
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
@@ -129,17 +153,7 @@ object Retrieval {
       .localCheckpoint(true)
     // doc_id is already distinct within tf → df = per-term row count.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("s"), 4).desc, col("doc_id"))
-    broadcast(q).join(tf, "term").join(broadcast(dfreq), "term")
-      .join(dl, "doc_id").crossJoin(broadcast(stats))
-      .withColumn("c", expr(bm25Expr("ln")))
-      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("query_id"), col("rn"), col("doc_id"),
-        round(col("s"), 4).as("bm25"))
-      .orderBy("query_id", "rn")
+    bm25Rank(s, tf, dfreq, dl, stats)
   }
 
   /** Tokenized (doc_id, p, tok) with the pack-limit guard: any position
@@ -174,22 +188,51 @@ object Retrieval {
       .select(col("tok").as("term"), col("block_no"), col("df"),
         col("cnt"), col("postings"))
 
-  /** One row per term — the t2 presentation, MERGED from the blocked
-    * build: blocks partition doc_id ranges, so per-block distinct-doc
-    * counts sum to the global df, and concatenating the sorted blocks in
-    * block_no order is the globally sorted postings list (packed values
-    * are monotone in doc_id). Only this final presentation materializes
-    * an unbounded per-term array — every shuffle row upstream is
+  /** One row per term — the t2 presentation of a BLOCKED index relation:
+    * blocks partition doc_id ranges, so per-block distinct-doc counts sum
+    * to the global df, and concatenating the sorted blocks in block_no
+    * order is the globally sorted postings list (packed values are
+    * monotone in doc_id). Only this final presentation materializes an
+    * unbounded per-term array — every shuffle row upstream is
     * block-bounded. */
-  def invertedIndex(docs: DataFrame,
-      docsPerBlock: Long = DocsPerBlock): DataFrame =
-    invertedIndexBlocked(docs, docsPerBlock)
+  def presentTerms(blocked: DataFrame): DataFrame =
+    blocked
       .groupBy(col("term"))
       .agg(sum(col("df")).as("df"),
         sum(col("cnt")).as("cnt"),
         expr("flatten(transform(" +
           "sort_array(collect_list(struct(block_no, postings)))," +
           " x -> x.postings))").as("postings"))
+
+  def invertedIndex(docs: DataFrame,
+      docsPerBlock: Long = DocsPerBlock): DataFrame =
+    presentTerms(invertedIndexBlocked(docs, docsPerBlock))
+
+  /** B109 — INCREMENTAL maintenance of a written blocked index: fold a
+    * delta corpus in without rescanning the old corpus. The delta's
+    * (term, block_no) key set is tiny (new docs land in few blocks) and
+    * BROADCAST, so the old index splits into an untouched stream that
+    * PASSES THROUGH with no aggregation or wide shuffle (broadcast anti
+    * join) and a touched stream (broadcast semi join) that re-aggregates
+    * with the delta blocks. Old and delta doc_id sets are disjoint by
+    * contract (append-only ingest; in-place updates go through CDC/B72
+    * then rebuild of the affected blocks), so per-key df/cnt SUM and the
+    * two sorted posting arrays merge by one flatten+sort of bounded
+    * (≤2·block-bounded) rows. At 100 TB the cost is O(|delta| + touched
+    * blocks), not O(corpus). */
+  def mergeIndex(oldIndex: DataFrame, delta: DataFrame): DataFrame = {
+    val keys = Seq("term", "block_no")
+    val dkeys = delta.select(keys.map(col): _*).distinct()
+    val untouched =
+      oldIndex.join(broadcast(dkeys), keys, "left_anti")
+    val touched =
+      oldIndex.join(broadcast(dkeys), keys, "left_semi")
+        .unionByName(delta)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("df")).as("df"), sum(col("cnt")).as("cnt"),
+          sort_array(flatten(collect_list(col("postings")))).as("postings"))
+    untouched.unionByName(touched)
+  }
 
   private def indexOracleCtes: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -262,5 +305,88 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b107, b108, b108b)
+  /** Per-JVM landing dir for the b109 OLD index (same pattern as b108b). */
+  private lazy val b109IndexDir: String = java.nio.file.Files
+    .createTempDirectory("graft_b109_index").toString + "/index"
+
+  /** Block granularity for the b109 entry: small enough that every SF's
+    * doc range spans several blocks, so the pass-through/touched split is
+    * actually exercised (500 docs → blocks 0-3; 80%-split lands mid-block
+    * → blocks below it pass through untouched). */
+  private val MergeDocsPerBlock = 128L
+
+  /** B109 — incremental index merge, hash-pinned against b108's full
+    * rebuild: write the blocked index of the FIRST 80% of docs, build the
+    * delta from the remaining 20%, [[mergeIndex]] them, and present one
+    * row per term. The oracle rebuilds from the FULL corpus — hash-green
+    * proves incremental ≡ rebuild. The only driver traffic is the
+    * O(scalar) max(doc_id) that picks the split. */
+  private val b109 = entry(
+    "b109_index_merge",
+    s"""WITH $indexOracleCtes
+       |SELECT tok AS term,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |       CAST(count(*) AS BIGINT) AS cnt,
+       |       array_to_string(list_sort(list(doc_id * $PosBits + i)), ',') AS postings
+       |FROM toks GROUP BY tok ORDER BY term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val split = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+    invertedIndexBlocked(docs.filter(col("doc_id") < split), MergeDocsPerBlock)
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term", "block_no")
+      .write.mode("overwrite").parquet(b109IndexDir)
+    val delta =
+      invertedIndexBlocked(docs.filter(col("doc_id") >= split), MergeDocsPerBlock)
+    presentTerms(mergeIndex(s.read.parquet(b109IndexDir), delta))
+      .withColumn("postings", array_join(col("postings"), ","))
+      .orderBy("term")
+  }
+
+  /** Per-JVM landing dir for the b111 index + sidecars (visible to
+    * RetrievalSpec's PushedFilters assert on the probe read). */
+  private[graft] lazy val b111IndexDir: String = java.nio.file.Files
+    .createTempDirectory("graft_b111_index").toString
+
+  /** B111 — BM25 SERVED FROM THE WRITTEN INDEX: the production query
+    * path. Build writes three artifacts — the blocked index, a doc-length
+    * sidecar (same tokenizer as b107's dl, so null-text semantics match),
+    * and a ONE-ROW corpus-stats parquet (n, avgdl) — then the query side
+    * never touches the corpus: tf = per-doc position counts exploded from
+    * the QUERY TERMS' postings only (term-pruned probe read, PushedFilters
+    * In), df = per-term sum of block dfs from the same pruned rows, dl by
+    * doc-keyed join against the sidecar, stats from the one-row artifact.
+    * Query cost is O(postings of query terms + matched docs), not
+    * O(corpus) — at 100 TB that is the entire point of having the index.
+    * The oracle is b107's full-corpus SQL verbatim: hash-green proves
+    * index-served ≡ corpus-scan BM25 end to end. */
+  private val b111 = entry(
+    "b111_bm25_from_index", bm25OracleSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // -- build side: index + sidecars (one corpus pass each)
+    invertedIndexBlocked(docs)
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term", "block_no")
+      .write.mode("overwrite").parquet(s"$b111IndexDir/terms")
+    val dlBuild = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dlBuild.write.mode("overwrite").parquet(s"$b111IndexDir/dl")
+    dlBuild.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$b111IndexDir/stats")
+    // -- query side: corpus never read again
+    val terms = QueryTerms.map(_._2).distinct
+    val probe = s.read.parquet(s"$b111IndexDir/terms")
+      .filter(col("term").isin(terms: _*))
+      .localCheckpoint(true) // tiny (query-term block rows); feeds tf + df
+    val tf = probe
+      .select(col("term"), explode(col("postings")).as("m"))
+      .select(col("term"), expr(s"m div $PosBits").as("doc_id"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = probe.groupBy("term").agg(sum(col("df")).as("df"))
+    val dl = s.read.parquet(s"$b111IndexDir/dl")
+    val stats = s.read.parquet(s"$b111IndexDir/stats")
+    bm25Rank(s, tf, dfreq, dl, stats)
+  }
+
+  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111)
 }

@@ -182,4 +182,83 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(term,table)"),
       s"term equality not pushed to the scan:\n$plan")
   }
+
+  // ---- B109 incremental merge --------------------------------------------
+
+  /** Mid-block split for docsPerBlock=4: doc 7 sits inside block 1, so
+    * block 1 keys exist on BOTH sides of the split (merge path) while
+    * every block-0 key exists only in the old index (pass-through path). */
+  private val MergeSplit = 7L
+
+  test("B109: incremental merge ≡ fresh full rebuild, row for row") {
+    val old = Retrieval.invertedIndexBlocked(
+      docsDf.filter(col("doc_id") < MergeSplit), docsPerBlock = 4L)
+    val delta = Retrieval.invertedIndexBlocked(
+      docsDf.filter(col("doc_id") >= MergeSplit), docsPerBlock = 4L)
+    val merged = Retrieval.presentTerms(Retrieval.mergeIndex(old, delta))
+      .orderBy("term").collect()
+    val full = Retrieval.invertedIndex(docsDf, docsPerBlock = 4L)
+      .orderBy("term").collect()
+    assert(merged.length == full.length)
+    merged.zip(full).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1), s"df differs for ${a.getString(0)}")
+      assert(a.getLong(2) == b.getLong(2), s"cnt differs for ${a.getString(0)}")
+      assert(a.getSeq[Long](3) == b.getSeq[Long](3),
+        s"postings differ for ${a.getString(0)}")
+    }
+  }
+
+  test("B109: the split actually exercises both merge paths") {
+    val old = Retrieval.invertedIndexBlocked(
+      docsDf.filter(col("doc_id") < MergeSplit), docsPerBlock = 4L)
+    val delta = Retrieval.invertedIndexBlocked(
+      docsDf.filter(col("doc_id") >= MergeSplit), docsPerBlock = 4L)
+    val dkeys = delta.select("term", "block_no").distinct()
+    val untouched =
+      old.join(dkeys, Seq("term", "block_no"), "left_anti").count()
+    val touched =
+      old.join(dkeys, Seq("term", "block_no"), "left_semi").count()
+    assert(untouched > 0, "no pass-through keys — equivalence is vacuous " +
+      "for the anti-join path")
+    assert(touched > 0, "no co-owned keys — equivalence is vacuous for " +
+      "the re-aggregation path")
+  }
+
+  // ---- B111 index-served BM25 --------------------------------------------
+
+  test("B111: index-served BM25 ≡ corpus-scan b107, row for row") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val scan = rows("b107_text_bm25")
+    val served = rows("b111_bm25_from_index")
+    assert(served == scan, s"served=${served.take(5)}... scan=${scan.take(5)}...")
+    assert(scan == jvmTop10) // and both match the JVM oracle
+  }
+
+  test("B111: probe read is term-pruned at the scan (PushedFilters In)") {
+    // the entry's own probe scan is hidden behind its eager checkpoint, so
+    // re-open the artifact it wrote and assert the pruned-scan shape
+    SparkEntry.queries("b111_bm25_from_index")(spark, sf).collect()
+    val probe = spark
+      .read.parquet(Retrieval.b111IndexDir + "/terms")
+      .filter(col("term").isin("agg", "join"))
+    val plan = probe.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("In(term"),
+      s"term IN-list not pushed to the index scan:\n$plan")
+  }
+
+  test("B109: old-index split is broadcast (semi+anti), never a wide shuffle") {
+    val old = spark.read.parquet(writtenIndexPath)
+    val delta = Retrieval.invertedIndexBlocked(
+      docsDf.filter(col("doc_id") >= MergeSplit), docsPerBlock = 4L)
+    val plan = Retrieval.mergeIndex(old, delta)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"pass-through path is not a broadcast anti join:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"touched path is not a semi join:\n$plan")
+  }
 }
