@@ -242,21 +242,32 @@ object Retrieval {
        |         unnest(ws) AS tok
        |  FROM w)""".stripMargin
 
-  /** B108 — inverted-index build. Postings joined to one string on the t2
-    * surface (the b21 rule: no complex-typed result columns); the on-disk
-    * index b108b serves from keeps the real BIGINT arrays. */
-  private val b108 = entry(
-    "b108_index_build",
+  /** Full-rebuild index oracle — shared by b108 (one-shot build), b109
+    * (incremental merge) and b112 (streaming merge): all three must
+    * present the identical one-row-per-term index, so all hash against
+    * the one full-corpus definition. */
+  private[graft] def indexRebuildSql: String =
     s"""WITH $indexOracleCtes
        |SELECT tok AS term,
        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        |       CAST(count(*) AS BIGINT) AS cnt,
        |       array_to_string(list_sort(list(doc_id * $PosBits + i)), ',') AS postings
-       |FROM toks GROUP BY tok ORDER BY term""".stripMargin,
-    bench = true) { (s, d) =>
-    invertedIndex(Tables.documents(s, d).select("doc_id", "text"))
+       |FROM toks GROUP BY tok ORDER BY term""".stripMargin
+
+  /** The shared t2 presentation: one string-joined-postings row per term
+    * (the b21 rule: no complex-typed result columns). */
+  private[graft] def presentIndexForHash(blocked: DataFrame): DataFrame =
+    presentTerms(blocked)
       .withColumn("postings", array_join(col("postings"), ","))
       .orderBy("term")
+
+  /** B108 — inverted-index build. The on-disk index b108b serves from
+    * keeps the real BIGINT arrays. */
+  private val b108 = entry(
+    "b108_index_build", indexRebuildSql,
+    bench = true) { (s, d) =>
+    presentIndexForHash(
+      invertedIndexBlocked(Tables.documents(s, d).select("doc_id", "text")))
   }
 
   /** Per-JVM landing dir for the b108b written index (the StreamReplay
@@ -322,13 +333,7 @@ object Retrieval {
     * proves incremental ≡ rebuild. The only driver traffic is the
     * O(scalar) max(doc_id) that picks the split. */
   private val b109 = entry(
-    "b109_index_merge",
-    s"""WITH $indexOracleCtes
-       |SELECT tok AS term,
-       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-       |       CAST(count(*) AS BIGINT) AS cnt,
-       |       array_to_string(list_sort(list(doc_id * $PosBits + i)), ',') AS postings
-       |FROM toks GROUP BY tok ORDER BY term""".stripMargin) { (s, d) =>
+    "b109_index_merge", indexRebuildSql) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val split = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
     invertedIndexBlocked(docs.filter(col("doc_id") < split), MergeDocsPerBlock)
@@ -337,9 +342,7 @@ object Retrieval {
       .write.mode("overwrite").parquet(b109IndexDir)
     val delta =
       invertedIndexBlocked(docs.filter(col("doc_id") >= split), MergeDocsPerBlock)
-    presentTerms(mergeIndex(s.read.parquet(b109IndexDir), delta))
-      .withColumn("postings", array_join(col("postings"), ","))
-      .orderBy("term")
+    presentIndexForHash(mergeIndex(s.read.parquet(b109IndexDir), delta))
   }
 
   /** Per-JVM landing dir for the b111 index + sidecars (visible to

@@ -337,5 +337,48 @@ object StreamReplay {
     } finally server.stop(0)
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89, b91)
+  private lazy val chunkDir112: String =
+    java.nio.file.Files.createTempDirectory("graft_b112_chunks").toString
+
+  private lazy val stateDir112: String =
+    java.nio.file.Files.createTempDirectory("graft_b112_state").toString
+
+  /** B112 — STREAMING index maintenance: b109's incremental merge driven
+    * by a stream. The delta corpus (doc_id ≥ 80% split) arrives as 4
+    * doc-ordered micro-batches; foreachBatch folds each into a versioned
+    * index snapshot — read vN, [[graft.llm.Retrieval.mergeIndex]] with
+    * the batch's blocked build, write vN+1 (b72's copy-on-write loop, so
+    * v0..vN give replay/rollback for free). Chunked application commutes
+    * because micro-batches carry DISJOINT doc_id sets — exactly
+    * mergeIndex's append-only contract — so arbitrary micro-batch
+    * boundaries are safe. The final snapshot must equal the one-shot full
+    * rebuild: all three index spellings (b108 batch, b109 two-way merge,
+    * b112 streamed folds) hash against the SAME full-corpus oracle.
+    *
+    * Scale: each fold costs O(|batch| + touched blocks) — the broadcast
+    * semi/anti split means arriving docs never trigger a rescan of the
+    * accumulated index — which is what makes continuous ingest into a
+    * 100 TB index viable at all. */
+  private val b112 = entry(
+    "b112_stream_index_merge", graft.llm.Retrieval.indexRebuildSql) { (s, d) =>
+    import graft.llm.Retrieval
+    val docs = graft.sources.Tables.documents(s, d).select("doc_id", "text")
+    val split = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+    StreamingOps.writeChunksDf(docs.filter(col("doc_id") >= split),
+      chunkDir112, n = 4, sortCols = Seq("doc_id"))
+    Retrieval.invertedIndexBlocked(docs.filter(col("doc_id") < split))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir112/v0")
+    var cur = "v0"
+    val stream = StreamingOps.readStream(s, chunkDir112, schema = docs.schema)
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      val next = s"v${id + 1}"
+      Retrieval.mergeIndex(s.read.parquet(s"$stateDir112/$cur"),
+          Retrieval.invertedIndexBlocked(batch))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir112/$next")
+      cur = next
+    }
+    Retrieval.presentIndexForHash(s.read.parquet(s"$stateDir112/$cur"))
+  }
+
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112)
 }

@@ -312,6 +312,12 @@ class StreamingSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("B112: streamed index folds converge to the one-shot rebuild (b108)") {
+    val streamed = SparkEntry.queries("b112_stream_index_merge")(spark, sf)
+    val oneShot = SparkEntry.queries("b108_index_build")(spark, sf)
+    assert(sortedRows(streamed) === sortedRows(oneShot))
+  }
+
   test("B91: chunked submit delivers per partition — >1 POST, lossless reassembly") {
     // (chunkId -> body) landed idempotently, the b91 receiver contract
     val landed = new java.util.concurrent.ConcurrentHashMap[Long, String]()
