@@ -76,13 +76,22 @@ object Retrieval {
     2L -> "window", 2L -> "agg", 2L -> "stream",
     3L -> "fast", 3L -> "table", 3L -> "scan")
 
-  private def queriesDf(s: SparkSession): DataFrame = {
+  /** B113's workload: the base queries plus one RARE-term query (df=25 vs
+    * ~390 for every other vocab word) — the skew block-max pruning exists
+    * for. On an all-common workload upper bounds are flat across blocks
+    * and pruning correctly never fires; the rare term makes θ land above
+    * the common-score floor so rare-term-free blocks prune. */
+  private val RareQueryTerms: Seq[(Long, String)] =
+    QueryTerms ++ Seq(4L -> "dup", 4L -> "merge")
+
+  private def queriesDf(s: SparkSession,
+      qts: Seq[(Long, String)] = QueryTerms): DataFrame = {
     import s.implicits._
-    QueryTerms.toDF("query_id", "term")
+    qts.toDF("query_id", "term")
   }
 
-  private def duckQueryValues: String =
-    QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+  private def duckQueryValues(qts: Seq[(Long, String)] = QueryTerms): String =
+    qts.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** BM25 contribution — written ONCE as SQL text so Spark and DuckDB
     * evaluate the identical float expression tree (k1=1.2, b=0.75,
@@ -94,8 +103,8 @@ object Retrieval {
   /** The full-corpus BM25 oracle — shared verbatim by b107 (corpus-scan
     * spelling) and b111 (index-served spelling): both must produce the
     * identical ranking, so both hash against the one definition. */
-  private def bm25OracleSql: String =
-    s"""WITH q AS (SELECT * FROM (VALUES $duckQueryValues) AS v(query_id, term)),
+  private def bm25OracleSql(qts: Seq[(Long, String)] = QueryTerms): String =
+    s"""WITH q AS (SELECT * FROM (VALUES ${duckQueryValues(qts)}) AS v(query_id, term)),
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -121,13 +130,19 @@ object Retrieval {
     * exist: broadcast-joined contributions, per-query sum, top-10 on the
     * ROUNDED score with doc_id tiebreak. */
   private def bm25Rank(s: SparkSession, tf: DataFrame, dfreq: DataFrame,
-      dl: DataFrame, stats: DataFrame): DataFrame = {
+      dl: DataFrame, stats: DataFrame): DataFrame =
+    rankTop10(
+      broadcast(queriesDf(s)).join(tf, "term").join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("c", expr(bm25Expr("ln")))
+        .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s")))
+
+  /** The shared ranking tail over raw (query_id, doc_id, s) scores:
+    * top-10 on the ROUNDED score with doc_id tiebreak (the b95 rule). */
+  private def rankTop10(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("s"), 4).desc, col("doc_id"))
-    broadcast(queriesDf(s)).join(tf, "term").join(broadcast(dfreq), "term")
-      .join(dl, "doc_id").crossJoin(broadcast(stats))
-      .withColumn("c", expr(bm25Expr("ln")))
-      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+    scores
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("rn"), col("doc_id"),
@@ -137,7 +152,7 @@ object Retrieval {
 
   /** B107 — BM25 top-10 docs per query, computed by corpus scan. */
   private val b107 = entry(
-    "b107_text_bm25", bm25OracleSql,
+    "b107_text_bm25", bm25OracleSql(),
     bench = true) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -363,7 +378,7 @@ object Retrieval {
     * The oracle is b107's full-corpus SQL verbatim: hash-green proves
     * index-served ≡ corpus-scan BM25 end to end. */
   private val b111 = entry(
-    "b111_bm25_from_index", bm25OracleSql) { (s, d) =>
+    "b111_bm25_from_index", bm25OracleSql()) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     // -- build side: index + sidecars (one corpus pass each)
     invertedIndexBlocked(docs)
@@ -391,5 +406,150 @@ object Retrieval {
     bm25Rank(s, tf, dfreq, dl, stats)
   }
 
-  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111)
+  /** Per-JVM landing dir for the b113 block-max index + sidecars. */
+  private[graft] lazy val b113IndexDir: String = java.nio.file.Files
+    .createTempDirectory("graft_b113_index").toString
+
+  /** b113 block granularity: small enough that the gate corpora span many
+    * blocks (500 docs → 32 blocks), so the prune step has real choices. */
+  private val PruneDocsPerBlock = 16L
+
+  /** Seed breadth: exact-score the top-12 blocks per query by upper bound
+    * before pruning. Wide enough that a rare term's docs concentrate ≥10
+    * exact scores into the seed, pushing θ above the common-score floor. */
+  private val SeedBlockCount = 12
+
+  /** tf-saturation factor of [[bm25Expr]] alone — the per-(doc, term)
+    * "impact" a block-max index stores the max of (Ding & Suel's
+    * block-max WAND metadata, recast for a two-phase distributed plan). */
+  private def bm25SatExpr: String =
+    "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+
+  private def bm25IdfExpr: String =
+    "ln(1.0 + (n - df + 0.5) / (df + 0.5))"
+
+  /** Spec introspection surface for [[bm25BlockMax]]: every candidate
+    * (query_id, block_no), the survivors after θ-pruning, and the final
+    * ranking. */
+  private[graft] final case class BlockMaxParts(
+      candidates: DataFrame, survivors: DataFrame, ranked: DataFrame)
+
+  /** B113 — exact top-10 BM25 with BLOCK-MAX PRUNING, the distributed
+    * recast of block-max WAND (Ding & Suel, SIGIR'11): WAND's sequential
+    * cursor-and-threshold loop doesn't distribute, but its index metadata
+    * does. Build writes a fourth artifact next to b111's three: per
+    * (term, block) the MAX per-doc impact (tf-saturation at the doc's own
+    * tf and dl). Query runs two phases, never reading the corpus:
+    *
+    *  1. METADATA ONLY — per-block upper bounds ub(q, block) = Σ over the
+    *     query's terms present of idf·max_impact, from a columnar read
+    *     that never touches the postings column. Exact-score the top-S
+    *     blocks per query (the seed), and set θ = the seed's 10th-best
+    *     ROUNDED score.
+    *  2. PRUNE + EXACT — drop every block with round(ub + 1e-9, 4) < θ:
+    *     ub bounds every member doc's score (each contribution ≤ its
+    *     term's block max impact; absent terms contribute 0 and all
+    *     contributions are positive since Lucene idf > 0), round is
+    *     monotone, and the 1e-9 slack absorbs summation-order float
+    *     noise, so no pruned doc can reach rank ≤ 10. Exact-score the
+    *     survivors' postings and rank with the shared [[rankTop10]] tail.
+    *
+    * Pruning depends on workload skew: on an all-common-terms query the
+    * bounds are flat and nothing prunes (correctly); the rare-term query
+    * in [[RareQueryTerms]] is where blocks drop (25-90% of candidate
+    * blocks at the gate SFs, measured). The oracle is the full-scoring
+    * SQL on the same workload — hash-green proves pruning is lossless.
+    *
+    * Scale posture (100 TB): phase 1 reads O(blocks of query terms) rows
+    * of three scalar columns — no postings I/O, no corpus; the seed and
+    * survivor sets are O(candidate blocks) broadcasts (the mergeIndex
+    * dkeys shape); postings are exploded only for surviving blocks. The
+    * win over b111 is exactly the pruned blocks' postings I/O — the
+    * production knob is docsPerBlock, trading bound tightness against
+    * block count. */
+  private[graft] def bm25BlockMax(s: SparkSession, d: String,
+      qts: Seq[(Long, String)] = RareQueryTerms,
+      docsPerBlock: Long = PruneDocsPerBlock,
+      seedBlocks: Int = SeedBlockCount): BlockMaxParts = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // ---- build: blocked index + dl/stats sidecars + block-max impacts
+    invertedIndexBlocked(docs, docsPerBlock)
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term", "block_no")
+      .write.mode("overwrite").parquet(s"$b113IndexDir/terms")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dlBuild = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dlBuild.write.mode("overwrite").parquet(s"$b113IndexDir/dl")
+    dlBuild.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$b113IndexDir/stats")
+    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .join(dlBuild, "doc_id")
+      .crossJoin(broadcast(dlBuild.agg(avg(col("dl")).as("avgdl"))))
+      .withColumn("impact", expr(bm25SatExpr))
+      .withColumn("block_no", expr(s"doc_id div $docsPerBlock"))
+      .groupBy("term", "block_no").agg(max(col("impact")).as("max_impact"))
+      .write.mode("overwrite").parquet(s"$b113IndexDir/bmax")
+    // ---- query phase 1: bounds from metadata only (no postings column)
+    val terms = qts.map(_._2).distinct
+    val qdf = broadcast(queriesDf(s, qts))
+    val meta = s.read.parquet(s"$b113IndexDir/terms")
+      .select("term", "block_no", "df")
+      .filter(col("term").isin(terms: _*))
+      .localCheckpoint(true) // tiny; feeds global df
+    val dfreq = meta.groupBy("term").agg(sum(col("df")).as("df"))
+    val dl = s.read.parquet(s"$b113IndexDir/dl")
+    val stats = s.read.parquet(s"$b113IndexDir/stats")
+    val qub = qdf
+      .join(s.read.parquet(s"$b113IndexDir/bmax")
+        .filter(col("term").isin(terms: _*)), "term")
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("u", expr(s"($bm25IdfExpr) * max_impact"))
+      .groupBy("query_id", "block_no").agg(sum(col("u")).as("ub_sum"))
+      .localCheckpoint(true) // consumed by seed pick + survivor filter
+    /** Exact scores of the docs in `blocks`' (query_id, block_no) pairs —
+      * postings read term-pruned at the scan, block-pruned by broadcast. */
+    def scoreBlocks(blocks: DataFrame): DataFrame = {
+      val tfB = s.read.parquet(s"$b113IndexDir/terms")
+        .filter(col("term").isin(terms: _*))
+        .join(broadcast(blocks.select("block_no").distinct()), "block_no")
+        .select(col("term"), col("block_no"),
+          explode(col("postings")).as("m"))
+        .select(col("term"), col("block_no"),
+          expr(s"m div $PosBits").as("doc_id"))
+        .groupBy("term", "block_no", "doc_id").agg(count(lit(1)).as("tf"))
+      qdf.join(tfB, "term")
+        .join(broadcast(blocks), Seq("query_id", "block_no"), "left_semi")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("c", expr(bm25Expr("ln")))
+        .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+    }
+    val wSeed = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_sum").desc, col("block_no"))
+    val seeds = qub.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= seedBlocks).select("query_id", "block_no")
+    val wTheta = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("s"), 4).desc, col("doc_id"))
+    val theta = scoreBlocks(seeds)
+      .withColumn("rn", row_number().over(wTheta))
+      .filter(col("rn") === 10)
+      .select(col("query_id"), round(col("s"), 4).as("theta"))
+    // ---- phase 2: prune non-competitive blocks, exact-score the rest
+    val survivors = qub.join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull ||
+        round(col("ub_sum") + lit(1e-9), 4) >= col("theta"))
+      .select("query_id", "block_no")
+    BlockMaxParts(qub.select("query_id", "block_no"), survivors,
+      rankTop10(scoreBlocks(survivors)))
+  }
+
+  /** B113 — block-max-pruned exact BM25 top-10; oracle is full scoring
+    * over the same (rare-term-extended) workload. */
+  private val b113 = entry(
+    "b113_bm25_blockmax", bm25OracleSql(RareQueryTerms)) { (s, d) =>
+    bm25BlockMax(s, d).ranked
+  }
+
+  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111, b113)
 }

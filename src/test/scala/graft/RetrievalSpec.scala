@@ -250,6 +250,74 @@ class RetrievalSpec extends AnyFunSuite {
       s"term IN-list not pushed to the index scan:\n$plan")
   }
 
+  // ---- B113 block-max pruned BM25 ----------------------------------------
+
+  private val rareQueryTerms: Seq[(Long, String)] =
+    queryTerms ++ Seq(4L -> "dup", 4L -> "merge")
+
+  /** JVM full-scoring oracle over the b113 workload (same machinery as
+    * [[jvmScores]], parameterized by query set). */
+  private def jvmTop10For(qts: Seq[(Long, String)]): Seq[(Long, Int, Long, Double)] = {
+    val dl = corpus.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val n = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val tf: Map[(Long, String), Long] = corpus.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, os) => (id, t) -> os.length.toLong }
+    }.toMap
+    val df: Map[String, Long] = qts.map(_._2).distinct
+      .map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    qts.groupBy(_._1).toSeq.flatMap { case (qid, terms) =>
+      val scored = for {
+        docId <- corpus.map(_._1)
+        contribs = terms.flatMap { case (_, term) =>
+          tf.get((docId, term)).map { f =>
+            val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+            idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(docId) / avgdl))
+          }
+        }
+        if contribs.nonEmpty
+      } yield (docId, round4(contribs.sum))
+      scored.sortBy { case (d, r) => (-r, d) }.take(10).zipWithIndex
+        .map { case ((d, r), i) => (qid, i + 1, d, r) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("B113: block-max pruned BM25 ≡ JVM full scoring, row for row") {
+    val got = SparkEntry.queries("b113_bm25_blockmax")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val jvm = jvmTop10For(rareQueryTerms)
+    assert(got == jvm, s"spark=${got.take(5)}... jvm=${jvm.take(5)}...")
+  }
+
+  test("B113: pruning is non-vacuous — blocks actually drop, result exact") {
+    val parts = Retrieval.bm25BlockMax(spark, sf)
+    val total = parts.candidates.count()
+    val kept = parts.survivors.count()
+    assert(kept < total,
+      s"no (query, block) pruned ($kept of $total kept) — the bound " +
+        "phase is dead weight on this corpus; tighten blocks or workload")
+    // and the rare-term query specifically prunes hard
+    val q4Total = parts.candidates.filter(col("query_id") === 4).count()
+    val q4Kept = parts.survivors.filter(col("query_id") === 4).count()
+    assert(q4Kept < q4Total,
+      s"rare-term query pruned nothing ($q4Kept of $q4Total)")
+  }
+
+  test("B113: bound metadata read never touches the postings column") {
+    // phase 1 reads (term, block_no, df) from the terms artifact — the
+    // columnar scan must not materialize the postings arrays
+    SparkEntry.queries("b113_bm25_blockmax")(spark, sf).collect()
+    val meta = spark.read.parquet(Retrieval.b113IndexDir + "/terms")
+      .select("term", "block_no", "df")
+      .filter(col("term").isin("dup", "merge"))
+    val plan = meta.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(term"),
+      s"term IN-list not pushed to the metadata scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("postings"),
+      s"metadata scan reads the postings column:\n$plan")
+  }
+
   test("B109: old-index split is broadcast (semi+anti), never a wide shuffle") {
     val old = spark.read.parquet(writtenIndexPath)
     val delta = Retrieval.invertedIndexBlocked(
