@@ -377,20 +377,27 @@ object Retrieval {
     * O(corpus) — at 100 TB that is the entire point of having the index.
     * The oracle is b107's full-corpus SQL verbatim: hash-green proves
     * index-served ≡ corpus-scan BM25 end to end. */
-  private val b111 = entry(
-    "b111_bm25_from_index", bm25OracleSql()) { (s, d) =>
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    // -- build side: index + sidecars (one corpus pass each)
+  /** Build side shared by b111 (static serving) and b114 (streamed
+    * serving): the three artifacts — blocked term index, doc-length
+    * sidecar (same tokenizer as b107's dl, so null-text semantics match),
+    * and a ONE-ROW corpus-stats parquet (n, avgdl) — one corpus pass each. */
+  private def writeBm25Artifacts(docs: DataFrame, dir: String): Unit = {
     invertedIndexBlocked(docs)
       .repartitionByRange(8, col("term"))
       .sortWithinPartitions("term", "block_no")
-      .write.mode("overwrite").parquet(s"$b111IndexDir/terms")
+      .write.mode("overwrite").parquet(s"$dir/terms")
     val dlBuild = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    dlBuild.write.mode("overwrite").parquet(s"$b111IndexDir/dl")
+    dlBuild.write.mode("overwrite").parquet(s"$dir/dl")
     dlBuild.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$b111IndexDir/stats")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private val b111 = entry(
+    "b111_bm25_from_index", bm25OracleSql()) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    writeBm25Artifacts(docs, b111IndexDir)
     // -- query side: corpus never read again
     val terms = QueryTerms.map(_._2).distinct
     val probe = s.read.parquet(s"$b111IndexDir/terms")
@@ -404,6 +411,79 @@ object Retrieval {
     val dl = s.read.parquet(s"$b111IndexDir/dl")
     val stats = s.read.parquet(s"$b111IndexDir/stats")
     bm25Rank(s, tf, dfreq, dl, stats)
+  }
+
+  /** Per-JVM landing dir for the b114 frozen artifacts + query replay +
+    * appended contributions (visible to RetrievalSpec's cross-batch
+    * asserts). */
+  private[graft] lazy val b114Dir: String = java.nio.file.Files
+    .createTempDirectory("graft_b114_serve").toString
+
+  /** B114 — STREAMING QUERY-SIDE SERVING against a FROZEN index (the
+    * closing cell of the retrieval arc: b112 streams the BUILD side, this
+    * streams the QUERY side — the b96/b104 one-implementation-two-modes
+    * pattern applied to b111). The artifacts are written once and never
+    * touched again; the query workload arrives as 3 term-ordered
+    * micro-batches, so every query's terms STRADDLE batch boundaries;
+    * foreachBatch serves each batch exactly like b111's static query path
+    * — read ONLY the batch terms' postings (term-pruned probe read, the
+    * same PushedFilters-In shape RetrievalSpec asserts for b111), df from
+    * the same pruned rows, dl/stats from the sidecars — and appends
+    * per-(query, doc) BM25 contributions tagged with the batch id. The
+    * final ranking sums contributions across batches: a query scored in
+    * three installments must hash-match the same full-corpus oracle as
+    * b107/b111 verbatim (streamed serving ≡ corpus scan; the float-sum
+    * reorder is covered by RetrievalSpec's measured rounding margins).
+    *
+    * Scale: each micro-batch costs O(batch query-term postings + matched
+    * docs) — never O(corpus), never O(index) — because the batch's term
+    * set (driver-collected, bounded by the batch's query count — the
+    * serving loop's natural unit) prunes the index read just like b111's
+    * static probe. Contributions are blind appends (no read-modify-write),
+    * so serving parallelizes across batches; the cross-batch sum is one
+    * map-side-combinable aggregation over O(queries·matched docs) rows. */
+  private val b114 = entry(
+    "b114_stream_bm25_serve", bm25OracleSql()) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = b114Dir
+    writeBm25Artifacts(docs, dir) // frozen from here on
+    // idempotent re-runs: contributions accumulate per run, so start clean
+    val contribPath = new org.apache.hadoop.fs.Path(s"$dir/contrib")
+    contribPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(contribPath, true)
+    graft.streaming.StreamingOps.writeChunksDf(
+      queriesDf(s), s"$dir/queries", n = 3, sortCols = Seq("term", "query_id"))
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    val stream = graft.streaming.StreamingOps.readStream(s, s"$dir/queries", qSchema)
+    val dl = s.read.parquet(s"$dir/dl")
+    val stats = s.read.parquet(s"$dir/stats")
+    graft.streaming.StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      val qb = batch.localCheckpoint(true)
+      val batchTerms = qb.select("term").distinct().collect().map(_.getString(0))
+      if (batchTerms.nonEmpty) {
+        val probe = s.read.parquet(s"$dir/terms")
+          .filter(col("term").isin(batchTerms.toSeq: _*))
+          .localCheckpoint(true) // tiny; feeds tf + df
+        val tf = probe
+          .select(col("term"), explode(col("postings")).as("m"))
+          .select(col("term"), expr(s"m div $PosBits").as("doc_id"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = probe.groupBy("term").agg(sum(col("df")).as("df"))
+        broadcast(qb).join(tf, "term").join(broadcast(dfreq), "term")
+          .join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("c", expr(bm25Expr("ln")))
+          .select(col("query_id"), col("doc_id"), col("c"),
+            lit(id).as("batch_id"))
+          .write.mode("append").parquet(s"$dir/contrib")
+      }
+    }
+    rankTop10(
+      s.read.parquet(s"$dir/contrib")
+        .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s")))
   }
 
   /** Per-JVM landing dir for the b113 block-max index + sidecars. */
@@ -551,5 +631,5 @@ object Retrieval {
     bm25BlockMax(s, d).ranked
   }
 
-  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111, b113)
+  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111, b113, b114)
 }

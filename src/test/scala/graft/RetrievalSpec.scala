@@ -318,6 +318,25 @@ class RetrievalSpec extends AnyFunSuite {
       s"metadata scan reads the postings column:\n$plan")
   }
 
+  test("B114: streamed query-side serving ≡ corpus-scan b107, row for row") {
+    val served = SparkEntry.queries("b114_stream_bm25_serve")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served == jvmTop10,
+      s"streamed=${served.take(5)}... jvm=${jvmTop10.take(5)}...")
+  }
+
+  test("B114: scoring genuinely straddles micro-batches (cross-batch merge)") {
+    // depends on the entry having run (the test above runs it in this JVM)
+    val contrib = spark.read.parquet(Retrieval.b114Dir + "/contrib")
+    val batches = contrib.select("batch_id").distinct().count()
+    assert(batches >= 2, s"replay produced only $batches micro-batch(es)")
+    val straddlers = contrib.select("query_id", "batch_id").distinct()
+      .groupBy("query_id").count().filter(col("count") >= 2).count()
+    assert(straddlers >= 1,
+      "no query had contributions in >=2 batches — the term-ordered chunking no longer splits queries")
+  }
+
   test("B109: old-index split is broadcast (semi+anti), never a wide shuffle") {
     val old = spark.read.parquet(writtenIndexPath)
     val delta = Retrieval.invertedIndexBlocked(
