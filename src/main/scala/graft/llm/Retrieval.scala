@@ -71,7 +71,7 @@ object Retrieval {
   val DocsPerBlock = 1024L
 
   /** The literal query workload: (query_id, term). */
-  private val QueryTerms: Seq[(Long, String)] = Seq(
+  private[graft] val QueryTerms: Seq[(Long, String)] = Seq(
     1L -> "spark", 1L -> "join",
     2L -> "window", 2L -> "agg", 2L -> "stream",
     3L -> "fast", 3L -> "table", 3L -> "scan")
@@ -638,5 +638,146 @@ object Retrieval {
     bm25BlockMax(s, d).ranked
   }
 
-  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111, b113, b114)
+  /** Expansion breadth and weight for B115 (the standard RM3 defaults
+    * scaled down to the tiny synthetic vocabulary: 3 expansion terms at
+    * half the original-term weight). */
+  private val ExpTermsPerQuery = 3
+  private val ExpWeight = "5e-1" // exact binary double, shared as SQL text
+
+  /** B115's oracle: two full BM25 passes with the RM3 expansion step
+    * between them — every selection key is exact (integer tf sums, string
+    * tiebreaks, the pinned base top-10), floats only in the scores both
+    * engines compute from the shared [[bm25Expr]] text. */
+  private def rm3OracleSql: String =
+    s"""WITH q AS (SELECT * FROM (VALUES ${duckQueryValues()}) AS v(query_id, term)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT term FROM q),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id, ${bm25Expr("ln")} AS c
+       |  FROM q JOIN tf USING (term) JOIN df USING (term)
+       |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+       |score AS (SELECT query_id, doc_id, sum(c) AS s
+       |          FROM contrib GROUP BY query_id, doc_id),
+       |base AS (SELECT query_id, doc_id FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(s, 4) DESC, doc_id) AS rn FROM score) t
+       |  WHERE rn <= 10),
+       |toksd AS (SELECT DISTINCT doc_id, term FROM toks),
+       |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM toksd),
+       |tdf AS (SELECT term, count(*) AS cdf FROM toksd GROUP BY 1),
+       |kept AS (SELECT term FROM tdf CROSS JOIN nd WHERE cdf * 10 <= ndocs * 9),
+       |exp_tf AS (
+       |  SELECT b.query_id, t.term, count(*) AS etf
+       |  FROM base b JOIN toks t ON t.doc_id = b.doc_id
+       |       JOIN kept k ON k.term = t.term
+       |  WHERE NOT EXISTS (SELECT 1 FROM q
+       |                    WHERE q.query_id = b.query_id AND q.term = t.term)
+       |  GROUP BY 1, 2),
+       |exp AS (SELECT query_id, term FROM (
+       |  SELECT query_id, term, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY etf DESC, term) AS rn FROM exp_tf) t
+       |  WHERE rn <= $ExpTermsPerQuery),
+       |wq AS (SELECT query_id, term, 1e0 AS w FROM q
+       |       UNION ALL SELECT query_id, term, $ExpWeight AS w FROM exp),
+       |wqt AS (SELECT DISTINCT term FROM wq),
+       |tf2 AS (SELECT doc_id, term, count(*) AS tf
+       |        FROM toks JOIN wqt USING (term) GROUP BY doc_id, term),
+       |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+       |contrib2 AS (
+       |  SELECT wq.query_id, tf2.doc_id, wq.w * (${bm25Expr("ln")}) AS c
+       |  FROM wq JOIN tf2 USING (term) JOIN df2 USING (term)
+       |         JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN stats),
+       |score2 AS (SELECT query_id, doc_id, sum(c) AS s
+       |           FROM contrib2 GROUP BY query_id, doc_id)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id, bm25 FROM (
+       |  SELECT query_id, doc_id, round(s, 4) AS bm25,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(s, 4) DESC, doc_id) AS INTEGER) AS rn
+       |  FROM score2) t
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** B115 — RM3 PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Lavrenko &
+    * Croft SIGIR'01 relevance models; the RM3 interpolation of Abdul-Jaleel
+    * et al., TREC'04 — recast with deterministic integer selection): pass 1
+    * ranks with plain BM25 (b107's spelling); the top-10 docs per query
+    * are taken as pseudo-relevant; the [[ExpTermsPerQuery]] candidate
+    * terms with the highest total occurrence count across those docs —
+    * excluding the query's own terms (anti join) and >90%-df stopwords
+    * (b110's df-cap, broadcast anti join) — join the query at weight
+    * [[ExpWeight]]; pass 2 re-ranks with the weighted query, score =
+    * Σ w·bm25-contribution.
+    *
+    * Determinism: the expansion SELECTION is all-integer — base top-10
+    * membership is the pinned rounded-rank contract, etf sums are BIGINTs,
+    * ties break on the term string — so both engines expand identically;
+    * floats appear only in scores built from the shared [[bm25Expr]] text
+    * with the measured rounding-margin treatment (RetrievalSpec).
+    *
+    * Scale posture (100 TB): pass 1 is b107 (probe-pruned tf, broadcast
+    * dims); the expansion stage touches only the top docs' tokens (a
+    * broadcast semi join of O(queries·10) doc ids against the token
+    * projection — never a corpus shuffle) and selects per-query top-3 via
+    * one tiny window; pass 2 is BM25 over ≤ |q|+3 terms per query — the
+    * same probe-pruned shape. The tokenized projection feeds five
+    * consumers, so it is materialized once (at scale: a persisted
+    * tokenized column, the production norm). */
+  /** Spec introspection surface for [[rm3]]: the selected expansion terms,
+    * the raw pass-2 scores (pre-rounding, for margin measurement), and the
+    * final ranking. */
+  private[graft] final case class Rm3Parts(
+      exp: DataFrame, scores: DataFrame, ranked: DataFrame)
+
+  private[graft] def rm3(s: SparkSession, d: String): Rm3Parts = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .localCheckpoint(true)
+    val qdf = queriesDf(s)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.join(broadcast(qdf.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val base = bm25Rank(s, tf, dfreq, dl, stats).select("query_id", "doc_id")
+    // -- expansion: integer-keyed selection from the pseudo-relevant docs
+    val toksd = toks.distinct()
+    val nd = toksd.agg(countDistinct(col("doc_id")).as("ndocs"))
+    val capped = toksd.groupBy("term").agg(count(lit(1)).as("cdf"))
+      .crossJoin(broadcast(nd))
+      .filter(col("cdf") * 10 > col("ndocs") * 9)
+      .select("term")
+    val expTf = toks.join(broadcast(base), "doc_id")
+      .join(broadcast(capped), Seq("term"), "left_anti")
+      .join(broadcast(qdf), Seq("query_id", "term"), "left_anti")
+      .groupBy("query_id", "term").agg(count(lit(1)).as("etf"))
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("etf").desc, col("term"))
+    val exp = expTf.withColumn("rn", row_number().over(wExp))
+      .filter(col("rn") <= ExpTermsPerQuery).select("query_id", "term")
+    val wq = qdf.withColumn("w", expr("1e0"))
+      .unionByName(exp.withColumn("w", expr(ExpWeight)))
+      .localCheckpoint(true)
+    // -- pass 2: weighted BM25 over the expanded (still tiny) term set
+    val tf2 = toks.join(broadcast(wq.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df2 = tf2.groupBy("term").agg(count(lit(1)).as("df"))
+    val scores = broadcast(wq).join(tf2, "term").join(broadcast(df2), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("c", col("w") * expr(bm25Expr("ln")))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+    Rm3Parts(exp, scores, rankTop10(scores))
+  }
+
+  private val b115 = entry("b115_bm25_rm3", rm3OracleSql) { (s, d) =>
+    rm3(s, d).ranked
+  }
+
+  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111, b113, b114, b115)
 }

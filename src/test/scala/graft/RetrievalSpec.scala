@@ -337,6 +337,38 @@ class RetrievalSpec extends AnyFunSuite {
       "no query had contributions in >=2 batches — the term-ordered chunking no longer splits queries")
   }
 
+  test("B115: expansion selects 3 integer-keyed terms per query, disjoint from the query") {
+    val parts = Retrieval.rm3(spark, sf)
+    val exp = parts.exp.collect().map(r => (r.getLong(0), r.getString(1)))
+    val qids = Retrieval.QueryTerms.map(_._1).distinct
+    val orig = Retrieval.QueryTerms.toSet
+    assert(exp.length === qids.length * 3,
+      s"expected ${qids.length * 3} expansion terms, got ${exp.length}")
+    for (qid <- qids)
+      assert(exp.count(_._1 == qid) === 3, s"query $qid expansion count")
+    assert(exp.forall(e => !orig.contains(e)),
+      "an expansion term duplicates an original query term")
+  }
+
+  test("B115: expansion is non-vacuous — the re-ranking differs from plain BM25") {
+    val rm3Rows = SparkEntry.queries("b115_bm25_rm3")(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val baseRows = jvmTop10.map(t => (t._1, t._2, t._3))
+    assert(rm3Rows != baseRows,
+      "RM3 output is identical to pass-1 BM25 — expansion changed nothing")
+  }
+
+  test("B115: every pass-2 score sits ≥ 1e-10 from its 4dp rounding boundary") {
+    val margins = Retrieval.rm3(spark, sf).scores.collect().map { r =>
+      val scaled = r.getDouble(2) * 1e4
+      val frac = scaled - math.floor(scaled)
+      math.abs(frac - 0.5)
+    }
+    val minMargin = margins.min / 1e4
+    assert(minMargin >= 1e-10,
+      f"an RM3 score sits $minMargin%.3e from its 4dp rounding boundary")
+  }
+
   test("B109: old-index split is broadcast (semi+anti), never a wide shuffle") {
     val old = spark.read.parquet(writtenIndexPath)
     val delta = Retrieval.invertedIndexBlocked(
