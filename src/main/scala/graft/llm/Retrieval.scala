@@ -779,5 +779,104 @@ object Retrieval {
     rm3(s, d).ranked
   }
 
-  val entries: Seq[Entry] = Seq(b107, b108, b108b, b109, b111, b113, b114, b115)
+  /** B116 — DEDUP-COLLAPSED RETRIEVAL (serve-time duplicate collapse, the
+    * search-engine norm): BM25 over the dup-injected corpus (b42/b90's
+    * augmented `docsWithDups`, where every 7th doc re-appears under a
+    * shifted id), then per (query, duplicate-cluster) only the best-ranked
+    * member survives before the final top-10 — so a duplicated hit
+    * occupies ONE result slot, not two, and carries how many copies it
+    * absorbed. Clusters are exact-content (min doc_id over the content
+    * partition, b42's grouping); on this corpus the τ=0.99 near-dup
+    * closure (b90) collapses the identical clusters — the pinned
+    * "organic max non-identical jaccard 0.989" property — so exact is the
+    * honest cluster map, not a shortcut. Injected copies tie their
+    * originals' scores exactly (identical text → identical tf/dl), which
+    * is what makes the collapse non-vacuous on the gate corpora
+    * (RetrievalSpec asserts collapsed ≠ uncollapsed).
+    *
+    * Determinism: cluster ids are min-BIGINTs over exact content groups;
+    * within-cluster choice and the final ranking both order by
+    * (round(score,4) desc, doc_id); n_collapsed is an exact count.
+    *
+    * Scale posture (100 TB): the cluster map is one hash-partitioned
+    * window over the content hash (b42's shuffle shape, no pairwise work);
+    * scoring is probe-pruned BM25; the collapse is a doc-keyed broadcast
+    * join of the (tiny) scored relation with two O(matched docs) windows.
+    * Swapping the exact map for B90's MinHash canonical ids changes one
+    * join input, nothing else — which is the point of composing from the
+    * registry's parts. */
+  private val b116 = entry(
+    "b116_bm25_dedup_collapse",
+    s"""WITH q AS (SELECT * FROM (VALUES ${duckQueryValues()}) AS v(query_id, term)),
+       |all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |canon AS (SELECT doc_id,
+       |                 min(doc_id) OVER (PARTITION BY text) AS canonical_id
+       |          FROM all_docs),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM all_docs),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT term FROM q),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id, ${bm25Expr("ln")} AS c
+       |  FROM q JOIN tf USING (term) JOIN df USING (term)
+       |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+       |score AS (SELECT query_id, doc_id, sum(c) AS s
+       |          FROM contrib GROUP BY query_id, doc_id),
+       |best AS (
+       |  SELECT sc.query_id, sc.doc_id, sc.s,
+       |         count(*) OVER (PARTITION BY sc.query_id, c.canonical_id)
+       |           AS n_collapsed,
+       |         row_number() OVER (PARTITION BY sc.query_id, c.canonical_id
+       |           ORDER BY round(sc.s, 4) DESC, sc.doc_id) AS rm
+       |  FROM score sc JOIN canon c ON c.doc_id = sc.doc_id)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id, bm25,
+       |       n_collapsed FROM (
+       |  SELECT query_id, doc_id, round(s, 4) AS bm25, n_collapsed,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(s, 4) DESC, doc_id) AS INTEGER) AS rn
+       |  FROM best WHERE rm = 1) t
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val docs = TextDedup.docsWithDups(s, d)
+    // cluster map: hash-partitioned content window (b42's shuffle shape)
+    val canon = docs.select(col("doc_id"),
+      min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256)))
+        .as("canonical_id"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.join(broadcast(queriesDf(s).select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scores = broadcast(queriesDf(s)).join(tf, "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("c", expr(bm25Expr("ln")))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+    val wClust = Window.partitionBy(col("query_id"), col("canonical_id"))
+    val best = scores.join(canon, "doc_id")
+      .withColumn("n_collapsed", count(lit(1)).over(wClust))
+      .withColumn("rm", row_number().over(
+        wClust.orderBy(round(col("s"), 4).desc, col("doc_id"))))
+      .filter(col("rm") === 1)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("s"), 4).desc, col("doc_id"))
+    best
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("doc_id"),
+        round(col("s"), 4).as("bm25"), col("n_collapsed"))
+      .orderBy("query_id", "rn")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116)
 }

@@ -369,6 +369,26 @@ class RetrievalSpec extends AnyFunSuite {
       f"an RM3 score sits $minMargin%.3e from its 4dp rounding boundary")
   }
 
+  test("B116: no two results of a query share content; collapse is non-vacuous") {
+    val res = SparkEntry.queries("b116_bm25_dedup_collapse")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    // full result lists survive the collapse (enough non-dup candidates)
+    for (qid <- res.map(_._1).distinct)
+      assert(res.count(_._1 == qid) === 10, s"query $qid returned <10 rows")
+    // at least one top-10 slot absorbed a duplicate at this SF (1+0+2
+    // clusters measured at sf0.001; 3+2+2 at sf0.01)
+    assert(res.exists(_._4 >= 2L), "collapse vacuous — no cluster in any top-10")
+    // the defining property: a query's results never repeat content
+    val textOf = graft.llm.TextDedup.docsWithDups(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (qid <- res.map(_._1).distinct) {
+      val texts = res.filter(_._1 == qid).map(t => textOf(t._3))
+      assert(texts.distinct.length === texts.length,
+        s"query $qid serves duplicate content after the collapse")
+    }
+  }
+
   test("B109: old-index split is broadcast (semi+anti), never a wide shuffle") {
     val old = spark.read.parquet(writtenIndexPath)
     val delta = Retrieval.invertedIndexBlocked(
