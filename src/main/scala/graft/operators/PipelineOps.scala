@@ -342,5 +342,86 @@ object PipelineOps {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
       .orderBy("event_type")
 
-  val entries: Seq[Entry] = Seq(b67, b68, b69, b71, b73, b77, b78)
+  /** B117 — ORDERED-SEQUENCE FUNNEL (view → click → purchase): how many
+    * users complete each prefix of the step sequence IN TIMESTAMP ORDER —
+    * the classic product-analytics query. Each step k is the user's
+    * EARLIEST step-k event strictly after their step-(k-1) anchor
+    * (first-touch attribution; ties broken by the strict `>` — an event
+    * at exactly the anchor instant does not advance the funnel, same rule
+    * both engines).
+    *
+    * Shape: one groupBy per step over the step-filtered events, chained
+    * by an equi-join on user_id — each stage shuffles O(users who reached
+    * step k-1) rows, never the full log twice; predicates (event_type)
+    * reach the scan. At 100 TB the per-step tables are tiny relative to
+    * the log, and AQE broadcast-joins them back against the next
+    * step-filtered scan. Output is 3 exact counts — integers, trivially
+    * deterministic. */
+  private val b117 = entry(
+    "b117_funnel_steps",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT step, event_type, users FROM (
+      |  SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM v
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p) t
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def step(of: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      prev => ev.filter(col("event_type") === of)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("anchor"))
+        .groupBy("user_id").agg(min(col("ts")).as("anchor"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("anchor"))
+    val c = step("click")(v)
+    val p = step("purchase")(c)
+    val named = Seq((1, "view", v), (2, "click", c), (3, "purchase", p))
+    named.map { case (k, name, df) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(k).as("step"), lit(name).as("event_type"), col("users"))
+    }.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** B118 — COHORT RETENTION: users bucketed by the week of their FIRST
+    * event (exact integer micros arithmetic — `(epoch_us - t0) div week`,
+    * no calendar/timezone semantics to drift between engines), crossed
+    * with every week they were active → the (cohort_week, active_week,
+    * n_users) retention triangle.
+    *
+    * Shape: two aggregations over the log (first-touch per user, distinct
+    * user-weeks) joined on user_id, then one small groupBy — the
+    * first-touch table is O(users) and broadcast-joinable against the
+    * distinct-activity table at any scale; all keys and counts are exact
+    * BIGINTs. */
+  private val b118 = entry(
+    "b118_cohort_retention",
+    """WITH wk AS (
+      |  SELECT user_id,
+      |         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+      |           // 604800000000 AS week
+      |  FROM events),
+      |f AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, week FROM wk)
+      |SELECT f.cohort_week, a.week, count(*) AS n_users
+      |FROM f JOIN a ON a.user_id = f.user_id
+      |GROUP BY f.cohort_week, a.week
+      |ORDER BY f.cohort_week, a.week""".stripMargin) { (s, d) =>
+    // 1704067200000000 = epoch µs of 2024-01-01T00:00Z; 604800000000 = 1 week
+    val wk = Tables.events(s, d).select(col("user_id"),
+      expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L").as("week"))
+    val f = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val a = wk.distinct()
+    f.join(a, "user_id")
+      .groupBy("cohort_week", "week").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week")
+  }
+
+  val entries: Seq[Entry] = Seq(b67, b68, b69, b71, b73, b77, b78, b117, b118)
 }
