@@ -135,5 +135,91 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63)
+  /** Fixed-point scale (1e12) and iteration count for B119. Six rounds is
+    * a DETERMINISM choice, not a convergence claim: both engines compute
+    * the identical six integer iterations, so the hash pins the trajectory
+    * regardless of how close it is to the fixpoint. */
+  private val PrIters = 6
+  private val PrScale = 1000000000000L
+
+  /** The per-iteration SQL pair (inflow agg + rank update), unrolled
+    * [[PrIters]] times — recursive CTEs cannot aggregate over their own
+    * recursive reference, so iteration-as-text is the oracle spelling. */
+  private def prIterSql: String = (1 to PrIters).map { k =>
+    s"""i$k AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+       |  FROM r${k - 1} r JOIN outdeg o ON o.node = r.node
+       |  JOIN edges e ON e.src = r.node GROUP BY e.dst),
+       |r$k AS (SELECT i.node,
+       |  (15 * ($PrScale // n.n)) // 100 + (85 * i.inflow) // 100 AS rank
+       |  FROM i$k i, n)""".stripMargin
+  }.mkString(",\n")
+
+  /** B119 — PAGERANK in exact fixed-point integer arithmetic (Page et al.
+    * 1999; the Pregel iteration shape, Malewicz et al. SIGMOD'10) over the
+    * part CO-PURCHASE graph: parts sharing an order are linked (the
+    * item-item graph behind "customers also bought" ranking). Damping 0.85
+    * as the integer expression `base + (85 * inflow) div 100` with
+    * base = `(15 * (SCALE div N)) div 100`, shares as `rank div outdeg` —
+    * every operation is a BIGINT `div`/`*`/`+` on positive values, so both
+    * engines walk the bit-identical trajectory and the t2 hash pins all
+    * [[PrIters]] iterations, not just a converged blur. The co-purchase
+    * graph is symmetric by construction, so no dangling-mass or
+    * missing-inflow handling is needed (every node has in-degree ≥ 1).
+    *
+    * Scale posture (100 TB): edge generation joins the fact table to
+    * itself on the order key — per-order fanout is C(order size, 2),
+    * bounded by basket size, never |parts|²; each iteration is one
+    * broadcast-joinable degree lookup + one shuffle keyed on the edge
+    * destination with map-side partial sums (hot parts combine before the
+    * exchange), the canonical Pregel round as a DataFrame plan; the
+    * per-round localCheckpoint cuts the exponentially growing lineage
+    * exactly like [[connectedComponents]]. The only driver traffic is the
+    * O(1) node-count scalar (the b109 convention). */
+  private val b119 = entry(
+    "b119_pagerank_copurchase",
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM outdeg),
+       |r0 AS (SELECT node, $PrScale // n.n AS rank FROM outdeg, n),
+       |$prIterSql
+       |SELECT node AS part_id, rank AS pr_fixed FROM r$PrIters
+       |ORDER BY part_id""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    pageRank(edges)
+      .select(col("node").as("part_id"), col("rank").as("pr_fixed"))
+      .orderBy("part_id")
+  }
+
+  /** The [[PrIters]]-round fixed-point iteration over a (src, dst) edge
+    * list in which every node has out-degree ≥ 1 and in-degree ≥ 1
+    * (symmetric graphs qualify). Spec hook for planted graphs. */
+  private[graft] def pageRank(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    val nNodes = outdeg.count() // O(1) driver scalar (b109 convention)
+    val base = (15L * (PrScale / nNodes)) / 100L
+    var r = outdeg.select(col("node"), lit(PrScale / nNodes).as("rank"))
+    for (_ <- 1 to PrIters) {
+      r = r.join(outdeg, "node")
+        .withColumn("share", expr("rank div outdeg"))
+        .join(edges.withColumnRenamed("src", "node"), "node")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("inflow"))
+        .select(col("node"),
+          (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  val entries: Seq[Entry] = Seq(b63, b119)
 }

@@ -83,4 +83,24 @@ class GraphOpsSpec extends AnyFunSuite {
     val edges = nodes.init.map(i => (i, i + 1))
     assertThrows[IllegalStateException](run(nodes, edges, maxRounds = 2))
   }
+
+  // ---- B119 fixed-point PageRank ----------------------------------------
+
+  test("B119: on a planted star the hub outranks every spoke; ranks positive") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // hub 0 ↔ spokes 1..20, symmetric (the b119 graph-shape contract)
+    val e0 = (1L to 20L).map(i => (0L, i))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val ranks = graft.operators.GraphOps.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet === (0L to 20L).toSet)
+    assert(ranks.values.forall(_ > 0L), "a rank went non-positive")
+    val hub = ranks(0L)
+    assert((1L to 20L).forall(i => hub > ranks(i)),
+      s"hub $hub does not dominate spokes ${ranks.filterNot(_._1 == 0L).values.max}")
+    // symmetric spokes are exactly interchangeable → identical ranks
+    assert((1L to 20L).map(ranks).toSet.size === 1,
+      "identical spokes received different ranks — iteration is not order-independent")
+  }
 }
