@@ -357,8 +357,10 @@ object PipelineOps {
     * the log, and AQE broadcast-joins them back against the next
     * step-filtered scan. Output is 3 exact counts — integers, trivially
     * deterministic. */
-  private val b117 = entry(
-    "b117_funnel_steps",
+  /** Shared verbatim by b117 (batch) and b120 (streaming state machine) —
+    * hash-green on both proves the per-user fold ≡ the declarative
+    * min-anchor chain. */
+  private[graft] val funnelOracleSql: String =
     """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
       |           WHERE event_type = 'view' GROUP BY user_id),
       |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
@@ -371,7 +373,19 @@ object PipelineOps {
       |  SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM v
       |  UNION ALL SELECT 2, 'click', count(*) FROM c
       |  UNION ALL SELECT 3, 'purchase', count(*) FROM p) t
-      |ORDER BY step""".stripMargin) { (s, d) =>
+      |ORDER BY step""".stripMargin
+
+  /** The 3-row presentation shared by b117/b120: per step, how many users
+    * reached it (`reached` = (user_id, mx) with mx = furthest step). */
+  private[graft] def funnelCounts(reached: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    Seq((1, "view"), (2, "click"), (3, "purchase")).map { case (k, name) =>
+      reached.filter(col("mx") >= k)
+        .agg(count(lit(1)).as("users"))
+        .select(lit(k).as("step"), lit(name).as("event_type"), col("users"))
+    }.reduce(_.unionByName(_)).orderBy("step")
+
+  private val b117 = entry("b117_funnel_steps", funnelOracleSql) { (s, d) =>
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
     def step(of: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       prev => ev.filter(col("event_type") === of)

@@ -380,5 +380,51 @@ object StreamReplay {
     Retrieval.presentIndexForHash(s.read.parquet(s"$stateDir112/$cur"))
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112)
+  private lazy val chunkDir120: String =
+    java.nio.file.Files.createTempDirectory("graft_b120_chunks").toString
+
+  /** B120 — STREAMING FUNNEL: B117's view→click→purchase funnel as a
+    * per-user [[FunnelProcessor]] state machine over the chunked event
+    * replay (6 time-ordered micro-batches). The processor emits an
+    * advance row each time a user reaches a new step; the batch tail
+    * keeps each user's furthest step and presents the standard 3-row
+    * funnel through the SHARED [[graft.operators.PipelineOps.funnelCounts]]
+    * presentation. The oracle is b117's SQL verbatim — hash-green proves
+    * the O(1)-state streaming fold ≡ the declarative min-anchor chain,
+    * the real-time product-analytics twin of the batch report.
+    *
+    * Scale: state is two longs per user, hash-partitioned; each
+    * micro-batch shuffles only its own rows once (groupByKey) — the
+    * standard continuous-funnel posture. */
+  private val b120 = entry(
+    "b120_stream_funnel", graft.operators.PipelineOps.funnelOracleSql) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    StreamingOps.writeChunks(s, d, chunkDir120, n = 6)
+    s.catalog.dropTempView("b120_replay") // idempotent re-runs
+    // transformWithState requires the RocksDB state store (the b88 wrap)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val advances = try {
+      StreamingOps.runToMemory(
+        StreamingOps.readStream(s, chunkDir120)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+            col("event_type"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new FunnelProcessor(), TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "step"),
+        "b120_replay", "append")
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    graft.operators.PipelineOps.funnelCounts(
+      advances.groupBy("user_id").agg(max(col("step")).as("mx")))
+  }
+
+  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120)
 }
