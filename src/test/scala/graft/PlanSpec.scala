@@ -85,4 +85,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(3000))
   }
+
+  test("b117: funnel step filters reach the parquet scan (event_type pushed)") {
+    val plan = physicalPlan("b117_funnel_steps")
+    assert(plan.contains("EqualTo(event_type,view)"), plan.take(3000))
+    assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan.take(3000))
+  }
+
+  test("b118: retention is join+agg only — no window, no cartesian") {
+    val plan = physicalPlan("b118_cohort_retention")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      plan.take(3000))
+    assert(plan.contains("partial_"), s"no map-side partial agg:\n${plan.take(3000)}")
+  }
+
+  test("b119: co-purchase edge join is key-equi, never a nested loop") {
+    // the edge list is the scale-critical plan piece: an order-key equi
+    // join with basket-bounded fanout — a cartesian here is the 100 TB bug
+    val plan = physicalPlan("b119_pagerank_copurchase")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
 }
