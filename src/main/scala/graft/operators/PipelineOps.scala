@@ -414,8 +414,9 @@ object PipelineOps {
     * first-touch table is O(users) and broadcast-joinable against the
     * distinct-activity table at any scale; all keys and counts are exact
     * BIGINTs. */
-  private val b118 = entry(
-    "b118_cohort_retention",
+  /** Shared verbatim by b118 (batch) and b121 (streaming first-touch
+    * state machine). */
+  private[graft] val cohortOracleSql: String =
     """WITH wk AS (
       |  SELECT user_id,
       |         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
@@ -426,7 +427,9 @@ object PipelineOps {
       |SELECT f.cohort_week, a.week, count(*) AS n_users
       |FROM f JOIN a ON a.user_id = f.user_id
       |GROUP BY f.cohort_week, a.week
-      |ORDER BY f.cohort_week, a.week""".stripMargin) { (s, d) =>
+      |ORDER BY f.cohort_week, a.week""".stripMargin
+
+  private val b118 = entry("b118_cohort_retention", cohortOracleSql) { (s, d) =>
     // 1704067200000000 = epoch µs of 2024-01-01T00:00Z; 604800000000 = 1 week
     val wk = Tables.events(s, d).select(col("user_id"),
       expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L").as("week"))

@@ -426,5 +426,51 @@ object StreamReplay {
       advances.groupBy("user_id").agg(max(col("step")).as("mx")))
   }
 
-  val entries: Seq[Entry] = Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120)
+  private lazy val chunkDir121: String =
+    java.nio.file.Files.createTempDirectory("graft_b121_chunks").toString
+
+  /** B121 — STREAMING COHORT ATTRIBUTION: B118's retention triangle from
+    * a per-user [[CohortProcessor]] over the time-ordered replay. The
+    * processor attributes each user to their first-touch week and emits
+    * one (user, cohort_week, week) row per NEW active week, so the batch
+    * tail is a plain count per (cohort_week, week) — no distinct pass,
+    * no first-touch join. Oracle is b118's SQL verbatim: the O(2-longs)
+    * streaming state ≡ the declarative two-agg join.
+    *
+    * Scale: the per-batch shuffle is the groupByKey only; emissions are
+    * at most users × horizon rows TOTAL (each attributed once), and the
+    * final count is map-side combinable. */
+  private val b121 = entry(
+    "b121_stream_cohort", graft.operators.PipelineOps.cohortOracleSql) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    StreamingOps.writeChunks(s, d, chunkDir121, n = 6)
+    s.catalog.dropTempView("b121_replay") // idempotent re-runs
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val attributed = try {
+      StreamingOps.runToMemory(
+        StreamingOps.readStream(s, chunkDir121)
+          .select(col("user_id"),
+            expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L")
+              .as("week"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new CohortProcessor(), TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "cohort_week", "week"),
+        "b121_replay", "append")
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    attributed.groupBy("cohort_week", "week")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121)
 }
