@@ -616,19 +616,32 @@ object Retrieval {
       .orderBy(col("ub_sum").desc, col("block_no"))
     val seeds = qub.withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= seedBlocks).select("query_id", "block_no")
+      .localCheckpoint(true) // consumed by seed scoring + the phase-2 split
+    val seedScores = scoreBlocks(seeds).localCheckpoint(true)
     val wTheta = Window.partitionBy(col("query_id"))
       .orderBy(round(col("s"), 4).desc, col("doc_id"))
-    val theta = scoreBlocks(seeds)
+    val theta = seedScores
       .withColumn("rn", row_number().over(wTheta))
       .filter(col("rn") === 10)
       .select(col("query_id"), round(col("s"), 4).as("theta"))
-    // ---- phase 2: prune non-competitive blocks, exact-score the rest
+    // ---- phase 2: prune non-competitive blocks, exact-score the rest.
+    // Blocks partition docs disjointly (block_no = doc_id div docsPerBlock
+    // for EVERY term), so per-(query, doc) scores from disjoint block sets
+    // never overlap: surviving SEED blocks reuse their phase-1 exact
+    // scores, and only never-scored survivor blocks explode postings here
+    // (round-10: halves the exact-phase postings I/O when the seed
+    // dominates the survivor set, the common case).
     val survivors = qub.join(broadcast(theta), Seq("query_id"), "left")
       .filter(col("theta").isNull ||
         round(col("ub_sum") + lit(1e-9), 4) >= col("theta"))
       .select("query_id", "block_no")
+    val survNew = survivors.join(seeds, Seq("query_id", "block_no"), "left_anti")
+    val fromSeed = seedScores
+      .withColumn("block_no", expr(s"doc_id div $docsPerBlock"))
+      .join(broadcast(survivors), Seq("query_id", "block_no"), "left_semi")
+      .drop("block_no")
     BlockMaxParts(qub.select("query_id", "block_no"), survivors,
-      rankTop10(scoreBlocks(survivors)))
+      rankTop10(fromSeed.unionByName(scoreBlocks(survNew))))
   }
 
   /** B113 — block-max-pruned exact BM25 top-10; oracle is full scoring
