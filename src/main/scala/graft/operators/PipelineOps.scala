@@ -387,13 +387,18 @@ object PipelineOps {
 
   private val b117 = entry("b117_funnel_steps", funnelOracleSql) { (s, d) =>
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    // each step table is O(users) and feeds TWO consumers (the next step's
+    // join + its own funnel count) — materialize once so the three count
+    // aggregations don't re-execute the whole chain per step
     def step(of: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       prev => ev.filter(col("event_type") === of)
         .join(prev, "user_id")
         .filter(col("ts") > col("anchor"))
         .groupBy("user_id").agg(min(col("ts")).as("anchor"))
+        .localCheckpoint(true)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("anchor"))
+      .localCheckpoint(true)
     val c = step("click")(v)
     val p = step("purchase")(c)
     val named = Seq((1, "view", v), (2, "click", c), (3, "purchase", p))
