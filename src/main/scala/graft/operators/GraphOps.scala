@@ -144,9 +144,13 @@ object GraphOps {
 
   /** The per-iteration SQL pair (inflow agg + rank update), unrolled
     * [[PrIters]] times — recursive CTEs cannot aggregate over their own
-    * recursive reference, so iteration-as-text is the oracle spelling. */
+    * recursive reference, so iteration-as-text is the oracle spelling.
+    * The CAST on the sum is load-bearing: DuckDB widens sum(BIGINT) to
+    * HUGEINT (int128) and the widening propagates to the output column,
+    * failing the driver's type-sensitive hash even when every value is
+    * bit-identical (the b100/b97 rule). */
   private def prIterSql: String = (1 to PrIters).map { k =>
-    s"""i$k AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+    s"""i$k AS (SELECT e.dst AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inflow
        |  FROM r${k - 1} r JOIN outdeg o ON o.node = r.node
        |  JOIN edges e ON e.src = r.node GROUP BY e.dst),
        |r$k AS (SELECT i.node,

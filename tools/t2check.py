@@ -10,6 +10,16 @@ order. Exact match for non-floats; 1e-9 relative tolerance for floats (the
 real driver hashes — our queries round to 4dp so this flags real drift).
 Dtype family mismatches (int vs float, anything vs string) are reported as
 failures since a stringifying hash would diverge on them.
+
+DECLARED-SCHEMA check (added after the r10 b119 slip): before any value
+comparison, the DuckDB relation's *declared* column types are compared to
+the Spark parquet schema's declared types, normalized to the pandas dtype
+the driver would materialize. DuckDB widens sum(BIGINT) to HUGEINT (int128)
+and sum(INT)/avg to DECIMAL; both survive Python's value-level `int`
+comparison (so the old family() check passed) but land in pandas as
+float64/object and fail the driver's type-sensitive hash. Any
+HUGEINT/DECIMAL-vs-int (or other cross-family) declared mismatch is now a
+hard FAIL even when every value compares equal.
 """
 import sys, os, json, math
 import duckdb
@@ -37,6 +47,39 @@ def family(v):
     if isinstance(v, float): return "float"
     if isinstance(v, str): return "str"
     return type(v).__name__
+
+def declared_family(duck_type):
+    """Map a DuckDB declared type string to the pandas dtype family the
+    driver's hash sees. HUGEINT and DECIMAL are deliberately NOT 'int':
+    pandas materializes them as float64/object, so they hash differently
+    from BIGINT even when values are identical (the b119 failure class)."""
+    t = str(duck_type).upper()
+    if t.startswith("DECIMAL"): return "decimal"
+    if t in ("HUGEINT", "UHUGEINT"): return "int128"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"): return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"): return "float"
+    if t == "BOOLEAN": return "bool"
+    if t in ("VARCHAR", "TEXT", "STRING", "BLOB"): return "str"
+    if t == "DATE": return "date"
+    if t.startswith("TIMESTAMP"): return "timestamp"
+    if t.startswith(("STRUCT", "MAP")) or t.endswith("[]") or t.startswith("LIST"):
+        return "complex"
+    return t
+
+
+def declared_schema_mismatches(srel, drel):
+    """Compare declared dtypes of the Spark-result relation vs the oracle
+    relation, keyed by (sorted) column name. Returns [(col, spark, duck)]."""
+    stypes = {c: t for c, t in zip(srel.columns, srel.types)}
+    dtypes = {c: t for c, t in zip(drel.columns, drel.types)}
+    bad = []
+    for c in sorted(set(stypes) & set(dtypes)):
+        fs, fd = declared_family(stypes[c]), declared_family(dtypes[c])
+        if fs != fd:
+            bad.append((c, str(stypes[c]), str(dtypes[c])))
+    return bad
+
 
 def cells_equal(a, b):
     a, b = norm_cell(a), norm_cell(b)
@@ -73,16 +116,22 @@ def main():
             n_fail += 1
             continue
         try:
-            sdf = con.execute(
-                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchall()
-            scols = [d[0] for d in con.description]
-            ddf = con.execute(sql).fetchall()
-            dcols = [d[0] for d in con.description]
+            srel = con.sql(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            drel = con.sql(sql)
+            scols, dcols = list(srel.columns), list(drel.columns)
+            schema_bad = declared_schema_mismatches(srel, drel)
+            sdf = srel.fetchall()
+            ddf = drel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
         ok = True
+        for c, st, dt in schema_bad:
+            print(f"FAIL {name}: col {c} declared dtype spark={st} duck={dt} "
+                  f"— driver's type-sensitive hash would diverge")
+            ok = False
         # The real driver sorts the result frame in pandas before hashing;
         # list/map cells are unhashable there (r01: b21/b36/b37 crashed).
         # Flag ANY complex-typed cell as a failure locally — every row is
