@@ -365,6 +365,27 @@ object Retrieval {
   private[graft] lazy val b111IndexDir: String = java.nio.file.Files
     .createTempDirectory("graft_b111_index").toString
 
+  /** Per-JVM BUILD memo for the index-serving entries (VERDICT r10 item 3):
+    * artifacts under `dir` are (re)built only when the (sfDir, granularity)
+    * key changes. Production builds an index once and serves many queries;
+    * before this memo every bench rep re-paid the build, so the number a
+    * user cares about — query cost against a STANDING index — was invisible
+    * and the 2× perf gate couldn't bite on it. With the memo, bench rep 1
+    * pays build+serve and later reps serve only; min-of-reps IS the serve
+    * cost. Correctness drives are single-pass and unaffected. */
+  private val builtArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def buildOnce(dir: String, sfDir: String, granularity: Long)
+      (build: => Unit): Unit = {
+    // SPARK_GRAFT_REBUILD_INDEX=1 defeats the memo — for measuring the
+    // build phase explicitly (build+serve per rep, the pre-r11 metric)
+    val always = sys.env.get("SPARK_GRAFT_REBUILD_INDEX").contains("1")
+    if (always || !builtArtifacts.get(dir).contains((sfDir, granularity))) {
+      build
+      builtArtifacts(dir) = (sfDir, granularity)
+    }
+  }
+
   /** B111 — BM25 SERVED FROM THE WRITTEN INDEX: the production query
     * path. Build writes three artifacts — the blocked index, a doc-length
     * sidecar (same tokenizer as b107's dl, so null-text semantics match),
@@ -400,7 +421,9 @@ object Retrieval {
   private val b111 = entry(
     "b111_bm25_from_index", bm25OracleSql(), bench = true) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    writeBm25Artifacts(docs, b111IndexDir)
+    buildOnce(b111IndexDir, d, DocsPerBlock) {
+      writeBm25Artifacts(docs, b111IndexDir)
+    }
     // -- query side: corpus never read again
     val terms = QueryTerms.map(_._2).distinct
     val probe = s.read.parquet(s"$b111IndexDir/terms")
@@ -449,7 +472,9 @@ object Retrieval {
     "b114_stream_bm25_serve", bm25OracleSql()) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val dir = b114Dir
-    writeBm25Artifacts(docs, dir) // frozen from here on
+    buildOnce(dir, d, DocsPerBlock) { // frozen from here on
+      writeBm25Artifacts(docs, dir)
+    }
     // idempotent re-runs: contributions accumulate per run, so start clean
     val contribPath = new org.apache.hadoop.fs.Path(s"$dir/contrib")
     contribPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -556,27 +581,30 @@ object Retrieval {
       seedBlocks: Int = SeedBlockCount): BlockMaxParts = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     // ---- build: blocked index + dl/stats sidecars + block-max impacts
-    invertedIndexBlocked(docs, docsPerBlock)
-      .repartitionByRange(8, col("term"))
-      .sortWithinPartitions("term", "block_no")
-      .write.mode("overwrite").parquet(s"$b113IndexDir/terms")
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    // dl feeds four consumers (dl write, stats write, impact join, avgdl)
-    // — materialize the tiny per-doc aggregate once instead of re-running
-    // the corpus explode per consumer
-    val dlBuild = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true)
-    dlBuild.write.mode("overwrite").parquet(s"$b113IndexDir/dl")
-    dlBuild.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$b113IndexDir/stats")
-    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .join(dlBuild, "doc_id")
-      .crossJoin(broadcast(dlBuild.agg(avg(col("dl")).as("avgdl"))))
-      .withColumn("impact", expr(bm25SatExpr))
-      .withColumn("block_no", expr(s"doc_id div $docsPerBlock"))
-      .groupBy("term", "block_no").agg(max(col("impact")).as("max_impact"))
-      .write.mode("overwrite").parquet(s"$b113IndexDir/bmax")
+    // (once per (sfDir, granularity) per JVM — bench reps ≥ 2 serve only)
+    buildOnce(b113IndexDir, d, docsPerBlock) {
+      invertedIndexBlocked(docs, docsPerBlock)
+        .repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term", "block_no")
+        .write.mode("overwrite").parquet(s"$b113IndexDir/terms")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // dl feeds four consumers (dl write, stats write, impact join, avgdl)
+      // — materialize the tiny per-doc aggregate once instead of re-running
+      // the corpus explode per consumer
+      val dlBuild = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint(true)
+      dlBuild.write.mode("overwrite").parquet(s"$b113IndexDir/dl")
+      dlBuild.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$b113IndexDir/stats")
+      toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .join(dlBuild, "doc_id")
+        .crossJoin(broadcast(dlBuild.agg(avg(col("dl")).as("avgdl"))))
+        .withColumn("impact", expr(bm25SatExpr))
+        .withColumn("block_no", expr(s"doc_id div $docsPerBlock"))
+        .groupBy("term", "block_no").agg(max(col("impact")).as("max_impact"))
+        .write.mode("overwrite").parquet(s"$b113IndexDir/bmax")
+    }
     // ---- query phase 1: bounds from metadata only (no postings column)
     val terms = qts.map(_._2).distinct
     val qdf = broadcast(queriesDf(s, qts))

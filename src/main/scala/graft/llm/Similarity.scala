@@ -123,6 +123,67 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Recall floor for [[b44recall]] in basis points. Sign-LSH with 4×4-bit
+    * bands at τ=0.3 (θ≈72°) has per-pair collision probability ≈0.4-0.6
+    * on this corpus; the projections are DETERMINISTIC, so the measured
+    * recall is a fixed number for a given corpus and any drop below the
+    * floor is a code regression (in the rule, the bands Expression, or
+    * the residual plumbing), not sampling noise. */
+  private val MinRecallBp = 3000L
+
+  /** B44++ — MEASURED RECALL of the opt-in [[graft.plans.CosineLshRewrite]]
+    * (VERDICT r10 item 5): runs the SAME naive all-pairs cosine≥τ query
+    * twice — rule off (exact ground truth) and rule on (banded sign-LSH
+    * candidates + exact residual) — and reports recall in integer basis
+    * points. τ=0.3 sits below the corpus's organic cosine ceiling (0.51),
+    * so hundreds of true pairs exist whose sign patterns CAN disagree on
+    * all 4 bands — recall is genuinely < 1 and the number moves if the
+    * rule's quality regresses. The entry itself asserts (a) the rule fired
+    * (plan carries __graft_lsh attributes), (b) precision is exactly 1
+    * (every rewritten pair is in the ground truth — the residual
+    * re-checks the real predicate), and (c) recall ≥ [[MinRecallBp]] —
+    * so a quality regression turns this driver row red rather than
+    * passing rows-only.
+    *
+    * Approximate/engine-local by design → no SQL oracle (DuckDB has no
+    * sign-LSH); the ground-truth side IS the in-entry oracle. The
+    * quadratic exact join is the measurement harness, affordable at gate
+    * SFs; at 100 TB recall is audited the same way on a sampled slice,
+    * never the full corpus. */
+  private val b44recall = entryNoOracle("b44_lsh_rule_recall") { (s, d) =>
+    register(s)
+    // Verify/Bench sessions are extension-less — install the rule there
+    // (no-op under GraftExtensions; see RuleInstall's idempotence note)
+    graft.plans.RuleInstall.ensure(s, graft.plans.CosineLshRewrite)
+    val tau = 0.3
+    val v = withNorm(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    val a = v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    def pairs = a.crossJoin(b).filter(
+      col("a") < col("b") &&
+        dot("va", "vb") / (col("na") * col("nb")) >= lit(tau))
+      .select(col("a"), col("b"))
+    val exact = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    s.conf.set("spark.graft.cosineLshRewrite.enabled", "true")
+    val (got, fired) = try {
+      val df = pairs
+      val f = df.queryExecution.optimizedPlan.toString.contains("__graft_lsh")
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, f)
+    } finally s.conf.unset("spark.graft.cosineLshRewrite.enabled")
+    require(fired, "CosineLshRewrite did not fire on the naive all-pairs plan")
+    val falsePos = got -- exact
+    require(falsePos.isEmpty,
+      s"precision violated: ${falsePos.size} rewritten pairs absent from ground truth")
+    require(exact.nonEmpty, s"no qualifying pairs at tau=$tau — threshold too high for corpus")
+    val recallBp = got.size.toLong * 10000L / exact.size
+    require(recallBp >= MinRecallBp,
+      s"LSH rule recall $recallBp bp < floor $MinRecallBp bp " +
+        s"(${got.size} of ${exact.size} true pairs found)")
+    import s.implicits._
+    Seq((tau, exact.size.toLong, got.size.toLong, recallBp))
+      .toDF("tau", "n_exact", "n_lsh", "recall_bp")
+  }
+
   /** The b75 corpus: embeddings plus planted duplicate vectors — every
     * 5th vec_id re-appears shifted by 1e6, every 10th ALSO by 2e6, so dup
     * classes of size 2 and 3 exist and cluster resolution must close the
@@ -189,5 +250,5 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val entries: Seq[Entry] = Seq(b44, b44lsh, b75)
+  val entries: Seq[Entry] = Seq(b44, b44lsh, b44recall, b75)
 }

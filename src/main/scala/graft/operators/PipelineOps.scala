@@ -375,15 +375,23 @@ object PipelineOps {
       |  UNION ALL SELECT 3, 'purchase', count(*) FROM p) t
       |ORDER BY step""".stripMargin
 
-  /** The 3-row presentation shared by b117/b120: per step, how many users
-    * reached it (`reached` = (user_id, mx) with mx = furthest step). */
-  private[graft] def funnelCounts(reached: org.apache.spark.sql.DataFrame)
+  /** The 3-row (step, event_type, users) presentation shared by b117 and
+    * b120's [[funnelCounts]]: each input DataFrame is that step's user
+    * population; its count is the funnel row. */
+  private[graft] def funnelPresentation(
+      steps: Seq[(Int, String, org.apache.spark.sql.DataFrame)])
       : org.apache.spark.sql.DataFrame =
-    Seq((1, "view"), (2, "click"), (3, "purchase")).map { case (k, name) =>
-      reached.filter(col("mx") >= k)
-        .agg(count(lit(1)).as("users"))
+    steps.map { case (k, name, df) =>
+      df.agg(count(lit(1)).as("users"))
         .select(lit(k).as("step"), lit(name).as("event_type"), col("users"))
     }.reduce(_.unionByName(_)).orderBy("step")
+
+  /** b120's spelling: per step, how many users reached it
+    * (`reached` = (user_id, mx) with mx = furthest step). */
+  private[graft] def funnelCounts(reached: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    funnelPresentation(Seq((1, "view"), (2, "click"), (3, "purchase"))
+      .map { case (k, name) => (k, name, reached.filter(col("mx") >= k)) })
 
   private val b117 = entry("b117_funnel_steps", funnelOracleSql) { (s, d) =>
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
@@ -401,11 +409,7 @@ object PipelineOps {
       .localCheckpoint(true)
     val c = step("click")(v)
     val p = step("purchase")(c)
-    val named = Seq((1, "view", v), (2, "click", c), (3, "purchase", p))
-    named.map { case (k, name, df) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(k).as("step"), lit(name).as("event_type"), col("users"))
-    }.reduce(_.unionByName(_)).orderBy("step")
+    funnelPresentation(Seq((1, "view", v), (2, "click", c), (3, "purchase", p)))
   }
 
   /** B118 — COHORT RETENTION: users bucketed by the week of their FIRST
@@ -434,10 +438,20 @@ object PipelineOps {
       |GROUP BY f.cohort_week, a.week
       |ORDER BY f.cohort_week, a.week""".stripMargin
 
-  private val b118 = entry("b118_cohort_retention", cohortOracleSql) { (s, d) =>
+  /** Week bucket with FLOOR-division semantics, matching DuckDB's `//`
+    * exactly. Spark's `div` truncates toward zero, so a pre-anchor
+    * timestamp (negative numerator) would land one week later than the
+    * oracle; the `%`-sign correction makes both engines agree for ANY
+    * event time, not just the generated 2024-only range (ADVICE r10).
+    * Shared by b118 and b121's streaming ingest. */
+  private[graft] val weekFloorExpr: String =
     // 1704067200000000 = epoch µs of 2024-01-01T00:00Z; 604800000000 = 1 week
+    "(unix_micros(ts) - 1704067200000000L) div 604800000000L" +
+      " - cast((unix_micros(ts) - 1704067200000000L) % 604800000000L < 0 as bigint)"
+
+  private val b118 = entry("b118_cohort_retention", cohortOracleSql) { (s, d) =>
     val wk = Tables.events(s, d).select(col("user_id"),
-      expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L").as("week"))
+      expr(weekFloorExpr).as("week"))
     val f = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     val a = wk.distinct()
     f.join(a, "user_id")

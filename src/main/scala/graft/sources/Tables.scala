@@ -75,23 +75,40 @@ object Tables {
     * prior-dir view) and the failure surfaces only when a query actually
     * references that name (TABLE_OR_VIEW_NOT_FOUND). The dir is still
     * cached so bench repetitions don't pay a retry storm; a caller that
-    * needs the failed table gets a clear error either way. */
-  private val registered = new java.util.WeakHashMap[SparkSession, String]()
+    * needs the failed table gets a clear error either way.
+    *
+    * Transient-failure recovery (ADVICE r10): a failed table is remembered
+    * and retried on the NEXT registerAll call for the same dir, so a
+    * transient IO error (e.g. testdata being regenerated mid-session)
+    * doesn't permanently drop the view for the session's lifetime.
+    * Successfully loaded tables are never reloaded, preserving the
+    * no-retry-storm property — the retry cost is bounded by the (normally
+    * empty) failed set, not the table count. */
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, (String, Set[String])]()
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
-    if (registered.get(spark) != dir) {
-      names.foreach { n =>
+    val prev = Option(registered.get(spark))
+    val toLoad = prev match {
+      case Some((`dir`, failed)) => failed // same dir: retry only failures
+      case _                     => names.toSet
+    }
+    if (toLoad.nonEmpty) {
+      val stillFailed = toLoad.filter { n =>
         try {
           val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
           df.createOrReplaceTempView(n)
+          false
         } catch {
           case scala.util.control.NonFatal(e) =>
             spark.catalog.dropTempView(n)
             System.err.println(
               s"[graft] registerAll: table '$n' failed to load from $dir " +
-              s"(${e.getClass.getSimpleName}: ${e.getMessage}); view dropped, others unaffected")
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); view dropped, " +
+              "others unaffected; will retry on next registerAll")
+            true
         }
       }
-      registered.put(spark, dir)
+      registered.put(spark, (dir, stillFailed))
     }
   }
 }

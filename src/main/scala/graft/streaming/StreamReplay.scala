@@ -453,8 +453,9 @@ object StreamReplay {
       StreamingOps.runToMemory(
         StreamingOps.readStream(s, chunkDir121)
           .select(col("user_id"),
-            expr("(unix_micros(ts) - 1704067200000000L) div 604800000000L")
-              .as("week"))
+            // floor-division week bucket shared with b118 — matches
+            // DuckDB's `//` on pre-anchor (negative) timestamps too
+            expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
           .as[(Long, Long)]
           .groupByKey(_._1)
           .transformWithState(new CohortProcessor(), TimeMode.None(),

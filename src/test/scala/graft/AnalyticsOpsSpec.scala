@@ -47,4 +47,67 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(tri.filter(_._1._2 == w).values.sum === n,
         s"week $w: cohort column sum != distinct active users $n")
   }
+
+  // -- B121 retention-horizon widening (VERDICT r10 item 6) ------------
+  // The default (strict) CohortProcessor pins a 64-week absolute window
+  // and fails loudly beyond it; `Some(h)` switches to the production
+  // posture: a sliding 64-week dedup window (valid for ANY horizon under
+  // the in-order replay contract) with TTL-drop of weeks aged >= h.
+
+  private def runCohort(rows: Seq[(Long, Long)], horizon: Option[Long],
+      tag: String): Seq[(Long, Long, Long)] = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.streaming.{CohortProcessor, StreamingOps}
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("week", LongType)))
+    val dir = Files.createTempDirectory(s"graft_cohort_$tag").toString
+    import spark.implicits._
+    val df = rows.toDF("user_id", "week")
+    StreamingOps.writeChunksDf(df, dir, n = 3, sortCols = Seq("week", "user_id"))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      StreamingOps.runToMemory(
+        StreamingOps.readStream(spark, dir, schema)
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new CohortProcessor(horizon), TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "cohort_week", "week"),
+        s"t_cohort_$tag", "append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("B121 windowed: weeks past the 64-bit ceiling attribute exactly once, old age TTL-drops") {
+    // weeks span 0..150 — far beyond the strict 64-week mask. horizon=80:
+    // ages >= 80 since each user's cohort week are dropped, everything
+    // else emits exactly once even across multiple window slides.
+    val rows = Seq[(Long, Long)](
+      (1L, 0L), (1L, 1L), (1L, 70L), (1L, 100L), (1L, 100L), (1L, 130L),
+      (2L, 70L), (2L, 75L), (2L, 80L), (2L, 149L), (2L, 150L),
+      (3L, 5L))
+    val got = runCohort(rows, Some(80L), "windowed").sorted
+    val expected = Seq[(Long, Long, Long)](
+      (1L, 0L, 0L), (1L, 0L, 1L), (1L, 0L, 70L), // ages 100/130 dropped
+      (2L, 70L, 70L), (2L, 70L, 75L), (2L, 70L, 80L), (2L, 70L, 149L), // age 80 dropped
+      (3L, 5L, 5L)).sorted
+    assert(got === expected)
+  }
+
+  test("B121 strict default: a week >= 64 still fails loudly rather than aliasing") {
+    val e = intercept[Exception] {
+      runCohort(Seq((1L, 0L), (1L, 70L)), None, "strict")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside the 64-week state horizon")),
+      s"unexpected failure chain: ${messages(e).mkString(" | ")}")
+  }
 }

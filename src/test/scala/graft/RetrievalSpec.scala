@@ -327,7 +327,11 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("B114: scoring genuinely straddles micro-batches (cross-batch merge)") {
-    // depends on the entry having run (the test above runs it in this JVM)
+    // Run the entry here rather than relying on the previous test having
+    // executed in the same JVM — under a test filter this suite member
+    // must stand alone (ADVICE r10). The replay is idempotent, so a
+    // duplicate run in the full suite only costs time, not correctness.
+    SparkEntry.queries("b114_stream_bm25_serve")(spark, sf).collect()
     val contrib = spark.read.parquet(Retrieval.b114Dir + "/contrib")
     val batches = contrib.select("batch_id").distinct().count()
     assert(batches >= 2, s"replay produced only $batches micro-batch(es)")

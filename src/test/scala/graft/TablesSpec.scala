@@ -31,6 +31,13 @@ class TablesSpec extends AnyFunSuite {
     val yr = df.agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
     assert(yr.getInt(0) >= 2023 && yr.getInt(1) <= 2026,
       s"ts year range ${yr.getInt(0)}..${yr.getInt(1)} looks unit-shifted")
+    // Loader contract for the week-bucketed entries (b118/b121): no event
+    // precedes the 2024-01-01 anchor, so week indexes are non-negative and
+    // CohortProcessor's non-negativity require can't fire on driver data.
+    // (The Spark-side weekFloorExpr now matches DuckDB `//` on pre-anchor
+    // data anyway, but the generated corpus should stay post-anchor.)
+    val preAnchor = df.filter(col("ts") < lit("2024-01-01 00:00:00").cast(TimestampType)).count()
+    assert(preAnchor == 0L, s"$preAnchor events precede the 2024-01-01 week anchor")
   }
 
   test("events loader adapts to an int64-ns generation and values match the µs read") {
