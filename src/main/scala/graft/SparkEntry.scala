@@ -43,6 +43,7 @@ object SparkEntry {
       llm.TextAnalysis.entries ++
       llm.LangId.entries ++
       llm.Multimodal.entries ++
+      llm.BpeTokenize.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.functions.BpeEncodeExpression
+import graft.sources.Tables
+
+/** B122 — deterministic subword tokenization (SURVEY §2C tier (b); the
+  * bridge between b101's whitespace tokens and model-ready ids, VERDICT
+  * r10 item 7): BPE (Sennrich et al., ACL'16) under the FROZEN merge
+  * table in `graft/bpe_merges.txt`, applied by the native codegen
+  * [[graft.functions.BpeEncodeExpression]].
+  *
+  * The t2 oracle replays the EXACT tokenizer in DuckDB as a chain of
+  * string `replace`s over a marker-delimited symbol string:
+  *
+  *   1. charify — each char c → `⟨c⟩` (the markers ⟨⟩ are outside the
+  *      corpus alphabet, so every symbol boundary is explicit and no
+  *      replace can match across or inside symbols);
+  *   2. merges — in rank order, `⟨l⟩⟨r⟩` → `⟨lr⟩`. A rank-ordered
+  *      non-overlapping left-to-right pass IS greedy lowest-rank-first
+  *      BPE for a well-formed table: a merge consuming a symbol ranks
+  *      after the merge creating it, and merging can only delete
+  *      adjacencies between older symbols, never create them, so no
+  *      earlier-rank pair ever reappears (BpeSpec cross-checks against
+  *      the priority-queue spelling);
+  *   3. idify — each `⟨tok⟩` → "id " (closing markers make every token
+  *      pattern prefix-unambiguous), word boundaries drop, rtrim.
+  *
+  * Both engines therefore walk the identical merge trajectory and the
+  * driver hash pins every token id of every document — an exact,
+  * SQL-checkable twin of a real subword tokenizer, which is the reason
+  * BPE (and not a probabilistic unigram LM) is the spelling here.
+  *
+  * Scale posture (100 TB): tokenization is pure map-side scalar work in
+  * whole-stage codegen — no shuffle, no model broadcast beyond the merge
+  * table baked into the expression class, Zipf-memoized per executor.
+  * The output ORDER BY is gate presentation only. */
+object BpeTokenize {
+
+  /** The marker-delimited replace-chain oracle, generated from the SAME
+    * frozen resource the expression loads — one source of truth. */
+  private[llm] def bpeOracleSql: String = {
+    // DuckDB's binder caps expression-tree depth at 128, so the ~180
+    // replaces split into two subquery stages (charify+merges ≈ 91 deep,
+    // idify ≈ 92 deep) — depth resets per SELECT item
+    var e1 = "text"
+    for (c <- 'a' to 'z')
+      e1 = s"replace($e1, '$c', '⟨$c⟩')"
+    e1 = s"replace($e1, ' ', '⟨·⟩')"
+    for ((l, r) <- BpeEncodeExpression.merges)
+      e1 = s"replace($e1, '⟨$l⟩⟨$r⟩', '⟨$l$r⟩')"
+    var e2 = "w"
+    for ((tok, id) <- BpeEncodeExpression.tokenIds.toSeq.sortBy(_._2))
+      e2 = s"replace($e2, '⟨$tok⟩', '$id ')"
+    e2 = s"rtrim(replace($e2, '⟨·⟩', ''))"
+    s"""SELECT doc_id, ids,
+       |  CAST(CASE WHEN ids = '' THEN 0
+       |       ELSE len(string_split(ids, ' ')) END AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, $e2 AS ids
+       |      FROM (SELECT doc_id, $e1 AS w FROM documents) s) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val b122 = entry("b122_bpe_tokenize", bpeOracleSql, bench = true) {
+    (s, d) =>
+      BpeEncodeExpression.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("bpe_encode(text)").as("ids"))
+        .withColumn("n_tokens",
+          when(col("ids") === "", lit(0L))
+            .otherwise(size(split(col("ids"), " ")).cast("long")))
+        .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b122)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BpeEncodeExpression
+import graft.sources.Tables
+
+/** [[graft.functions.BpeEncodeExpression]] / B122 — the frozen-vocab BPE
+  * tokenizer. The t2 hash pins the exact ids at the gate SFs; these pin
+  * the algorithmic claims behind the oracle construction:
+  *
+  *  - the rank-ordered single-pass merge loop (what the expression and
+  *    the replace-chain oracle both implement) equals canonical greedy
+  *    lowest-rank-first BPE (the priority-queue spelling re-implemented
+  *    independently here);
+  *  - the corpus alphabet stays inside [a-z ], the precondition for the
+  *    oracle's 26-letter charify stage;
+  *  - id space: base chars 1..26, merge k → 26+k, no collisions.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  /** Independent JVM oracle: canonical greedy BPE — repeatedly merge the
+    * LOWEST-RANK adjacent pair present (leftmost on ties), one merge at a
+    * time, until no merge applies. */
+  private def greedyBpe(word: String): Seq[String] = {
+    val rank = BpeEncodeExpression.merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length >= 2) {
+      val best = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        .sortBy(identity).headOption
+      best match {
+        case Some((_, i)) =>
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        case None => done = true
+      }
+    }
+    syms
+  }
+
+  private def greedyIds(text: String): String =
+    text.split(" ", -1).filter(_.nonEmpty)
+      .flatMap(w => greedyBpe(w).map(s => BpeEncodeExpression.tokenIds.getOrElse(s, 0)))
+      .mkString(" ")
+
+  test("rank-ordered pass equals canonical lowest-rank-first BPE on the corpus") {
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      val fast = BpeEncodeExpression.encode(UTF8String.fromString(t)).toString
+      assert(fast === greedyIds(t), s"divergence on: ${t.take(80)}")
+    }
+  }
+
+  test("equivalence holds on adversarial shapes (self-adjacency, overlaps, boundaries)") {
+    // cases the corpus may not exercise: repeated letters (leftmost
+    // tiebreak), merge-result adjacency, words that are single tokens,
+    // multi-space boundaries, out-of-vocab letters (x/z → singles)
+    val cases = Seq(
+      "eeee errr erer", "stst stastast", "join joinjoin",
+      "hashhash ashash", "batchbatch atchatch", "  double  spaces  ",
+      "xzxz zzz", "value valuevalue", "a", "", "merge mergemerge")
+    cases.foreach { t =>
+      val fast = BpeEncodeExpression.encode(UTF8String.fromString(t)).toString
+      assert(fast === greedyIds(t), s"divergence on: '$t'")
+    }
+  }
+
+  test("corpus alphabet stays inside [a-z ] (the oracle charify precondition)") {
+    val bad = Tables.documents(spark, sf)
+      .filter(col("text").rlike("[^a-z ]")).count()
+    assert(bad === 0L, s"$bad documents contain chars outside the charify alphabet")
+  }
+
+  test("id space is collision-free and merges are well-formed") {
+    val ids = BpeEncodeExpression.tokenIds.values.toSeq
+    assert(ids.size === ids.distinct.size)
+    assert(BpeEncodeExpression.merges.nonEmpty)
+    // well-formed: any merge input that is itself a merge RESULT must
+    // have been created at an earlier rank — the precondition for the
+    // single-pass = greedy equivalence (and for the replace chain)
+    val created = scala.collection.mutable.Set[String]()
+    ('a' to 'z').foreach(c => created += c.toString)
+    BpeEncodeExpression.merges.foreach { case (l, r) =>
+      assert(created.contains(l) && created.contains(r),
+        s"merge ($l,$r) consumes a symbol not yet created at its rank")
+      created += (l + r)
+    }
+  }
+
+  test("B122 entry: n_tokens is consistent with ids and every id is in vocab") {
+    val rows = SparkEntry.queries("b122_bpe_tokenize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val validIds = BpeEncodeExpression.tokenIds.values.toSet
+    rows.foreach { case (docId, ids, n) =>
+      val parts = if (ids.isEmpty) Array.empty[String] else ids.split(" ")
+      assert(parts.length.toLong === n || (ids.isEmpty && n === 0L),
+        s"doc $docId: n_tokens $n != ${parts.length}")
+      parts.foreach(p => assert(validIds.contains(p.toInt),
+        s"doc $docId: id $p outside the frozen vocab"))
+    }
+  }
+}

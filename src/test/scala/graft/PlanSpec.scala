@@ -113,4 +113,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(3000))
   }
+
+  test("b122: tokenization is one shuffle-free codegen projection over a pruned scan") {
+    // the 100 TB claim: BPE is pure map-side scalar work — any Exchange
+    // before the presentation sort means the tokenizer stopped scaling
+    val df = SparkEntry.queries("b122_bpe_tokenize")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), plan)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned column: $readSchema")
+    // exactly the ORDER BY's range exchange, nothing else
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"$exchanges exchanges in a map-side tokenize:\n$plan")
+    // codegen spans appear once AQE finalizes — materialize, then check
+    // the `*(n)` whole-stage markers wrap the tokenize projection
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("bpe_encode")), executed.take(2000))
+  }
 }
