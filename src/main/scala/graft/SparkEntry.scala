@@ -44,6 +44,8 @@ object SparkEntry {
       llm.LangId.entries ++
       llm.Multimodal.entries ++
       llm.BpeTokenize.entries ++
+      llm.Quantize.entries ++
+      llm.CorpusBudget.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** B124/B125 — corpus BUDGETING: the two pre-training stages that sit
+  * between mixture design and packing.
+  *
+  * B124 is the ABSOLUTE token-budget cap — "draw exactly B tokens from
+  * each source" — the way training mixtures are actually specified
+  * ("X billion tokens of source Y"), complementing B98's proportional
+  * equalization (which derives RATES, not absolute masses). Documents
+  * are ranked by a deterministic pseudo-random priority (the B56/B59
+  * pure-function-of-the-key polyhash, salted "cap:"), and each source
+  * keeps its greedy priority-order prefix: every doc whose prefix START
+  * lies below the budget (the last kept doc may overshoot — the standard
+  * greedy convention, same as B97's straddling sequences).
+  *
+  * Like B97 the core is a prefix sum, and the naive spelling
+  * (`sum() OVER (PARTITION BY source ORDER BY pri)`) serializes each
+  * source through one task — with few sources that is the
+  * SinglePartition anti-pattern in per-source form. This is the
+  * distributed two-phase scan instead, with one extra trick the budget
+  * enables:
+  *
+  *   1. range-bucket the 40-bit priority (`pri div 2³²` → ≤ 256 ordered
+  *      buckets/source); per-(source, bucket) token totals partial-
+  *      aggregate map-side, O(sources·256) scalars fold on the driver;
+  *   2. buckets whose fold offset already exceeds B are dropped BEFORE
+  *      the heavy window — the sort ingests only ≈B tokens per source,
+  *      not the corpus (the filter sits on the broadcast-joined offset,
+  *      so Catalyst pushes it below the window's Exchange);
+  *   3. a PARTITIONED window (source, bucket) finishes the prefix in
+  *      parallel.
+  *
+  * SinglePartition-freedom and the pre-window prune are spec-asserted
+  * (CorpusBudgetSpec); the oracle keeps the naive per-source window —
+  * same relation, different physical plan, hash-pinned equal.
+  *
+  * B125 is VOCABULARY COVERAGE — the Zipf spectrum over corpus tokens
+  * (rank, frequency, cumulative share in basis points) that answers
+  * "how large a vocab covers p% of tokens", i.e. the measurement that
+  * sizes B122's merge table. Top-k by frequency is TakeOrdered (no
+  * global sort); the cumulative window then runs over k = 200 rows —
+  * bounded, driver-scale. All shares are integer basis points
+  * (HUGEINT-guarded), never a double division. */
+object CorpusBudget {
+
+  /** Per-source token budget. */
+  val Budget = 20000L
+
+  /** Priority-range per scan bucket: 40-bit polyhash div 2³² → 256. */
+  private val BucketShift = 1L << 32
+
+  /** Kept-prefix manifest: (doc_id, source, n_tok, start) for every doc
+    * whose priority-order prefix start < budget, doc_id order. */
+  def budgetManifest(docs: DataFrame, budget: Long = Budget): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pri = Winnowing.polyFoldSpark("concat('cap:', CAST(doc_id AS STRING))")
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(pri).as("pri"))
+      .withColumn("bucket", expr(s"pri div ${BucketShift}L"))
+    // phase 1: O(sources·buckets) scalars → driver prefix fold per source
+    val folds = toks.groupBy("source", "bucket").agg(sum("n_tok").as("btok"))
+      .orderBy("source", "bucket").collect()
+    val offsets = folds.groupBy(_.getString(0)).toSeq.flatMap {
+      case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getLong(1)).map { r =>
+          val off = (src, r.getLong(1), acc); acc += r.getLong(2); off
+        }
+    }
+    val offDf = offsets.toDF("source", "bucket", "bucket_off")
+    // phase 2: prune post-budget buckets, then parallel in-bucket prefix
+    val wB = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("pri"), col("doc_id"))
+    toks.join(broadcast(offDf), Seq("source", "bucket"))
+      .filter(col("bucket_off") < budget)
+      .withColumn("start",
+        col("bucket_off") + sum(col("n_tok")).over(wB) - col("n_tok"))
+      .filter(col("start") < budget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start"))
+      .orderBy("doc_id")
+  }
+
+  private val b124 = entry(
+    "b124_token_budget_cap",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${Winnowing.polyFoldDuck("'cap:' || CAST(doc_id AS VARCHAR)")} AS pri
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source
+       |                               ORDER BY pri, doc_id
+       |                               ROWS UNBOUNDED PRECEDING) - n_tok
+       |              AS BIGINT) AS start
+       |  FROM toks)
+       |SELECT doc_id, source, n_tok, start
+       |FROM offs WHERE start < $Budget ORDER BY doc_id""".stripMargin,
+    bench = true) {
+    (s, d) => budgetManifest(Tables.documents(s, d))
+  }
+
+  /** Spectrum size: vocab rows reported (rank 1..k by frequency). */
+  val TopK = 200
+
+  /** Zipf spectrum: (rnk, term, f, cum_bp) — cum share of total corpus
+    * tokens covered by vocab ranks 1..rnk, integer basis points. */
+  def vocabCoverage(docs: DataFrame, k: Int = TopK): DataFrame = {
+    val freq = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val tot = freq.agg(sum(col("f")).as("t"))
+    val top = freq.orderBy(col("f").desc, col("term")).limit(k)
+    val w = Window.orderBy(col("f").desc, col("term"))
+    top.withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("f")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("term"), col("f"),
+        expr("cum * 10000 div t").as("cum_bp"))
+      .orderBy("rnk")
+  }
+
+  private val b125 = entry(
+    "b125_vocab_coverage",
+    s"""WITH terms AS (
+       |  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+       |freq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS f
+       |  FROM terms WHERE term <> '' GROUP BY term),
+       |tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM freq),
+       |top AS (
+       |  SELECT term, f FROM freq ORDER BY f DESC, term LIMIT $TopK)
+       |SELECT CAST(row_number() OVER (ORDER BY f DESC, term) AS INT) AS rnk,
+       |       term, f,
+       |       CAST(sum(f) OVER (ORDER BY f DESC, term
+       |                         ROWS UNBOUNDED PRECEDING)
+       |            * 10000 // (SELECT t FROM tot) AS BIGINT) AS cum_bp
+       |FROM top ORDER BY rnk""".stripMargin) { (s, d) =>
+    vocabCoverage(Tables.documents(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b124, b125)
+}

@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** B123 — INT8 EMBEDDING QUANTIZATION (symmetric per-dimension max-abs
+  * scaling, the FAISS `SQ8`/ScaNN convention): the memory lever that lets
+  * an ANN index hold 4× more vectors per executor, and the natural
+  * upstream of the PQ stack (B84) — scalar quantization is what you run
+  * when 4× is enough and you cannot afford PQ's codebook training.
+  *
+  * Per dimension j: scale s_j = max_i |x_ij|; code q_ij =
+  * ⌊x_ij·127/s_j + ½⌋ ∈ [−127, 127]; reconstruction x̂ = q·s/127.
+  *
+  * Cross-engine exactness (the t2 contract for a FLOAT column): every
+  * arithmetic step is either exact or a single correctly-rounded IEEE-754
+  * double op evaluated in the same order on both engines —
+  * float32→float64 promotion is exact, x·127 is exact (31 significant
+  * bits), /s is one rounded op, +½ and floor are deterministic — so
+  * per-element codes and fixed-point errors are bit-identical, and the
+  * per-dim error mass sums in BIGINT (exact, order-free). No
+  * `round()`: its half-way tie rule differs across dialects;
+  * ⌊x+½⌋ is the one spelling both engines share.
+  *
+  * Scale posture (100 TB): the only data-proportional work is the
+  * map-side explode; both aggregates partial-combine to O(dim) rows per
+  * task (dim ≈ 2⁵–2¹⁰, so the shuffle carries KBs per task regardless of
+  * corpus size), and the scale table re-joins by BROADCAST — the vectors
+  * themselves never shuffle. Saturation counts (|q| = 127) are the
+  * monitoring signal for outlier-driven scale blowup that motivates
+  * percentile clipping in production quantizers. */
+object Quantize {
+
+  /** Fixed-point error granularity: |x − x̂| in integer nano-units. */
+  private val ErrFp = "1000000000.0"
+
+  /** Per-dimension quantization stats: (dim, scale_f, n_vals, n_sat,
+    * sum_abs_err_fp). `scale_f` is the exact float32 max-abs promoted to
+    * double; `sum_abs_err_fp` is Σ⌊|x − q·s/127|·10⁹⌋ — exact BIGINT. */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val flat = emb.select(
+      posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("dim"), col("f").cast("double").as("v"))
+    val scales = flat.groupBy("dim").agg(max(abs(col("v"))).as("mxd"))
+    flat.join(broadcast(scales), "dim")
+      .withColumn("code", expr(
+        "CASE WHEN mxd = 0.0 THEN 0 " +
+          "ELSE CAST(floor(v * 127.0 / mxd + 0.5) AS INT) END"))
+      .withColumn("err_fp", expr(
+        "CASE WHEN mxd = 0.0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST(floor(abs(v - code * mxd / 127.0) * $ErrFp) AS BIGINT) END"))
+      .groupBy("dim")
+      .agg(
+        max(col("mxd")).as("scale_f"),
+        count(lit(1)).as("n_vals"),
+        sum(when(abs(col("code")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        sum(col("err_fp")).as("sum_abs_err_fp"))
+      .select(col("dim").cast("long").as("dim"), col("scale_f"),
+        col("n_vals"), col("n_sat"), col("sum_abs_err_fp"))
+      .orderBy("dim")
+  }
+
+  /** B123 — the oracle replays the identical trajectory with DuckDB's
+    * zipped UNNEST as posexplode; every sum that feeds an output column
+    * is CAST AS BIGINT (the HUGEINT rule, BASELINE.md). */
+  private val b123 = entry(
+    "b123_embedding_quantize_int8",
+    s"""WITH flat0 AS (
+       |  SELECT UNNEST(range(len(embedding))) AS dim, UNNEST(embedding) AS f
+       |  FROM embeddings),
+       |flat AS (SELECT dim, CAST(f AS DOUBLE) AS v FROM flat0),
+       |scales AS (SELECT dim, max(abs(v)) AS mxd FROM flat GROUP BY dim),
+       |q AS (
+       |  SELECT f.dim, f.v, s.mxd,
+       |         CASE WHEN s.mxd = 0.0 THEN 0
+       |              ELSE CAST(floor(f.v * 127.0 / s.mxd + 0.5) AS INT)
+       |         END AS code
+       |  FROM flat f JOIN scales s USING (dim))
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |       max(mxd) AS scale_f,
+       |       count(*) AS n_vals,
+       |       CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_sat,
+       |       CAST(sum(CASE WHEN mxd = 0.0 THEN 0
+       |                ELSE CAST(floor(abs(v - code * mxd / 127.0) * $ErrFp)
+       |                          AS BIGINT) END) AS BIGINT) AS sum_abs_err_fp
+       |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    bench = true) { (s, d) =>
+    dimStats(Tables.embeddings(s, d))
+  }
+
+  /** Outlier budget for the rank-clipped variant: the clip threshold is
+    * the k-th largest |x| per dimension — a FIXED budget, so the per-task
+    * top-k heap stays bounded at any corpus size (unlike a rate-based
+    * percentile, whose exact form buffers O(N/dim) per group). */
+  val ClipK = 10
+
+  /** B126 — rank-clipped int8 quantization: scale s_j = the ClipK-th
+    * largest |x_ij| (B87's bounded-state TopKAgg — shuffle carries ≤ k
+    * pairs per dim per task), codes clamp to [−127, 127], so the k−1
+    * magnitudes above the threshold saturate by design. This is the
+    * production shape B123's saturation monitoring motivates: a handful
+    * of outliers no longer inflate the scale (and with it the in-range
+    * quantization step) for the whole dimension. clamp-then-round equals
+    * round-then-clamp (integer bounds, round moves ≤ ½) and keeps the
+    * cast in-range under ANSI. */
+  def clippedDimStats(emb: DataFrame, k: Int = ClipK): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg(k))
+    val flat = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("dim"), col("f").cast("double").as("v"))
+    val thr = flat.groupBy("dim")
+      .agg(topk(abs(col("v")), col("vec_id")).as("top"))
+      .select(col("dim"),
+        element_at(col("top"), least(lit(k), size(col("top"))))
+          .getField("_1").as("thr"))
+    flat.join(broadcast(thr), "dim")
+      .withColumn("code", expr(
+        "CASE WHEN thr = 0.0 THEN 0 " +
+          "ELSE CAST(floor(greatest(-127.0, least(127.0, v * 127.0 / thr))" +
+          " + 0.5) AS INT) END"))
+      .withColumn("err_fp", expr(
+        "CASE WHEN thr = 0.0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST(floor(abs(v - code * thr / 127.0) * $ErrFp) AS BIGINT) END"))
+      .groupBy("dim")
+      .agg(
+        max(col("thr")).as("scale_f"),
+        count(lit(1)).as("n_vals"),
+        sum(when(abs(col("code")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        sum(col("err_fp")).as("sum_abs_err_fp"))
+      .select(col("dim").cast("long").as("dim"), col("scale_f"),
+        col("n_vals"), col("n_sat"), col("sum_abs_err_fp"))
+      .orderBy("dim")
+  }
+
+  /** B126 — the oracle spells the threshold as the rank-k row of a
+    * per-dim magnitude window; the k-th VALUE is tiebreak-invariant (same
+    * multiset), so both engines agree even where ids order differently. */
+  private val b126 = entry(
+    "b126_quantize_rank_clipped",
+    s"""WITH flat0 AS (
+       |  SELECT vec_id, UNNEST(range(len(embedding))) AS dim,
+       |         UNNEST(embedding) AS f
+       |  FROM embeddings),
+       |flat AS (SELECT vec_id, dim, CAST(f AS DOUBLE) AS v FROM flat0),
+       |ranked AS (
+       |  SELECT dim, abs(v) AS av,
+       |         row_number() OVER (PARTITION BY dim
+       |                            ORDER BY abs(v) DESC, vec_id) AS rnk
+       |  FROM flat),
+       |thr AS (SELECT dim, av AS thr FROM ranked WHERE rnk = $ClipK),
+       |q AS (
+       |  SELECT f.dim, f.v, t.thr,
+       |         CASE WHEN t.thr = 0.0 THEN 0
+       |              ELSE CAST(floor(greatest(-127.0,
+       |                     least(127.0, f.v * 127.0 / t.thr)) + 0.5) AS INT)
+       |         END AS code
+       |  FROM flat f JOIN thr t USING (dim))
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |       max(thr) AS scale_f,
+       |       count(*) AS n_vals,
+       |       CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_sat,
+       |       CAST(sum(CASE WHEN thr = 0.0 THEN 0
+       |                ELSE CAST(floor(abs(v - code * thr / 127.0) * $ErrFp)
+       |                          AS BIGINT) END) AS BIGINT) AS sum_abs_err_fp
+       |FROM q GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+    clippedDimStats(Tables.embeddings(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b123, b126)
+}

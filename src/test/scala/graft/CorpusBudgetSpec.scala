@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{CorpusBudget, Quantize}
+import graft.sources.Tables
+
+/** B123 int8 quantization + B124 token-budget cap + B125 vocab coverage:
+  * semantic invariants, two-phase-vs-naive equality, and the plan shapes
+  * (broadcast scale join, no SinglePartition window on the corpus path). */
+class CorpusBudgetSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+  import spark.implicits._
+
+  // ---- B123 ------------------------------------------------------------
+
+  private lazy val qstats = Quantize.dimStats(Tables.embeddings(spark, sf))
+    .collect()
+    .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)))
+
+  test("B123: every dim saturates at its own max and mean error is below " +
+    "the half-step bound") {
+    assert(qstats.nonEmpty)
+    for ((dim, scale, nVals, nSat, errFp) <- qstats) {
+      assert(nSat >= 1, s"dim $dim: the max-abs element itself must hit ±127")
+      assert(nSat <= nVals)
+      // per-element |x - x̂| ≤ scale/254 (half a quantization step), so the
+      // nano-unit error mass is bounded by nVals · (scale·1e9/254 + 1)
+      val bound = nVals.toDouble * (scale * 1e9 / 254.0 + 1.0)
+      assert(errFp.toDouble <= bound,
+        s"dim $dim: error mass $errFp exceeds half-step bound $bound")
+    }
+  }
+
+  test("B123: an all-zero dimension quantizes to code 0 with zero error") {
+    val df = Seq((1L, Array(0.0f, 2.5f)), (2L, Array(0.0f, -1.25f)))
+      .toDF("vec_id", "embedding")
+    val rows = Quantize.dimStats(df).collect()
+    val z = rows.find(_.getLong(0) == 0L).get
+    assert(z.getDouble(1) == 0.0 && z.getLong(3) == 0L && z.getLong(4) == 0L)
+    val nz = rows.find(_.getLong(0) == 1L).get
+    assert(nz.getDouble(1) == 2.5 && nz.getLong(3) >= 1L)
+  }
+
+  test("B123 plan: scales re-join by broadcast; no sort-merge join") {
+    val plan = Quantize.dimStats(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-dim scale table must broadcast, not shuffle the exploded vectors")
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  // ---- B126 ------------------------------------------------------------
+
+  test("B126: rank-clipping tightens every dimension's scale and saturates " +
+    "the outlier budget") {
+    val full = qstats.map(r => r._1 -> r._2).toMap
+    val clipped = Quantize.clippedDimStats(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(clipped.length === full.size)
+    for ((dim, thr, _, nSat) <- clipped) {
+      assert(thr <= full(dim),
+        s"dim $dim: rank-$thr clip threshold above the max-abs scale")
+      // the k-1 magnitudes strictly above the threshold all clamp to ±127,
+      // and the threshold element itself quantizes to ±127
+      assert(nSat >= 1L)
+    }
+    // clipping must bite somewhere on real data: at least one dim strictly
+    // tightened (embeddings are not all k-way ties at the max)
+    assert(clipped.exists { case (dim, thr, _, _) => thr < full(dim) })
+  }
+
+  // ---- B124 ------------------------------------------------------------
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private lazy val manifest = CorpusBudget.budgetManifest(docs).collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("B124: two-phase scan equals the naive per-source window") {
+    // definition-level oracle: the naive single-window Spark spelling
+    docs.createOrReplaceTempView("cb_docs")
+    val pri = graft.llm.Winnowing
+      .polyFoldSpark("concat('cap:', CAST(doc_id AS STRING))")
+    val naive = spark.sql(
+      s"""SELECT doc_id, source, n_tok, start FROM (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+         |  FROM (SELECT doc_id, source,
+         |               CAST(size(split(text, ' ')) AS BIGINT) AS n_tok,
+         |               $pri AS pri
+         |        FROM cb_docs))
+         |WHERE start < ${CorpusBudget.Budget} ORDER BY doc_id""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.toSeq === naive.toSeq)
+  }
+
+  test("B124: per-source budget semantics — full sources kept whole, " +
+    "capped sources stop exactly at the budget boundary") {
+    val B = CorpusBudget.Budget
+    val totals = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bySrc = manifest.groupBy(_._2)
+    assert(bySrc.keySet === totals.keySet, "no source may vanish under the cap")
+    for ((src, rows) <- bySrc) {
+      val (t, nDocs) = totals(src)
+      for ((_, _, _, start) <- rows) assert(start < B)
+      if (t < B) assert(rows.length.toLong === nDocs, s"$src under budget must keep all")
+      else {
+        // budget reached: the kept prefix covers at least B tokens
+        val covered = rows.map(r => r._4 + r._3).max
+        assert(covered >= B, s"$src kept prefix ends at $covered < $B")
+      }
+    }
+  }
+
+  test("B124 plan: no SinglePartition exchange — the prefix scan is the " +
+    "two-phase distributed form") {
+    val plan = CorpusBudget.budgetManifest(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
+  // ---- B125 ------------------------------------------------------------
+
+  test("B125: coverage is positive, nondecreasing, and ≤ 10000 bp; ranks " +
+    "are dense from 1") {
+    val rows = CorpusBudget.vocabCoverage(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    val freqs = rows.map(_._3)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      "spectrum must be frequency-sorted")
+    val cums = rows.map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.head >= 1L && cums.last <= 10000L)
+  }
+}
