@@ -170,5 +170,72 @@ object Quantize {
     clippedDimStats(Tables.embeddings(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b123, b126)
+  /** Floor for quantized-ANN recall@10 in basis points: measured
+    * 9450/9050/9650 at sf0.001/0.01/0.1 (deterministic — no randomness
+    * anywhere in the path), floored at 8500 so a corpus regeneration
+    * can't flake the gate while a real quantization regression (codes,
+    * clipping, scale handling) still turns the driver row red. Same
+    * convention as the LSH-rule gate's MinRecallBp. */
+  val MinAnnRecallBp = 8500L
+
+  /** B127 — the end-to-end answer to "is int8 enough for serving": exact
+    * cosine top-10 for the b44 probe set, ranked once on float vectors
+    * (ground truth) and once on B126 rank-clipped int8 RECONSTRUCTIONS
+    * (x̂ = clamp-quantized code · thr/127, materialized per row by one
+    * zip_with against the broadcast-literal per-dim threshold vector).
+    * Reports recall@10 in integer basis points and FAILS the driver row
+    * below the floor — a quantization-quality regression turns red, the
+    * b44_lsh_rule_recall convention. Approximate by design → rows-only.
+    *
+    * Scale posture: thresholds are O(dim) driver scalars (the sanctioned
+    * collect); dequantization is map-side; each ranking is the b44
+    * broadcast-probe plan. The quadratic exact pass is the measurement
+    * harness at gate SFs — production audits recall on a sampled slice. */
+  private val b127 = entryNoOracle("b127_quantized_ann_recall") { (s, d) =>
+    graft.functions.DotProductExpression.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val thr = clippedDimStats(emb).select(col("dim"), col("scale_f"))
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val thrArr = array(thr.map(lit(_)): _*)
+    val deq = emb.withColumn("sc", thrArr)
+      .select(col("vec_id"), expr(
+        "zip_with(embedding, sc, (x, t) -> CASE WHEN t = 0D THEN 0D " +
+          "ELSE CAST(CAST(floor(greatest(-127.0, least(127.0, " +
+          "CAST(x AS DOUBLE) * 127.0 / t)) + 0.5) AS INT) AS DOUBLE) " +
+          "* t / 127.0 END)").as("embedding"))
+    def top10(df: DataFrame): Set[(Long, Long)] = {
+      val v = df.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(expr("dot_f64(v, v)")))
+      val probes = v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm"))
+      val corpus = v.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cnorm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          expr("dot_f64(pv, cv)") / (col("pnorm") * col("cnorm")))
+        .select(col("probe_id"), col("neighbor_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 10)
+        .select(col("probe_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = top10(emb)
+    val approx = top10(deq)
+    require(exact.nonEmpty, "no probes in corpus")
+    val hits = (exact intersect approx).size.toLong
+    val recallBp = hits * 10000L / exact.size
+    require(recallBp >= MinAnnRecallBp,
+      s"quantized ANN recall $recallBp bp < floor $MinAnnRecallBp bp " +
+        s"($hits of ${exact.size} exact top-10 slots recovered)")
+    import s.implicits._
+    Seq((exact.size.toLong / 10L, 10, hits, recallBp))
+      .toDF("n_probes", "k", "n_hits", "recall_bp")
+  }
+
+  val entries: Seq[Entry] = Seq(b123, b126, b127)
 }
