@@ -108,6 +108,33 @@ object CorpusBudget {
     (s, d) => budgetManifest(Tables.documents(s, d))
   }
 
+  /** Budget shards for streaming admission (B128): a per-source admission
+    * counter is inherently sequential, so the budget splits across hash
+    * shards — sources × shards independent keys, 8 bytes of state each. */
+  val ShardCount = 8
+
+  /** Per-shard budget slice. */
+  val ShardBudget: Long = Budget / ShardCount
+
+  /** B128's oracle — the batch window spelling of sharded arrival-order
+    * admission: per-(source, shard) running token sum in doc_id order,
+    * admit while the prefix start is below the slice budget. */
+  def admissionOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${Winnowing.polyFoldDuck("'adm:' || CAST(doc_id AS VARCHAR)")} % $ShardCount AS shard
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source, shard
+       |                               ORDER BY doc_id
+       |                               ROWS UNBOUNDED PRECEDING) - n_tok
+       |              AS BIGINT) AS start
+       |  FROM toks)
+       |SELECT doc_id, source, n_tok, start
+       |FROM offs WHERE start < $ShardBudget ORDER BY doc_id""".stripMargin
+
   /** Spectrum size: vocab rows reported (rank 1..k by frequency). */
   val TopK = 200
 

@@ -472,6 +472,56 @@ object StreamReplay {
       .orderBy("cohort_week", "week")
   }
 
+  private lazy val chunkDir128: String =
+    java.nio.file.Files.createTempDirectory("graft_b128_chunks").toString
+
+  /** B128 — STREAMING BUDGET ADMISSION: the arrival-order dual of B124's
+    * priority-order token cap. Documents replay in doc_id order (6
+    * micro-batches); each (source, shard) key admits greedily via
+    * [[AdmissionProcessor]] until its budget slice is spent — ONE long of
+    * state per key. The oracle is the batch window spelling
+    * ([[graft.llm.CorpusBudget.admissionOracleSql]]): hash-green proves
+    * the 8-byte streaming fold ≡ the per-(source, shard) running-sum
+    * prefix, the B120/B121 twin convention.
+    *
+    * Scale: sharding IS the design — per-source admission is inherently
+    * sequential, so the budget splits into [[graft.llm.CorpusBudget.ShardCount]]
+    * independent slices and the per-batch shuffle is the groupByKey only. */
+  private val b128 = entry(
+    "b128_stream_budget_admission",
+    graft.llm.CorpusBudget.admissionOracleSql) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val pri = graft.llm.Winnowing
+      .polyFoldSpark("concat('adm:', CAST(doc_id AS STRING))")
+    val docs = graft.sources.Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      expr(s"$pri % ${graft.llm.CorpusBudget.ShardCount}").as("shard"))
+    StreamingOps.writeChunksDf(docs, chunkDir128, n = 6,
+      sortCols = Seq("doc_id"))
+    s.catalog.dropTempView("b128_replay") // idempotent re-runs
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val admitted = try {
+      StreamingOps.runToMemory(
+        StreamingOps.readStream(s, chunkDir128, docs.schema)
+          .as[(Long, String, Long, Long)]
+          .groupByKey(r => (r._2, r._4))
+          .transformWithState(
+            new AdmissionProcessor(graft.llm.CorpusBudget.ShardBudget),
+            TimeMode.None(), OutputMode.Append())
+          .toDF("doc_id", "source", "n_tok", "start"),
+        "b128_replay", "append")
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    admitted.orderBy("doc_id")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121)
+    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128)
 }

@@ -129,6 +129,36 @@ class CorpusBudgetSpec extends AnyFunSuite {
       plan.linesIterator.take(40).mkString("\n"))
   }
 
+  // ---- B128 ------------------------------------------------------------
+
+  test("B128: streaming admission equals a sequential JVM fold of the " +
+    "sharded arrival-order rule") {
+    val got = SparkEntry.queries("b128_stream_budget_admission")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // definition-level oracle: walk docs in doc_id order, one counter per
+    // (source, shard), admit while under the slice budget
+    val pri = graft.llm.Winnowing
+      .polyFoldSpark("concat('adm:', CAST(doc_id AS STRING))")
+    val rows = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(s"$pri % ${graft.llm.CorpusBudget.ShardCount}").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val want = rows.flatMap { case (id, src, n, sh) =>
+      val a = acc.getOrElse((src, sh), 0L)
+      if (a < graft.llm.CorpusBudget.ShardBudget) {
+        acc((src, sh)) = a + n; Some((id, src, n, a))
+      } else None
+    }
+    assert(got.toSeq === want.toSeq)
+    // binding-ness is scale-dependent: at sf0.001 the corpus fits inside
+    // sources × shards × slice, so everything admits — the sf0.01 t2 gate
+    // (500 of 5000 docs kept) is where the cap itself is pinned
+    assert(want.nonEmpty)
+  }
+
   // ---- B125 ------------------------------------------------------------
 
   test("B125: coverage is positive, nondecreasing, and ≤ 10000 bp; ranks " +
