@@ -46,6 +46,7 @@ object SparkEntry {
       llm.BpeTokenize.entries ++
       llm.Quantize.entries ++
       llm.CorpusBudget.entries ++
+      llm.NgramLm.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

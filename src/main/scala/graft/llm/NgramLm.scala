@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** B129 — KNESER-NEY BIGRAM LM TRAINING (Kneser & Ney '95, the smoothing
+  * KenLM implements and CCNet-style pipelines train their filtering
+  * models with): the per-bigram statistics table a backoff LM needs —
+  * raw count, left-context total, follower fanout N1+(w1,·),
+  * continuation count N1+(·,w2) — plus the interpolated-KN probability
+  *
+  *   P(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/B
+  *
+  * with discount D = ¾ carried EXACTLY in integer micro-units
+  * (scale 10⁶): with D = 3/4 every term clears denominators —
+  * max(4c−3,0)·10⁶ div 4c(w1)  +  3·N1+(w1,·)·pcont div 4c(w1), where
+  * pcont = N1+(·,w2)·10⁶ div B — so both engines walk identical BIGINT
+  * arithmetic and the driver hash pins every probability. Documented
+  * bound: exact up to c(w1,w2) ≲ 2.3·10¹² (4c·10⁶ at BIGINT range);
+  * beyond that, rescale the fixed point (the b98 rule).
+  *
+  * Scale posture (100 TB): the token explode collapses map-side into the
+  * (w1, w2) count agg — every downstream relation is O(bigram TYPES)
+  * (Zipf-bounded), never O(tokens). The three model aggregates re-key the
+  * TYPE table by w1 / by w2 (map-combinable, vocab-sized), and the two
+  * enrichment joins are keyed on exactly those columns, so each is one
+  * vocab-sized shuffle; B (distinct bigram types) is a one-row broadcast.
+  * The top-500 presentation is TakeOrdered, not a global sort. */
+object NgramLm {
+
+  /** Fixed-point probability scale (micro-units). */
+  private val P = 1000000L
+
+  /** Rows reported (top by count — the model head; the full table is the
+    * write-out artifact in production). */
+  private val Top = 500
+
+  /** The KN statistics table: (w1, w2, c, cw1, n1w1, cont2, kn_fp). */
+  def knBigrams(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("p"))
+      .select(col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = bg.groupBy("w1").agg(
+      sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("cont2"))
+    val btypes = bg.agg(count(lit(1)).as("b"))
+    bg.join(left, "w1").join(cont, "w2").crossJoin(broadcast(btypes))
+      .withColumn("kn_fp", expr(
+        s"greatest(4 * c - 3, 0) * $P div (4 * cw1) + " +
+          s"3 * n1w1 * (cont2 * $P div b) div (4 * cw1)"))
+      .select(col("w1"), col("w2"), col("c"), col("cw1"), col("n1w1"),
+        col("cont2"), col("kn_fp"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(Top)
+  }
+
+  private val b129 = entry(
+    "b129_kneser_ney_bigram",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg0 AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+       |bg AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM bg0 WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+       |lft AS (
+       |  SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+       |         CAST(count(*) AS BIGINT) AS n1w1
+       |  FROM bg GROUP BY w1),
+       |cont AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS cont2 FROM bg GROUP BY w2),
+       |btypes AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg)
+       |SELECT w1, w2, c, cw1, n1w1, cont2,
+       |       CAST(greatest(4 * c - 3, 0) * $P // (4 * cw1) +
+       |            3 * n1w1 * (cont2 * $P // b) // (4 * cw1)
+       |            AS BIGINT) AS kn_fp
+       |FROM bg JOIN lft USING (w1) JOIN cont USING (w2), btypes
+       |ORDER BY c DESC, w1, w2 LIMIT $Top""".stripMargin) { (s, d) =>
+    knBigrams(Tables.documents(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b129)
+}
