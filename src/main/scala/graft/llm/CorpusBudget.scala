@@ -60,7 +60,11 @@ object CorpusBudget {
   def budgetManifest(docs: DataFrame, budget: Long = Budget): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pri = Winnowing.polyFoldSpark("concat('cap:', CAST(doc_id AS STRING))")
+    // native codegen fold (bit-identical to the HOF/DuckDB spellings,
+    // PolyFoldSpec) — the b100 lesson: per-char interpreted lambdas are
+    // the only corpus-proportional cost here besides the scan itself
+    graft.functions.PolyFoldExpression.register(spark)
+    val pri = "poly_fold(concat('cap:', CAST(doc_id AS STRING)))"
     val toks = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         expr(pri).as("pri"))

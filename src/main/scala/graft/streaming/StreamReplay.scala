@@ -492,8 +492,8 @@ object StreamReplay {
     graft.llm.CorpusBudget.admissionOracleSql) { (s, d) =>
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val pri = graft.llm.Winnowing
-      .polyFoldSpark("concat('adm:', CAST(doc_id AS STRING))")
+    graft.functions.PolyFoldExpression.register(s)
+    val pri = "poly_fold(concat('adm:', CAST(doc_id AS STRING)))"
     val docs = graft.sources.Tables.documents(s, d).select(
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
