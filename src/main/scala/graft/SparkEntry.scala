@@ -48,6 +48,7 @@ object SparkEntry {
       llm.Quantize.entries ++
       llm.CorpusBudget.entries ++
       llm.NgramLm.entries ++
+      llm.ModelReady.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -38,22 +38,33 @@ import graft.sources.Tables
   * The output ORDER BY is gate presentation only. */
 object BpeTokenize {
 
-  /** The marker-delimited replace-chain oracle, generated from the SAME
-    * frozen resource the expression loads — one source of truth. */
-  private[llm] def bpeOracleSql: String = {
-    // DuckDB's binder caps expression-tree depth at 128, so the ~180
-    // replaces split into two subquery stages (charify+merges ≈ 91 deep,
-    // idify ≈ 92 deep) — depth resets per SELECT item
-    var e1 = "text"
-    for (c <- 'a' to 'z')
-      e1 = s"replace($e1, '$c', '⟨$c⟩')"
+  /** Stage 1 of the replace-chain oracle: charify + rank-ordered merges
+    * over `c` (≈ 91 expressions deep — under DuckDB's 128 binder cap). */
+  private[llm] def charifyMergesExpr(c: String): String = {
+    var e1 = c
+    for (ch <- 'a' to 'z')
+      e1 = s"replace($e1, '$ch', '⟨$ch⟩')"
     e1 = s"replace($e1, ' ', '⟨·⟩')"
     for ((l, r) <- BpeEncodeExpression.merges)
       e1 = s"replace($e1, '⟨$l⟩⟨$r⟩', '⟨$l$r⟩')"
-    var e2 = "w"
+    e1
+  }
+
+  /** Stage 2: idify over the stage-1 column `c` (≈ 92 deep). */
+  private[llm] def idifyExpr(c: String): String = {
+    var e2 = c
     for ((tok, id) <- BpeEncodeExpression.tokenIds.toSeq.sortBy(_._2))
       e2 = s"replace($e2, '⟨$tok⟩', '$id ')"
-    e2 = s"rtrim(replace($e2, '⟨·⟩', ''))"
+    s"rtrim(replace($e2, '⟨·⟩', ''))"
+  }
+
+  /** The marker-delimited replace-chain oracle, generated from the SAME
+    * frozen resource the expression loads — one source of truth. The two
+    * subquery stages keep each SELECT item under the binder's 128-deep
+    * expression cap (depth resets per SELECT item). */
+  private[llm] def bpeOracleSql: String = {
+    val e1 = charifyMergesExpr("text")
+    val e2 = idifyExpr("w")
     s"""SELECT doc_id, ids,
        |  CAST(CASE WHEN ids = '' THEN 0
        |       ELSE len(string_split(ids, ' ')) END AS BIGINT) AS n_tokens

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.functions.BpeEncodeExpression
+import graft.sources.Tables
+
+/** B131 — MODEL-READY CAPSTONE: the last mile of a training-data
+  * pipeline, composing the round-11 stages end to end —
+  *
+  *   B124 token-budget cap (which documents are in the mixture)
+  *     → B122 BPE tokenization (what the model actually consumes)
+  *       → B97 sequence packing over the BPE id counts
+  *         (how the loader slices them into fixed 512-token sequences)
+  *
+  * — so the output is the manifest a training loader reads: one row per
+  * (sequence, document) slice of SUBWORD ids, for exactly the docs the
+  * budget admitted. Selection runs on whitespace counts (B124's
+  * semantics: mixture budgets are specified pre-tokenizer); packing runs
+  * on the BPE id counts (the loader's truth). Docs whose BPE encoding is
+  * empty (no ids) carry no training signal and drop before packing —
+  * stated convention, mirrored in the oracle.
+  *
+  * The oracle is the literal composition of the three stages' oracle
+  * texts — B124's per-source window, B122's two-stage replace chain
+  * (generated from the same frozen resource), B97's naive global-window
+  * packing — so the driver hash pins the ENTIRE path, not the stages in
+  * isolation: a drift anywhere (budget tie-break, merge table, span
+  * arithmetic) breaks the compose.
+  *
+  * Scale posture is inherited: B124's pruned two-phase scan, B122's
+  * map-side codegen tokenization, B97's SinglePartition-free prefix —
+  * nothing new moves. */
+object ModelReady {
+
+  private val b131 = entry(
+    "b131_model_ready_pipeline",
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${Winnowing.polyFoldDuck("'cap:' || CAST(doc_id AS VARCHAR)")} AS pri
+       |  FROM documents),
+       |offs0 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source
+       |                               ORDER BY pri, doc_id
+       |                               ROWS UNBOUNDED PRECEDING) - n_tok
+       |              AS BIGINT) AS start
+       |  FROM toks0),
+       |kept AS (SELECT doc_id FROM offs0 WHERE start < ${CorpusBudget.Budget}),
+       |st1 AS (
+       |  SELECT d.doc_id, ${BpeTokenize.charifyMergesExpr("d.text")} AS w
+       |  FROM documents d JOIN kept USING (doc_id)),
+       |ids AS (SELECT doc_id, ${BpeTokenize.idifyExpr("w")} AS ids FROM st1),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(string_split(ids, ' ')) AS BIGINT) AS n_tok
+       |  FROM ids WHERE ids <> ''),
+       |offs AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |                               ROWS UNBOUNDED PRECEDING) - n_tok
+       |              AS BIGINT) AS start
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, n_tok, start,
+       |         start // ${SequencePack.SeqLen} AS first_seq,
+       |         (start + n_tok - 1) // ${SequencePack.SeqLen} AS last_seq
+       |  FROM offs),
+       |manifest AS (
+       |  SELECT unnest(generate_series(first_seq, last_seq)) AS seq_id,
+       |         doc_id, n_tok, start
+       |  FROM spans)
+       |SELECT seq_id, doc_id,
+       |       greatest(start, seq_id * ${SequencePack.SeqLen}) - start AS doc_off,
+       |       least(start + n_tok, (seq_id + 1) * ${SequencePack.SeqLen})
+       |         - greatest(start, seq_id * ${SequencePack.SeqLen}) AS n_toks
+       |FROM manifest
+       |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
+    BpeEncodeExpression.register(s)
+    val docs = Tables.documents(s, d)
+    val kept = CorpusBudget.budgetManifest(docs).select("doc_id")
+    val toks = docs.join(kept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr("bpe_encode(text)").as("ids"))
+      .filter(col("ids") =!= "")
+      .select(col("doc_id"),
+        size(split(col("ids"), " ")).cast("long").as("n_tok"))
+    SequencePack.packSpans(toks)
+  }
+
+  val entries: Seq[Entry] = Seq(b131)
+}

@@ -57,11 +57,20 @@ object SequencePack {
     * to the whole doc; every sequence except the last holds exactly
     * `seqLen` tokens (both invariants spec-pinned). */
   def packManifest(docs: DataFrame, seqLen: Int = SeqLen,
+      bucketWidth: Long = BucketWidth): DataFrame =
+    packSpans(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      seqLen, bucketWidth)
+
+  /** The two-phase scan over an arbitrary (doc_id, n_tok) token-count
+    * relation — B97 feeds whitespace counts, B131 feeds BPE id counts;
+    * the packing algebra is count-source-agnostic. */
+  def packSpans(tokCounts: DataFrame, seqLen: Int = SeqLen,
       bucketWidth: Long = BucketWidth): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = tokCounts.sparkSession
     import spark.implicits._
-    val toks = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val toks = tokCounts
       .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
     // phase 1: per-bucket totals → driver prefix fold (O(buckets) scalars)
     val bucketSums = toks.groupBy("bucket").agg(sum("n_tok").as("btok"))
