@@ -49,8 +49,11 @@ import graft.sources.Tables
   * (HUGEINT-guarded), never a double division. */
 object CorpusBudget {
 
-  /** Per-source token budget. */
-  val Budget = 20000L
+  /** Per-source token budget — sized to BIND at every gate SF (the
+    * smallest per-source token mass across sf0.001/0.01/0.1 is ~1.1k, so
+    * 800 caps every source and the filter, the bucket prune, and the
+    * overshoot convention are all exercised by the hash, not vacuous). */
+  val Budget = 800L
 
   /** Priority-range per scan bucket: 40-bit polyhash div 2³² → 256. */
   private val BucketShift = 1L << 32

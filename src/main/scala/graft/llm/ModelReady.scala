@@ -88,5 +88,44 @@ object ModelReady {
     SequencePack.packSpans(toks)
   }
 
-  val entries: Seq[Entry] = Seq(b131)
+  /** Output shards for the training shuffle. */
+  val Shards = 64L
+
+  /** B132 — DETERMINISTIC TRAINING SHUFFLE: loaders must read the corpus
+    * in pseudo-random but REPRODUCIBLE order (epoch-0 shuffling is done
+    * once at corpus scale, not in the loader), sharded into balanced
+    * output files. shard = polyhash("shuf:"‖doc_id) mod S; within-shard
+    * position = rank of polyhash("ord:"‖doc_id) — two independent salts
+    * of the B56/B59 pure-function-of-the-key rule, so the permutation is
+    * rerun-, engine- and partitioning-stable, and adding documents
+    * perturbs only their own shard's suffix ranks, not other shards.
+    *
+    * Scale posture: ONE shuffle keyed by shard (balanced by hashing —
+    * expected shard skew is O(√(N/S))), within-shard ordering is a
+    * partitioned window (parallelism = S), never a global sort. */
+  private val b132 = entry(
+    "b132_training_shuffle",
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         ${Winnowing.polyFoldDuck("'shuf:' || CAST(doc_id AS VARCHAR)")} % $Shards AS shard,
+       |         ${Winnowing.polyFoldDuck("'ord:' || CAST(doc_id AS VARCHAR)")} AS k
+       |  FROM documents)
+       |SELECT shard,
+       |       CAST(row_number() OVER (PARTITION BY shard
+       |                               ORDER BY k, doc_id) AS BIGINT) AS pos,
+       |       doc_id
+       |FROM keyed ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    graft.functions.PolyFoldExpression.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"),
+        expr(s"poly_fold(concat('shuf:', CAST(doc_id AS STRING))) % $Shards")
+          .as("shard"),
+        expr("poly_fold(concat('ord:', CAST(doc_id AS STRING)))").as("k"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  val entries: Seq[Entry] = Seq(b131, b132)
 }

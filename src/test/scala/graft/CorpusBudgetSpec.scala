@@ -153,10 +153,8 @@ class CorpusBudgetSpec extends AnyFunSuite {
       } else None
     }
     assert(got.toSeq === want.toSeq)
-    // binding-ness is scale-dependent: at sf0.001 the corpus fits inside
-    // sources × shards × slice, so everything admits — the sf0.01 t2 gate
-    // (500 of 5000 docs kept) is where the cap itself is pinned
-    assert(want.nonEmpty)
+    assert(want.nonEmpty && want.length < rows.length,
+      "the sharded budget must bind on the test corpus")
   }
 
   // ---- B125 ------------------------------------------------------------
