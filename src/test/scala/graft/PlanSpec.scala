@@ -133,4 +133,27 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.linesIterator.exists(l =>
       l.contains("*(") && l.contains("bpe_encode")), executed.take(2000))
   }
+
+  test("b129: KN model aggregates are two-phase; B is broadcast, not joined") {
+    // the 100 TB claim: after the first partial_count the plan never
+    // handles O(tokens) rows again, and the 1-row btypes side broadcasts
+    val plan = SparkEntry.queries("b129_kneser_ney_bigram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("b132: the shuffle permutation is one hash exchange + partitioned " +
+    "window — no global sort before the presentation ORDER BY") {
+    val plan = SparkEntry.queries("b132_training_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // hashpartitioning on shard for the window, rangepartitioning only for
+    // the final ORDER BY
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges in the shuffle plan:\n$plan")
+  }
 }
