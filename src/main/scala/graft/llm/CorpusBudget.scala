@@ -147,11 +147,17 @@ object CorpusBudget {
 
   /** Zipf spectrum: (rnk, term, f, cum_bp) — cum share of total corpus
     * tokens covered by vocab ranks 1..rnk, integer basis points. */
-  def vocabCoverage(docs: DataFrame, k: Int = TopK): DataFrame = {
-    val freq = docs
-      .select(explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("term").agg(count(lit(1)).as("f"))
+  def vocabCoverage(docs: DataFrame, k: Int = TopK): DataFrame =
+    coverageFromFreq(
+      docs.select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f")),
+      k)
+
+  /** The spectrum tail over an arbitrary (term, f) frequency relation —
+    * B125 feeds the batch aggregate, B133 the streamed complete-mode
+    * fold; the presentation algebra is count-source-agnostic. */
+  def coverageFromFreq(freq: DataFrame, k: Int = TopK): DataFrame = {
     val tot = freq.agg(sum(col("f")).as("t"))
     val top = freq.orderBy(col("f").desc, col("term")).limit(k)
     val w = Window.orderBy(col("f").desc, col("term"))
@@ -164,8 +170,8 @@ object CorpusBudget {
       .orderBy("rnk")
   }
 
-  private val b125 = entry(
-    "b125_vocab_coverage",
+  /** B125's oracle — shared verbatim by B133's streamed twin. */
+  def vocabCoverageOracleSql: String =
     s"""WITH terms AS (
        |  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
        |freq AS (
@@ -179,8 +185,10 @@ object CorpusBudget {
        |       CAST(sum(f) OVER (ORDER BY f DESC, term
        |                         ROWS UNBOUNDED PRECEDING)
        |            * 10000 // (SELECT t FROM tot) AS BIGINT) AS cum_bp
-       |FROM top ORDER BY rnk""".stripMargin) { (s, d) =>
-    vocabCoverage(Tables.documents(s, d))
+       |FROM top ORDER BY rnk""".stripMargin
+
+  private val b125 = entry("b125_vocab_coverage", vocabCoverageOracleSql) {
+    (s, d) => vocabCoverage(Tables.documents(s, d))
   }
 
   val entries: Seq[Entry] = Seq(b124, b125)

@@ -522,6 +522,38 @@ object StreamReplay {
     admitted.orderBy("doc_id")
   }
 
+  private lazy val chunkDir133: String =
+    java.nio.file.Files.createTempDirectory("graft_b133_chunks").toString
+
+  /** B133 — STREAMING VOCABULARY COVERAGE: B125's Zipf spectrum from a
+    * complete-mode streamed term-count fold (the b54/b104 replay
+    * convention — chunked arrival, AvailableNow, the final complete-mode
+    * table IS the full aggregate), presented through the SHARED
+    * [[graft.llm.CorpusBudget.coverageFromFreq]] tail. Oracle is B125's
+    * SQL verbatim: hash-green proves the micro-batched count fold ≡ the
+    * batch aggregate — the continuously-maintained vocab-size dashboard
+    * over an ingesting corpus.
+    *
+    * Scale: streaming state is one long per distinct term (Zipf-bounded
+    * vocab, the same cardinality B125's shuffle carries); each batch
+    * folds map-side before touching state. */
+  private val b133 = entry(
+    "b133_stream_vocab_coverage",
+    graft.llm.CorpusBudget.vocabCoverageOracleSql) { (s, d) =>
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    StreamingOps.writeChunksDf(docs, chunkDir133, n = 6,
+      sortCols = Seq("doc_id"))
+    s.catalog.dropTempView("b133_replay") // idempotent re-runs
+    val freq = StreamingOps.runToMemory(
+      StreamingOps.readStream(s, chunkDir133, docs.schema)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f")),
+      "b133_replay", "complete")
+    graft.llm.CorpusBudget.coverageFromFreq(freq)
+  }
+
   val entries: Seq[Entry] =
-    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128)
+    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128, b133)
 }
