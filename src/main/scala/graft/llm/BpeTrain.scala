@@ -70,14 +70,29 @@ object BpeTrain {
     merges.result()
   }
 
-  /** Distributed word counting → driver-side greedy learning. */
+  /** Hard cap on the word-type table the learner will collect. Natural-
+    * language vocabularies are Zipf-bounded well below this, but a corpus
+    * with unbounded word types (URLs, numerals, binary noise) would turn
+    * the collect into a driver OOM; the cap makes that a loud failure
+    * instead (ADVICE r11). 2²⁰ types ≈ tens of MB on the driver — the
+    * same order as the other sanctioned driver-collect sites. */
+  val MaxWordTypes = 1 << 20
+
+  /** Distributed word counting → driver-side greedy learning. The
+    * `limit(MaxWordTypes + 1)` bounds the collect ITSELF (not just a
+    * pre-count): at most cap+1 rows ever reach the driver, and the +1
+    * sentinel row distinguishes "exactly at cap" from "over cap". */
   def trainFromCorpus(docs: DataFrame, n: Int = NumMerges): Seq[(String, String)] = {
-    val wc = docs
+    val counted = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    learnMerges(wc, n)
+    val rows = counted.limit(MaxWordTypes + 1).collect()
+    require(rows.length <= MaxWordTypes,
+      s"corpus has more than $MaxWordTypes distinct word types — refusing " +
+        "the driver-side collect; pre-filter or normalize the corpus " +
+        "(BPE training only needs the Zipf head, not unbounded noise types)")
+    learnMerges(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, n)
   }
 
   private val b130 = entryNoOracle("b130_bpe_train") { (s, d) =>

@@ -58,20 +58,38 @@ object CorpusBudget {
   /** Priority-range per scan bucket: 40-bit polyhash div 2³² → 256. */
   private val BucketShift = 1L << 32
 
+  /** The skinny (doc_id, source, n_tok, pri, bucket) projection both the
+    * manifest and the bindingness assert scan — native codegen fold
+    * (bit-identical to the HOF/DuckDB spellings, PolyFoldSpec); the b100
+    * lesson: per-char interpreted lambdas are the only corpus-
+    * proportional cost here besides the scan itself. */
+  private def tokenPriorities(docs: DataFrame): DataFrame = {
+    graft.functions.PolyFoldExpression.register(docs.sparkSession)
+    val pri = "poly_fold(concat('cap:', CAST(doc_id AS STRING)))"
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(pri).as("pri"))
+      .withColumn("bucket", expr(s"pri div ${BucketShift}L"))
+  }
+
+  /** Number of sources that DROP at least one document under `budget`.
+    * A doc is dropped iff its prefix start ≥ budget; starts are monotone
+    * in priority order, so the max start belongs to the last-priority doc
+    * and equals (source total − that doc's n_tok). One map-combinable
+    * aggregate over the skinny projection, O(sources) rows out. */
+  def droppedSourceCount(docs: DataFrame, budget: Long = Budget): Long =
+    tokenPriorities(docs).groupBy("source")
+      .agg(sum("n_tok").as("tot"),
+        max_by(col("n_tok"), struct(col("pri"), col("doc_id"))).as("last_tok"))
+      .filter(col("tot") - col("last_tok") >= budget)
+      .count()
+
   /** Kept-prefix manifest: (doc_id, source, n_tok, start) for every doc
     * whose priority-order prefix start < budget, doc_id order. */
   def budgetManifest(docs: DataFrame, budget: Long = Budget): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // native codegen fold (bit-identical to the HOF/DuckDB spellings,
-    // PolyFoldSpec) — the b100 lesson: per-char interpreted lambdas are
-    // the only corpus-proportional cost here besides the scan itself
-    graft.functions.PolyFoldExpression.register(spark)
-    val pri = "poly_fold(concat('cap:', CAST(doc_id AS STRING)))"
-    val toks = docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        expr(pri).as("pri"))
-      .withColumn("bucket", expr(s"pri div ${BucketShift}L"))
+    val toks = tokenPriorities(docs)
     // phase 1: O(sources·buckets) scalars → driver prefix fold per source
     val folds = toks.groupBy("source", "bucket").agg(sum("n_tok").as("btok"))
       .orderBy("source", "bucket").collect()
@@ -111,8 +129,18 @@ object CorpusBudget {
        |  FROM toks)
        |SELECT doc_id, source, n_tok, start
        |FROM offs WHERE start < $Budget ORDER BY doc_id""".stripMargin,
-    bench = true) {
-    (s, d) => budgetManifest(Tables.documents(s, d))
+    bench = true) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // bindingness lives IN the entry, not only in the sf0.001 spec: the
+    // budget is justified by a measured data-dependent property, so a
+    // corpus regeneration that makes the cap non-binding at some SF must
+    // turn this row red, not silently weaken the gate (ADVICE r11 —
+    // the b130 in-entry-provenance convention)
+    require(droppedSourceCount(docs) > 0,
+      s"budget $Budget is non-binding at $d: no source drops any " +
+        "document — the cap, the bucket prune, and the overshoot " +
+        "convention would all be vacuous at this SF")
+    budgetManifest(docs)
   }
 
   /** Budget shards for streaming admission (B128): a per-source admission

@@ -137,7 +137,11 @@ object Quantize {
 
   /** B126 — the oracle spells the threshold as the rank-k row of a
     * per-dim magnitude window; the k-th VALUE is tiebreak-invariant (same
-    * multiset), so both engines agree even where ids order differently. */
+    * multiset), so both engines agree even where ids order differently.
+    * Dims with fewer than ClipK values take the LAST available rank
+    * (`least(ClipK, n)`), mirroring the native `element_at(top,
+    * least(k, size(top)))` fallback — without it such dims would vanish
+    * from the oracle only (ADVICE r11). */
   private val b126 = entry(
     "b126_quantize_rank_clipped",
     s"""WITH flat0 AS (
@@ -148,9 +152,11 @@ object Quantize {
        |ranked AS (
        |  SELECT dim, abs(v) AS av,
        |         row_number() OVER (PARTITION BY dim
-       |                            ORDER BY abs(v) DESC, vec_id) AS rnk
+       |                            ORDER BY abs(v) DESC, vec_id) AS rnk,
+       |         count(*) OVER (PARTITION BY dim) AS nv
        |  FROM flat),
-       |thr AS (SELECT dim, av AS thr FROM ranked WHERE rnk = $ClipK),
+       |thr AS (SELECT dim, av AS thr FROM ranked
+       |        WHERE rnk = least($ClipK, nv)),
        |q AS (
        |  SELECT f.dim, f.v, t.thr,
        |         CASE WHEN t.thr = 0.0 THEN 0
@@ -227,13 +233,22 @@ object Quantize {
     val exact = top10(emb)
     val approx = top10(deq)
     require(exact.nonEmpty, "no probes in corpus")
+    // n_probes is MEASURED (distinct probe ids in the exact result), not
+    // assumed from |exact|/10, and must match the probe population the
+    // corpus declares — a re-keyed or shrunken corpus fails loudly here
+    // instead of silently truncating the recall denominator (ADVICE r11)
+    val nProbes = exact.map(_._1).size.toLong
+    val expectedProbes = emb.filter(col("vec_id") < 20).count()
+    require(nProbes == expectedProbes,
+      s"probe population mismatch: $nProbes probes produced exact top-10 " +
+        s"lists but the corpus holds $expectedProbes vec_ids < 20")
     val hits = (exact intersect approx).size.toLong
     val recallBp = hits * 10000L / exact.size
     require(recallBp >= MinAnnRecallBp,
       s"quantized ANN recall $recallBp bp < floor $MinAnnRecallBp bp " +
         s"($hits of ${exact.size} exact top-10 slots recovered)")
     import s.implicits._
-    Seq((exact.size.toLong / 10L, 10, hits, recallBp))
+    Seq((nProbes, 10, hits, recallBp))
       .toDF("n_probes", "k", "n_hits", "recall_bp")
   }
 

@@ -519,6 +519,14 @@ object StreamReplay {
       case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+    // in-entry bindingness (ADVICE r11, the b124 convention): a corpus
+    // regeneration that makes every shard slice non-binding must turn
+    // this row red — admitted is localCheckpointed, so both counts are
+    // cheap
+    require(admitted.count() < docs.count(),
+      s"shard budget ${graft.llm.CorpusBudget.ShardBudget} is non-binding " +
+        s"at $d: every document was admitted — the streaming admission " +
+        "fold would be vacuous at this SF")
     admitted.orderBy("doc_id")
   }
 
