@@ -49,6 +49,7 @@ object SparkEntry {
       llm.CorpusBudget.entries ++
       llm.NgramLm.entries ++
       llm.ModelReady.entries ++
+      llm.TrainLoad.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -27,26 +27,37 @@ import graft.sources.Tables
   * TYPE table by w1 / by w2 (map-combinable, vocab-sized), and the two
   * enrichment joins are keyed on exactly those columns, so each is one
   * vocab-sized shuffle; B (distinct bigram types) is a one-row broadcast.
-  * The top-500 presentation is TakeOrdered, not a global sort. */
+  * The top-500 presentation is TakeOrdered, not a global sort.
+  *
+  * The FULL table ([[knTable]]) and the oracle CTE chain ([[knCtesSql]])
+  * are exposed for downstream consumers — B137 scores documents under
+  * this LM, B139 is its streamed twin — so the model algebra has exactly
+  * one spelling per engine. */
 object NgramLm {
 
   /** Fixed-point probability scale (micro-units). */
-  private val P = 1000000L
+  private[llm] val P = 1000000L
 
-  /** Rows reported (top by count — the model head; the full table is the
-    * write-out artifact in production). */
+  /** Rows reported by B129 (top by count — the model head; the full
+    * table is the write-out artifact in production). */
   private val Top = 500
 
-  /** The KN statistics table: (w1, w2, c, cw1, n1w1, cont2, kn_fp). */
-  def knBigrams(docs: DataFrame): DataFrame = {
-    val bg = docs
-      .select(split(col("text"), " ").as("t"))
-      .select(explode(arrays_zip(
+  /** Per-doc bigram pairs (doc_id, w1, w2) — the one Spark spelling of
+    * "consecutive word pairs", shared by training and scoring. */
+  private[llm] def bigramPairs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(arrays_zip(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))).as("p"))
-      .select(col("p").getField("0").as("w1"),
+      .select(col("doc_id"), col("p").getField("0").as("w1"),
         col("p").getField("1").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
+
+  /** The FULL KN statistics table, unordered:
+    * (w1, w2, c, cw1, n1w1, cont2, kn_fp). */
+  def knTable(docs: DataFrame): DataFrame = {
+    val bg = bigramPairs(docs)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val left = bg.groupBy("w1").agg(
       sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
@@ -58,33 +69,45 @@ object NgramLm {
           s"3 * n1w1 * (cont2 * $P div b) div (4 * cw1)"))
       .select(col("w1"), col("w2"), col("c"), col("cw1"), col("n1w1"),
         col("cont2"), col("kn_fp"))
-      .orderBy(col("c").desc, col("w1"), col("w2"))
-      .limit(Top)
   }
 
-  private val b129 = entry(
-    "b129_kneser_ney_bigram",
-    s"""WITH toks AS (
+  /** The KN statistics table: B129's top-`Top` presentation. */
+  def knBigrams(docs: DataFrame): DataFrame =
+    knTable(docs).orderBy(col("c").desc, col("w1"), col("w2")).limit(Top)
+
+  /** Shared oracle CTE chain ending in `kn(w1, w2, c, cw1, n1w1, cont2,
+    * kn_fp)` — B129 takes its head, B137/B139 join scoring against it.
+    * `toks(doc_id, t)` and `pairs(doc_id, w1, w2)` are also in scope for
+    * consumers. */
+  private[llm] def knCtesSql: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |bg0 AS (
-       |  SELECT t[i] AS w1, t[i + 1] AS w2
-       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+       |pairs AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+       |  WHERE t[i] <> '' AND t[i + 1] <> ''),
        |bg AS (
        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
-       |  FROM bg0 WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+       |  FROM pairs GROUP BY w1, w2),
        |lft AS (
        |  SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
        |         CAST(count(*) AS BIGINT) AS n1w1
        |  FROM bg GROUP BY w1),
        |cont AS (
        |  SELECT w2, CAST(count(*) AS BIGINT) AS cont2 FROM bg GROUP BY w2),
-       |btypes AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg)
-       |SELECT w1, w2, c, cw1, n1w1, cont2,
-       |       CAST(greatest(4 * c - 3, 0) * $P // (4 * cw1) +
-       |            3 * n1w1 * (cont2 * $P // b) // (4 * cw1)
-       |            AS BIGINT) AS kn_fp
-       |FROM bg JOIN lft USING (w1) JOIN cont USING (w2), btypes
-       |ORDER BY c DESC, w1, w2 LIMIT $Top""".stripMargin) { (s, d) =>
+       |btypes AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+       |kn AS (
+       |  SELECT w1, w2, c, cw1, n1w1, cont2,
+       |         CAST(greatest(4 * c - 3, 0) * $P // (4 * cw1) +
+       |              3 * n1w1 * (cont2 * $P // b) // (4 * cw1)
+       |              AS BIGINT) AS kn_fp
+       |  FROM bg JOIN lft USING (w1) JOIN cont USING (w2), btypes)""".stripMargin
+
+  private val b129 = entry(
+    "b129_kneser_ney_bigram",
+    s"""WITH $knCtesSql
+       |SELECT w1, w2, c, cw1, n1w1, cont2, kn_fp
+       |FROM kn ORDER BY c DESC, w1, w2 LIMIT $Top""".stripMargin) { (s, d) =>
     knBigrams(Tables.documents(s, d))
   }
 
