@@ -50,6 +50,7 @@ object SparkEntry {
       llm.NgramLm.entries ++
       llm.ModelReady.entries ++
       llm.TrainLoad.entries ++
+      llm.IncrementalDedup.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

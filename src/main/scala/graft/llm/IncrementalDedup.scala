@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** B142 — INCREMENTAL DEDUPLICATION against corpus history: classify
+  * each newly-arrived document as `exact` (byte-identical to a history
+  * doc), `near` (3-shingle Jaccard ≥ τ with some history doc), or `new`.
+  * Production corpora are continuously ingested, so dedup is
+  * vs-HISTORY, not within-batch — the incremental complement of B42
+  * (exact, whole-corpus) and B43 (near-dup, whole-corpus).
+  *
+  * Workload: history = docs with doc_id % 4 ≠ 3, batch = the rest, PLUS
+  * planted arrivals (the B92/B42 convention) that make every branch
+  * non-vacuous at every SF: history docs with doc_id % 28 = 0 re-arrive
+  * verbatim (ids + 2·10⁶ → `exact`), and docs with doc_id % 28 = 14
+  * re-arrive with a two-token prefix (`zq zq ` — Jaccard ≈ n/(n+2),
+  * well above τ but not byte-identical → `near`).
+  *
+  * Semantics (exact, SQL-twinned): the exact side joins on sha256
+  * digests; the near side is the B43 inverted-index join (candidates
+  * only via shared shingles, never a cross join) with integer
+  * basis-point Jaccard — common·10⁴ div (n_a + n_b − common) — and the
+  * best match per batch doc is (jac_bp DESC, history id ASC). `exact`
+  * takes precedence over `near`.
+  *
+  * Scale posture (100 TB): the exact join shuffles 32-byte digests,
+  * never text. The near side shuffles (id, shingle) pairs keyed by
+  * shingle — the B43 posting-list shape, with [[TextDedup.dfCapped]]
+  * as the documented hotspot valve — and in the real incremental
+  * setting the BATCH side is small relative to history (a day's ingest
+  * vs the corpus), which is the asymmetry this operator exists to
+  * exploit: history shingles can come from a standing index (B108's
+  * build) rather than a re-scan. */
+object IncrementalDedup {
+
+  /** Near-dup threshold in basis points. */
+  val NearBp = 8000L
+
+  /** (history, batch) with planted arrivals. */
+  private[llm] def splitWithArrivals(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 4 =!= 3)
+    val exactArrivals = hist.filter(col("doc_id") % 28 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val nearArrivals = hist.filter(col("doc_id") % 28 === 14)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("zq zq "), col("text")).as("text"))
+    val batch = docs.filter(col("doc_id") % 4 === 3)
+      .unionByName(exactArrivals).unionByName(nearArrivals)
+    (hist, batch)
+  }
+
+  /** The classification report: one row per batch doc —
+    * (doc_id, exact_of, best_match, best_jac_bp, status), doc_id order. */
+  def dedupAgainstHistory(hist: DataFrame, batch: DataFrame): DataFrame = {
+    val exact = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(hist.select(sha2(col("text"), 256).as("h"),
+        col("doc_id").as("hid")), "h")
+      .groupBy("doc_id").agg(min(col("hid")).as("exact_of"))
+    val bCounts = TextDedup.withShingleArr(batch)
+      .select(col("doc_id").as("da"), size(col("sh_arr")).cast("long").as("na"))
+    val hCounts = TextDedup.withShingleArr(hist)
+      .select(col("doc_id").as("db"), size(col("sh_arr")).cast("long").as("nb"))
+    val pairs = TextDedup.shingles(batch)
+      .select(col("doc_id").as("da"), col("shingle"))
+      .join(TextDedup.shingles(hist)
+        .select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val w = Window.partitionBy(col("da"))
+      .orderBy(col("jac_bp").desc, col("db"))
+    val best = pairs
+      .join(bCounts, "da").join(hCounts, "db")
+      .withColumn("jac_bp",
+        expr("CAST(common * 10000 div (na + nb - common) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("da").as("doc_id"), col("db").as("best_match"),
+        col("jac_bp").as("best_jac_bp"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("status", expr(
+        s"""CASE WHEN exact_of IS NOT NULL THEN 'exact'
+           |     WHEN best_jac_bp >= $NearBp THEN 'near'
+           |     ELSE 'new' END""".stripMargin))
+      .orderBy("doc_id")
+  }
+
+  private val b142 = entry(
+    "b142_incremental_dedup",
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 4 <> 3),
+       |batch AS (
+       |  SELECT doc_id, text FROM docs WHERE doc_id % 4 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM hist WHERE doc_id % 28 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'zq zq ' || text FROM hist
+       |  WHERE doc_id % 28 = 14),
+       |ex AS (
+       |  SELECT b.doc_id, min(h.doc_id) AS exact_of
+       |  FROM batch b JOIN hist h ON sha256(b.text) = sha256(h.text)
+       |  GROUP BY b.doc_id),
+       |bsh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i] || ' ' ||
+       |         string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2]))) AS shingle
+       |  FROM batch WHERE len(string_split(text, ' ')) >= 3),
+       |hsh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - 2),
+       |    i -> string_split(text, ' ')[i] || ' ' ||
+       |         string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2]))) AS shingle
+       |  FROM hist WHERE len(string_split(text, ' ')) >= 3),
+       |bcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS na
+       |         FROM bsh GROUP BY doc_id),
+       |hcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+       |         FROM hsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT b.doc_id AS da, h.doc_id AS db,
+       |         CAST(count(*) AS BIGINT) AS common
+       |  FROM bsh b JOIN hsh h USING (shingle)
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT da, db,
+       |         CAST(common * 10000 // (bcnt.na + hcnt.nb - common)
+       |              AS BIGINT) AS jac_bp
+       |  FROM pairs
+       |  JOIN bcnt ON bcnt.doc_id = da
+       |  JOIN hcnt ON hcnt.doc_id = db),
+       |best AS (
+       |  SELECT da AS doc_id, db AS best_match, jac_bp AS best_jac_bp
+       |  FROM (SELECT da, db, jac_bp,
+       |               row_number() OVER (PARTITION BY da
+       |                                  ORDER BY jac_bp DESC, db) AS rn
+       |        FROM jac) t
+       |  WHERE rn = 1)
+       |SELECT b.doc_id, ex.exact_of, best.best_match, best.best_jac_bp,
+       |       CASE WHEN ex.exact_of IS NOT NULL THEN 'exact'
+       |            WHEN best.best_jac_bp >= $NearBp THEN 'near'
+       |            ELSE 'new' END AS status
+       |FROM batch b
+       |LEFT JOIN ex ON ex.doc_id = b.doc_id
+       |LEFT JOIN best ON best.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val (hist, batch) = splitWithArrivals(s, d)
+    dedupAgainstHistory(hist, batch)
+  }
+
+  val entries: Seq[Entry] = Seq(b142)
+}

@@ -144,7 +144,11 @@ object TrainLoad {
     * Scale posture: tokenization is B122's map-side codegen expression;
     * the per-source rollup partial-aggregates to O(sources) rows. No
     * data-proportional shuffle at all. */
-  def fertilityReport(docs: DataFrame): DataFrame = {
+  /** Per-doc tokenization stats (source, words, subwords, chars) — B136
+    * aggregates them in batch, B143 folds them through a streamed
+    * complete-mode aggregate; the stats are count-source-agnostic (the
+    * B125/B133 split). */
+  private[llm] def docTokStats(docs: DataFrame): DataFrame = {
     graft.functions.BpeEncodeExpression.register(docs.sparkSession)
     docs.select(col("source"),
         size(split(col("text"), " ")).cast("long").as("words"),
@@ -153,9 +157,18 @@ object TrainLoad {
       .withColumn("subwords",
         when(col("ids") === "", lit(0L))
           .otherwise(size(split(col("ids"), " ")).cast("long")))
-      .groupBy("source")
+  }
+
+  /** The per-source aggregate over doc stats — shared by batch + stream. */
+  private[llm] def fertilityAgg(stats: DataFrame): DataFrame =
+    stats.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("n_words"),
         sum(col("subwords")).as("n_subwords"), sum(col("chars")).as("n_chars"))
+
+  /** Presentation tail over the aggregated (source, n_docs, n_words,
+    * n_subwords, n_chars) relation. */
+  private[llm] def fertilityFromAgg(agg: DataFrame): DataFrame =
+    agg
       .withColumn("fertility_bp", expr(
         "CASE WHEN n_words = 0 THEN NULL " +
           "ELSE CAST(n_subwords * 10000 div n_words AS BIGINT) END"))
@@ -163,10 +176,13 @@ object TrainLoad {
         "CASE WHEN n_subwords = 0 THEN NULL " +
           "ELSE CAST(n_chars * 10000 div n_subwords AS BIGINT) END"))
       .orderBy("source")
-  }
 
-  private val b136 = entry(
-    "b136_tokenizer_fertility",
+  def fertilityReport(docs: DataFrame): DataFrame =
+    fertilityFromAgg(fertilityAgg(docTokStats(docs)))
+
+  /** B136's oracle — shared VERBATIM by B143's streamed twin (the
+    * B125/B133 convention). */
+  private def fertilityOracleSql: String =
     s"""WITH st1 AS (
        |  SELECT source, text, ${BpeTokenize.charifyMergesExpr("text")} AS w
        |  FROM documents),
@@ -193,8 +209,10 @@ object TrainLoad {
        |       CASE WHEN n_subwords = 0 THEN NULL
        |            ELSE CAST(n_chars * 10000 // n_subwords AS BIGINT)
        |       END AS chars_per_subword_bp
-       |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
-    fertilityReport(Tables.documents(s, d))
+       |FROM agg ORDER BY source""".stripMargin
+
+  private val b136 = entry("b136_tokenizer_fertility", fertilityOracleSql) {
+    (s, d) => fertilityReport(Tables.documents(s, d))
   }
 
   // ---------------------------------------------------------------- B137
@@ -402,6 +420,96 @@ object TrainLoad {
     Decontaminate.overlapReport(train.unionByName(planted), heldOut)
   }
 
+  // ---------------------------------------------------------------- B141
+
+  /** Epochs per fluency tier: the most fluent third of sources repeats
+    * 4×, the middle 2×, the tail 1× — quality-weighted repetition, the
+    * data-constrained-scaling doctrine (Muennighoff et al. '23: when the
+    * token budget exceeds unique data, repeat the high-quality slice up
+    * to ~4 epochs before quality degrades). Mass-ratio scheduling would
+    * be vacuous on this corpus (source masses are near-uniform), so the
+    * repeat signal is the B137 per-source MEAN LM score — real spread,
+    * guaranteed by the tiering. */
+  val EpochsByTier: Map[Int, Int] = Map(1 -> 4, 2 -> 2, 3 -> 1)
+
+  /** B141 — QUALITY-WEIGHTED EPOCH SCHEDULE: per-source mean KN score
+    * (exact integer micro-units: Σ sum_kn_fp div Σ n_bigrams), sources
+    * ntile(3)-tiered globally, epochs 4/2/1 by tier, and the doc-level
+    * repetition manifest (doc_id, source, epoch, n_tok) a loader reads.
+    *
+    * Scale posture: the per-source rollup is O(sources) rows and its
+    * ordering window runs over those rows only (|sources|-scale, not
+    * corpus-scale); the manifest explode is map-side off a broadcast
+    * epochs join — docs never shuffle to be repeated. */
+  private val b141 = entry(
+    "b141_quality_epoch_schedule",
+    s"""WITH $lmScoreCtesSql,
+       |srcscore AS (
+       |  SELECT d.source,
+       |         CAST(sum(s.sum_kn_fp) // sum(s.n_bigrams) AS BIGINT)
+       |           AS mean_fp
+       |  FROM docscore s JOIN documents d USING (doc_id)
+       |  GROUP BY d.source),
+       |tiers AS (
+       |  SELECT source, mean_fp,
+       |         CAST(ntile(3) OVER (ORDER BY mean_fp DESC, source)
+       |              AS INTEGER) AS tier
+       |  FROM srcscore),
+       |epochs AS (
+       |  SELECT source, tier,
+       |         CASE tier WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS n_epochs
+       |  FROM tiers)
+       |SELECT d.doc_id, d.source,
+       |       CAST(unnest(generate_series(1, e.n_epochs)) AS INT) AS epoch,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |FROM documents d JOIN epochs e USING (source)
+       |ORDER BY d.doc_id, epoch""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val srcScore = lmScores(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("sum_kn_fp")).as("sfp"), sum(col("n_bigrams")).as("nb"))
+      .withColumn("mean_fp", expr("CAST(sfp div nb AS BIGINT)"))
+    val wTier = Window.orderBy(col("mean_fp").desc, col("source"))
+    val epochs = srcScore
+      .withColumn("tier", ntile(3).over(wTier))
+      .withColumn("n_epochs", expr(
+        "CASE tier WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"))
+      .select("source", "n_epochs")
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(broadcast(epochs), "source")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_epochs"))).as("epoch"), col("n_tok"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  // ---------------------------------------------------------------- B143
+
+  private lazy val chunkDir143: String =
+    java.nio.file.Files.createTempDirectory("graft_b143_chunks").toString
+
+  /** B143 — STREAMED TOKENIZER FERTILITY: B136's report from a
+    * complete-mode streamed fold of the per-doc stats (6-chunk replay,
+    * the B133 convention), presented through the SHARED
+    * [[fertilityFromAgg]] tail. Oracle is B136's SQL verbatim — the
+    * continuously-maintained tokenizer-health dashboard over an
+    * ingesting corpus. Streaming state is O(sources) counters; each
+    * batch tokenizes map-side before touching state. */
+  private val b143 = entry("b143_stream_fertility", fertilityOracleSql) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.streaming.StreamingOps.writeChunksDf(docs, chunkDir143, n = 6,
+        sortCols = Seq("doc_id"))
+      s.catalog.dropTempView("b143_replay") // idempotent re-runs
+      val agg = graft.streaming.StreamingOps.runToMemory(
+        fertilityAgg(docTokStats(
+          graft.streaming.StreamingOps.readStream(s, chunkDir143, docs.schema))),
+        "b143_replay", "complete")
+      fertilityFromAgg(agg)
+  }
+
   val entries: Seq[Entry] =
-    Seq(b134, b135, b136, b137, b138, b139, b140)
+    Seq(b134, b135, b136, b137, b138, b139, b140, b141, b143)
 }

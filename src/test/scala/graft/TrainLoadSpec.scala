@@ -197,6 +197,65 @@ class TrainLoadSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  // ---- B141 ------------------------------------------------------------
+
+  test("B141: epoch schedule repeats each source by its fluency tier and " +
+    "the manifest is epoch-dense") {
+    val rows = SparkEntry.queries("b141_quality_epoch_schedule")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val perSource = rows.groupBy(_._2).view
+      .mapValues(rs => rs.map(_._3).max).toMap
+    assert(perSource.values.toSet == Set(1, 2, 4),
+      s"tier spread must produce all three epoch levels: $perSource")
+    // ntile(3) over 20 sources → 7/7/6 per tier
+    val byEpochs = perSource.values.groupBy(identity).view
+      .mapValues(_.size).toMap
+    assert(byEpochs(4) == 7 && byEpochs(2) == 7 && byEpochs(1) == 6, byEpochs)
+    // every doc of a source carries epochs 1..n_epochs exactly
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((id, src), rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to perSource(src)).toSeq,
+        s"doc $id of $src not epoch-dense")
+    }
+    val docsPerSource = rawDocs.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(rows.length ==
+      docsPerSource.map { case (s0, n) => n * perSource(s0) }.sum)
+  }
+
+  // ---- B142 ------------------------------------------------------------
+
+  test("B142: planted exact arrivals classify 'exact', planted near " +
+    "arrivals classify 'near' against their originals") {
+    val rows = SparkEntry.queries("b142_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val histIds = rawDocs.map(_._1).filter(_ % 4 != 3)
+    val exactPlanted = histIds.filter(_ % 28 == 0)
+    val nearPlanted = histIds.filter(_ % 28 == 14)
+    assert(exactPlanted.nonEmpty && nearPlanted.nonEmpty)
+    exactPlanted.foreach { id =>
+      val r = byId(id + 2000000L)
+      assert(r._5 == "exact" && r._2.contains(id), s"planted exact $id: $r")
+    }
+    nearPlanted.foreach { id =>
+      val r = byId(id + 2000000L)
+      assert(r._5 == "near", s"planted near $id: $r")
+      assert(r._3.contains(id) && r._4.exists(_ >= llm.IncrementalDedup.NearBp),
+        s"planted near $id best-match: $r")
+      assert(r._4.exists(_ < 10000L), s"prefixed copy must not be jac 1.0: $r")
+    }
+    // report covers the whole batch, and most organic arrivals are new
+    val batchSize = rawDocs.count(_._1 % 4 == 3) +
+      exactPlanted.size + nearPlanted.size
+    assert(rows.length == batchSize)
+    assert(rows.count(_._5 == "new") > rawDocs.count(_._1 % 4 == 3) / 2)
+  }
+
   // ---- B140 ------------------------------------------------------------
 
   test("B140: every planted leak with enough words is flagged contaminated " +
