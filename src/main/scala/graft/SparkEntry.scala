@@ -51,6 +51,7 @@ object SparkEntry {
       llm.ModelReady.entries ++
       llm.TrainLoad.entries ++
       llm.IncrementalDedup.entries ++
+      llm.SetSimJoin.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** B145 — PREFIX-FILTERED SET-SIMILARITY SELF-JOIN (the AllPairs/PPJoin
+  * lineage — Bayardo et al. WWW'07, Xiao et al. WWW'08): ALL document
+  * pairs with 3-shingle Jaccard ≥ τ, EXACTLY, without a quadratic
+  * candidate step. This is the third member of the near-dup family:
+  * B43 answers a probe workload (broadcast probes), MinHash LSH is the
+  * approximate corpus-scale path — B145 is the exact corpus-scale
+  * self-join.
+  *
+  * The prefix principle: order all shingles globally by (df ASC,
+  * shingle); a doc with n shingles exposes only its first
+  * p = n − ⌈τ·n⌉ + 1 shingles (its RAREST ones) as join keys. For any
+  * pair with jac ≥ τ the required overlap is ≥ max(⌈τ·n_a⌉, ⌈τ·n_b⌉),
+  * and the standard prefix lemma gives that the two prefixes must share
+  * a shingle — so the prefix⨝prefix join loses NO qualifying pair,
+  * while at τ = 0.8 it exposes ~20% of each posting list (and the df
+  * ordering puts those keys on the RAREST shingles, which is what
+  * collapses the candidate count). Survivors verify by exact
+  * intersection over the per-doc shingle ARRAYS (the B43
+  * verify-from-arrays trick — two doc-keyed joins, no re-explode).
+  *
+  * Scale posture: the global shingle ranking is a window over DISTINCT
+  * shingles (vocab-scale, Zipf-bounded — not corpus-scale; at 100 TB
+  * this is the same standing frequency dictionary B125 maintains). The
+  * candidate join shuffles prefix rows only; verification joins are
+  * doc-keyed. SetSimJoinSpec measures the candidate reduction and pins
+  * prefix ≡ brute-force on randomized corpora — the lemma, not just
+  * this dataset. */
+object SetSimJoin {
+
+  /** Jaccard threshold in basis points (τ = 0.8). */
+  val TauBp = 8000L
+
+  /** Workload corpus: originals + exact copies (doc_id % 7 = 0, the B42
+    * convention) + two-token-prefixed near copies (doc_id % 9 = 0, the
+    * B142 convention) — pairs at jac = 1 and jac ≈ n/(n+2) both planted
+    * at every SF, on top of the corpus's organic near-dups. */
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("zq zq "), col("text")).as("text")))
+  }
+
+  /** Exact τ-join via prefix filtering. Returns (doc_a, doc_b, jac_bp),
+    * doc_a < doc_b, jac_bp ≥ τ, (doc_a, doc_b) order. */
+  def similarityJoin(docs: DataFrame, tauBp: Long = TauBp): DataFrame = {
+    val arrs = TextDedup.withShingleArr(docs).localCheckpoint(true)
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    // global rarity rank over DISTINCT shingles (vocab-scale window)
+    val rank = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("df"), col("shingle"))))
+      .select("shingle", "rnk")
+    // per-doc prefix: first n − ⌈τ·n⌉ + 1 shingles by global rank
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("rnk"))
+    val prefix = sh.join(rank, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n")),
+        "doc_id")
+      .filter(col("pos") <=
+        col("n") - expr(s"(n * $tauBp + 9999) div 10000") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix.select(col("doc_id").as("da"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    // exact verification from the cached per-doc arrays
+    cands
+      .join(arrs.select(col("doc_id").as("da"), col("sh_arr").as("aa")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("sh_arr").as("ab")), "db")
+      .withColumn("common", size(array_intersect(col("aa"), col("ab"))).cast("long"))
+      .withColumn("u", size(col("aa")).cast("long") +
+        size(col("ab")).cast("long") - col("common"))
+      .withColumn("jac_bp", expr("CAST(common * 10000 div u AS BIGINT)"))
+      .filter(col("jac_bp") >= tauBp)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The prefix-free brute-force spelling (full posting-list join) —
+    * SetSimJoinSpec pins prefix ≡ brute force; the oracle below is the
+    * same relation in DuckDB. */
+  private[graft] def bruteForceJoin(docs: DataFrame, tauBp: Long = TauBp): DataFrame = {
+    val arrs = TextDedup.withShingleArr(docs)
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val cnt = arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+    sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac_bp",
+        expr("CAST(common * 10000 div (na + nb - common) AS BIGINT)"))
+      .filter(col("jac_bp") >= tauBp)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val b145 = entry(
+    "b145_ssjoin_prefix",
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, 'zq zq ' || text FROM documents
+       |  WHERE doc_id % 9 = 0),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       |  FROM words WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |        FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         CAST(count(*) AS BIGINT) AS common
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       CAST(common * 10000 // (ca.n + cb.n - common) AS BIGINT)
+       |         AS jac_bp
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = da
+       |JOIN cnt cb ON cb.doc_id = db
+       |WHERE common * 10000 // (ca.n + cb.n - common) >= $TauBp
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    similarityJoin(corpus(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b145)
+}

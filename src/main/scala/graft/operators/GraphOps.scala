@@ -225,5 +225,94 @@ object GraphOps {
     r
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119)
+  /** Per-node TRIANGLE COUNTS over an undirected (src < dst) edge list,
+    * via DEGREE-ORDERED ORIENTATION — the standard massively-parallel
+    * triangle recipe (Suri & Vassilvitskii '11): orient every edge from
+    * its lower-(degree, id) endpoint to its higher one, enumerate wedges
+    * only from each node's ORIENTED out-neighborhood, and close them
+    * against the oriented edge set. Orientation caps per-node wedge
+    * fanout at O(√|E|) (arboricity bound) — the difference between a
+    * workable plan and a hub node exploding into deg² wedge rows — while
+    * the triangle SET is provably unchanged (each triangle has exactly
+    * one lowest-ranked corner, which enumerates it exactly once).
+    *
+    * Scale posture: two hash joins keyed on node / (node, node) pairs
+    * with map-side combine into the per-corner count aggregate; no
+    * cartesian anywhere (spec-asserted), wedge-reduction vs the
+    * unoriented spelling measured in GraphOpsSpec. */
+  private[graft] def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    val deg = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg(u), u) < (deg(v), v); ranks are total, so each
+    // undirected edge gets exactly one orientation
+    val ranked = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val oriented = ranked.select(
+        when(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("a"), col("dst").as("b"),
+            col("ds").as("ra"), col("dd").as("rb")))
+          .otherwise(struct(col("dst").as("a"), col("src").as("b"),
+            col("dd").as("ra"), col("ds").as("rb"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"),
+        col("e.ra").as("ra"), col("e.rb").as("rb"))
+      .localCheckpoint(true)
+    // wedges from each node's oriented out-neighborhood, canonicalized so
+    // (b, c) is itself oriented — the closing edge lookup is then a
+    // single equi-join against `oriented`
+    val e1 = oriented.select(col("a"), col("b").as("w1"),
+      col("ra"), col("rb").as("r1"))
+    val e2 = oriented.select(col("a"), col("b").as("w2"),
+      col("rb").as("r2"))
+    val wedges = e1.join(e2, "a")
+      .filter(col("r1") < col("r2") ||
+        (col("r1") === col("r2") && col("w1") < col("w2")))
+    val tri = wedges.join(
+        oriented.select(col("a").as("w1"), col("b").as("w2")),
+        Seq("w1", "w2"))
+      .select(col("a"), col("w1"), col("w2"))
+    tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("w1").as("node")))
+      .unionByName(tri.select(col("w2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** B144 — per-part triangle counts in the co-purchase graph (B119's
+    * edge construction with a `<` canonical form): "how clustered is
+    * each product's neighborhood", the local-clustering numerator. The
+    * oracle enumerates triangles by id order (a < b < c) — a DIFFERENT
+    * enumeration whose triangle set provably coincides, so the hash pins
+    * the orientation argument, not just arithmetic. */
+  private val b144 = entry(
+    "b144_graph_triangles",
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.src = e1.dst
+       |  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM corners GROUP BY node ORDER BY part_id""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    triangleCounts(edges)
+      .select(col("node").as("part_id"), col("n_triangles"))
+      .orderBy("part_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b63, b119, b144)
 }

@@ -103,4 +103,79 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((1L to 20L).map(ranks).toSet.size === 1,
       "identical spokes received different ranks — iteration is not order-independent")
   }
+
+  // ---- B144 triangle counting -------------------------------------------
+
+  private def triRun(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val spark = TestSession.spark
+    import spark.implicits._
+    graft.operators.GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("B144: K4 has four triangles (three per node); a path has none; a " +
+    "planted hub-heavy graph matches the brute-force JVM count") {
+    // K4 on nodes 0..3: edges with src < dst
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(triRun(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path 0-1-2-3-4: no triangles → empty result
+    assert(triRun(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    // random-ish deterministic graph incl. a hub: brute-force replay
+    val edges = (for (i <- 1L to 30L) yield (0L, i)) ++ // hub 0
+      (for (i <- 1L to 29L if i % 3 != 0) yield (i, i + 1)) ++
+      Seq((5L, 11L), (7L, 19L), (2L, 28L))
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val eset = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+    } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+    assert(triRun(es) === brute.toMap)
+  }
+
+  test("B144: degree-ordered orientation caps wedge fanout below the " +
+    "unoriented spelling on the hub graph") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // star hub 0 with 40 spokes + a few spoke-spoke edges: unoriented
+    // wedges at the hub are C(40,2) = 780; oriented, the hub (highest
+    // degree) enumerates none
+    val edges = ((for (i <- 1L to 40L) yield (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 4L))).toDF("src", "dst")
+    val deg = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unorientedWedges = deg.values.map(d => d * (d - 1) / 2).sum
+    // oriented out-degree: edges point toward the higher-(deg, id) end
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    es.foreach { case (u, v) =>
+      val uk = (deg(u), u); val vk = (deg(v), v)
+      if (implicitly[Ordering[(Long, Long)]].lt(uk, vk)) out(u) += 1
+      else out(v) += 1
+    }
+    val orientedWedges = out.values.map(d => d * (d - 1) / 2).sum
+    assert(orientedWedges * 5 < unorientedWedges,
+      s"orientation must collapse the hub's wedge fanout " +
+        s"($orientedWedges vs $unorientedWedges)")
+    assert(out(0L) == 0L, "the max-degree hub must enumerate no wedges")
+  }
+
+  test("B144 plan: no cartesian product anywhere in the triangle plan") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val edges = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j))
+      .toDF("src", "dst")
+    val plan = graft.operators.GraphOps.triangleCounts(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
 }
