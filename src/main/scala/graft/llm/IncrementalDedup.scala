@@ -55,34 +55,52 @@ object IncrementalDedup {
     (hist, batch)
   }
 
-  /** The classification report: one row per batch doc —
-    * (doc_id, exact_of, best_match, best_jac_bp, status), doc_id order. */
-  def dedupAgainstHistory(hist: DataFrame, batch: DataFrame): DataFrame = {
-    val exact = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+  /** Per-arrival doc metadata fold: (doc_id, exact_of, na) — the
+    * sha256 history lookup plus the arrival's own shingle count. Batch
+    * and stream feed the SAME relation shape (the B133/B143 convention):
+    * the history digest side is a static broadcast-able dimension, the
+    * per-doc aggregate is the only state. */
+  private[llm] def arrivalMeta(hist: DataFrame, batch: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        when(size(split(col("text"), " ")) >= 3,
+          size(array_distinct(expr(
+            """transform(sequence(0, size(split(text, ' ')) - 3),
+              |          i -> concat_ws(' ', split(text, ' ')[i],
+              |               split(text, ' ')[i+1],
+              |               split(text, ' ')[i+2]))""".stripMargin)))
+            .cast("long")).as("na"))
       .join(hist.select(sha2(col("text"), 256).as("h"),
-        col("doc_id").as("hid")), "h")
-      .groupBy("doc_id").agg(min(col("hid")).as("exact_of"))
-    val bCounts = TextDedup.withShingleArr(batch)
-      .select(col("doc_id").as("da"), size(col("sh_arr")).cast("long").as("na"))
-    val hCounts = TextDedup.withShingleArr(hist)
-      .select(col("doc_id").as("db"), size(col("sh_arr")).cast("long").as("nb"))
-    val pairs = TextDedup.shingles(batch)
+        col("doc_id").as("hid")), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(min(col("hid")).as("exact_of"), max(col("na")).as("na"))
+
+  /** Arrival×history shingle-overlap fold: (da, db, common). */
+  private[llm] def overlapPairs(hist: DataFrame, batch: DataFrame): DataFrame =
+    TextDedup.shingles(batch)
       .select(col("doc_id").as("da"), col("shingle"))
       .join(TextDedup.shingles(hist)
         .select(col("doc_id").as("db"), col("shingle")), "shingle")
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
+
+  /** Presentation tail over the two folds — shared verbatim by the
+    * batch entry (B142) and the streamed twin (B146). */
+  private[llm] def classify(meta: DataFrame, pairs: DataFrame,
+      hist: DataFrame): DataFrame = {
+    val hCounts = TextDedup.withShingleArr(hist)
+      .select(col("doc_id").as("db"), size(col("sh_arr")).cast("long").as("nb"))
     val w = Window.partitionBy(col("da"))
       .orderBy(col("jac_bp").desc, col("db"))
     val best = pairs
-      .join(bCounts, "da").join(hCounts, "db")
+      .join(meta.select(col("doc_id").as("da"), col("na")), "da")
+      .join(hCounts, "db")
       .withColumn("jac_bp",
         expr("CAST(common * 10000 div (na + nb - common) AS BIGINT)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("da").as("doc_id"), col("db").as("best_match"),
         col("jac_bp").as("best_jac_bp"))
-    batch.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
+    meta.select(col("doc_id"), col("exact_of"))
       .join(best, Seq("doc_id"), "left")
       .withColumn("status", expr(
         s"""CASE WHEN exact_of IS NOT NULL THEN 'exact'
@@ -91,8 +109,15 @@ object IncrementalDedup {
       .orderBy("doc_id")
   }
 
-  private val b142 = entry(
-    "b142_incremental_dedup",
+  /** The classification report: one row per batch doc —
+    * (doc_id, exact_of, best_match, best_jac_bp, status), doc_id order. */
+  def dedupAgainstHistory(hist: DataFrame, batch: DataFrame): DataFrame =
+    classify(arrivalMeta(hist, batch), overlapPairs(hist, batch), hist)
+
+  /** Shared DuckDB oracle for B142 (batch) and B146 (streamed replay) —
+    * the replay must be execution-mode-invisible, so one SQL string
+    * gates both (the B92/B96 convention). */
+  private def reportOracleSql: String =
     s"""WITH docs AS (SELECT doc_id, text FROM documents),
        |hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 4 <> 3),
        |batch AS (
@@ -150,10 +175,48 @@ object IncrementalDedup {
        |FROM batch b
        |LEFT JOIN ex ON ex.doc_id = b.doc_id
        |LEFT JOIN best ON best.doc_id = b.doc_id
-       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
-    val (hist, batch) = splitWithArrivals(s, d)
-    dedupAgainstHistory(hist, batch)
+       |ORDER BY b.doc_id""".stripMargin
+
+  private val b142 = entry("b142_incremental_dedup", reportOracleSql) {
+    (s, d) =>
+      val (hist, batch) = splitWithArrivals(s, d)
+      dedupAgainstHistory(hist, batch)
   }
 
-  val entries: Seq[Entry] = Seq(b142)
+  private lazy val chunkDir146: String =
+    java.nio.file.Files.createTempDirectory("graft_b146_chunks").toString
+
+  /** B146 — STREAMED INCREMENTAL DEDUP: B142's true production shape —
+    * arrivals STREAM against static history. The batch of arrivals
+    * replays in 6 doc_id-ordered chunks; each micro-batch runs two
+    * stream-static folds against the broadcast-able history dimensions
+    * (the sha256 digest lookup and the shingle posting join), each into
+    * a complete-mode aggregate; the SHARED [[classify]] tail then ranks
+    * best matches post-stream. Oracle is B142's SQL verbatim — the
+    * dedup-on-ingest gate must classify exactly as the batch audit
+    * would. Streaming state: one row per arrival doc (meta) plus one per
+    * surviving (arrival, history) candidate pair — both bounded by the
+    * arrival batch, not the corpus. */
+  private val b146 = entry("b146_stream_incremental_dedup", reportOracleSql) {
+    (s, d) =>
+      import org.apache.spark.sql.types._
+      val (hist, batch) = splitWithArrivals(s, d)
+      graft.streaming.StreamingOps.writeChunksDf(batch, chunkDir146, n = 6,
+        sortCols = Seq("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      s.catalog.dropTempView("b146_meta") // idempotent re-runs
+      s.catalog.dropTempView("b146_pairs")
+      val meta = graft.streaming.StreamingOps.runToMemory(
+        arrivalMeta(hist,
+          graft.streaming.StreamingOps.readStream(s, chunkDir146, schema)),
+        "b146_meta", "complete")
+      val pairs = graft.streaming.StreamingOps.runToMemory(
+        overlapPairs(hist,
+          graft.streaming.StreamingOps.readStream(s, chunkDir146, schema)),
+        "b146_pairs", "complete")
+      classify(meta, pairs, hist)
+  }
+
+  val entries: Seq[Entry] = Seq(b142, b146)
 }
