@@ -280,14 +280,20 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** B144 — per-part triangle counts in the co-purchase graph (B119's
-    * edge construction with a `<` canonical form): "how clustered is
-    * each product's neighborhood", the local-clustering numerator. The
-    * oracle enumerates triangles by id order (a < b < c) — a DIFFERENT
-    * enumeration whose triangle set provably coincides, so the hash pins
-    * the orientation argument, not just arithmetic. */
-  private val b144 = entry(
-    "b144_graph_triangles",
+  /** Canonical (src < dst, distinct) co-purchase edge list — B119's
+    * construction with the `<` canonical form; shared by B144/B147/B148. */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  /** B144's oracle — shared VERBATIM by B148's streamed fold (the
+    * streamed maintenance must land on exactly the batch counts). */
+  private[graft] val triangleOracleSql: String =
     s"""WITH edges AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
@@ -302,17 +308,106 @@ object GraphOps {
        |  UNION ALL SELECT b FROM tri
        |  UNION ALL SELECT c FROM tri)
        |SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
-       |FROM corners GROUP BY node ORDER BY part_id""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    triangleCounts(edges)
-      .select(col("node").as("part_id"), col("n_triangles"))
+       |FROM corners GROUP BY node ORDER BY part_id""".stripMargin
+
+  /** B144 — per-part triangle counts in the co-purchase graph: "how
+    * clustered is each product's neighborhood", the local-clustering
+    * numerator. The oracle enumerates triangles by id order (a < b < c)
+    * — a DIFFERENT enumeration whose triangle set provably coincides, so
+    * the hash pins the orientation argument, not just arithmetic. */
+  private val b144 = entry("b144_graph_triangles", triangleOracleSql) {
+    (s, d) =>
+      triangleCounts(copurchaseEdges(s, d))
+        .select(col("node").as("part_id"), col("n_triangles"))
+        .orderBy("part_id")
+  }
+
+  /** B148's per-batch fold: the (node, delta) triangle-count increments
+    * contributed by `batch`'s edges against the accumulated `old` edge
+    * state — the LAST-COMPLETING-EDGE attribution rule: a batch edge
+    * e = (a, b) closes a triangle through neighbor c iff both (a, c)
+    * and (b, c) are in `old` OR are batch-mates with a smaller
+    * canonical key, so each triangle of the final graph is counted at
+    * exactly one edge of exactly one batch (spec-pinned on split/tied
+    * arrival scenarios). Both inputs are canonical (src < dst) disjoint
+    * edge sets. */
+  private[graft] def triangleDelta(old: DataFrame, batch: DataFrame): DataFrame = {
+    val all = old.withColumn("isNew", lit(false))
+      .unionByName(batch.withColumn("isNew", lit(true)))
+      .withColumn("k", col("src") * lit(10000000L) + col("dst"))
+    val adj = all.select(col("src").as("u"), col("dst").as("v"),
+        col("isNew"), col("k"))
+      .unionByName(all.select(col("dst").as("u"), col("src").as("v"),
+        col("isNew"), col("k")))
+      .localCheckpoint(true) // two probes per fold
+    val e = batch.select(col("src").as("ea"), col("dst").as("eb"))
+      .withColumn("ek", col("ea") * lit(10000000L) + col("eb"))
+    val tri = e
+      .join(adj.as("x"), col("x.u") === col("ea") &&
+        (!col("x.isNew") || col("x.k") < col("ek")))
+      .join(adj.as("y"), col("y.u") === col("eb") &&
+        col("y.v") === col("x.v") &&
+        (!col("y.isNew") || col("y.k") < col("ek")))
+      .select(col("ea").as("a"), col("eb").as("b"), col("x.v").as("c"))
+    tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("delta"))
+  }
+
+  /** B147 — LOCAL CLUSTERING COEFFICIENT: B144's triangle numerator over
+    * the wedge denominator, coeff = 2·T(v) / (deg(v)·(deg(v)−1)) in
+    * integer basis points — "how interconnected is each product's
+    * co-purchase neighborhood", the standard local graph-density metric
+    * (Watts-Strogatz). Nodes with deg < 2 have no defined coefficient
+    * and drop (stated convention, mirrored); triangle-free nodes report
+    * 0 via the left join.
+    *
+    * Scale posture: B144's plan + one degree aggregate (map-combinable,
+    * O(nodes) rows) and one node-keyed left join — nothing new moves. */
+  private val b147 = entry(
+    "b147_graph_clustering",
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges) n
+       |  GROUP BY node),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.src = e1.dst
+       |  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+       |         FROM corners GROUP BY node)
+       |SELECT d.node AS part_id, d.deg,
+       |       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       |       CAST(2 * COALESCE(t.t, 0) * 10000 // (d.deg * (d.deg - 1))
+       |            AS BIGINT) AS coeff_bp
+       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+       |WHERE d.deg >= 2
+       |ORDER BY part_id""".stripMargin) { (s, d) =>
+    // two consumers (degrees + triangle pass) → materialize once
+    val edges = copurchaseEdges(s, d).localCheckpoint(true)
+    val deg = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg
+      .join(triangleCounts(edges), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .filter(col("deg") >= 2)
+      .select(col("node").as("part_id"), col("deg"), col("n_triangles"),
+        expr("CAST(2 * n_triangles * 10000 div (deg * (deg - 1)) AS BIGINT)")
+          .as("coeff_bp"))
       .orderBy("part_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119, b144)
+  val entries: Seq[Entry] = Seq(b63, b119, b144, b147)
 }

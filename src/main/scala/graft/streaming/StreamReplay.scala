@@ -562,6 +562,57 @@ object StreamReplay {
     graft.llm.CorpusBudget.coverageFromFreq(freq)
   }
 
+  private lazy val chunkDir148: String =
+    java.nio.file.Files.createTempDirectory("graft_b148_chunks").toString
+
+  private lazy val stateDir148: String =
+    java.nio.file.Files.createTempDirectory("graft_b148_state").toString
+
+  /** B148 — STREAMING TRIANGLE MAINTENANCE: per-node triangle counts
+    * kept current as edges ARRIVE (6 chunked micro-batches over the
+    * co-purchase edge list; b112's versioned copy-on-write state loop).
+    * Each batch counts exactly the triangles its edges COMPLETE, by the
+    * last-completing-edge attribution rule: a new edge e = (a, b) closes
+    * a triangle through neighbor c iff both (a, c) and (b, c) are
+    * already in the accumulated state OR are batch-mates with a smaller
+    * canonical key — so every triangle of the final graph is counted at
+    * exactly one edge of exactly one batch (its latest-arriving edge;
+    * key order breaks same-batch ties), with no inclusion-exclusion and
+    * no recount. The oracle is B144's batch SQL VERBATIM: the sum of the
+    * per-batch deltas must land on the one-shot counts.
+    *
+    * Scale posture: each fold joins the BATCH's edges (small) against
+    * the adjacency of state ∪ batch — two node-keyed hash joins per
+    * batch, the incremental-view-maintenance shape for graph metrics;
+    * the state grows by append only, and per-batch delta rows are
+    * (node, count) partials, map-side combinable at presentation. */
+  private val b148 = entry(
+    "b148_stream_triangles",
+    graft.operators.GraphOps.triangleOracleSql) { (s, d) =>
+    val edges = graft.operators.GraphOps.copurchaseEdges(s, d)
+    StreamingOps.writeChunksDf(edges, chunkDir148, n = 6,
+      sortCols = Seq("src", "dst"))
+    // v0 = empty edge state; deltas accumulate per batch
+    edges.limit(0).write.mode("overwrite").parquet(s"$stateDir148/v0")
+    val deltaDir = s"$stateDir148/deltas"
+    var cur = "v0"
+    val stream = StreamingOps.readStream(s, chunkDir148, edges.schema)
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      val old = s.read.parquet(s"$stateDir148/$cur")
+      graft.operators.GraphOps.triangleDelta(old, batch)
+        .write.mode("append").parquet(deltaDir)
+      val next = s"v${id + 1}"
+      old.unionByName(batch).write.mode("overwrite")
+        .parquet(s"$stateDir148/$next")
+      cur = next
+    }
+    s.read.parquet(deltaDir)
+      .groupBy("node").agg(sum(col("delta")).as("n_triangles"))
+      .select(col("node").as("part_id"), col("n_triangles"))
+      .orderBy("part_id")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128, b133)
+    Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
+      b133, b148)
 }

@@ -167,6 +167,65 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out(0L) == 0L, "the max-degree hub must enumerate no wedges")
   }
 
+  // ---- B147 clustering coefficient --------------------------------------
+
+  test("B147: K4 corners are fully clustered (10000 bp); path interiors " +
+    "report 0; deg-1 nodes drop") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    def coeff(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+      val e = edges.toDF("src", "dst").localCheckpoint(true)
+      val deg = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.join(graft.operators.GraphOps.triangleCounts(e), Seq("node"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .withColumn("coeff_bp", expr(
+          "CAST(2 * n_triangles * 10000 div (deg * (deg - 1)) AS BIGINT)"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    }
+    val k4 = coeff(for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j))
+    assert(k4.values.forall { case (d, t, c) => d == 3 && t == 3 && c == 10000 })
+    val path = coeff(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(path.keySet == Set(1L, 2L), "deg-1 endpoints must drop")
+    assert(path.values.forall(_._3 == 0L))
+  }
+
+  // ---- B148 incremental triangle delta ----------------------------------
+
+  test("B148: last-completing-edge attribution counts each triangle at " +
+    "exactly one batch, across splits and same-batch ties") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    def delta(old: Seq[(Long, Long)], batch: Seq[(Long, Long)]): Map[Long, Long] = {
+      val oldDf = old.toDF("src", "dst")
+      val bDf = batch.toDF("src", "dst")
+      graft.operators.GraphOps.triangleDelta(oldDf, bDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    // whole triangle in one batch → counted once, all three corners
+    assert(delta(Nil, k3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // completion edge arrives later → counted only at completion
+    assert(delta(Nil, k3.take(2)).isEmpty)
+    assert(delta(k3.take(2), k3.drop(2)) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // two edges complete in the SAME batch → attributed to the max key,
+    // counted exactly once
+    assert(delta(k3.take(1), k3.drop(1)) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // replaying the fold over any chunking of K4 sums to the batch counts
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)).toSeq
+    for (cut <- 1 until k4.length) {
+      val (b1, b2) = k4.splitAt(cut)
+      val total = (delta(Nil, b1).toSeq ++ delta(b1, b2).toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      assert(total === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+        s"cut at $cut diverged: $total")
+    }
+  }
+
   test("B144 plan: no cartesian product anywhere in the triangle plan") {
     val spark = TestSession.spark
     import spark.implicits._
