@@ -422,15 +422,14 @@ object TrainLoad {
 
   // ---------------------------------------------------------------- B141
 
-  /** Epochs per fluency tier: the most fluent third of sources repeats
-    * 4×, the middle 2×, the tail 1× — quality-weighted repetition, the
-    * data-constrained-scaling doctrine (Muennighoff et al. '23: when the
-    * token budget exceeds unique data, repeat the high-quality slice up
-    * to ~4 epochs before quality degrades). Mass-ratio scheduling would
-    * be vacuous on this corpus (source masses are near-uniform), so the
-    * repeat signal is the B137 per-source MEAN LM score — real spread,
-    * guaranteed by the tiering. */
-  val EpochsByTier: Map[Int, Int] = Map(1 -> 4, 2 -> 2, 3 -> 1)
+  /* Epochs per fluency tier — 4×/2×/1× for tiers 1/2/3, spelled as the
+     shared CASE in both engines below: quality-weighted repetition, the
+     data-constrained-scaling doctrine (Muennighoff et al. '23: when the
+     token budget exceeds unique data, repeat the high-quality slice up
+     to ~4 epochs before quality degrades). Mass-ratio scheduling would
+     be vacuous on this corpus (source masses are near-uniform), so the
+     repeat signal is the B137 per-source MEAN LM score — real spread,
+     guaranteed by the tiering. */
 
   /** B141 — QUALITY-WEIGHTED EPOCH SCHEDULE: per-source mean KN score
     * (exact integer micro-units: Σ sum_kn_fp div Σ n_bigrams), sources

@@ -330,18 +330,20 @@ object GraphOps {
     * canonical key, so each triangle of the final graph is counted at
     * exactly one edge of exactly one batch (spec-pinned on split/tied
     * arrival scenarios). Both inputs are canonical (src < dst) disjoint
-    * edge sets. */
+    * edge sets. The packed key src·2³² + dst is collision-free for node
+    * ids below 2³² (any TPC-H part key; a wider id space would switch to
+    * a struct comparison). */
   private[graft] def triangleDelta(old: DataFrame, batch: DataFrame): DataFrame = {
     val all = old.withColumn("isNew", lit(false))
       .unionByName(batch.withColumn("isNew", lit(true)))
-      .withColumn("k", col("src") * lit(10000000L) + col("dst"))
+      .withColumn("k", col("src") * lit(1L << 32) + col("dst"))
     val adj = all.select(col("src").as("u"), col("dst").as("v"),
         col("isNew"), col("k"))
       .unionByName(all.select(col("dst").as("u"), col("src").as("v"),
         col("isNew"), col("k")))
       .localCheckpoint(true) // two probes per fold
     val e = batch.select(col("src").as("ea"), col("dst").as("eb"))
-      .withColumn("ek", col("ea") * lit(10000000L) + col("eb"))
+      .withColumn("ek", col("ea") * lit(1L << 32) + col("eb"))
     val tri = e
       .join(adj.as("x"), col("x.u") === col("ea") &&
         (!col("x.isNew") || col("x.k") < col("ek")))
