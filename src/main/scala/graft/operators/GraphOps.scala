@@ -411,5 +411,119 @@ object GraphOps {
       .orderBy("part_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119, b144, b147)
+  /** K-core parameters (B149): k sits in the co-purchase graph's
+    * phase-transition band — below it the core is near-total, above it
+    * the cascade empties the graph — so the peel runs a REAL multi-round
+    * cascade at every SF (7 rounds to empty at sf0.001; 2-3 rounds to an
+    * ~94% core at sf0.01/0.1, measured). MaxPeelRounds bounds the driver
+    * loop above the observed maximum; exceeding it throws (the b63
+    * convention: never ship a wrong fixpoint). */
+  val KCoreK = 70L
+  val MaxPeelRounds = 10
+
+  /** Peel trajectory over an undirected canonical (src < dst) edge list:
+    * (node, dropped_round) — the 1-based round each node left the
+    * k-core peel, 0 for survivors (the k-core itself). Reporting the
+    * TRAJECTORY rather than the surviving set keeps the gate
+    * non-vacuous even where the cascade empties the graph. */
+  private[graft] def kCorePeel(edgesIn: DataFrame, k: Long,
+      maxRounds: Int = MaxPeelRounds): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.localCheckpoint(true)
+    val adj = edges.select(col("src").as("node"), col("dst").as("other"))
+      .unionByName(edges.select(col("dst").as("node"), col("src").as("other")))
+      .localCheckpoint(true)
+    var alive = adj.select("node").distinct().localCheckpoint(true)
+    var dropped = Seq.empty[(Long, Int)].toDF("node", "dropped_round")
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"k-core peel did not converge in $maxRounds rounds")
+      // degree WITHIN the surviving subgraph; zero-degree survivors get
+      // 0 via the left join and drop with everyone below k
+      val deg = alive
+        .join(adj.join(alive.select(col("node").as("other")), "other"),
+          Seq("node"), "left")
+        .groupBy("node").agg(count(col("other")).as("d"))
+      val drop = deg.filter(col("d") < k).select("node")
+        .localCheckpoint(true)
+      if (drop.isEmpty) converged = true
+      else {
+        dropped = dropped.unionByName(
+          drop.withColumn("dropped_round", lit(round)))
+          .localCheckpoint(true)
+        alive = alive.join(drop, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    dropped.unionByName(alive.withColumn("dropped_round", lit(0)))
+  }
+
+  /** The unrolled-peel oracle text: `rounds` chained (deg, drop, alive)
+    * CTE triples — the b119 iteration-as-text spelling; both engines
+    * walk the identical trajectory, and extra rounds past convergence
+    * are no-ops (peeling is monotone), so a fixed unroll ≥ the Spark
+    * loop's convergence round is exact. */
+  private def kCoreOracleSql(k: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor three times —
+    // un-materialized, the unroll re-scans the fact table 3^rounds times
+    // (observed as a too-many-open-files explosion)
+    sb.append(s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj AS MATERIALIZED (
+       |  SELECT src AS node, dst AS other FROM edges
+       |  UNION ALL SELECT dst, src FROM edges),
+       |a0 AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+       |""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s"""deg$i AS MATERIALIZED (
+         |  SELECT a.node, CAST(count(e.other) AS BIGINT) AS d
+         |  FROM a${i - 1} a LEFT JOIN adj e
+         |    ON e.node = a.node AND e.other IN (SELECT node FROM a${i - 1})
+         |  GROUP BY a.node),
+         |drop$i AS MATERIALIZED (SELECT node FROM deg$i WHERE d < $k),
+         |a$i AS MATERIALIZED (SELECT node FROM a${i - 1}
+         |        WHERE node NOT IN (SELECT node FROM drop$i)),
+         |""".stripMargin)
+    }
+    sb.append("trajectory AS (\n")
+    for (i <- 1 to rounds)
+      sb.append(s"  SELECT node, $i AS r FROM drop$i\n  UNION ALL\n")
+    sb.append(s"  SELECT node, 0 AS r FROM a$rounds)\n")
+    sb.append("SELECT node AS part_id, CAST(r AS INT) AS dropped_round\n")
+    sb.append("FROM trajectory ORDER BY part_id")
+    sb.toString
+  }
+
+  /** B149 — K-CORE DECOMPOSITION by distributed peeling (the standard
+    * iterative-deletion algorithm): repeatedly delete nodes whose degree
+    * within the surviving subgraph is below k, reporting each node's
+    * drop round (0 = the k-core). K-core is the classic graph-based
+    * pruning/denoising primitive (keep only densely-embedded products /
+    * documents / users).
+    *
+    * Scale posture: each round is one node-keyed semi join + one
+    * map-combinable degree agg over the SURVIVING adjacency — O(|E|)
+    * per round, never materializing neighborhoods; the driver loop
+    * reads a one-scalar emptiness check per round and the per-round
+    * localCheckpoint is the b63 lineage discipline. Round count is
+    * bounded by the cascade depth (phase-transition graphs converge in
+    * single digits; the guard throws rather than ship a wrong core). */
+  private val b149 = entry(
+    "b149_graph_kcore",
+    kCoreOracleSql(KCoreK, MaxPeelRounds)) { (s, d) =>
+    kCorePeel(copurchaseEdges(s, d), KCoreK)
+      .select(col("node").as("part_id"), col("dropped_round"))
+      .orderBy("part_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149)
 }

@@ -226,6 +226,60 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- B149 k-core peel -------------------------------------------------
+
+  test("B149: peel trajectory matches a sequential JVM peel on planted " +
+    "graphs (full core, full cascade, staged cascade)") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    def jvmPeel(edges: Seq[(Long, Long)], k: Long): Map[Long, Int] = {
+      val adj = collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      var alive = adj.keySet.toSet
+      val out = collection.mutable.Map.empty[Long, Int]
+      var r = 0
+      var changed = true
+      while (changed) {
+        r += 1
+        val drop = alive.filter(n => (adj(n) & alive).size < k)
+        changed = drop.nonEmpty
+        if (changed) { drop.foreach(out(_) = r); alive --= drop }
+      }
+      alive.foreach(out(_) = 0)
+      out.toMap
+    }
+    def sparkPeel(edges: Seq[(Long, Long)], k: Long): Map[Long, Int] =
+      graft.operators.GraphOps.kCorePeel(edges.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // K5 at k = 4: everyone is core
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(sparkPeel(k5, 4) === jvmPeel(k5, 4))
+    assert(sparkPeel(k5, 4).values.forall(_ == 0))
+    // path at k = 2: endpoints fall first, cascade eats inward round by
+    // round — the trajectory IS the interesting output
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val p = sparkPeel(path, 2)
+    assert(p === jvmPeel(path, 2))
+    assert(p(0L) == 1 && p(9L) == 1 && p(4L) == 5 && p.values.forall(_ > 0))
+    // K4 with pendant vertices: pendants drop round 1, core survives
+    val pend = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)) ++
+      Seq((0L, 10L), (1L, 11L))
+    val q = sparkPeel(pend, 3)
+    assert(q === jvmPeel(pend, 3))
+    assert(q(10L) == 1 && q(11L) == 1 &&
+      (0L to 3L).forall(n => q(n) == 0))
+  }
+
+  test("B149: a cascade deeper than maxRounds throws, never ships a " +
+    "wrong core") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](
+      graft.operators.GraphOps.kCorePeel(path.toDF("src", "dst"), 2,
+        maxRounds = 2).collect())
+  }
+
   test("B144 plan: no cartesian product anywhere in the triangle plan") {
     val spark = TestSession.spark
     import spark.implicits._
