@@ -26,13 +26,15 @@ import graft.sources.Tables
   * intersection over the per-doc shingle ARRAYS (the B43
   * verify-from-arrays trick — two doc-keyed joins, no re-explode).
   *
-  * Scale posture: the global shingle ranking is a window over DISTINCT
-  * shingles (vocab-scale, Zipf-bounded — not corpus-scale; at 100 TB
-  * this is the same standing frequency dictionary B125 maintains). The
-  * candidate join shuffles prefix rows only; verification joins are
-  * doc-keyed. SetSimJoinSpec measures the candidate reduction and pins
-  * prefix ≡ brute-force on randomized corpora — the lemma, not just
-  * this dataset. */
+  * Scale posture: the global order is (df ASC, shingle ASC) — a pure
+  * SORT KEY, so no global rank (and no SinglePartition window over the
+  * vocabulary) is ever materialized; the df dictionary is a
+  * map-combinable vocab-scale aggregate (the standing B125 dictionary
+  * at 100 TB) and each doc sorts its own shingles inside a doc-keyed
+  * window. The candidate join shuffles prefix rows only; verification
+  * is the b43 posting-list count join over candidates. SetSimJoinSpec
+  * measures the candidate reduction and pins prefix ≡ brute-force on
+  * randomized corpora — the lemma, not just this dataset. */
 object SetSimJoin {
 
   /** Jaccard threshold in basis points (τ = 0.8). */
@@ -68,15 +70,17 @@ object SetSimJoin {
   def similarityJoin(docs: DataFrame, tauBp: Long = TauBp): DataFrame = {
     val arrs = TextDedup.withShingleArr(docs).localCheckpoint(true)
     val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    // global rarity rank over DISTINCT shingles (vocab-scale window)
-    val rank = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("df"), col("shingle"))))
-      .select("shingle", "rnk")
-    // per-doc prefix: first n − ⌈τ·n⌉ + 1 shingles by global rank;
+    // per-shingle document frequency — the prefix lemma needs a
+    // CONSISTENT global total order, and (df ASC, shingle ASC) IS one:
+    // no dense global rank (and no SinglePartition window over the
+    // vocabulary) is ever materialized — each doc just sorts its own
+    // shingles by the order's sort key inside the doc-keyed window
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc prefix: first n − ⌈τ·n⌉ + 1 shingles in global order;
     // materialized once — it feeds BOTH sides of the candidate join
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("rnk"))
-    val prefix = sh.join(rank, "shingle")
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
       .withColumn("pos", row_number().over(wDoc))
       .join(arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n")),
         "doc_id")
