@@ -62,14 +62,14 @@ object IncrementalDedup {
     * per-doc aggregate is the only state. */
   private[llm] def arrivalMeta(hist: DataFrame, batch: DataFrame): DataFrame =
     batch
+      // the shingle count is computed per ROW (not via a join against
+      // withShingleArr) because on the B146 stream path a batch←batch
+      // self-join would be an unsupported stream-stream join; the
+      // expression text itself is TextDedup's single shared spelling
+      .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), sha2(col("text"), 256).as("h"),
-        when(size(split(col("text"), " ")) >= 3,
-          size(array_distinct(expr(
-            """transform(sequence(0, size(split(text, ' ')) - 3),
-              |          i -> concat_ws(' ', split(text, ' ')[i],
-              |               split(text, ' ')[i+1],
-              |               split(text, ' ')[i+2]))""".stripMargin)))
-            .cast("long")).as("na"))
+        when(size(col("w")) >= 3,
+          size(expr(TextDedup.shingleArrExpr("w"))).cast("long")).as("na"))
       .join(hist.select(sha2(col("text"), 256).as("h"),
         col("doc_id").as("hid")), Seq("h"), "left")
       .groupBy("doc_id")

@@ -56,14 +56,19 @@ object TextDedup {
     * would make sequence() run backwards and are excluded — none exist in
     * the testdata). Kept un-exploded so per-doc shingle counts are a
     * `size()` away — no explode, no shuffle. */
+  /** The ONE spelling of "distinct word-3-shingle array" over a word-array
+    * column — every shingle consumer (here, B142/B146's streaming-safe
+    * inline variant, B145) derives from this text, so the shingle rule
+    * cannot drift between spellings. */
+  private[llm] def shingleArrExpr(wordsCol: String): String =
+    s"""array_distinct(transform(sequence(0, size($wordsCol) - 3),
+       |          i -> concat_ws(' ', $wordsCol[i], $wordsCol[i+1], $wordsCol[i+2])))""".stripMargin
+
   def withShingleArr(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(0, size(words) - 3),
-          |          i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin))
-        .as("sh_arr"))
+      .select(col("doc_id"), expr(shingleArrExpr("words")).as("sh_arr"))
 
   /** Distinct word-3-shingles per document, one row per (doc, shingle).
     *

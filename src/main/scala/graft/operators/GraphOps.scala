@@ -240,11 +240,21 @@ object GraphOps {
     * with map-side combine into the per-corner count aggregate; no
     * cartesian anywhere (spec-asserted), wedge-reduction vs the
     * unoriented spelling measured in GraphOpsSpec. */
-  private[graft] def triangleCounts(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint(true)
-    val deg = edges.select(col("src").as("node"))
+  /** Degree table of a canonical (src < dst) edge list. */
+  private[graft] def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  private[graft] def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    triangleCountsOn(edges, degreesOf(edges).localCheckpoint(true))
+  }
+
+  /** The core pass over an already-MATERIALIZED edge list and its degree
+    * table — B147 shares both with its coefficient denominator, so the
+    * materialization and the O(|E|) degree aggregate run once. */
+  private def triangleCountsOn(edges: DataFrame, deg: DataFrame): DataFrame = {
     // orient u→v iff (deg(u), u) < (deg(v), v); ranks are total, so each
     // undirected edge gets exactly one orientation
     val ranked = edges
@@ -271,14 +281,16 @@ object GraphOps {
       .filter(col("r1") < col("r2") ||
         (col("r1") === col("r2") && col("w1") < col("w2")))
     // closing-edge probe: the wedge relation is the big side (arboricity-
-    // bounded but still ≫ |E|), so while the edge set fits a broadcast
-    // (1.2M edges ≈ 20 MB at sf0.1 — profiled 2× faster than shuffling
-    // 41M wedge rows) probe it map-side; past broadcast size fall back
-    // to the standard shuffled MR close keyed (w1, w2). Edge count is a
-    // free scalar off the materialized checkpoint.
+    // bounded but still ≫ |E|), so while the edge set genuinely fits a
+    // broadcast (≤ 2M edges ≈ 32 MB serialized; 1.2M at sf0.1 profiled
+    // 2× faster than shuffling 41M wedge rows) probe it map-side; past
+    // that, fall back to the standard shuffled MR close keyed (w1, w2) —
+    // the cap is sized so the forced broadcast can never itself become
+    // the pathology it avoids. Edge count is a cheap scalar off the
+    // already-materialized checkpoint.
     val closing = oriented.select(col("a").as("w1"), col("b").as("w2"))
     val closingSide =
-      if (edges.count() <= 20000000L) broadcast(closing) else closing
+      if (edges.count() <= 2000000L) broadcast(closing) else closing
     val tri = wedges.join(closingSide, Seq("w1", "w2"))
       .select(col("a"), col("w1"), col("w2"))
     tri.select(col("a").as("node"))
@@ -404,13 +416,13 @@ object GraphOps {
        |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
        |WHERE d.deg >= 2
        |ORDER BY part_id""".stripMargin) { (s, d) =>
-    // two consumers (degrees + triangle pass) → materialize once
+    // numerator and denominator share ONE materialized edge list and
+    // ONE degree table (checkpointed — it feeds both the coefficient
+    // denominator and the orientation ranks)
     val edges = copurchaseEdges(s, d).localCheckpoint(true)
-    val deg = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = degreesOf(edges).localCheckpoint(true)
     deg
-      .join(triangleCounts(edges), Seq("node"), "left")
+      .join(triangleCountsOn(edges, deg), Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .filter(col("deg") >= 2)
       .select(col("node").as("part_id"), col("deg"), col("n_triangles"),
@@ -447,10 +459,6 @@ object GraphOps {
     var round = 0
     var converged = false
     while (!converged) {
-      round += 1
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"k-core peel did not converge in $maxRounds rounds")
       // degree WITHIN the surviving subgraph; zero-degree survivors get
       // 0 via the left join and drop with everyone below k
       val deg = alive
@@ -461,6 +469,13 @@ object GraphOps {
         .localCheckpoint(true)
       if (drop.isEmpty) converged = true
       else {
+        // only DROPPING rounds count against the budget: a cascade of
+        // depth exactly maxRounds converges (its confirming empty round
+        // is free), matching the oracle's maxRounds-deep unroll
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"k-core peel did not converge in $maxRounds rounds")
         dropped = dropped.unionByName(
           drop.withColumn("dropped_round", lit(round)))
           .localCheckpoint(true)

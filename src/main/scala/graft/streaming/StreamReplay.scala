@@ -592,9 +592,18 @@ object StreamReplay {
     val edges = graft.operators.GraphOps.copurchaseEdges(s, d)
     StreamingOps.writeChunksDf(edges, chunkDir148, n = 6,
       sortCols = Seq("src", "dst"))
-    // v0 = empty edge state; deltas accumulate per batch
-    edges.limit(0).write.mode("overwrite").parquet(s"$stateDir148/v0")
+    // v0 = empty edge state; deltas accumulate per batch. The delta sink
+    // is append-mode across batches, so it must be CLEARED per
+    // invocation — a same-JVM re-run would otherwise sum both runs'
+    // deltas (the idempotent-re-run rule the dropTempView twins follow)
     val deltaDir = s"$stateDir148/deltas"
+    val dp = java.nio.file.Paths.get(deltaDir)
+    if (java.nio.file.Files.exists(dp)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    edges.limit(0).write.mode("overwrite").parquet(s"$stateDir148/v0")
     var cur = "v0"
     val stream = StreamingOps.readStream(s, chunkDir148, edges.schema)
     StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>

@@ -270,6 +270,26 @@ class GraphOpsSpec extends AnyFunSuite {
       (0L to 3L).forall(n => q(n) == 0))
   }
 
+  test("B148 entry: same-JVM re-run is idempotent — the delta sink is " +
+    "cleared per invocation") {
+    val spark = TestSession.spark
+    def run() = SparkEntry.queries("b148_stream_triangles")(
+      spark, TestSession.sf0001).collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+
+  test("B149: a cascade of depth exactly maxRounds converges — the " +
+    "confirming empty round is free") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    // path of 10 nodes at k=2 peels in exactly 5 dropping rounds
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val r = graft.operators.GraphOps.kCorePeel(path.toDF("src", "dst"), 2,
+        maxRounds = 5)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r.values.max == 5 && r.values.forall(_ > 0))
+  }
+
   test("B149: a cascade deeper than maxRounds throws, never ships a " +
     "wrong core") {
     val spark = TestSession.spark
