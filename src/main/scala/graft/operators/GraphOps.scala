@@ -548,5 +548,92 @@ object GraphOps {
       .orderBy("part_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149)
+  /** HITS fixed-point scale (micro-units) and round count — like B119,
+    * the round count is a DETERMINISM choice: both engines walk the same
+    * six integer iterations and the hash pins the trajectory. */
+  private val HitsIters = 6
+  private val HitsScale = 1000000L
+
+  /** B150 — HITS hubs & authorities (Kleinberg '99) over the naturally
+    * DIRECTED purchase graph customer → part: authority(part) = how
+    * endorsed a product is by strong buyers, hub(customer) = how much a
+    * buyer's basket concentrates on strong products — the classic
+    * mutually-recursive pair, the co-purchase complement of B119's
+    * single-score PageRank.
+    *
+    * Integer arithmetic: scores live in micro-units and each half-round
+    * normalizes by the MAX raw score (the L∞ normalization variant) —
+    * chosen over sum-normalization because it keeps every intermediate
+    * product inside BIGINT at any graph size: raw scores are bounded by
+    * max-degree·Scale (≤ 10⁸ here), so raw·Scale ≤ 10¹⁴ ≪ 2⁶³, while
+    * sum-normalized raw·Scale would overflow on the first round of a
+    * large graph. Max-normalization also keeps resolution: the top
+    * node is exactly Scale, everything else a fraction of it in
+    * micro-units.
+    *
+    * Scale posture: per half-round one edge-keyed join + one
+    * map-combinable score aggregate (the b119 Pregel shape); the max is
+    * a one-row broadcast; per-round localCheckpoint is the b63 lineage
+    * discipline. */
+  private val b150 = entry(
+    "b150_graph_hits", {
+      val sb = new StringBuilder
+      sb.append(s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT c, CAST($HitsScale AS BIGINT) AS h FROM e),
+         |""".stripMargin)
+      for (i <- 1 to HitsIters) {
+        sb.append(s"""a${i}r AS MATERIALIZED (
+           |  SELECT p, CAST(sum(h) AS BIGINT) AS v
+           |  FROM e JOIN h${i - 1} USING (c) GROUP BY p),
+           |a${i}m AS MATERIALIZED (SELECT max(v) AS m FROM a${i}r),
+           |a$i AS MATERIALIZED (
+           |  SELECT p, CAST(v * $HitsScale // m AS BIGINT) AS a
+           |  FROM a${i}r, a${i}m),
+           |h${i}r AS MATERIALIZED (
+           |  SELECT c, CAST(sum(a) AS BIGINT) AS v
+           |  FROM e JOIN a$i USING (p) GROUP BY c),
+           |h${i}m AS MATERIALIZED (SELECT max(v) AS m FROM h${i}r),
+           |h$i AS MATERIALIZED (
+           |  SELECT c, CAST(v * $HitsScale // m AS BIGINT) AS h
+           |  FROM h${i}r, h${i}m),
+           |""".stripMargin)
+      }
+      sb.append(s"""scores AS (
+         |  SELECT 'cust' AS side, c AS node_id, h AS score_fp FROM h$HitsIters
+         |  UNION ALL
+         |  SELECT 'part', p, a FROM a$HitsIters)
+         |SELECT side, node_id, score_fp FROM scores
+         |ORDER BY side, node_id""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+    val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("v")).as("m"))))
+        .select(col(key), expr(s"CAST(v * $HitsScale div m AS BIGINT)").as(out))
+        .localCheckpoint(true)
+    var h = edges.select(col("c")).distinct()
+      .withColumn("h", lit(HitsScale)).localCheckpoint(true)
+    var a = h.limit(0).select(col("c").as("p"), col("h").as("a"))
+    for (_ <- 1 to HitsIters) {
+      a = normalized(
+        edges.join(h, "c").groupBy("p").agg(sum(col("h")).as("v")), "p", "a")
+      h = normalized(
+        edges.join(a, "p").groupBy("c").agg(sum(col("a")).as("v")), "c", "h")
+    }
+    h.select(lit("cust").as("side"), col("c").as("node_id"),
+        col("h").as("score_fp"))
+      .unionByName(a.select(lit("part").as("side"), col("p").as("node_id"),
+        col("a").as("score_fp")))
+      .orderBy("side", "node_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149, b150)
 }

@@ -300,6 +300,26 @@ class GraphOpsSpec extends AnyFunSuite {
         maxRounds = 2).collect())
   }
 
+  // ---- B150 HITS --------------------------------------------------------
+
+  test("B150: on the gate graph the max hub and max authority hit exactly " +
+    "Scale, all scores positive, and symmetric nodes tie") {
+    val spark = TestSession.spark
+    val rows = SparkEntry.queries("b150_graph_hits")(spark, TestSession.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val custs = rows.filter(_._1 == "cust").map(_._3)
+    val parts = rows.filter(_._1 == "part").map(_._3)
+    assert(custs.nonEmpty && parts.nonEmpty)
+    assert(custs.max == 1000000L && parts.max == 1000000L,
+      "L-infinity normalization must pin the top score to Scale")
+    assert(custs.forall(_ > 0) && parts.forall(_ > 0))
+    // determinism: rerun is bit-identical
+    val again = SparkEntry.queries("b150_graph_hits")(spark, TestSession.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("B144 plan: no cartesian product anywhere in the triangle plan") {
     val spark = TestSession.spark
     import spark.implicits._
