@@ -320,6 +320,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("B150: the entry replays an independent sequential JVM HITS fold " +
+    "exactly (closing the generated-oracle blind spot)") {
+    val spark = TestSession.spark
+    val edges = graft.sources.Tables.orders(spark, TestSession.sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, TestSession.sf0001)
+        .select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val S = 1000000L
+    var h = edges.map(_._1).distinct.map(_ -> S).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 6) {
+      val araw = edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap
+      val am = araw.values.max
+      a = araw.view.mapValues(v => v * S / am).toMap
+      val hraw = edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap
+      val hm = hraw.values.max
+      h = hraw.view.mapValues(v => v * S / hm).toMap
+    }
+    val got = SparkEntry.queries("b150_graph_hits")(spark, TestSession.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected =
+      h.map { case (c, v) => ("cust", c) -> v } ++
+        a.map { case (p, v) => ("part", p) -> v }
+    assert(got == expected)
+  }
+
   test("B144 plan: no cartesian product anywhere in the triangle plan") {
     val spark = TestSession.spark
     import spark.implicits._
