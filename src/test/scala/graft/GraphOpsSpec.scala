@@ -104,6 +104,33 @@ class GraphOpsSpec extends AnyFunSuite {
       "identical spokes received different ranks — iteration is not order-independent")
   }
 
+  test("B119: the entry replays an independent sequential JVM PageRank " +
+    "fold exactly (closing the generated-oracle blind spot)") {
+    val spark = TestSession.spark
+    val li = graft.sources.Tables.lineitem(spark, TestSession.sf0001)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (for {
+      (_, ps) <- li.groupBy(_._1).toSeq
+      parts = ps.map(_._2).toSeq
+      a <- parts; b <- parts if a != b
+    } yield (a, b)).distinct
+    val Scale = 1000000000000L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = outdeg.size.toLong
+    val base = 15L * (Scale / n) / 100L
+    var rank = outdeg.keys.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 6) {
+      val inflow = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      rank = inflow.map { case (node, in) => node -> (base + 85L * in / 100L) }
+    }
+    val got = SparkEntry.queries("b119_pagerank_copurchase")(
+        spark, TestSession.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+  }
+
   // ---- B144 triangle counting -------------------------------------------
 
   private def triRun(edges: Seq[(Long, Long)]): Map[Long, Long] = {
