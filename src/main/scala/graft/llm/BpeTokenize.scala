@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 import graft.Registry._
-import graft.functions.BpeEncodeExpression
+import graft.functions.{BpeDecodeExpression, BpeEncodeExpression}
 import graft.sources.Tables
 
 /** B122 — deterministic subword tokenization (SURVEY §2C tier (b); the
@@ -84,5 +84,59 @@ object BpeTokenize {
         .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b122)
+  /** Stage 3 of the oracle for B151: decode the id string `c` back to
+    * text. The id string is re-marker-delimited (`'1 27 5'` →
+    * `'⟨1⟩⟨27⟩⟨5⟩'`) so every id pattern is prefix-unambiguous — then
+    * each `⟨id⟩` replaces to its token surface (order-independent in
+    * marker form), with the OOV sentinel `⟨0⟩` dropping to ''. ≈ 93
+    * expressions deep — under DuckDB's 128 binder cap. */
+  private[llm] def decodeExpr(c: String): String = {
+    var e = s"CASE WHEN $c = '' THEN '' ELSE '⟨' || replace($c, ' ', '⟩⟨') || '⟩' END"
+    e = s"replace($e, '⟨0⟩', '')"
+    for ((tok, id) <- BpeEncodeExpression.tokenIds.toSeq.sortBy(_._2))
+      e = s"replace($e, '⟨$id⟩', '$tok')"
+    e
+  }
+
+  /** B151 round-trip oracle: replay encode (stages 1-2) then decode
+    * (stage 3) in DuckDB and check decode(encode(text)) ≡ text minus
+    * spaces — BPE ids join words with the same separator as tokens, so
+    * despaced text is the exact inverse image (BpeDecodeExpression doc). */
+  private[llm] def roundtripOracleSql: String = {
+    val e1 = charifyMergesExpr("text")
+    val e2 = idifyExpr("w")
+    val e3 = decodeExpr("ids")
+    s"""SELECT doc_id, decoded,
+       |  CAST(decoded = replace(text, ' ', '') AS BIGINT) AS roundtrip_ok
+       |FROM (SELECT doc_id, text, $e3 AS decoded
+       |      FROM (SELECT doc_id, text, $e2 AS ids
+       |            FROM (SELECT doc_id, text, $e1 AS w FROM documents) s) t) u
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** B151 — BPE DECODE + ROUND-TRIP GATE (VERDICT r12 item 3): the
+    * native codegen inverse [[graft.functions.BpeDecodeExpression]] run
+    * over the encoder's output corpus-wide, hash-pinned against the
+    * DuckDB replay of BOTH directions. A hash-green run proves
+    * decode(encode(text)) ≡ despaced text for every document at the gate
+    * SF — the detokenizer law a training pipeline needs before it can
+    * trust stored token ids as the system of record.
+    *
+    * Scale posture: two chained map-side scalars in one whole-stage
+    * codegen span — no shuffle at any corpus size; ORDER BY is gate
+    * presentation only. */
+  private val b151 = entry("b151_bpe_roundtrip", roundtripOracleSql) {
+    (s, d) =>
+      BpeEncodeExpression.register(s)
+      BpeDecodeExpression.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          expr("bpe_decode(bpe_encode(text))").as("decoded"))
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === regexp_replace(col("text"), " ", ""))
+            .cast("long").as("roundtrip_ok"))
+        .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b122, b151)
 }

@@ -380,7 +380,12 @@ object Retrieval {
     // SPARK_GRAFT_REBUILD_INDEX=1 defeats the memo — for measuring the
     // build phase explicitly (build+serve per rep, the pre-r11 metric)
     val always = sys.env.get("SPARK_GRAFT_REBUILD_INDEX").contains("1")
-    if (always || !builtArtifacts.get(dir).contains((sfDir, granularity))) {
+    val hit = !always && builtArtifacts.get(dir).contains((sfDir, granularity))
+    // SPARK_GRAFT_MEMO_LOG=1: per-rep build/serve attribution for bench
+    // adjudication — proves whether min-of-reps measured serve-only
+    if (sys.env.get("SPARK_GRAFT_MEMO_LOG").contains("1"))
+      System.err.println(s"[graft-memo] dir=$dir hit=$hit")
+    if (!hit) {
       build
       builtArtifacts(dir) = (sfDir, granularity)
     }

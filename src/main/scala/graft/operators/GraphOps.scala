@@ -615,10 +615,15 @@ object GraphOps {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint(true)
-    def normalized(raw: DataFrame, key: String, out: String): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(max(col("v")).as("m"))))
+    // materialize the half-round's join+agg ONCE — both consumers (the max
+    // aggregate and the normalized projection) read the checkpointed rows,
+    // instead of re-running the edge join per side of the crossJoin
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val scores = raw.localCheckpoint(true)
+      scores.crossJoin(broadcast(scores.agg(max(col("v")).as("m"))))
         .select(col(key), expr(s"CAST(v * $HitsScale div m AS BIGINT)").as(out))
         .localCheckpoint(true)
+    }
     var h = edges.select(col("c")).distinct()
       .withColumn("h", lit(HitsScale)).localCheckpoint(true)
     var a = h.limit(0).select(col("c").as("p"), col("h").as("a"))

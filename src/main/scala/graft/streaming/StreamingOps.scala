@@ -49,6 +49,12 @@ object StreamingOps {
     * deterministic chunk boundaries. */
   private def writeChunksWith(events: DataFrame, dir: String, n: Int,
       sortCols: Seq[String])(write: (DataFrame, String) => Unit): Unit = {
+    // chunk count varies with row count (ceil(rows/n) per chunk), so a
+    // same-JVM re-run against a smaller dataset would leave stale
+    // chunk_NNNN dirs that the readStream chunk_* glob replays — clear
+    // them first (the idempotent-re-run discipline the b148 delta sink
+    // follows)
+    clearChunks(dir)
     val spark = events.sparkSession
     val ordered = events.orderBy(sortCols.map(col): _*)
     val rows = ordered.collect()
@@ -57,6 +63,19 @@ object StreamingOps {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(chunk.toSeq, 1), ordered.schema)
       write(df.coalesce(1), f"$dir/chunk_$i%04d")
+    }
+  }
+
+  /** Recursively delete any pre-existing chunk_* entries under `dir`. */
+  private def clearChunks(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    if (root.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(root.listFiles()).foreach(
+        _.filter(_.getName.startsWith("chunk_")).foreach(rm))
     }
   }
 

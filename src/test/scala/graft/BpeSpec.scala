@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.BpeEncodeExpression
+import graft.functions.{BpeDecodeExpression, BpeEncodeExpression}
 import graft.sources.Tables
 
 /** [[graft.functions.BpeEncodeExpression]] / B122 — the frozen-vocab BPE
@@ -91,6 +91,42 @@ class BpeSpec extends AnyFunSuite {
       assert(created.contains(l) && created.contains(r),
         s"merge ($l,$r) consumes a symbol not yet created at its rank")
       created += (l + r)
+    }
+  }
+
+  test("bpe_decode inverts bpe_encode up to despacing (corpus + adversarial + random)") {
+    def rt(t: String): Unit = {
+      val ids = BpeEncodeExpression.encode(UTF8String.fromString(t)).toString
+      val back = BpeDecodeExpression.decode(UTF8String.fromString(ids)).toString
+      assert(back === t.replace(" ", ""), s"round-trip broke on: '${t.take(80)}'")
+    }
+    Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0)).filter(_ != null).foreach(rt)
+    Seq("eeee errr erer", "stst stastast", "  double  spaces  ", "xz", "",
+      "a", "merge mergemerge").foreach(rt)
+    val rnd = new scala.util.Random(151)
+    val alphabet = ('a' to 'z') :+ ' '
+    (1 to 500).foreach { _ =>
+      rt((0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(27))).mkString)
+    }
+  }
+
+  test("bpe_decode: OOV sentinel and malformed ids decode to nothing, vocab ids to their surface") {
+    BpeEncodeExpression.tokenIds.foreach { case (tok, id) =>
+      assert(BpeDecodeExpression.decode(UTF8String.fromString(id.toString)).toString === tok)
+    }
+    assert(BpeDecodeExpression.decode(UTF8String.fromString("0")).toString === "")
+    assert(BpeDecodeExpression.decode(UTF8String.fromString("9999")).toString === "")
+    assert(BpeDecodeExpression.decode(UTF8String.fromString("")).toString === "")
+    assert(BpeDecodeExpression.decode(UTF8String.fromString("1  2")).toString === "ab")
+  }
+
+  test("B151 entry: roundtrip_ok = 1 corpus-wide") {
+    val rows = SparkEntry.queries("b151_bpe_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2) && r.getLong(2) === 1L,
+        s"doc ${r.getLong(0)}: round-trip law broken")
     }
   }
 
