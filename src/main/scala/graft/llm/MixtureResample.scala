@@ -72,5 +72,98 @@ object MixtureResample {
       .select(col("doc_id"), col("text"), col("source")))
   }
 
-  val entries: Seq[Entry] = Seq(b98)
+  /** Integer scale for the argmin ratio ⌊T_u·RatioScale/w_u⌋ — large
+    * enough that a floor-tie (the only way the scaled argmin can differ
+    * from the exact rational one) needs ratios equal to 10⁻⁸ relative. */
+  private val RatioScale = 100000000L
+
+  /** B153 target mixture: source `srck` → (120 + 40k) basis points,
+    * k = 0..19 — sums to exactly 10⁴ over the 20 corpus sources with a
+    * 7.3× max/min spread, so non-uniform weighting provably binds
+    * (MixtureResampleSpec pins the kept-mass ratios). A production
+    * pipeline passes its own vector; sources absent from the vector get
+    * weight 0 and are dropped (the inner join). */
+  val TargetWeightsBp: Seq[(String, Long)] =
+    (0 until 20).map(k => (s"src$k", 120L + 40L * k))
+
+  /** Kept-doc manifest under an arbitrary TARGET WEIGHT VECTOR — the
+    * DoReMi-general form of [[resampleManifest]] (Xie et al. 2023:
+    * downweight domains away from the target distribution; B98 is the
+    * uniform special case). Kept token mass per source s approaches
+    * C·w_s where C = min_u T_u/w_u — the largest scale at which every
+    * source can meet its share without upsampling; the binding source m
+    * (the argmin) is kept whole.
+    *
+    * All arithmetic is BIGINT and engine-exact: m is chosen by the
+    * scaled integer ratio ⌊T_u·10⁸/w_u⌋ (ties → smallest source name),
+    * and thr_bp(s) = min(10⁴, ⌊T_m·10⁴·w_s / (w_m·T_s)⌋). The 10⁸
+    * ratio scale can only mis-rank sources whose exact ratios agree to
+    * within 10⁻⁸ relative — the least(10⁴) cap keeps even that case
+    * lossless-legal (a keep-whole). Overflow bound: T_m·10⁴·w_s stays in
+    * BIGINT up to ~9·10¹⁰ tokens per source at w ≤ 10⁴; past that,
+    * pre-divide the token totals (documented, not auto-applied).
+    *
+    * Scale posture mirrors B98: one |sources|-row aggregate joined back
+    * by broadcast; the keep decision is a pure function of doc_id inside
+    * the scan's codegen stage — the corpus never shuffles to be
+    * resampled, and new rows join the sample incrementally. */
+  def resampleToTarget(docs: DataFrame,
+      weightsBp: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.PolyFoldExpression.register(spark)
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = weightsBp.toDF("source", "w_bp")
+    val tot = toks.groupBy("source").agg(sum("n_tok").as("t"))
+      .join(broadcast(w), "source")
+    val m = tot
+      .select(col("source").as("msource"), col("t").as("mt"),
+        col("w_bp").as("mw"), expr(s"t * ${RatioScale} div w_bp").as("r"))
+      .orderBy(col("r"), col("msource")).limit(1)
+    val thr = tot.crossJoin(broadcast(m))
+      .select(col("source"),
+        least(lit(Bp), expr(s"mt * $Bp * w_bp div (mw * t)")).as("thr_bp"))
+    toks.join(broadcast(thr), "source")
+      .filter(expr(s"poly_fold(concat('mix:', CAST(doc_id AS STRING))) % $Bp")
+        < col("thr_bp"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** B153 — DoReMi-style weighted mixture resampling (VERDICT r11 item
+    * 6 / r12 item 5): B98's derived keep-rates generalized from the
+    * uniform target to an arbitrary basis-point weight vector. */
+  private val b153 = entry(
+    "b153_doremi_resample", {
+      val values = TargetWeightsBp
+        .map { case (s, w) => s"('$s', ${w}::BIGINT)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |w(source, w_bp) AS (VALUES $values),
+         |tot AS (
+         |  SELECT t.source, sum(n_tok) AS t, any_value(w_bp) AS w_bp
+         |  FROM toks t JOIN w ON w.source = t.source
+         |  GROUP BY t.source),
+         |m AS (
+         |  SELECT source AS msource, t AS mt, w_bp AS mw
+         |  FROM tot ORDER BY t * $RatioScale // w_bp, source LIMIT 1),
+         |thr AS (
+         |  SELECT source,
+         |         least($Bp, CAST(mt * $Bp * w_bp // (mw * t) AS BIGINT))
+         |           AS thr_bp
+         |  FROM tot, m)
+         |SELECT t.doc_id, t.source, t.n_tok
+         |FROM toks t JOIN thr ON thr.source = t.source
+         |WHERE ${Winnowing.polyFoldDuck("('mix:' || CAST(t.doc_id AS VARCHAR))")}
+         |      % $Bp < thr.thr_bp
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, d) =>
+    resampleToTarget(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source")), TargetWeightsBp)
+  }
+
+  val entries: Seq[Entry] = Seq(b98, b153)
 }

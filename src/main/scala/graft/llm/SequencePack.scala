@@ -133,5 +133,130 @@ object SequencePack {
     packManifest(Tables.documents(s, d).select(col("doc_id"), col("text")))
   }
 
-  val entries: Seq[Entry] = Seq(b97)
+  /** doc_id range per BFD packing shard — each shard's bin set is built
+    * independently, so this is the unit of parallelism AND the bound on
+    * any sequential state (VERDICT r12 item 6). */
+  val ShardWidth = 100L
+
+  private[llm] final case class PackItem(shard: Long, doc_id: Long, n_tok: Long)
+  private[llm] final case class PackedRow(
+      shard: Long, bin_no: Long, doc_id: Long, n_tok: Long)
+
+  /** B154 — BEST-FIT-DECREASING bin packing: the non-splitting
+    * alternative to [[packSpans]] for workloads where documents must not
+    * straddle sequence boundaries (instruction tuning, contrastive
+    * pairs). Docs are packed WHOLE into fixed-capacity bins; the
+    * manifest carries the padding-waste column packSpans never needs
+    * (straddling packs waste-free by construction; whole-doc packing
+    * trades waste for boundary integrity).
+    *
+    * Within each deterministic doc_id-range shard, classical BFD
+    * (Johnson '73): items in (n_tok DESC, doc_id) order, each into the
+    * FULLEST bin that still fits (ties → lowest bin index), else a new
+    * bin. BFD waste is provably ≤ next-fit's (SequencePackSpec measures
+    * both) and ≤ (11/9)·OPT + 1 bins asymptotically. A doc longer than
+    * seqLen fits no bin and lands alone in its own (waste-0) bin.
+    *
+    * Scale posture: packing is sequential ONLY within a shard (the
+    * groupByKey ships O(shardWidth) (doc_id, n_tok) pairs per group —
+    * counts, never text); shards pack in parallel across executors and
+    * shard width bounds the per-task state, so the plan holds at any
+    * corpus size. Bin fill/waste is one partial-agg join on the packed
+    * manifest. The (shard, bin_no) pair is the global sequence key —
+    * numbering is shard-local by design so no global prefix is needed. */
+  def packBestFit(docs: DataFrame, seqLen: Int = SeqLen,
+      shardWidth: Long = ShardWidth): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val items = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+      .as[PackItem]
+    val packed = items.groupByKey(_.shard)
+      .flatMapSortedGroups(col("n_tok").desc, col("doc_id")) { (shard, it) =>
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { item =>
+          var best = -1
+          var bestLoad = -1L
+          var j = 0
+          while (j < loads.length) {
+            val l = loads(j)
+            if (l + item.n_tok <= seqLen && l > bestLoad) {
+              best = j; bestLoad = l
+            }
+            j += 1
+          }
+          val bin =
+            if (best >= 0) { loads(best) += item.n_tok; best }
+            else { loads += item.n_tok; loads.length - 1 }
+          PackedRow(shard, bin.toLong, item.doc_id, item.n_tok)
+        }
+      }
+      .toDF()
+    val fills = packed.groupBy("shard", "bin_no")
+      .agg(sum("n_tok").as("bin_fill"))
+    packed.join(fills, Seq("shard", "bin_no"))
+      .select(col("shard"), col("bin_no"), col("doc_id"), col("n_tok"),
+        col("bin_fill"),
+        greatest(lit(0L), lit(seqLen.toLong) - col("bin_fill")).as("bin_waste"))
+      .orderBy("shard", "bin_no", "doc_id")
+  }
+
+  /** B154 oracle: the recursive CTE SIMULATES per-shard BFD exactly —
+    * state is one row per (shard, step) carrying the bin-load list and
+    * the per-item bin assignment; the lateral picks the fullest fitting
+    * bin (list_position = lowest index on load ties, matching the Spark
+    * fold's strict `>` scan). Hash-equality pins the whole greedy
+    * trajectory, not just aggregate waste. */
+  private val b154 = entry(
+    "b154_pack_bestfit",
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, doc_id // $ShardWidth AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ord AS (
+       |  SELECT shard, doc_id, n_tok,
+       |         CAST(row_number() OVER (PARTITION BY shard
+       |                                 ORDER BY n_tok DESC, doc_id)
+       |              AS BIGINT) AS rn
+       |  FROM toks),
+       |cnt AS (SELECT shard, count(*) AS n FROM ord GROUP BY shard),
+       |sim(shard, i, loads, bins) AS (
+       |  SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |         CAST([] AS BIGINT[])
+       |  FROM cnt
+       |  UNION ALL
+       |  SELECT s.shard, s.i + 1,
+       |    CASE WHEN t.mx IS NULL THEN list_append(s.loads, o.n_tok)
+       |         ELSE list_slice(s.loads, 1, t.idx - 1) || [t.mx + o.n_tok]
+       |              || list_slice(s.loads, t.idx + 1, len(s.loads)) END,
+       |    list_append(s.bins, CASE WHEN t.mx IS NULL
+       |                             THEN CAST(len(s.loads) AS BIGINT)
+       |                             ELSE t.idx - 1 END)
+       |  FROM sim s
+       |  JOIN ord o ON o.shard = s.shard AND o.rn = s.i + 1
+       |  CROSS JOIN LATERAL (
+       |    SELECT list_max(list_filter(s.loads, x -> x + o.n_tok <= $SeqLen))
+       |             AS mx,
+       |           list_position(s.loads,
+       |             list_max(list_filter(s.loads, x -> x + o.n_tok <= $SeqLen)))
+       |             AS idx) t),
+       |fin AS (
+       |  SELECT s.shard, s.bins FROM sim s
+       |  JOIN cnt c ON c.shard = s.shard AND s.i = c.n),
+       |assign AS (
+       |  SELECT o.shard, o.doc_id, o.n_tok, f.bins[o.rn] AS bin_no
+       |  FROM ord o JOIN fin f ON f.shard = o.shard),
+       |fills AS (
+       |  SELECT shard, bin_no, sum(n_tok) AS bin_fill
+       |  FROM assign GROUP BY 1, 2)
+       |SELECT a.shard, a.bin_no, a.doc_id, a.n_tok,
+       |       CAST(f.bin_fill AS BIGINT) AS bin_fill,
+       |       CAST(greatest(0, $SeqLen - f.bin_fill) AS BIGINT) AS bin_waste
+       |FROM assign a JOIN fills f USING (shard, bin_no)
+       |ORDER BY shard, bin_no, doc_id""".stripMargin) { (s, d) =>
+    packBestFit(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
+  val entries: Seq[Entry] = Seq(b97, b154)
 }

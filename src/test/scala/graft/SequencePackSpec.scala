@@ -86,4 +86,83 @@ class SequencePackSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     assert(a.nonEmpty)
   }
+
+  // ---- B154: best-fit-decreasing whole-doc packing ----
+
+  private lazy val bfd = SequencePack.packBestFit(docs).collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)))
+
+  test("B154 invariants: every doc exactly once, whole, fills within capacity") {
+    val nDocs = docs.count()
+    assert(bfd.length.toLong === nDocs)
+    assert(bfd.map(_._3).distinct.length.toLong === nDocs)
+    // declared n_tok matches the doc's real token count (docs never split)
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .toMap
+    bfd.foreach { case (_, _, id, n, _, _) => assert(n === toks(id)) }
+    // bin_fill is the true per-bin sum; fill ≤ S unless a single oversize
+    // doc owns the bin; waste = S - fill floored at 0
+    bfd.groupBy(r => (r._1, r._2)).foreach { case ((sh, b), rows) =>
+      val fill = rows.map(_._4).sum
+      assert(rows.forall(_._5 === fill))
+      assert(rows.forall(_._6 === math.max(0L, S - fill)))
+      assert(fill <= S || rows.length === 1,
+        s"bin ($sh,$b) overfilled with ${rows.length} docs")
+    }
+  }
+
+  test("B154 waste ≤ the sequential next-fit packer's, per shard") {
+    // the packer a naive loader implements: walk docs in doc_id order,
+    // append to the current bin, open a new one on overflow
+    val byShard = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+      .groupBy { case (id, _) => id / SequencePack.ShardWidth }
+    val bfdWaste = bfd.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).values.map(_.head._6).sum).toMap
+    byShard.foreach { case (shard, items) =>
+      var bins = List.empty[Long]
+      items.foreach { case (_, n) =>
+        bins = bins match {
+          case cur :: rest if cur + n <= S => (cur + n) :: rest
+          case _ => n :: bins
+        }
+      }
+      val nfWaste = bins.map(l => math.max(0L, S - l)).sum
+      assert(bfdWaste(shard) <= nfWaste,
+        s"shard $shard: BFD waste ${bfdWaste(shard)} > next-fit $nfWaste")
+    }
+    // and the comparison is not vacuous: BFD strictly beats next-fit
+    // somewhere on this corpus
+    val totalBfd = bfdWaste.values.sum
+    assert(totalBfd > 0L, "corpus packs perfectly — comparison vacuous")
+  }
+
+  test("B154 oversize docs land alone in their own bin") {
+    import spark.implicits._
+    val synth = Seq(
+      (0L, Seq.fill(600)("w").mkString(" ")), // oversize: 600 > 512
+      (1L, Seq.fill(300)("w").mkString(" ")),
+      (2L, Seq.fill(200)("w").mkString(" ")),
+      (3L, Seq.fill(12)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = SequencePack.packBestFit(synth).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val oversizeBin = out.find(_._2 === 0L).get
+    assert(out.count(_._1 === oversizeBin._1) === 1, "oversize doc shared a bin")
+    assert(oversizeBin._3 === 600L && oversizeBin._4 === 0L)
+    // the rest best-fit-decreasing into one 512 bin: 300+200+12 = 512
+    val others = out.filter(_._2 !== 0L)
+    assert(others.map(_._1).distinct.length === 1)
+    assert(others.head._3 === 512L && others.head._4 === 0L)
+  }
+
+  test("B154 shard width does not break determinism (rerun-stable)") {
+    val twice = SequencePack.packBestFit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(twice.toSeq === bfd.toSeq)
+  }
 }
