@@ -44,6 +44,7 @@ object SparkEntry {
       llm.LangId.entries ++
       llm.Multimodal.entries ++
       llm.BpeTokenize.entries ++
+      llm.UnigramTokenize.entries ++
       llm.BpeTrain.entries ++
       llm.Quantize.entries ++
       llm.CorpusBudget.entries ++

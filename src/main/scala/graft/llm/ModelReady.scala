@@ -76,7 +76,7 @@ object ModelReady {
        |       least(start + n_tok, (seq_id + 1) * ${SequencePack.SeqLen})
        |         - greatest(start, seq_id * ${SequencePack.SeqLen}) AS n_toks
        |FROM manifest
-       |ORDER BY seq_id, doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY seq_id, doc_id""".stripMargin, bench = true) { (s, d) =>
     BpeEncodeExpression.register(s)
     val docs = Tables.documents(s, d)
     val kept = CorpusBudget.budgetManifest(docs).select("doc_id")
@@ -114,7 +114,7 @@ object ModelReady {
        |       CAST(row_number() OVER (PARTITION BY shard
        |                               ORDER BY k, doc_id) AS BIGINT) AS pos,
        |       doc_id
-       |FROM keyed ORDER BY shard, pos""".stripMargin) { (s, d) =>
+       |FROM keyed ORDER BY shard, pos""".stripMargin, bench = true) { (s, d) =>
     graft.functions.PolyFoldExpression.register(s)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))

@@ -107,7 +107,8 @@ object NgramLm {
     "b129_kneser_ney_bigram",
     s"""WITH $knCtesSql
        |SELECT w1, w2, c, cw1, n1w1, cont2, kn_fp
-       |FROM kn ORDER BY c DESC, w1, w2 LIMIT $Top""".stripMargin) { (s, d) =>
+       |FROM kn ORDER BY c DESC, w1, w2 LIMIT $Top""".stripMargin,
+    bench = true) { (s, d) =>
     knBigrams(Tables.documents(s, d))
   }
 

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.functions.UnigramEncodeExpression
+import graft.sources.Tables
+
+/** B152 — deterministic UNIGRAM-LM subword tokenization (SURVEY §2C
+  * tier (b); VERDICT r11 item 3 / r12 item 4): the SentencePiece
+  * unigram model (Kudo, ACL'18) under the FROZEN integer-scored vocab
+  * in `graft/unigram_vocab.txt`, segmented per word by the Viterbi DP
+  * in the native codegen [[graft.functions.UnigramEncodeExpression]] —
+  * the probabilistic counterpart to B122's merge-driven BPE, and the
+  * one mainstream training-data tokenizer family B122 didn't cover.
+  *
+  * The t2 oracle does NOT replay the DP — it ENUMERATES every
+  * segmentation of every distinct corpus word through a recursive CTE
+  * (rows = partial paths carrying total cost + interior-cut bitmask)
+  * and takes the (cost, mask)-minimal complete path per word. DP vs
+  * exhaustive-search hash-equality therefore pins Viterbi OPTIMALITY
+  * (and the exact tie-break), not just agreement between two copies of
+  * the same algorithm. Per-doc ids are rebuilt by zipped-unnest word
+  * position + ordered string_agg.
+  *
+  * Scale posture: tokenization is pure map-side scalar work in
+  * whole-stage codegen — no shuffle, no broadcast, Zipf-memoized per
+  * executor, O(len · maxPieceLen) per word. The oracle's enumeration
+  * is exponential in word length by design (it is the spec of
+  * correctness, not the production path) and runs only in the gate's
+  * DuckDB at the gate SFs. */
+object UnigramTokenize {
+
+  /** VALUES list for the oracle, generated from the SAME frozen
+    * resource the expression loads — one source of truth. */
+  private def vocabValues: String =
+    UnigramEncodeExpression.vocab.zipWithIndex.map { case ((p, c), i) =>
+      s"('$p', ${p.length}, ${c}::BIGINT, ${i + 1})"
+    }.mkString(", ")
+
+  private[llm] def unigramOracleSql: String =
+    s"""WITH RECURSIVE v(piece, len, cost, id) AS (VALUES $vocabValues),
+       |words AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+       |  WHERE w <> ''),
+       |paths(word, pos, cost, mask, ids) AS (
+       |  SELECT word, 0::BIGINT, 0::BIGINT, 0::BIGINT, '' FROM words
+       |  UNION ALL
+       |  SELECT p.word, p.pos + v.len, p.cost + v.cost,
+       |         p.mask + CASE WHEN p.pos = 0 THEN 0
+       |                       ELSE (1::BIGINT << p.pos) END,
+       |         p.ids || CAST(v.id AS VARCHAR) || ' '
+       |  FROM paths p
+       |  JOIN v ON substr(p.word, CAST(p.pos AS INT) + 1, v.len) = v.piece
+       |  WHERE p.pos < len(p.word)),
+       |best AS (
+       |  SELECT word, rtrim(ids) AS ids FROM (
+       |    SELECT word, ids,
+       |           row_number() OVER (PARTITION BY word
+       |                              ORDER BY cost, mask) AS rn
+       |    FROM paths WHERE pos = len(word)) t
+       |  WHERE rn = 1),
+       |seq AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+       |  FROM documents),
+       |docids AS (
+       |  SELECT s.doc_id, string_agg(b.ids, ' ' ORDER BY s.i) AS ids
+       |  FROM seq s JOIN best b ON b.word = s.w
+       |  WHERE s.w <> ''
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN d.text IS NULL THEN NULL
+       |            WHEN di.ids IS NULL THEN '' ELSE di.ids END AS ids,
+       |       CASE WHEN d.text IS NULL THEN NULL
+       |            WHEN di.ids IS NULL THEN 0::BIGINT
+       |            ELSE CAST(len(string_split(di.ids, ' ')) AS BIGINT) END
+       |         AS n_tokens
+       |FROM documents d LEFT JOIN docids di USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val b152 = entry("b152_unigram_tokenize", unigramOracleSql) {
+    (s, d) =>
+      UnigramEncodeExpression.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("unigram_encode(text)").as("ids"))
+        .withColumn("n_tokens",
+          when(col("ids") === "", lit(0L))
+            .otherwise(size(split(col("ids"), " ")).cast("long")))
+        .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b152)
+}
