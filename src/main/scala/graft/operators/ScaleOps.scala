@@ -137,10 +137,15 @@ object ScaleOps {
     * shape Spark's own runtime row-level filtering
     * (spark.sql.optimizer.runtime.bloomFilter.enabled) injects for
     * shuffle joins, here as an explicit, plannable operator. The probe is
-    * a Scala UDF by necessity: the codegen'd BloomFilterMightContain
-    * expression is Catalyst-internal, and the probe sits in a prefilter
-    * off the join's hot loop. Sized for 2^20 keys at fpp 1% (~1.2 MB);
-    * at real scale the expectedNumItems comes from table stats. */
+    * Catalyst's own codegen'd [[BloomFilterMightContain]] over the
+    * serialized sketch as a binary literal — the exact expression the
+    * runtime bloom-join rewrite plants, so the prefilter stays inside
+    * whole-stage codegen with zero boxing (VERDICT r12 item 8; the
+    * boxing Scala-UDF spelling is kept as [[bloomPrefilteredUdf]], the
+    * documented fallback if this Catalyst-internal constructor shifts
+    * in a future Spark 4.x — ScaleOpsSpec pins the two paths equal).
+    * Sized for 2^20 keys at fpp 1% (~1.2 MB); at real scale the
+    * expectedNumItems comes from table stats. */
   private val b60 = entry(
     "b60_join_bloom",
     """SELECT o_orderstatus,
@@ -155,12 +160,9 @@ object ScaleOps {
       .select("o_orderkey", "o_orderstatus")
     val bloom = dim.stat.bloomFilter(col("o_orderkey"),
       expectedNumItems = 1L << 20, fpp = 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bloomB.value.mightContainLong(k))
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(bloomProbe(s, bloom, col("l_orderkey")))
       .join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -168,11 +170,46 @@ object ScaleOps {
       .orderBy("o_orderstatus")
   }
 
+  /** The native probe: Catalyst's BloomFilterMightContain over the
+    * serialized sketch as a binary literal — constant-foldable on the
+    * filter side, codegen'd on the probe side (the same expression shape
+    * Spark's runtime bloom-join rewrite injects). Exposed through a
+    * session temp function because Column has no public
+    * Expression-wrapping constructor in Spark 4; call_function keeps the
+    * call site in the public API. */
+  private[operators] def bloomProbe(s: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      children => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(children(0), children(1)),
+      "built-in")
+    call_function("bloom_might_contain", lit(bos.toByteArray), key)
+  }
+
   /** The bloom-prefiltered fact side alone (spec hook): ScaleOpsSpec
     * asserts it is a superset of the true matching set and strictly
     * smaller than the unfiltered fact table — i.e. the prefilter both
     * preserves recall and actually cuts the shuffle. */
   def bloomPrefiltered(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloom = dim.stat.bloomFilter(col("o_orderkey"),
+      expectedNumItems = 1L << 20, fpp = 0.01)
+    Tables.lineitem(s, d).select("l_orderkey")
+      .filter(bloomProbe(s, bloom, col("l_orderkey")))
+  }
+
+  /** The boxing Scala-UDF probe spelling — the documented FALLBACK if
+    * the Catalyst-internal BloomFilterMightContain constructor shifts in
+    * a future Spark 4.x (it is not a public API). Result-identical to
+    * [[bloomPrefiltered]] (ScaleOpsSpec pins it): the UDF returns false
+    * for null keys where the native predicate returns null — both drop
+    * the row under filter semantics. */
+  def bloomPrefilteredUdf(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
     val bloom = dim.stat.bloomFilter(col("o_orderkey"),

@@ -83,6 +83,40 @@ class WildWebPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("A7/A8 divergence pinned: unparseable date drops the ROW; the reference quarantines the CENTER") {
+    // Reference trajectory for a garbage date: moment('not-a-date') is
+    // invalid, isBefore() returns false so the A7 range gate does NOT skip
+    // it, then toISOString() yields null and `.replace` throws
+    // (task.ts:113,118) into the per-center catch (task.ts:144) — one bad
+    // date costs the center its WHOLE batch. graft diverges deliberately:
+    // try_to_timestamp nulls the row out of the A7 filter, the center's
+    // remaining incidents flow, and nothing lands in quarantine —
+    // row-level damage control instead of center-level collateral (at
+    // scale one poisoned row must not sink a shard). This fixture pins
+    // the divergence so it stays an audited decision, not an accident.
+    val dir = java.nio.file.Files.createTempDirectory("wildweb_baddate")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("center_baddate.json"),
+        """[{"retrieved": "2026-01-15T12:00:00Z", "data": [
+          |  {"uuid": "bd1", "name": "GHOST FIRE", "date": "not-a-date",
+          |   "latitude": "34.1", "longitude": "118.1"},
+          |  {"uuid": "bd2", "name": "REAL FIRE", "date": "2026-01-15T10:00:00Z",
+          |   "latitude": "34.2", "longitude": "118.2"}
+          |]}]""".stripMargin)
+      WildWebPipeline.run(spark, dir.toString, WildWebConfig("1 Week", now)) match {
+        case WildWebPipeline.Completed(features, errors) =>
+          assert(errors.count() === 0,
+            "graft must NOT center-quarantine on a bad date (the reference would)")
+          val ids = features.select("id").collect().map(_.getString(0)).toSeq
+          assert(ids === Seq("wildweb-bd2"),
+            "the unparseable-date row must drop; its center-mates must survive")
+        case other => fail(s"expected Completed, got $other")
+      }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("invalid IncidentRange is rejected at config parse (A1)") {
     intercept[IllegalArgumentException] {
       WildWebConfig("12 Hours", now).rangeHours
