@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 import graft.Registry._
-import graft.functions.UnigramEncodeExpression
+import graft.functions.{UnigramEncodeExpression, WordPieceEncodeExpression}
 import graft.sources.Tables
 
 /** B152 — deterministic UNIGRAM-LM subword tokenization (SURVEY §2C
@@ -90,5 +90,66 @@ object UnigramTokenize {
         .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b152)
+  /** B155 oracle: the same per-word recursion, but GREEDY — the walk is
+    * linear (one row per consumed position), and the NOT EXISTS guard
+    * enforces longest-match-first: a piece extends the walk only when no
+    * LONGER vocab piece matches at the same position. One complete row
+    * per word falls out (max-munch is deterministic); no enumeration. */
+  private[llm] def wordpieceOracleSql: String =
+    s"""WITH RECURSIVE v(piece, len, cost, id) AS (VALUES $vocabValues),
+       |words AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+       |  WHERE w <> ''),
+       |walk(word, pos, ids) AS (
+       |  SELECT word, 0::BIGINT, '' FROM words
+       |  UNION ALL
+       |  SELECT w.word, w.pos + v.len, w.ids || CAST(v.id AS VARCHAR) || ' '
+       |  FROM walk w
+       |  JOIN v ON substr(w.word, CAST(w.pos AS INT) + 1, v.len) = v.piece
+       |  WHERE w.pos < len(w.word)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM v v2
+       |      WHERE v2.len > v.len
+       |        AND substr(w.word, CAST(w.pos AS INT) + 1, v2.len) = v2.piece)),
+       |best AS (
+       |  SELECT word, rtrim(ids) AS ids FROM walk WHERE pos = len(word)),
+       |seq AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+       |  FROM documents),
+       |docids AS (
+       |  SELECT s.doc_id, string_agg(b.ids, ' ' ORDER BY s.i) AS ids
+       |  FROM seq s JOIN best b ON b.word = s.w
+       |  WHERE s.w <> ''
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN d.text IS NULL THEN NULL
+       |            WHEN di.ids IS NULL THEN '' ELSE di.ids END AS ids,
+       |       CASE WHEN d.text IS NULL THEN NULL
+       |            WHEN di.ids IS NULL THEN 0::BIGINT
+       |            ELSE CAST(len(string_split(di.ids, ' ')) AS BIGINT) END
+       |         AS n_tokens
+       |FROM documents d LEFT JOIN docids di USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** B155 — WORDPIECE-STYLE GREEDY tokenization over the SAME frozen
+    * vocab as B152: longest-match-first, no backtracking (the BERT
+    * inference rule; see [[graft.functions.WordPieceEncodeExpression]]
+    * for the documented ##-less simplification). Same ids, different
+    * decision rule — WordPieceSpec pins a word where greedy and Viterbi
+    * genuinely disagree, so the two entries cannot silently be one
+    * implementation. */
+  private val b155 = entry("b155_wordpiece_tokenize", wordpieceOracleSql) {
+    (s, d) =>
+      WordPieceEncodeExpression.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("wordpiece_encode(text)").as("ids"))
+        .withColumn("n_tokens",
+          when(col("ids") === "", lit(0L))
+            .otherwise(size(split(col("ids"), " ")).cast("long")))
+        .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b152, b155)
 }
