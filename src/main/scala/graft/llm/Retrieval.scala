@@ -923,6 +923,99 @@ object Retrieval {
       .orderBy("query_id", "rn")
   }
 
+  /** B156 Dirichlet prior — sized to this corpus's ~55-token docs (the
+    * classic 2000 is tuned for ~500-token news; μ ≈ avgdl is the usual
+    * rule of thumb). A literal so both engines fold the same constant. */
+  private val Mu = 50.0
+
+  /** QL-Dirichlet score, decomposed for SPARSE evaluation (Zhai &
+    * Lafferty, SIGIR'01 §2.2): the exact score
+    *   Σ_{t∈q} ln((tf + μ·p(t|C)) / (dl + μ))
+    * splits into a per-(doc,term) MATCH part ln(1 + tf·tc/(μ·cf)) that is
+    * nonzero only where postings exist, a doc-level part |q|·ln(μ/(dl+μ)),
+    * and a query constant Σ_t ln(cf/tc) — so query cost is O(postings of
+    * query terms), never O(corpus·|q|), yet the reported value is the
+    * full QL log-likelihood, not a rank-equivalent surrogate. Written
+    * ONCE as SQL text so Spark and DuckDB evaluate the identical float
+    * expression tree. */
+  private def qlMatchExpr(ln: String): String =
+    s"$ln(1.0 + (tf * tc) / ($Mu * cf))"
+  private def qlDocExpr(ln: String): String =
+    s"nq * $ln($Mu / (dl + $Mu)) + qconst"
+
+  /** B156 — QUERY-LIKELIHOOD RETRIEVAL (Dirichlet smoothing): the
+    * language-modeling counterpart to B107's BM25 over the same query
+    * workload — the second classic probabilistic ranking family a
+    * retrieval stack ships. Candidates are docs matching ≥1 query term
+    * (the b107 rule); zero-match docs are not ranked. Query terms absent
+    * from the corpus (cf=0) are dropped in both engines (their smoothed
+    * probability is undefined without a vocabulary prior).
+    *
+    * Scale posture mirrors b107: one corpus token pass builds dl + the
+    * query-term tf/cf aggregates (map-side partials; qt is a broadcast),
+    * the scoring join touches only matching postings, and the top-10
+    * window partitions by query. */
+  private val b156 = entry(
+    "b156_ql_dirichlet",
+    s"""WITH q AS (SELECT * FROM (VALUES ${duckQueryValues()}) AS v(query_id, term)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tc FROM dl),
+       |qt AS (SELECT DISTINCT term FROM q),
+       |cf AS (SELECT term, count(*) AS cf
+       |       FROM toks JOIN qt USING (term) GROUP BY term),
+       |qmeta AS (
+       |  SELECT query_id, count(*) AS nq,
+       |         sum(ln(CAST(cf AS DOUBLE) / tc)) AS qconst
+       |  FROM q JOIN cf USING (term) CROSS JOIN stats
+       |  GROUP BY query_id),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM toks JOIN qt USING (term) GROUP BY doc_id, term),
+       |mpart AS (
+       |  SELECT q.query_id, tf.doc_id, sum(${qlMatchExpr("ln")}) AS m
+       |  FROM q JOIN tf USING (term) JOIN cf USING (term) CROSS JOIN stats
+       |  GROUP BY q.query_id, tf.doc_id),
+       |score AS (
+       |  SELECT mp.query_id, mp.doc_id, mp.m + ${qlDocExpr("ln")} AS s
+       |  FROM mpart mp JOIN dl ON dl.doc_id = mp.doc_id
+       |  JOIN qmeta ON qmeta.query_id = mp.query_id)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id, ql FROM (
+       |  SELECT query_id, doc_id, round(s, 4) AS ql,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(s, 4) DESC, doc_id) AS INTEGER) AS rn
+       |  FROM score) t
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val qt = queriesDf(s).select("term").distinct()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true) // feeds stats + the doc-level score part
+    val stats = dl.agg(sum(col("dl")).cast("long").as("tc"))
+    val cf = toks.join(broadcast(qt), "term")
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val qmeta = broadcast(queriesDf(s)).join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("nq"),
+        sum(expr("ln(CAST(cf AS DOUBLE) / tc)")).as("qconst"))
+    val tf = toks.join(broadcast(qt), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val mpart = broadcast(queriesDf(s)).join(tf, "term")
+      .join(broadcast(cf), "term").crossJoin(broadcast(stats))
+      .withColumn("c", expr(qlMatchExpr("ln")))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("m"))
+    val scores = mpart.join(dl, "doc_id").join(broadcast(qmeta), "query_id")
+      .withColumn("s", col("m") + expr(qlDocExpr("ln")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("s"), 4).desc, col("doc_id"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("doc_id"),
+        round(col("s"), 4).as("ql"))
+      .orderBy("query_id", "rn")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116)
+    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116, b156)
 }

@@ -80,6 +80,48 @@ class RetrievalSpec extends AnyFunSuite {
         .map { case ((d, r), i) => (qid, i + 1, d, r) }
     }.sortBy(t => (t._1, t._2))
 
+  /** Raw QL-Dirichlet (μ=50) scores per (query_id, doc_id) — the DIRECT
+    * (non-decomposed) formula Σ_t ln((tf + μ·p(t|C)) / (dl + μ)) over
+    * docs matching ≥1 query term: an independent spelling of what b156
+    * computes sparsely, so agreement pins the decomposition identity. */
+  private lazy val jvmQlTop10: Seq[(Long, Int, Long, Double)] = {
+    val mu = 50.0
+    val dl = corpus.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val tc = dl.values.sum.toDouble
+    val qts = queryTerms.map(_._2).distinct
+    val cf: Map[String, Long] = qts.map(t =>
+      t -> corpus.map(_._2.count(_ == t).toLong).sum).toMap
+    val tf: Map[(Long, String), Long] = corpus.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, os) => (id, t) -> os.length.toLong }
+    }.toMap
+    val grouped = queryTerms.groupBy(_._1)
+    val scores = for {
+      (qid, terms) <- grouped.toSeq
+      live = terms.map(_._2).filter(t => cf(t) > 0)
+      docId <- corpus.map(_._1)
+      if live.exists(t => tf.contains((docId, t)))
+    } yield {
+      val s = live.map { t =>
+        val f = tf.getOrElse((docId, t), 0L).toDouble
+        math.log((f + mu * cf(t) / tc) / (dl(docId) + mu))
+      }.sum
+      (qid, docId, s)
+    }
+    scores.groupBy(_._1).toSeq.flatMap { case (qid, sc) =>
+      sc.map { case (_, d, s) => (d, round4(s)) }
+        .sortBy { case (d, r) => (-r, d) }
+        .take(10).zipWithIndex
+        .map { case ((d, r), i) => (qid, i + 1, d, r) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("B156: sparse-decomposed QL ≡ the direct smoothed formula, row for row") {
+    val got = SparkEntry.queries("b156_ql_dirichlet")(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got == jvmQlTop10,
+      s"spark=${got.take(5)}... jvm=${jvmQlTop10.take(5)}...")
+  }
+
   test("B107: Spark BM25 top-10 ≡ plain-JVM oracle, row for row") {
     val got = SparkEntry.queries("b107_text_bm25")(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
