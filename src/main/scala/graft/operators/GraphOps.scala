@@ -202,6 +202,79 @@ object GraphOps {
       .orderBy("part_id")
   }
 
+  private val LpaRounds = 4
+
+  /** Per-round label-frequency argmax CTEs for the B157 oracle: count
+    * neighbor labels, then pick per node by (count DESC, label ASC) —
+    * the same total order the Spark side encodes as max(struct(cnt,
+    * -label)). */
+  private def lpaIterSql: String = (1 to LpaRounds).map { k =>
+    s"""c$k AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+       |  FROM l${k - 1} l JOIN edges e ON e.src = l.node
+       |  GROUP BY e.dst, l.label),
+       |l$k AS (SELECT node, label FROM (
+       |  SELECT node, label,
+       |         row_number() OVER (PARTITION BY node
+       |                            ORDER BY cnt DESC, label) AS rn
+       |  FROM c$k) t WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  /** B157 — LABEL PROPAGATION community detection (Raghavan et al. 2007)
+    * over the part co-purchase graph, SYNCHRONOUS variant: every node
+    * starts as its own label; each round every node adopts the most
+    * frequent label among its in-neighbors, ties broken by the SMALLEST
+    * label — the deterministic spelling of the usually-randomized LPA
+    * (synchronous + total-order tie-break ⇒ rerun- and engine-exact, so
+    * the t2 hash pins all [[LpaRounds]] rounds of the trajectory).
+    *
+    * Scale posture: a Pregel round is one shuffle keyed on the edge
+    * destination with map-side combinable (node, label) counts, then a
+    * second map-side-combinable argmax aggregate on node — no windows,
+    * no driver traffic at all (unlike b119 not even an O(1) scalar);
+    * per-round localCheckpoint cuts the growing lineage. At 100 TB the
+    * label table is one row per node and the round cost is O(|E|)
+    * exchanged bytes, the same as any Pregel superstep. */
+  private val b157 = entry(
+    "b157_label_propagation",
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$lpaIterSql
+       |SELECT node AS part_id, label AS community
+       |FROM l$LpaRounds ORDER BY part_id""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    labelPropagation(edges, LpaRounds)
+      .select(col("node").as("part_id"), col("label").as("community"))
+      .orderBy("part_id")
+  }
+
+  /** [[LpaRounds]]-round synchronous LPA over a symmetric (src, dst)
+    * edge list; argmax by (count DESC, label ASC) via a single
+    * struct-max aggregate (cnt, -label) — map-side combinable, no
+    * window. Spec hook for planted graphs. */
+  private[graft] def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    var l = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      l = l.join(edges.withColumnRenamed("src", "node"), "node")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    l
+  }
+
   /** The [[PrIters]]-round fixed-point iteration over a (src, dst) edge
     * list in which every node has out-degree ≥ 1 and in-degree ≥ 1
     * (symmetric graphs qualify). Spec hook for planted graphs. */
@@ -640,5 +713,5 @@ object GraphOps {
       .orderBy("side", "node_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149, b150)
+  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149, b150, b157)
 }

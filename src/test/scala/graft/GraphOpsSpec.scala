@@ -391,4 +391,37 @@ class GraphOpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       plan.linesIterator.take(30).mkString("\n"))
   }
+
+  test("B157: two planted cliques converge to their min-id labels; replay matches a JVM fold") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)))
+      .toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) === 1L),
+      s"first clique did not converge to 1: $got")
+    assert(Seq(11L, 12L, 13L, 14L).forall(got(_) === 11L),
+      s"second clique did not converge to 11: $got")
+
+    // independent sequential JVM replay of the synchronous min-tie rule,
+    // on a randomized symmetric graph (the b119/b150 pinning discipline)
+    val rnd = new Random(157)
+    val rndPairs = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (rndPairs ++ rndPairs.map(_.swap)).distinct
+    val symDf = sym.toDF("src", "dst")
+    var labels = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      val next = sym.groupBy(_._2).map { case (node, es) =>
+        val cnt = es.groupBy(e => labels(e._1)).view.mapValues(_.size)
+        node -> cnt.toSeq.minBy { case (lbl, c) => (-c, lbl) }._1
+      }
+      labels = next.toMap
+    }
+    val gotRnd = GraphOps.labelPropagation(symDf, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRnd === labels)
+  }
 }
