@@ -112,5 +112,63 @@ object NgramLm {
     knBigrams(Tables.documents(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b129)
+  /** B158 parameters: min bigram support (Mikolov et al. 2013's δ — kills
+    * one-off pairings) and the presentation cut. */
+  private val MinSupport = 5L
+  private val CollocTop = 50
+
+  /** B158 — PMI-LIFT COLLOCATION MINING (the word2vec phrase-harvesting
+    * statistic, Mikolov et al. NIPS'13 §4; equivalently exp(PMI)): for
+    * every adjacent bigram, lift = c(w1,w2)·N / (c(w1,·)·c(·,w2)) over
+    * the bigram-token relation — how much more often the pair co-occurs
+    * than its marginals predict. Carried EXACTLY in integer fixed point
+    * as a committed two-stage floor,
+    *   lift_bp = (c12·10⁸ div c1) · N div (c2·10⁴),
+    * so both engines walk identical BIGINT arithmetic (first stage ≤ 10⁸
+    * since c12 ≤ c1; documented bound: exact up to N ≲ 9·10¹⁰ bigram
+    * tokens, past which rescale the fixed point — the b98/b129 rule).
+    * Support filter c ≥ [[MinSupport]]; top-[[CollocTop]] by (lift DESC,
+    * w1, w2). This is the phrase inventory a tokenizer-training or
+    * stopword-pruning pass consumes.
+    *
+    * Scale posture: reuses [[bigramPairs]]'s map-side-collapsing explode;
+    * marginals are two vocab-sized re-keyings of the TYPE table (map-
+    * combinable); N is a one-row broadcast; presentation is TakeOrdered,
+    * never a global sort. */
+  /** The ranked collocation table over an arbitrary documents frame
+    * (spec hook + the b158 body). */
+  def liftCollocations(docs: DataFrame, minSupport: Long = MinSupport,
+      top: Int = CollocTop): DataFrame = {
+    val bg = bigramPairs(docs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds both marginals + N + the join
+    val mleft = bg.groupBy("w1").agg(sum(col("c")).as("c1"))
+    val mright = bg.groupBy("w2").agg(sum(col("c")).as("c2"))
+    val ntok = bg.agg(sum(col("c")).as("n"))
+    bg.filter(col("c") >= minSupport)
+      .join(mleft, "w1").join(mright, "w2").crossJoin(broadcast(ntok))
+      .withColumn("lift_bp",
+        expr("(c * 100000000 div c1) * n div (c2 * 10000)"))
+      .select(col("w1"), col("w2"), col("c"), col("c1"), col("c2"),
+        col("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+      .limit(top)
+  }
+
+  private val b158 = entry(
+    "b158_pmi_collocations",
+    s"""WITH $knCtesSql,
+       |mleft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+       |mright AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+       |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bg)
+       |SELECT w1, w2, c, c1, c2,
+       |       CAST((c * 100000000 // c1) * n // (c2 * 10000) AS BIGINT)
+       |         AS lift_bp
+       |FROM bg JOIN mleft USING (w1) JOIN mright USING (w2), ntok
+       |WHERE c >= $MinSupport
+       |ORDER BY lift_bp DESC, w1, w2 LIMIT $CollocTop""".stripMargin) {
+    (s, d) => liftCollocations(Tables.documents(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b129, b158)
 }

@@ -51,4 +51,31 @@ class NgramLmSpec extends AnyFunSuite {
         s"context '$w1' overshoots unit mass: $mass micro-units")
     }
   }
+
+  test("B158: an exclusive planted pair tops the lift ranking at its exact integer value") {
+    // 'alpha beta' co-occurs exclusively (c12 = c1 = c2 = 6 ≥ MinSupport);
+    // filler bigrams share the 'the cat' / 'cat sat' marginals heavily,
+    // so their lift hugs 1 and the planted pair must rank first at
+    // exactly N/c12 (in bp, floored through the committed two-stage form).
+    val planted = (
+      Seq.fill(6)("alpha beta") ++
+        Seq.fill(6)(Seq("the cat sat", "the cat ate", "a cat sat")).flatten
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.llm.NgramLm.liftCollocations(planted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top._1, top._2) === (("alpha", "beta")), s"top = $top")
+    // recompute N independently of the operator's output
+    val allBigrams = planted.collect().map(_.getString(1))
+      .flatMap(t => t.split(" ", -1).filter(_.nonEmpty).sliding(2).filter(_.length == 2))
+      .length.toLong
+    val expected = (6L * 100000000L / 6L) * allBigrams / (6L * 10000L)
+    assert(top._6 === expected)
+    // exclusive pair: the two-stage floor equals the one-shot N*1e4/c12
+    assert(expected === allBigrams * 10000L / 6L)
+    // every filler collocation lifts below the planted pair
+    assert(out.tail.forall(_._6 < expected))
+  }
 }
