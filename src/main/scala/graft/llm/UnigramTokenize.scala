@@ -151,5 +151,104 @@ object UnigramTokenize {
         .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b152, b155)
+  /** B159 — TOKENIZER FAMILY COMPARISON: corpus-level efficiency stats
+    * for all three frozen tokenizers (B122 BPE, B152 unigram, B155
+    * WordPiece) in one relation — total tokens, fertility (tokens per
+    * word, bp) and compression (chars per token, bp), the numbers a
+    * tokenizer bake-off reports (fertility per Rust et al. ACL'21; cf.
+    * b136's per-doc spelling). All-BIGINT: token totals are exact counts,
+    * ratios are basis-point floor divisions.
+    *
+    * The oracle replays each tokenizer at the DISTINCT-WORD level and
+    * weights by occurrence count — valid because all three tokenizers
+    * are word-local (encode(text) concatenates encode(word)); the Spark
+    * side runs the three codegen expressions over the full corpus, so
+    * hash-equality ALSO re-pins the word-locality claim corpus-wide.
+    *
+    * Scale posture: one corpus pass, three map-side scalar columns, one
+    * 3-row aggregate — no shuffle beyond the final partial-agg merge. */
+  private val b159 = entry(
+    "b159_tokenizer_compare", {
+      val bpeE1 = BpeTokenize.charifyMergesExpr("word")
+      val bpeE2 = BpeTokenize.idifyExpr("w")
+      s"""WITH RECURSIVE v(piece, len, cost, id) AS (VALUES $vocabValues),
+         |occ AS (
+         |  SELECT w AS word, count(*) AS occ FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+         |  WHERE w <> '' GROUP BY w),
+         |words AS (SELECT word FROM occ),
+         |bpe AS (
+         |  SELECT word, CAST(len(string_split(ids, ' ')) AS BIGINT) AS nt
+         |  FROM (SELECT word, $bpeE2 AS ids
+         |        FROM (SELECT word, $bpeE1 AS w FROM words) s) t),
+         |paths(word, pos, cost, mask, n) AS (
+         |  SELECT word, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT FROM words
+         |  UNION ALL
+         |  SELECT p.word, p.pos + v.len, p.cost + v.cost,
+         |         p.mask + CASE WHEN p.pos = 0 THEN 0
+         |                       ELSE (1::BIGINT << p.pos) END,
+         |         p.n + 1
+         |  FROM paths p
+         |  JOIN v ON substr(p.word, CAST(p.pos AS INT) + 1, v.len) = v.piece
+         |  WHERE p.pos < len(p.word)),
+         |uni AS (
+         |  SELECT word, n AS nt FROM (
+         |    SELECT word, n, row_number() OVER (PARTITION BY word
+         |                                       ORDER BY cost, mask) AS rn
+         |    FROM paths WHERE pos = len(word)) t WHERE rn = 1),
+         |walk(word, pos, n) AS (
+         |  SELECT word, 0::BIGINT, 0::BIGINT FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.pos + v.len, w.n + 1
+         |  FROM walk w
+         |  JOIN v ON substr(w.word, CAST(w.pos AS INT) + 1, v.len) = v.piece
+         |  WHERE w.pos < len(w.word)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM v v2
+         |      WHERE v2.len > v.len
+         |        AND substr(w.word, CAST(w.pos AS INT) + 1, v2.len) = v2.piece)),
+         |wp AS (SELECT word, n AS nt FROM walk WHERE pos = len(word)),
+         |base AS (
+         |  SELECT CAST(sum(occ) AS BIGINT) AS words,
+         |         CAST(sum(occ * len(word)) AS BIGINT) AS chars
+         |  FROM occ),
+         |per AS (
+         |  SELECT 'bpe' AS tokenizer, CAST(sum(o.occ * t.nt) AS BIGINT) AS tokens
+         |  FROM occ o JOIN bpe t USING (word)
+         |  UNION ALL
+         |  SELECT 'unigram', CAST(sum(o.occ * t.nt) AS BIGINT)
+         |  FROM occ o JOIN uni t USING (word)
+         |  UNION ALL
+         |  SELECT 'wordpiece', CAST(sum(o.occ * t.nt) AS BIGINT)
+         |  FROM occ o JOIN wp t USING (word))
+         |SELECT tokenizer, base.words, base.chars, tokens,
+         |       CAST(tokens * 10000 // base.words AS BIGINT) AS fertility_bp,
+         |       CAST(base.chars * 10000 // tokens AS BIGINT) AS cpt_bp
+         |FROM per, base ORDER BY tokenizer""".stripMargin
+    }) { (s, d) =>
+    graft.functions.BpeEncodeExpression.register(s)
+    UnigramEncodeExpression.register(s)
+    WordPieceEncodeExpression.register(s)
+    def ntoks(e: String) =
+      when(expr(e) === "", lit(0L))
+        .otherwise(size(split(expr(e), " ")).cast("long"))
+    val per = Tables.documents(s, d).select(
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("nw"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+      ntoks("bpe_encode(text)").as("t_bpe"),
+      ntoks("unigram_encode(text)").as("t_uni"),
+      ntoks("wordpiece_encode(text)").as("t_wp"))
+      .agg(sum("nw").as("words"), sum("nc").as("chars"),
+        sum("t_bpe").as("bpe"), sum("t_uni").as("unigram"),
+        sum("t_wp").as("wordpiece"))
+    per.selectExpr(
+      "stack(3, 'bpe', bpe, 'unigram', unigram, 'wordpiece', wordpiece) AS (tokenizer, tokens)",
+      "words", "chars")
+      .select(col("tokenizer"), col("words"), col("chars"), col("tokens"),
+        expr("tokens * 10000 div words").as("fertility_bp"),
+        expr("chars * 10000 div tokens").as("cpt_bp"))
+      .orderBy("tokenizer")
+  }
+
+  val entries: Seq[Entry] = Seq(b152, b155, b159)
 }
