@@ -53,6 +53,7 @@ object SparkEntry {
       llm.TrainLoad.entries ++
       llm.IncrementalDedup.entries ++
       llm.SetSimJoin.entries ++
+      llm.ContrastivePairs.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 
