@@ -36,7 +36,12 @@ object Bench {
     // min-of-reps the fastest failure would otherwise masquerade as the
     // best result; queries with no successful rep are reported in "errors"
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.benchQueries.flatMap { e =>
+    // Local-A/B filter only (driver never sets it): comma-separated bench
+    // names → time just those (the Verify SPARK_GRAFT_ONLY convention)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.benchQueries
+      .filter(e => only.forall(_.contains(e.name)))
+      .flatMap { e =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

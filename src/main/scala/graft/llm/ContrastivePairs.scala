@@ -110,7 +110,7 @@ object ContrastivePairs {
        |FROM ranked
        |WHERE (label = 'positive' AND rn <= $PosPerAnchor)
        |   OR (label = 'hard_negative' AND rn <= $NegPerAnchor)
-       |ORDER BY anchor, label, rn""".stripMargin) { (s, d) =>
+       |ORDER BY anchor, label, rn""".stripMargin, bench = true) { (s, d) =>
     minePairs(Tables.documents(s, d))
   }
 

@@ -984,7 +984,7 @@ object Retrieval {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY round(s, 4) DESC, doc_id) AS INTEGER) AS rn
        |  FROM score) t
-       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin, bench = true) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val qt = queriesDf(s).select("term").distinct()

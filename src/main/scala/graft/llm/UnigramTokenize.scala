@@ -27,7 +27,14 @@ import graft.sources.Tables
   * executor, O(len · maxPieceLen) per word. The oracle's enumeration
   * is exponential in word length by design (it is the spec of
   * correctness, not the production path) and runs only in the gate's
-  * DuckDB at the gate SFs. */
+  * DuckDB at the gate SFs.
+  *
+  * Domain note (applies to the B155 oracle too): an UNCOVERABLE word
+  * (a char outside every piece) has no complete path, so the oracle
+  * drops it from the doc's ids where the expression emits the "0"
+  * sentinel — a deliberate divergence OUTSIDE the tokenizer domain,
+  * which UnigramSpec pins empty on the corpora ([a-z ] alphabet
+  * guard); inside the domain the engines agree exactly. */
 object UnigramTokenize {
 
   /** VALUES list for the oracle, generated from the SAME frozen
@@ -79,7 +86,8 @@ object UnigramTokenize {
        |FROM documents d LEFT JOIN docids di USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
-  private val b152 = entry("b152_unigram_tokenize", unigramOracleSql) {
+  private val b152 = entry("b152_unigram_tokenize", unigramOracleSql,
+    bench = true) {
     (s, d) =>
       UnigramEncodeExpression.register(s)
       Tables.documents(s, d)

@@ -243,7 +243,7 @@ object GraphOps {
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
        |$lpaIterSql
        |SELECT node AS part_id, label AS community
-       |FROM l$LpaRounds ORDER BY part_id""".stripMargin) { (s, d) =>
+       |FROM l$LpaRounds ORDER BY part_id""".stripMargin, bench = true) { (s, d) =>
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
     val edges = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -264,7 +264,7 @@ object GraphOps {
     var l = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      l = l.join(edges.withColumnRenamed("src", "node"), "node")
+      l = edges.withColumnRenamed("src", "node").join(broadcast(l), "node")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("node")
