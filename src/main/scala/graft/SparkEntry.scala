@@ -54,6 +54,7 @@ object SparkEntry {
       llm.IncrementalDedup.entries ++
       llm.SetSimJoin.entries ++
       llm.ContrastivePairs.entries ++
+      llm.CorpusAnalytics.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** Corpus-level dataset analytics — the monitoring tables a training-data
+  * pipeline publishes alongside the data itself.
+  *
+  * B162 — VOCABULARY GROWTH CURVE (the empirical Heaps'-law table): for
+  * each doc_id decile of the corpus, cumulative docs, tokens, vocabulary
+  * size, and the decile's NEW term count. Vocabulary saturation is the
+  * working signal behind "is more data still adding diversity" and
+  * dedup-drift monitoring. All-integer: deciles are width-based buckets
+  * k = doc_id div w + 1 with w = ⌈(max_id+1)/10⌉ (overflow-free at any
+  * id range, unlike a doc_id·10 spelling), vocabulary counts come from
+  * per-term FIRST-occurrence docs, and the cumulative fold is a window
+  * over exactly 10 rows.
+  *
+  * Scale posture: one corpus token pass collapses map-side into (a) a
+  * per-decile doc/token aggregate (≤ 10 rows) and (b) a per-term min
+  * aggregate (Zipf-bounded vocab) re-bucketed to ≤ 10 rows; the
+  * cumulative window runs on one bounded 10-row partition (the b125
+  * bounded-cardinality convention) — nothing data-proportional shuffles.
+  *
+  * B163 — CROSS-SOURCE DUPLICATION AUDIT: the (source, source) matrix of
+  * near-duplicate pairs (exact 3-shingle Jaccard ≥ 0.5 over candidates
+  * sharing ≥ 1 shingle), upper-triangular by source name. This is the
+  * governance table that answers "which feeds copy which" before a
+  * source-weighted mixture (B98/B153) bakes duplication into the
+  * training distribution. Exact all-pairs via the posting-list join is
+  * the GATE spelling (500-doc documents table); the corpus-scale
+  * generator is MinHash LSH (b43_dedup_minhash) — the aggregate tail
+  * composes unchanged over its candidates. */
+object CorpusAnalytics {
+
+  private val Deciles = 10L
+
+  private val b162 = entry(
+    "b162_vocab_growth",
+    s"""WITH mx AS (
+       |  SELECT CAST((max(doc_id) + 1 + ${Deciles - 1}) // $Deciles AS BIGINT) AS w
+       |  FROM documents),
+       |dk AS (
+       |  SELECT doc_id, CAST(doc_id // w + 1 AS BIGINT) AS k,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |              AS BIGINT) AS nt
+       |  FROM documents, mx),
+       |per_docs AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(nt) AS BIGINT) AS ntok
+       |  FROM dk GROUP BY k),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |firsts AS (
+       |  SELECT term, min(doc_id) AS fd FROM toks WHERE term <> ''
+       |  GROUP BY term),
+       |fk AS (
+       |  SELECT CAST(fd // w + 1 AS BIGINT) AS k,
+       |         CAST(count(*) AS BIGINT) AS nv
+       |  FROM firsts, mx GROUP BY 1),
+       |ks AS (SELECT CAST(unnest(generate_series(1, $Deciles)) AS BIGINT) AS k)
+       |SELECT k AS decile,
+       |       CAST(sum(coalesce(nd, 0)) OVER (ORDER BY k) AS BIGINT) AS n_docs,
+       |       CAST(sum(coalesce(ntok, 0)) OVER (ORDER BY k) AS BIGINT) AS n_tokens,
+       |       CAST(sum(coalesce(nv, 0)) OVER (ORDER BY k) AS BIGINT) AS vocab,
+       |       CAST(coalesce(nv, 0) AS BIGINT) AS new_terms
+       |FROM ks LEFT JOIN per_docs USING (k) LEFT JOIN fk USING (k)
+       |ORDER BY decile""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val width = broadcast(docs.agg(
+      expr(s"CAST((max(doc_id) + 1 + ${Deciles - 1}) div $Deciles AS BIGINT)")
+        .as("w"))
+      .localCheckpoint(true))
+    val perDocs = docs.crossJoin(width)
+      .select(expr("doc_id div w + 1").as("k"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("nt"))
+      .groupBy("k").agg(count(lit(1)).as("nd"), sum("nt").as("ntok"))
+    val firsts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(min("doc_id").as("fd"))
+    val fk = firsts.crossJoin(width)
+      .select(expr("fd div w + 1").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("nv"))
+    val ks = (1L to Deciles).toDF("k")
+    // the cumulative window runs over exactly 10 rows — the bounded-
+    // cardinality exception to the no-SinglePartition rule (b125)
+    val win = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    ks.join(perDocs, Seq("k"), "left").join(fk, Seq("k"), "left")
+      .select(col("k").as("decile"),
+        sum(coalesce(col("nd"), lit(0L))).over(win).as("n_docs"),
+        sum(coalesce(col("ntok"), lit(0L))).over(win).as("n_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(win).as("vocab"),
+        coalesce(col("nv"), lit(0L)).as("new_terms"))
+      .orderBy("decile")
+  }
+
+  /** B163 near-dup threshold (the b142 'near' convention, in bp). */
+  private val DupBp = 5000L
+
+  private val b163 = entry(
+    "b163_cross_source_dups",
+    s"""WITH words AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       |  FROM words WHERE len(w) >= 3),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT da, db
+       |  FROM pairs
+       |  JOIN counts ca ON ca.doc_id = da
+       |  JOIN counts cb ON cb.doc_id = db
+       |  WHERE common * 10000 >= $DupBp * (ca.n + cb.n - common)),
+       |srcs AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS src_lo,
+       |       greatest(sa.source, sb.source) AS src_hi,
+       |       CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |FROM dup
+       |JOIN srcs sa ON sa.doc_id = da
+       |JOIN srcs sb ON sb.doc_id = db
+       |GROUP BY 1, 2
+       |ORDER BY src_lo, src_hi""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = MinHashLsh.spreadNarrowInput(
+      docs.select(col("doc_id"), col("text")))
+    val counts = TextDedup.withShingleArr(docs)
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+    val sh = TextDedup.shingles(corpus)
+    val pairs = sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    // integer cross-multiplied threshold — no float jaccard on the gate
+    val dup = pairs
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("common") * 10000L >= lit(DupBp) * (col("na") + col("nb") - col("common")))
+    val srcs = docs.select(col("doc_id"), col("source"))
+    dup
+      .join(srcs.select(col("doc_id").as("da"), col("source").as("src_a")), "da")
+      .join(srcs.select(col("doc_id").as("db"), col("source").as("src_b")), "db")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  val entries: Seq[Entry] = Seq(b162, b163)
+}

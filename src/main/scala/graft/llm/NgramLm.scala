@@ -43,8 +43,9 @@ object NgramLm {
   private val Top = 500
 
   /** Per-doc bigram pairs (doc_id, w1, w2) — the one Spark spelling of
-    * "consecutive word pairs", shared by training and scoring. */
-  private[llm] def bigramPairs(docs: DataFrame): DataFrame =
+    * "consecutive word pairs", shared by training, scoring, and the B161
+    * streamed fold. */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(arrays_zip(
@@ -135,13 +136,12 @@ object NgramLm {
     * marginals are two vocab-sized re-keyings of the TYPE table (map-
     * combinable); N is a one-row broadcast; presentation is TakeOrdered,
     * never a global sort. */
-  /** The ranked collocation table over an arbitrary documents frame
-    * (spec hook + the b158 body). */
-  def liftCollocations(docs: DataFrame, minSupport: Long = MinSupport,
+  /** The lift/rank tail over an already-aggregated (w1, w2, c) bigram
+    * TYPE table — shared by B158 (batch) and B161 (streamed fold), so
+    * batch and stream cannot drift. */
+  def liftFromBigrams(bgIn: DataFrame, minSupport: Long = MinSupport,
       top: Int = CollocTop): DataFrame = {
-    val bg = bigramPairs(docs)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds both marginals + N + the join
+    val bg = bgIn.localCheckpoint(true) // feeds both marginals + N + the join
     val mleft = bg.groupBy("w1").agg(sum(col("c")).as("c1"))
     val mright = bg.groupBy("w2").agg(sum(col("c")).as("c2"))
     val ntok = bg.agg(sum(col("c")).as("n"))
@@ -155,8 +155,16 @@ object NgramLm {
       .limit(top)
   }
 
-  private val b158 = entry(
-    "b158_pmi_collocations",
+  /** The ranked collocation table over an arbitrary documents frame
+    * (spec hook + the b158 body). */
+  def liftCollocations(docs: DataFrame, minSupport: Long = MinSupport,
+      top: Int = CollocTop): DataFrame =
+    liftFromBigrams(
+      bigramPairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c")),
+      minSupport, top)
+
+  /** B158's oracle — shared VERBATIM by B161 (the twin convention). */
+  private[graft] def collocOracleSql: String =
     s"""WITH $knCtesSql,
        |mleft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bg GROUP BY w1),
        |mright AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM bg GROUP BY w2),
@@ -166,7 +174,9 @@ object NgramLm {
        |         AS lift_bp
        |FROM bg JOIN mleft USING (w1) JOIN mright USING (w2), ntok
        |WHERE c >= $MinSupport
-       |ORDER BY lift_bp DESC, w1, w2 LIMIT $CollocTop""".stripMargin) {
+       |ORDER BY lift_bp DESC, w1, w2 LIMIT $CollocTop""".stripMargin
+
+  private val b158 = entry("b158_pmi_collocations", collocOracleSql) {
     (s, d) => liftCollocations(Tables.documents(s, d))
   }
 

@@ -621,7 +621,39 @@ object StreamReplay {
       .orderBy("part_id")
   }
 
+  private lazy val chunkDir161: String =
+    java.nio.file.Files.createTempDirectory("graft_b161_chunks").toString
+
+  /** B161 — STREAMING COLLOCATION MINING: B158's PMI-lift table from a
+    * complete-mode streamed (w1, w2) count fold (the b133/b143 twin
+    * convention — chunked arrival, AvailableNow, the final complete-mode
+    * table IS the full bigram TYPE aggregate), presented through the
+    * SHARED [[graft.llm.NgramLm.liftFromBigrams]] tail. Oracle is B158's
+    * SQL verbatim: hash-green proves the micro-batched pair fold ≡ the
+    * batch aggregate — the continuously-maintained phrase inventory over
+    * an ingesting corpus (bigrams never straddle docs, so chunking by
+    * doc_id loses no pair).
+    *
+    * Scale: streaming state is one long per bigram TYPE (Zipf-bounded,
+    * the same cardinality B158's shuffle carries); each batch's pair
+    * explode collapses map-side before touching state. */
+  private val b161 = entry(
+    "b161_stream_collocations",
+    graft.llm.NgramLm.collocOracleSql) { (s, d) =>
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    StreamingOps.writeChunksDf(docs, chunkDir161, n = 6,
+      sortCols = Seq("doc_id"))
+    s.catalog.dropTempView("b161_replay") // idempotent re-runs
+    val bg = StreamingOps.runToMemory(
+      graft.llm.NgramLm.bigramPairs(
+        StreamingOps.readStream(s, chunkDir161, docs.schema))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c")),
+      "b161_replay", "complete")
+    graft.llm.NgramLm.liftFromBigrams(bg)
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148)
+      b133, b148, b161)
 }

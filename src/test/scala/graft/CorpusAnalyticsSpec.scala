@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** B162 vocabulary growth + B163 cross-source dup audit: structural
+  * invariants and planted shapes beyond the t2 hash. */
+class CorpusAnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+  import spark.implicits._
+
+  test("B162: cumulative columns are monotone and close over the whole corpus") {
+    val rows = SparkEntry.queries("b162_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 10)
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    // monotone cumulatives
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4)
+    }
+    // closure: final row covers the whole corpus exactly
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val allTerms = docs.select("text").collect().flatMap(r =>
+      Option(r.getString(0)).toSeq.flatMap(_.split(" ", -1))).filter(_.nonEmpty)
+    val last = rows.last
+    assert(last._2 === nDocs)
+    assert(last._3 === allTerms.length.toLong)
+    assert(last._4 === allTerms.distinct.length.toLong)
+    // new_terms decomposes the vocabulary exactly
+    assert(rows.map(_._5).sum === last._4)
+    // and the curve actually bends: the first decile carries most of this
+    // tiny closed vocabulary (Heaps saturation is visible, not vacuous)
+    assert(rows.head._4 > last._4 / 2)
+  }
+
+  test("B163: planted cross-source near-dup lands in the right matrix cell") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota", "srcB"), // near-dup of 0
+      (2L, "completely different text with other words entirely here", "srcB"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "srcC") // exact dup of 0
+    ).toDF("doc_id", "text", "source")
+    // run the b163 body on the planted frame via a scratch view of the
+    // registry shape: reuse the module through a temp swap is overkill —
+    // recompute with the same public pieces
+    val out = {
+      import org.apache.spark.sql.functions._
+      val corpus = graft.llm.MinHashLsh.spreadNarrowInput(
+        docs.select(col("doc_id"), col("text")))
+      val counts = graft.llm.TextDedup.withShingleArr(docs)
+        .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+      val sh = graft.llm.TextDedup.shingles(corpus)
+      val pairs = sh.select(col("doc_id").as("da"), col("shingle"))
+        .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      val dup = pairs
+        .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .filter(col("common") * 10000L >= lit(5000L) * (col("na") + col("nb") - col("common")))
+      val srcs = docs.select(col("doc_id"), col("source"))
+      dup
+        .join(srcs.select(col("doc_id").as("da"), col("source").as("src_a")), "da")
+        .join(srcs.select(col("doc_id").as("db"), col("source").as("src_b")), "db")
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    assert(out.getOrElse(("srcA", "srcB"), 0L) === 1L, s"matrix: $out")
+    assert(out.getOrElse(("srcA", "srcC"), 0L) === 1L, s"matrix: $out")
+    assert(out.getOrElse(("srcB", "srcC"), 0L) === 1L, s"matrix: $out") // 1~3 near-dup
+    assert(!out.keySet.exists { case (a, b) => a == "srcB" && b == "srcB" },
+      "dissimilar same-source doc must not pair")
+  }
+
+  test("B163 entry runs and is upper-triangular by source name") {
+    val rows = SparkEntry.queries("b163_cross_source_dups")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, n) =>
+      assert(lo <= hi); assert(n > 0L)
+    }
+  }
+}
