@@ -180,5 +180,64 @@ object NgramLm {
     (s, d) => liftCollocations(Tables.documents(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b129, b158)
+  /** B164 window radius (forward offsets 1..W — the asymmetric word2vec
+    * window; symmetric counts are the same table with (w1,w2) swapped
+    * rows added, a presentation choice, not new information). */
+  private val CoocWindow = 3
+
+  /** Per-doc windowed co-occurrence pairs (doc_id, w1, w2): (t[i], t[i+j])
+    * for j = 1..[[CoocWindow]] — the word2vec/GloVe context-window
+    * relation, of which [[bigramPairs]] is the W=1 special case. */
+  private[graft] def windowPairs(docs: DataFrame, window: Int = CoocWindow): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - 1, lit(1)))).as("i"))
+      .select(col("doc_id"), col("i"),
+        element_at(col("t"), col("i")).as("w1"),
+        explode(expr(
+          s"slice(t, i + 1, least($window, size(t) - i))")).as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .select(col("doc_id"), col("w1"), col("w2"))
+
+  /** B164 — WINDOWED PPMI CO-OCCURRENCE (the word2vec/GloVe statistics
+    * table, Mikolov '13 / Pennington '14; Levy & Goldberg NIPS'14 showed
+    * SGNS factorizes exactly this shifted-PMI matrix): B158's lift over
+    * context-window pairs instead of adjacent bigrams — the input matrix
+    * distributional embeddings are trained from. Reuses
+    * [[liftFromBigrams]] VERBATIM (the algebra is pair-source-agnostic),
+    * so the window relation is the only new code on either engine.
+    *
+    * Scale posture: the explode is O(tokens·W) and collapses map-side
+    * into the (w1, w2) TYPE aggregate exactly like B129/B158; everything
+    * downstream is vocabulary-scale. */
+  private val b164 = entry(
+    "b164_ppmi_cooccurrence",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + j] AS w2
+       |  FROM toks,
+       |       UNNEST(generate_series(1, len(t) - 1)) AS g(i),
+       |       UNNEST(generate_series(1, $CoocWindow)) AS h(j)
+       |  WHERE i + j <= len(t) AND t[i] <> '' AND t[i + j] <> ''),
+       |bg AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM pairs GROUP BY w1, w2),
+       |mleft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+       |mright AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+       |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bg)
+       |SELECT w1, w2, c, c1, c2,
+       |       CAST((c * 100000000 // c1) * n // (c2 * 10000) AS BIGINT)
+       |         AS lift_bp
+       |FROM bg JOIN mleft USING (w1) JOIN mright USING (w2), ntok
+       |WHERE c >= $MinSupport
+       |ORDER BY lift_bp DESC, w1, w2 LIMIT $CollocTop""".stripMargin) {
+    (s, d) =>
+      liftFromBigrams(
+        windowPairs(Tables.documents(s, d))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+  }
+
+  val entries: Seq[Entry] = Seq(b129, b158, b164)
 }

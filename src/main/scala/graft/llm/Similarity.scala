@@ -250,5 +250,88 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val entries: Seq[Entry] = Seq(b44, b44lsh, b44recall, b75)
+  /** B165 truncation ladder (full dim = 64 is the recall reference). */
+  private val MrlDims = Seq(8, 16, 32)
+  private val FullDim = 64
+
+  /** B165 — MATRYOSHKA DIMENSION-ABLATION REPORT (Kusupati et al.
+    * NeurIPS'22: MRL embeddings are consumed by PREFIX — serving picks a
+    * dim budget and truncates): for each truncation k, top-10 cosine
+    * neighbors per probe over the FIRST k dims (renormalized), scored as
+    * recall@10 against the full-dim top-10 — the table that tells a
+    * serving stack how many dims it can shed. Exact t2 despite floats:
+    * dot_f64 matches DuckDB's list_dot_product summation order
+    * bit-for-bit (the b44 argument), so ranks and the integer overlap
+    * counts are engine-identical.
+    *
+    * Scale posture: per k one broadcast-probe map-side pass + a per-probe
+    * top-10 window (the b44 plan, k times with k-prefix slices); the
+    * overlap join is O(probes·10) rows. Truncation SLICES the stored
+    * vector at scan time — no re-embedding, the entire point of MRL. */
+  private val b165 = entry(
+    "b165_similarity_matryoshka", {
+      val perK = (MrlDims :+ FullDim).map { k =>
+        s"""n$k AS (
+           |  SELECT $k AS k, p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |           list_dot_product(list_slice(p.v, 1, $k), list_slice(c.v, 1, $k))
+           |             / (sqrt(list_dot_product(list_slice(p.v, 1, $k), list_slice(p.v, 1, $k)))
+           |                * sqrt(list_dot_product(list_slice(c.v, 1, $k), list_slice(c.v, 1, $k))))
+           |           DESC, c.vec_id) AS INTEGER) AS rn
+           |  FROM v p JOIN v c ON p.vec_id < 20 AND p.vec_id <> c.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val unions = MrlDims.map(k =>
+        s"SELECT k, probe_id, neighbor_id FROM n$k WHERE rn <= 10")
+        .mkString("\nUNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$perK,
+         |truncated AS (
+         |$unions),
+         |full10 AS (
+         |  SELECT probe_id, neighbor_id FROM n$FullDim WHERE rn <= 10)
+         |SELECT t.k, t.probe_id,
+         |       CAST(count(f.neighbor_id) AS BIGINT) AS recall10
+         |FROM truncated t
+         |LEFT JOIN full10 f
+         |  ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+         |GROUP BY t.k, t.probe_id
+         |ORDER BY t.k, t.probe_id""".stripMargin
+    }) { (s, d) =>
+    register(s)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint(true) // sliced 4× (probe+corpus per k-pass)
+    def top10(k: Int): DataFrame = {
+      val vk = base.select(col("vec_id"),
+        expr(s"slice(v, 1, $k)").as("v"))
+        .withColumn("norm", sqrt(dot("v", "v")))
+      val probes = vk.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm"))
+      val corpus = vk.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cnorm"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
+        .select(lit(k).as("k"), col("probe_id"), col("neighbor_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 10)
+        .drop("rn")
+    }
+    val truncated = MrlDims.map(top10).reduce(_ unionByName _)
+    val full10 = top10(FullDim)
+      .select(col("probe_id").as("fp"), col("neighbor_id").as("fn"))
+    truncated
+      .join(full10,
+        col("fp") === col("probe_id") && col("fn") === col("neighbor_id"),
+        "left")
+      .groupBy("k", "probe_id")
+      .agg(count(col("fn")).as("recall10"))
+      .orderBy("k", "probe_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b44, b44lsh, b44recall, b75, b165)
 }

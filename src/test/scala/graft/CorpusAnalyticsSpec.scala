@@ -84,4 +84,33 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       assert(lo <= hi); assert(n > 0L)
     }
   }
+
+  test("B164: windowed pairs strictly contain the adjacent bigrams (W=1 ⊂ W=3)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val adj = graft.llm.NgramLm.bigramPairs(docs)
+      .groupBy("w1", "w2").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val win = graft.llm.NgramLm.windowPairs(docs)
+      .groupBy("w1", "w2").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(adj.nonEmpty)
+    // every adjacent pair occurs in the window relation at least as often
+    adj.foreach { case (k, c) =>
+      assert(win.getOrElse(k, 0L) >= c, s"window lost adjacent pair $k")
+    }
+    // and the window genuinely adds longer-range pairs
+    assert(win.values.sum > adj.values.sum)
+  }
+
+  test("B165: recall@10 grows with the dimension budget and stays in [0, 10]") {
+    val rows = SparkEntry.queries("b165_similarity_matryoshka")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 60) // 3 dims × 20 probes
+    rows.foreach { case (_, _, rec) => assert(rec >= 0L && rec <= 10L) }
+    val mean = rows.groupBy(_._1).view.mapValues(v =>
+      v.map(_._3).sum.toDouble / v.size).toMap
+    assert(mean(8) <= mean(16) + 0.5 && mean(16) <= mean(32) + 0.5,
+      s"recall ladder not monotone-ish: $mean")
+    assert(mean(32) > mean(8), s"dim budget has no effect: $mean")
+  }
 }
