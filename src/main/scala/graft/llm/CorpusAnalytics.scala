@@ -132,7 +132,7 @@ object CorpusAnalytics {
        |JOIN srcs sa ON sa.doc_id = da
        |JOIN srcs sb ON sb.doc_id = db
        |GROUP BY 1, 2
-       |ORDER BY src_lo, src_hi""".stripMargin) { (s, d) =>
+       |ORDER BY src_lo, src_hi""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
     val corpus = MinHashLsh.spreadNarrowInput(
       docs.select(col("doc_id"), col("text")))

@@ -232,7 +232,8 @@ object NgramLm {
        |         AS lift_bp
        |FROM bg JOIN mleft USING (w1) JOIN mright USING (w2), ntok
        |WHERE c >= $MinSupport
-       |ORDER BY lift_bp DESC, w1, w2 LIMIT $CollocTop""".stripMargin) {
+       |ORDER BY lift_bp DESC, w1, w2 LIMIT $CollocTop""".stripMargin,
+    bench = true) {
     (s, d) =>
       liftFromBigrams(
         windowPairs(Tables.documents(s, d))
