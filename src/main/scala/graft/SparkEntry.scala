@@ -55,6 +55,7 @@ object SparkEntry {
       llm.SetSimJoin.entries ++
       llm.ContrastivePairs.entries ++
       llm.CorpusAnalytics.entries ++
+      llm.TextRank.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -183,7 +183,7 @@ object NgramLm {
   /** B164 window radius (forward offsets 1..W — the asymmetric word2vec
     * window; symmetric counts are the same table with (w1,w2) swapped
     * rows added, a presentation choice, not new information). */
-  private val CoocWindow = 3
+  private[graft] val CoocWindow = 3
 
   /** Per-doc windowed co-occurrence pairs (doc_id, w1, w2): (t[i], t[i+j])
     * for j = 1..[[CoocWindow]] — the word2vec/GloVe context-window

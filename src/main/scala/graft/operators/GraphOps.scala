@@ -139,8 +139,8 @@ object GraphOps {
     * a DETERMINISM choice, not a convergence claim: both engines compute
     * the identical six integer iterations, so the hash pins the trajectory
     * regardless of how close it is to the fixpoint. */
-  private val PrIters = 6
-  private val PrScale = 1000000000000L
+  private[graft] val PrIters = 6
+  private[graft] val PrScale = 1000000000000L
 
   /** The per-iteration SQL pair (inflow agg + rank update), unrolled
     * [[PrIters]] times — recursive CTEs cannot aggregate over their own
@@ -149,7 +149,7 @@ object GraphOps {
     * HUGEINT (int128) and the widening propagates to the output column,
     * failing the driver's type-sensitive hash even when every value is
     * bit-identical (the b100/b97 rule). */
-  private def prIterSql: String = (1 to PrIters).map { k =>
+  private[graft] def prIterSql: String = (1 to PrIters).map { k =>
     s"""i$k AS (SELECT e.dst AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS inflow
        |  FROM r${k - 1} r JOIN outdeg o ON o.node = r.node
        |  JOIN edges e ON e.src = r.node GROUP BY e.dst),

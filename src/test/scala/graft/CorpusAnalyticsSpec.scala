@@ -113,4 +113,54 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       s"recall ladder not monotone-ish: $mean")
     assert(mean(32) > mean(8), s"dim budget has no effect: $mean")
   }
+
+  test("B166: keywords come from the vocabulary; frequent words outrank the rare one") {
+    val rows = SparkEntry.queries("b166_textrank_keywords")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    val vocab = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0)).toSeq.flatMap(_.split(" ", -1)))
+      .filter(_.nonEmpty).toSet
+    rows.foreach { case (w, pr) => assert(vocab.contains(w)); assert(pr > 0L) }
+    // 'dup' appears in ~26 of ~14000 positions — a well-mixed word graph
+    // must not rank it as a keyword ahead of the dense core
+    val rankOf = rows.map(_._1).zipWithIndex.toMap
+    assert(!rankOf.get("dup").exists(_ < 10),
+      s"rare word ranked as a top keyword: $rows")
+    // rerun-deterministic
+    val again = SparkEntry.queries("b166_textrank_keywords")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("B167: sample equals a JVM replay and the DLT estimator lands near total mass") {
+    val rows = SparkEntry.queries("b167_priority_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 50)
+    // independent JVM replay of the derandomized draw
+    val m = 1L << 31
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val pri = docs.map { case (id, src, w) =>
+      val h = graft.llm.Winnowing.polyFoldString(s"prio:$id") % m *
+        2654435761L % m + 1
+      (id, src, w, w * m / h)
+    }
+    val ordered = pri.sortBy { case (id, _, _, q) => (-q, id) }
+    val tau = ordered(50)._4
+    val want = ordered.take(50)
+      .map { case (id, src, w, q) => (id, src, w, q, math.max(w, tau)) }
+      .sortBy(_._1)
+    assert(rows.toSeq === want.toSeq)
+    // the subset-sum estimator over the whole population should land near
+    // the true token mass (one derandomized draw — generous 35% band;
+    // measured ~ +6% at sf0.001)
+    val est = rows.map(_._5).sum.toDouble
+    val truth = docs.map(_._3).sum.toDouble
+    assert(est > truth * 0.65 && est < truth * 1.35,
+      s"estimator $est vs truth $truth")
+  }
 }
