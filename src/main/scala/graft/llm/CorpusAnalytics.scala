@@ -134,6 +134,16 @@ object CorpusAnalytics {
        |GROUP BY 1, 2
        |ORDER BY src_lo, src_hi""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // Negative A/B (r13, min-of-5 at sf0.1): routing candidates through
+    // the B145 prefix filter (SetSimJoin.similarityJoin at τ=0.5 —
+    // pair-set-identical, since floor(jac·10⁴) ≥ t ⟺ common·10⁴ ≥
+    // t·union for integer t) measured 4.97 s vs 3.79 s for this full
+    // posting join: at τ=0.5 the prefix keeps ~half of each doc's
+    // shingles, so the candidate join shrinks only ~4× while the df
+    // agg + per-doc rank window + extra checkpoint cost more than that
+    // saves — the same crossover b43 hit at its τ=0.5 operating point
+    // (r4 note in MinHashLsh). The prefix path wins at high τ (b145's
+    // τ=0.8); below the crossover the straight join IS the fast plan.
     val corpus = MinHashLsh.spreadNarrowInput(
       docs.select(col("doc_id"), col("text")))
     val counts = TextDedup.withShingleArr(docs)
