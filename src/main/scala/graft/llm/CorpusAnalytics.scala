@@ -168,5 +168,54 @@ object CorpusAnalytics {
       .orderBy("src_lo", "src_hi")
   }
 
-  val entries: Seq[Entry] = Seq(b162, b163)
+  /** B168 — N-GRAM NOVELTY PROFILING (the measurement behind "dedup
+    * makes LMs better", Lee et al. ACL'22: how much of each document is
+    * text the corpus has already seen): per doc, the fraction of its
+    * DISTINCT 3-shingles whose corpus-wide FIRST occurrence (min doc_id
+    * — the ingestion-order convention b162 shares) is this document,
+    * in integer basis points. A clean doc scores 10⁴; an exact copy of
+    * an earlier doc scores 0; boilerplate-heavy docs sit low — the
+    * per-doc signal a dedup/quality gate thresholds on, where B42/B43
+    * only flag whole-doc duplicates. Docs with < 3 words have no
+    * 3-shingles and are excluded (the b43 convention).
+    *
+    * Scale posture: one shingle pass collapses map-side into the
+    * gram-keyed min aggregate (vocabulary-of-grams scale); the
+    * novelty join re-keys the SAME shingle relation by gram — one
+    * shuffle each way, per-doc rollup map-combinable; no windows, no
+    * driver traffic. */
+  private val b168 = entry(
+    "b168_ngram_novelty",
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       |  FROM words WHERE len(w) >= 3),
+       |firsts AS (
+       |  SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle)
+       |SELECT s.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(count(*) FILTER (WHERE f.fd = s.doc_id) AS BIGINT)
+       |         AS n_novel,
+       |       CAST(count(*) FILTER (WHERE f.fd = s.doc_id) * 10000
+       |            // count(*) AS BIGINT) AS novelty_bp
+       |FROM sh s JOIN firsts f USING (shingle)
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val sh = TextDedup.shingles(MinHashLsh.spreadNarrowInput(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .localCheckpoint(true) // feeds the min agg AND the novelty join
+    val firsts = sh.groupBy("shingle").agg(min("doc_id").as("fd"))
+    sh.join(firsts, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("fd") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b162, b163, b168)
 }

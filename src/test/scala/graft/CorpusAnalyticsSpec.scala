@@ -133,6 +133,46 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("B168: first doc scores 10⁴, an exact copy scores 0, overlap scores between") {
+    import org.apache.spark.sql.functions._
+    val planted = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact copy → 0 novel
+      (2L, "alpha beta gamma nine ten eleven twelve"), // shares 1 of 5 grams
+      (3L, "totally fresh words only in here")
+    ).toDF("doc_id", "text")
+    val sh = graft.llm.TextDedup.shingles(planted).localCheckpoint(true)
+    val firsts = sh.groupBy("shingle").agg(min("doc_id").as("fd"))
+    val out = sh.join(firsts, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("fd") === col("doc_id"), 1)).as("novel"))
+      .select(col("doc_id"), expr("novel * 10000 div n").as("bp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 10000L)
+    assert(out(1L) === 0L, "exact copy must have zero novelty")
+    assert(out(2L) === 4 * 10000L / 5, "1 of 5 grams seen before")
+    assert(out(3L) === 10000L)
+  }
+
+  test("B168 entry: bounds, first-doc law, and consistency with the corpus") {
+    val rows = SparkEntry.queries("b168_ngram_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, novel, bp) =>
+      assert(novel >= 0L && novel <= n)
+      assert(bp === novel * 10000L / n)
+    }
+    // the first doc in ingestion order is all-novel by definition
+    val first = rows.minBy(_._1)
+    assert(first._4 === 10000L)
+    // Σ novel over docs = distinct gram count (each gram novel exactly once)
+    val distinctGrams = graft.llm.TextDedup
+      .shingles(Tables.documents(spark, sf).select("doc_id", "text"))
+      .select("shingle").distinct().count()
+    assert(rows.map(_._3).sum === distinctGrams)
+  }
+
   test("B167: sample equals a JVM replay and the DLT estimator lands near total mass") {
     val rows = SparkEntry.queries("b167_priority_sample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
