@@ -217,5 +217,60 @@ object CorpusAnalytics {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b162, b163, b168)
+  /** B169 — PER-SOURCE LENGTH PROFILE: exact token-length percentiles
+    * (p50/p90/p99 by the nearest-rank definition ⌈p·n⌉ — integer-exact,
+    * unlike interpolating percentile definitions), min/max/mean-as-ratio
+    * — the dataset-card table published per source, and the input to
+    * length-aware batching (B134) and truncation-budget decisions.
+    * Mean is carried as (tok_sum, n_docs) BIGINTs; the caller divides.
+    *
+    * Scale posture: one map-side token count, one rank window
+    * PARTITIONED by source (bounded parallelism = |sources|, never
+    * SinglePartition), one per-source aggregate. The nearest-rank
+    * values come from the SAME window pass via conditional min. */
+  private val b169 = entry(
+    "b169_length_profile",
+    s"""WITH toks AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, n_tok,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |                                 ORDER BY n_tok, source)
+       |              AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM toks)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       |       CAST(min(n_tok) AS BIGINT) AS tok_min,
+       |       CAST(max(n_tok) AS BIGINT) AS tok_max,
+       |       CAST(min(CASE WHEN rn * 100 >= 50 * n THEN n_tok END)
+       |            AS BIGINT) AS p50,
+       |       CAST(min(CASE WHEN rn * 100 >= 90 * n THEN n_tok END)
+       |            AS BIGINT) AS p90,
+       |       CAST(min(CASE WHEN rn * 100 >= 99 * n THEN n_tok END)
+       |            AS BIGINT) AS p99
+       |FROM ranked
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("source"))
+    val cw = Window.partitionBy(col("source"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+    def pct(p: Int) =
+      min(when(col("rn") * 100 >= lit(p) * col("n"), col("n_tok")))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"),
+        min("n_tok").as("tok_min"), max("n_tok").as("tok_max"),
+        pct(50).as("p50"), pct(90).as("p90"), pct(99).as("p99"))
+      .orderBy("source")
+  }
+
+  val entries: Seq[Entry] = Seq(b162, b163, b168, b169)
 }

@@ -173,6 +173,28 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum === distinctGrams)
   }
 
+  test("B169: percentiles equal the nearest-rank definition computed in plain JVM") {
+    val rows = SparkEntry.queries("b169_length_profile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def nearest(xs: IndexedSeq[Long], p: Int): Long =
+      xs((p * xs.length + 99) / 100 - 1) // ceil(p·n/100), 1-based → index
+    rows.foreach { case (src, n, sum, mn, mx, p50, p90, p99) =>
+      val xs = bySource(src)
+      assert(n === xs.length.toLong)
+      assert(sum === xs.sum); assert(mn === xs.head); assert(mx === xs.last)
+      assert(p50 === nearest(xs, 50), s"$src p50")
+      assert(p90 === nearest(xs, 90), s"$src p90")
+      assert(p99 === nearest(xs, 99), s"$src p99")
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+  }
+
   test("B167: sample equals a JVM replay and the DLT estimator lands near total mass") {
     val rows = SparkEntry.queries("b167_priority_sample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
