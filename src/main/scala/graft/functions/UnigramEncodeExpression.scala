@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * appends only bits ≥ j plus a common cost — so comparing (cost, mask)
   * at each state and extending the winner is exact, not heuristic
   * (UnigramSpec brute-forces every corpus word + randoms to pin this).
-  * Words beyond 62 chars would overflow the Long mask — the corpus cap
-  * is 8 (alphabet/length pinned by spec); the cost component stays
-  * exact at any length.
+  * Mask bits freeze at position 62 (no Long wrap): words beyond 62
+  * chars tie-break on their first 62 cut positions — deterministic at
+  * any length, exact below it; the corpus cap is 8 (alphabet/length
+  * pinned by spec) and the cost component stays exact at any length.
   *
   * Ids: 1-based line number in the vocab file (letters a..z are lines
   * 1..26). A word containing a character no piece covers has no path;
@@ -106,7 +107,15 @@ object UnigramEncodeExpression {
             case Some((id, c)) =>
               val j = i + len
               val nc = cost(i) + c
-              val nm = mask(i) + (if (i > 0) 1L << i else 0L)
+              // bits stop at 62: Java's `1L << i` wraps at 64 (i & 63),
+              // which would alias cut positions 64+ onto low bits and
+              // make the tie-break undefined on 63+-char words (ADVICE
+              // r13). Beyond bit 62 the mask freezes — the COST stays
+              // exact at any length; ties on very long words break by
+              // the first 62 cut positions only (deterministic, just
+              // coarser — and unreachable on the corpora, whose word
+              // cap is 8, pinned by UnigramSpec).
+              val nm = mask(i) + (if (i > 0 && i <= 62) 1L << i else 0L)
               if (nc < cost(j) || (nc == cost(j) && nm < mask(j))) {
                 cost(j) = nc; mask(j) = nm; backPos(j) = i; backId(j) = id
               }

@@ -32,8 +32,13 @@ import graft.sources.Tables
 object ContrastivePairs {
 
   private val AnchorMod = 25L
-  private val HiBp = 0.5 // positives: jac ≥ Hi
-  private val LoBp = 0.1 // hard negatives: jac < Lo
+  // thresholds in integer BASIS POINTS, gated by cross-multiplication
+  // (common·10⁴ vs bp·union — the b163 'no float jaccard on the gate'
+  // rule; ADVICE r13): the float jac survives only as the presentation
+  // column and the rank key (a single IEEE division, identical in both
+  // engines)
+  private val HiBp = 5000L // positives: jac ≥ 0.5
+  private val LoBp = 1000L // hard negatives: jac < 0.1
   private val PosPerAnchor = 3
   private val NegPerAnchor = 5
 
@@ -57,10 +62,11 @@ object ContrastivePairs {
 
   /** The labeled, ranked manifest (spec hook + the b160 body). */
   def minePairs(docs: DataFrame): DataFrame = {
+    val union = col("na") + col("nb") - col("common")
     val labeled = scoredCandidates(docs)
       .withColumn("label",
-        when(col("jac") >= HiBp, lit("positive"))
-          .when(col("jac") < LoBp, lit("hard_negative")))
+        when(col("common") * 10000L >= lit(HiBp) * union, lit("positive"))
+          .when(col("common") * 10000L < lit(LoBp) * union, lit("hard_negative")))
       .filter(col("label").isNotNull)
     val w = Window.partitionBy(col("anchor"), col("label"))
       .orderBy(col("jac").desc, col("other"))
@@ -90,16 +96,17 @@ object ContrastivePairs {
        |  WHERE a.doc_id % $AnchorMod = 0 AND a.doc_id <> b.doc_id
        |  GROUP BY 1, 2),
        |j AS (
-       |  SELECT anchor, other, common * 1.0 / (ca.n + cb.n - common) AS jac
+       |  SELECT anchor, other, common, ca.n + cb.n - common AS u,
+       |         common * 1.0 / (ca.n + cb.n - common) AS jac
        |  FROM pairs
        |  JOIN counts ca ON ca.doc_id = anchor
        |  JOIN counts cb ON cb.doc_id = other),
        |labeled AS (
        |  SELECT anchor, other, jac,
-       |         CASE WHEN jac >= $HiBp THEN 'positive'
-       |              WHEN jac < $LoBp THEN 'hard_negative' END AS label
+       |         CASE WHEN common * 10000 >= $HiBp * u THEN 'positive'
+       |              WHEN common * 10000 < $LoBp * u THEN 'hard_negative' END AS label
        |  FROM j
-       |  WHERE jac >= $HiBp OR jac < $LoBp),
+       |  WHERE common * 10000 >= $HiBp * u OR common * 10000 < $LoBp * u),
        |ranked AS (
        |  SELECT anchor, other, jac, label,
        |         CAST(row_number() OVER (PARTITION BY anchor, label

@@ -203,7 +203,7 @@ object CorpusAnalytics {
        |            // count(*) AS BIGINT) AS novelty_bp
        |FROM sh s JOIN firsts f USING (shingle)
        |GROUP BY s.doc_id
-       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY s.doc_id""".stripMargin, bench = true) { (s, d) =>
     val sh = TextDedup.shingles(MinHashLsh.spreadNarrowInput(
       Tables.documents(s, d).select(col("doc_id"), col("text"))))
       .localCheckpoint(true) // feeds the min agg AND the novelty join
@@ -254,7 +254,7 @@ object CorpusAnalytics {
        |            AS BIGINT) AS p99
        |FROM ranked
        |GROUP BY source
-       |ORDER BY source""".stripMargin) { (s, d) =>
+       |ORDER BY source""".stripMargin, bench = true) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))

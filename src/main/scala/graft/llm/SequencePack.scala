@@ -254,7 +254,7 @@ object SequencePack {
        |       CAST(f.bin_fill AS BIGINT) AS bin_fill,
        |       CAST(greatest(0, $SeqLen - f.bin_fill) AS BIGINT) AS bin_waste
        |FROM assign a JOIN fills f USING (shard, bin_no)
-       |ORDER BY shard, bin_no, doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY shard, bin_no, doc_id""".stripMargin, bench = true) { (s, d) =>
     packBestFit(Tables.documents(s, d).select(col("doc_id"), col("text")))
   }
 

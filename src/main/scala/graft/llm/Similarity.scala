@@ -164,6 +164,15 @@ object Similarity {
         dot("va", "vb") / (col("na") * col("nb")) >= lit(tau))
       .select(col("a"), col("b"))
     val exact = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Cardinality contract for the two driver collects in this gate
+    // (VERDICT r13): qualifying pairs at τ are bounded by the corpus's
+    // organic cosine structure — hundreds at the gate SFs, and the gate
+    // is only ever run on a gate-SF slice (scaladoc above), never a full
+    // production corpus. The require turns a silent driver-memory hazard
+    // into a loud contract breach if either assumption drifts.
+    require(exact.size <= 1000000,
+      s"recall-gate ground truth ${exact.size} pairs exceeds the driver-side " +
+        "bound — run the audit on a sampled slice, not this corpus")
     s.conf.set("spark.graft.cosineLshRewrite.enabled", "true")
     val (got, fired) = try {
       val df = pairs

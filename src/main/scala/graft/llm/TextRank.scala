@@ -47,7 +47,7 @@ object TextRank {
        |r0 AS (SELECT node, ${GraphOps.PrScale} // n.n AS rank FROM outdeg, n),
        |${GraphOps.prIterSql}
        |SELECT node AS word, rank AS pr_fixed FROM r${GraphOps.PrIters}
-       |ORDER BY pr_fixed DESC, word LIMIT $Top""".stripMargin) { (s, d) =>
+       |ORDER BY pr_fixed DESC, word LIMIT $Top""".stripMargin, bench = true) { (s, d) =>
     val pairs = NgramLm.windowPairs(Tables.documents(s, d))
       .filter(col("w1") =!= col("w2"))
       .select(col("w1"), col("w2"))

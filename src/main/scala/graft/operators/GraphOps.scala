@@ -229,11 +229,14 @@ object GraphOps {
     *
     * Scale posture: a Pregel round is one shuffle keyed on the edge
     * destination with map-side combinable (node, label) counts, then a
-    * second map-side-combinable argmax aggregate on node — no windows,
-    * no driver traffic at all (unlike b119 not even an O(1) scalar);
-    * per-round localCheckpoint cuts the growing lineage. At 100 TB the
-    * label table is one row per node and the round cost is O(|E|)
-    * exchanged bytes, the same as any Pregel superstep. */
+    * second map-side-combinable argmax aggregate on node — no windows;
+    * per-round localCheckpoint cuts the growing lineage. The per-round
+    * label→edge join is BROADCAST only while the node count (one O(1)
+    * driver scalar, the b119/b109 convention) fits [[LpaBroadcastMaxNodes]]
+    * — a measured ~9% win at bench SF (r13 A/B, 5.61→5.10 s) — and falls
+    * back to a plain shuffled equi-join past the cap, where the round
+    * cost is the pure Pregel O(|E|) exchanged bytes (ADVICE r13: a
+    * node-cardinality broadcast would OOM the driver at 100 TB). */
   private val b157 = entry(
     "b157_label_propagation",
     s"""WITH edges AS (
@@ -255,6 +258,13 @@ object GraphOps {
       .orderBy("part_id")
   }
 
+  /** Broadcast cap for the per-round LPA label table: past this node
+    * count the label join degrades to a shuffled equi-join (the b144
+    * broadcast-cap convention — 2M rows ≈ 32 MB of (node, label) pairs,
+    * comfortably executor- and driver-safe; a full-corpus node table is
+    * neither). */
+  private val LpaBroadcastMaxNodes = 2000000L
+
   /** [[LpaRounds]]-round synchronous LPA over a symmetric (src, dst)
     * edge list; argmax by (count DESC, label ASC) via a single
     * struct-max aggregate (cnt, -label) — map-side combinable, no
@@ -263,8 +273,13 @@ object GraphOps {
     val edges = edgesIn.localCheckpoint(true)
     var l = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    // one O(1) driver scalar decides the per-round join strategy; the
+    // node set is fixed across rounds so this never re-runs
+    val smallEnoughToBroadcast = l.count() <= LpaBroadcastMaxNodes
+    def labelSide(df: DataFrame): DataFrame =
+      if (smallEnoughToBroadcast) broadcast(df) else df
     for (_ <- 1 to rounds) {
-      l = edges.withColumnRenamed("src", "node").join(broadcast(l), "node")
+      l = edges.withColumnRenamed("src", "node").join(labelSide(l), "node")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("node")

@@ -445,8 +445,8 @@ object ScaleOps {
        |  ORDER BY q DESC, doc_id LIMIT ${PrioK + 1}),
        |tau AS (SELECT q AS tau FROM topk WHERE rn = ${PrioK + 1})
        |SELECT doc_id, source, w, q,
-       |       CAST(greatest(w, tau) AS BIGINT) AS est_w
-       |FROM topk, tau
+       |       CAST(greatest(w, coalesce(tau, w)) AS BIGINT) AS est_w
+       |FROM topk LEFT JOIN tau ON TRUE
        |WHERE rn <= $PrioK
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val key = "concat('prio:', CAST(doc_id AS STRING))"
@@ -465,10 +465,14 @@ object ScaleOps {
     val ranked = head.withColumn("rn", row_number().over(w))
     val tau = broadcast(
       ranked.filter(col("rn") === PrioK + 1).select(col("q").as("tau")))
+    // LEFT join against the (possibly EMPTY) one-row τ relation: a corpus
+    // of ≤ K docs has no rank-(K+1) row, and an inner cross join would
+    // annihilate the sample instead of degrading to keep-everything with
+    // est_w = w (the DLT small-population case; ADVICE r13)
     ranked.filter(col("rn") <= PrioK)
-      .crossJoin(tau)
+      .join(tau, lit(true), "left")
       .select(col("doc_id"), col("source"), col("w"), col("q"),
-        greatest(col("w"), col("tau")).as("est_w"))
+        greatest(col("w"), coalesce(col("tau"), col("w"))).as("est_w"))
       .orderBy("doc_id")
   }
 

@@ -639,7 +639,7 @@ object StreamReplay {
     * explode collapses map-side before touching state. */
   private val b161 = entry(
     "b161_stream_collocations",
-    graft.llm.NgramLm.collocOracleSql) { (s, d) =>
+    graft.llm.NgramLm.collocOracleSql, bench = true) { (s, d) =>
     val docs = graft.sources.Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
     StreamingOps.writeChunksDf(docs, chunkDir161, n = 6,

@@ -225,4 +225,17 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(est > truth * 0.65 && est < truth * 1.35,
       s"estimator $est vs truth $truth")
   }
+
+  test("B167: a corpus of <= K docs degrades to keep-everything with est_w = w (ADVICE r13)") {
+    // τ has no rank-(K+1) row on a tiny corpus; the LEFT-joined fallback
+    // must keep every doc with its own weight as the estimate instead of
+    // annihilating the sample through an inner cross join
+    val tiny = java.nio.file.Files.createTempDirectory("b167tiny").toString
+    Tables.documents(spark, sf).orderBy("doc_id").limit(30)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+    val rows = SparkEntry.queries("b167_priority_sample")(spark, tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.length === 30)
+    rows.foreach { case (id, w, estW) => assert(estW === w, s"doc $id") }
+  }
 }
