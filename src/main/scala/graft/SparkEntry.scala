@@ -25,6 +25,7 @@ object SparkEntry {
       llm.Redact.entries ++
       llm.TextDedup.entries ++
       llm.SpanDedup.entries ++
+      llm.LineDedup.entries ++
       llm.Decontaminate.entries ++
       llm.CleanPipeline.entries ++
       llm.Perplexity.entries ++
