@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, size, split}
 import graft.sources.Tables
 
 /** B162 vocabulary growth + B163 cross-source dup audit: structural
@@ -224,6 +225,26 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     val truth = docs.map(_._3).sum.toDouble
     assert(est > truth * 0.65 && est < truth * 1.35,
       s"estimator $est vs truth $truth")
+  }
+
+  test("B171: LSH audit plan has no all-pairs join and finds every planted mirror pair") {
+    val df = SparkEntry.queries("b171_cross_source_dups_lsh")(spark, sf)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // planted recall: every mirrored doc with >= 3 words pairs with its
+    // original (identical text => equal shingle sets => provable collide)
+    val mirrorable = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 6 === 0 &&
+        size(split(col("text"), " ")) >= 3).count()
+    val mirrorPairs = rows.filter(r => r._1 == "mirror" || r._2 == "mirror")
+      .map(_._3).sum
+    assert(mirrorable > 0)
+    assert(mirrorPairs >= mirrorable,
+      s"mirror-involved dup pairs $mirrorPairs < planted $mirrorable")
+    // scale shape: candidates come from banded buckets, never a cross
+    // join — the executed plan must carry no cartesian / nested-loop join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs join in b171 plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in b171 plan")
   }
 
   test("B167: a corpus of <= K docs degrades to keep-everything with est_w = w (ADVICE r13)") {
