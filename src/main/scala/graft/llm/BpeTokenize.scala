@@ -138,5 +138,54 @@ object BpeTokenize {
         .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b122, b151)
+  private val bytefallbackCsv = "/root/repo/fixtures/csv/bytefallback_probe.csv"
+
+  /** B172 — BYTE-FALLBACK ROUND-TRIP GATE (VERDICT r13 item 5): the b151
+    * law extended from the corpus charset to ARBITRARY input — the
+    * [[graft.functions.BpeByteFallback]] encode→decode chain run over a
+    * fixture of accented Latin, Cyrillic, CJK, supplementary-plane
+    * (😀, 𝄞, 𝌆), uppercase, punctuation and digit text, where the base
+    * tokenizer would collapse every out-of-charset code point to the
+    * lossy OOV sentinel.
+    *
+    * Two-sided t2 contract: (a) `decoded` must equal the despaced input
+    * — DuckDB states the identity law, Spark runs the real expressions,
+    * so any encode OR decode defect breaks the hash (the fallback chain
+    * itself is not SQL-replayable: a replace-chain cannot enumerate
+    * Unicode); (b) `n_fallback_bytes` — the count of byte ids the real
+    * encoder emitted — must equal DuckDB's INDEPENDENT prediction,
+    * octet_length of the text with the trained charset [a-z ] stripped:
+    * exactly the non-vocab code points' UTF-8 bytes, since merges never
+    * leave [a-z] and fallback decomposes after merging. A fallback that
+    * over- or under-emits bytes (e.g. splitting surrogate halves) fails
+    * (b) even where the round-trip happens to survive.
+    *
+    * Scale posture: two chained map-side codegen scalars + one array
+    * filter — shuffle-free at any corpus size (the b151 posture). */
+  private val b172 = entry(
+    "b172_bpe_byte_fallback",
+    s"""SELECT probe_id,
+       |       replace(text, ' ', '') AS decoded,
+       |       CAST(1 AS BIGINT) AS roundtrip_ok,
+       |       CAST(octet_length(encode(regexp_replace(text, '[a-z ]', '', 'g')))
+       |            AS BIGINT) AS n_fallback_bytes
+       |FROM read_csv('$bytefallbackCsv', header=true,
+       |              columns={probe_id: 'BIGINT', text: 'VARCHAR'})
+       |ORDER BY probe_id""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.types._
+    graft.functions.BpeByteFallback.register(s)
+    val schema = StructType(Seq(
+      StructField("probe_id", LongType), StructField("text", StringType)))
+    s.read.option("header", "true").schema(schema).csv(bytefallbackCsv)
+      .withColumn("ids", expr("bpe_encode_bf(text)"))
+      .withColumn("decoded", expr("bpe_decode_bf(ids)"))
+      .select(col("probe_id"), col("decoded"),
+        (col("decoded") === regexp_replace(col("text"), " ", ""))
+          .cast("long").as("roundtrip_ok"),
+        expr(s"CAST(size(filter(split(ids, ' '), x -> CAST(x AS INT) >= ${graft.functions.BpeByteFallback.ByteBase})) AS BIGINT)")
+          .as("n_fallback_bytes"))
+      .orderBy("probe_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b122, b151, b172)
 }

@@ -143,4 +143,55 @@ class BpeSpec extends AnyFunSuite {
         s"doc $docId: id $p outside the frozen vocab"))
     }
   }
+
+  test("B172: byte-fallback encoder equals the base encoder on in-charset input") {
+    // merges only ever fire on [a-z] symbols, so on corpus text the two
+    // encoders must produce identical id streams (fallback is reachable
+    // only out of charset)
+    Tables.documents(spark, sf).select("text").collect().take(200).foreach { r =>
+      val t = UTF8String.fromString(r.getString(0))
+      assert(graft.functions.BpeByteFallback.encode(t).toString ===
+        BpeEncodeExpression.encode(t).toString)
+    }
+  }
+
+  test("B172: randomized unicode round-trips losslessly through byte fallback") {
+    val rng = new scala.util.Random(42)
+    val pools = Array(
+      "abcdefghijklmnopqrstuvwxyz",
+      "ABCÄÖÜßéàçñ", "привет", "日本語中文한국", "😀🚀𝄞𝌆", "!#$%&()*+-./:;<=>?@[]^_`{|}~0123456789")
+    def randWord(): String = {
+      val n = 1 + rng.nextInt(8)
+      val sb = new StringBuilder
+      (1 to n).foreach { _ =>
+        val p = pools(rng.nextInt(pools.length))
+        // pick by code point, never splitting a surrogate pair
+        val cps = p.codePoints().toArray
+        sb.appendAll(Character.toChars(cps(rng.nextInt(cps.length))))
+      }
+      sb.toString
+    }
+    (1 to 500).foreach { _ =>
+      val text = (1 to (1 + rng.nextInt(6))).map(_ => randWord()).mkString(" ")
+      val ids = graft.functions.BpeByteFallback.encode(UTF8String.fromString(text))
+      val back = graft.functions.BpeByteFallback.decode(ids).toString
+      assert(back === text.replace(" ", ""), s"round-trip broke on <$text>")
+      // no OOV sentinel 0 ever appears with fallback on
+      assert(!ids.toString.split(" ").contains("0"), s"sentinel id on <$text>")
+    }
+  }
+
+  test("B172: a fallback code point's bytes stay contiguous and count exactly") {
+    val enc = graft.functions.BpeByteFallback
+      .encode(UTF8String.fromString("ab😀cd")).toString
+    val ids = enc.split(" ").map(_.toInt)
+    // 😀 is 4 UTF-8 bytes -> exactly 4 consecutive byte ids between the
+    // vocab ids for the a-z runs
+    val byteIds = ids.filter(_ >= graft.functions.BpeByteFallback.ByteBase)
+    assert(byteIds.length === 4)
+    val first = ids.indexWhere(_ >= graft.functions.BpeByteFallback.ByteBase)
+    assert(ids.slice(first, first + 4).forall(_ >= graft.functions.BpeByteFallback.ByteBase))
+    assert(new String(byteIds.map(i => (i - graft.functions.BpeByteFallback.ByteBase).toByte),
+      java.nio.charset.StandardCharsets.UTF_8) === "😀")
+  }
 }
