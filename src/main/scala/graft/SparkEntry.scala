@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Extensions.entries ++
       operators.ScaleOps.entries ++
       operators.MaintenanceOps.entries ++
+      operators.AvroInterchange.entries ++
       operators.GraphOps.entries ++
       operators.PipelineOps.entries ++
       operators.WildWebQueries.entries ++
