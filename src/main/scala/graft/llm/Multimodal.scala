@@ -239,5 +239,133 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
-  val entries: Seq[Entry] = Seq(b47, b47d, b79)
+  // ---------------------------------------------------------------------
+  // B174 — REAL decode leg (VERDICT r13 item 7): a pure-JVM decoder for
+  // an uncompressed raster format closes the "decode is a stub" caveat.
+  // PPM P6 (Poskanzer, netpbm): ASCII header "P6 <w> <h> <maxval>\n"
+  // followed by w·h·3 raw RGB bytes — the simplest format that still
+  // exercises everything a real codec path needs (magic check, header
+  // parse, payload-length validation, pixel arithmetic).
+  // ---------------------------------------------------------------------
+
+  /** Decoded PPM record: real dimensions + real pixel statistics. */
+  final case class PpmFeature(
+      media_id: Long, width: Int, height: Int, n_bytes: Long, luma_sum: Long)
+
+  /** Deterministic P6 payload for a media id: w = (id % 48) + 16,
+    * h = (id % 32) + 8, pixel byte i = (id + i) mod 256. A pure function
+    * of the id so the DuckDB oracle can predict every decoded statistic
+    * analytically — while the Spark side must actually PARSE the bytes it
+    * generated (a header-offset or length bug breaks the hash). */
+  def ppmPayload(id: Long): Array[Byte] = {
+    val w = (id % 48).toInt + 16
+    val h = (id % 32).toInt + 8
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < 3 * w * h) {
+      out(header.length + i) = ((id + i) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL P6 parser (no codecs needed — the format is uncompressed):
+    * validates the magic, reads the three whitespace-separated ASCII
+    * header ints, requires maxval ≤ 255 and an exact-length payload,
+    * and computes the pixel statistics from the ACTUAL bytes. Throws on
+    * malformed input (a quarantine wrapper is the caller's choice —
+    * the A14 per-center pattern). */
+  def decodePpm(id: Long, payload: Array[Byte]): PpmFeature = {
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+      s"media $id: not a P6 PPM payload")
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < payload.length && Character.isWhitespace(payload(pos))) pos += 1
+      require(pos < payload.length, s"media $id: truncated PPM header")
+      var v = 0
+      while (pos < payload.length && !Character.isWhitespace(payload(pos))) {
+        val c = payload(pos) - '0'
+        require(c >= 0 && c <= 9, s"media $id: non-numeric PPM header")
+        v = v * 10 + c
+        pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
+      s"media $id: unsupported PPM dims/maxval $w x $h / $maxval")
+    pos += 1 // the single whitespace byte after maxval
+    val n = 3L * w * h
+    require(payload.length - pos == n,
+      s"media $id: PPM payload ${payload.length - pos} bytes, expected $n")
+    var luma = 0L
+    var i = pos
+    while (i < payload.length) { luma += payload(i) & 0xFF; i += 1 }
+    PpmFeature(id, w, h, n, luma)
+  }
+
+  /** B174 — the decode→resize chain with a REAL decoder: generate P6
+    * payloads (one per image-slot doc), parse them byte-for-byte in the
+    * same per-partition batch shape as [[decodeFeatures]], and feed the
+    * REAL decoded dims into the b79 resize stage (32×32 box). The oracle
+    * predicts every column analytically from the id formula — width/
+    * height from the header the parser must recover, luma_sum as the
+    * mod-256 pixel series the parser must sum from actual bytes, resize
+    * through the b79 integer CASE — so the hash fails on any
+    * header-offset, length, sign (byte → unsigned), or rounding defect.
+    * The [[decodeStub]] path stays as the documented fallback for
+    * formats the container genuinely cannot decode.
+    *
+    * Scale posture: generate and decode are one fused mapPartitions pass
+    * — payloads never shuffle (the Multimodal rule), output is O(1)
+    * scalars per media row; the final ORDER BY is gate presentation. */
+  private val b174 = entry(
+    "b174_multimodal_ppm_decode",
+    s"""WITH ids AS (
+       |  SELECT doc_id AS media_id,
+       |         CAST((doc_id % 48) + 16 AS INTEGER) AS w,
+       |         CAST((doc_id % 32) + 8 AS INTEGER) AS ht
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |decoded AS (
+       |  SELECT media_id, w, ht,
+       |         CAST(3 * w * ht AS BIGINT) AS n_bytes,
+       |         CAST(list_sum(list_transform(
+       |           generate_series(0, 3 * w * ht - 1),
+       |           i -> (media_id + i) % 256)) AS BIGINT) AS luma_sum
+       |  FROM ids)
+       |SELECT media_id, w AS width, ht AS height,
+       |       CASE WHEN w <= 32 AND ht <= 32 THEN w
+       |            WHEN 32 * ht <= 32 * w THEN 32
+       |            ELSE greatest(1, CAST((w * 32 + ht // 2) // ht AS INTEGER)) END AS rs_width,
+       |       CASE WHEN w <= 32 AND ht <= 32 THEN ht
+       |            WHEN 32 * ht <= 32 * w THEN greatest(1, CAST((ht * 32 + w // 2) // w AS INTEGER))
+       |            ELSE 32 END AS rs_height,
+       |       n_bytes, luma_sum
+       |FROM decoded
+       |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        // per-partition decoder init would go here (codec context); the
+        // decode→resize chain is one fused narrow pass — payloads never
+        // leave the partition, resize consumes the SAME resizeDims the
+        // b79 stub chain (and its oracle) pin
+        ids.map { id =>
+          val f = decodePpm(id, ppmPayload(id))
+          val rs = resizeDims(
+            MediaFeature(f.media_id, "image/ppm", f.n_bytes, f.width, f.height, 1),
+            maxW = 32, maxH = 32)
+          (f.media_id, f.width, f.height, rs.width, rs.height, f.n_bytes, f.luma_sum)
+        }
+      }
+      .toDF("media_id", "width", "height", "rs_width", "rs_height",
+        "n_bytes", "luma_sum")
+      .orderBy("media_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b47, b47d, b79, b174)
 }

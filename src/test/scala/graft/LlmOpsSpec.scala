@@ -305,6 +305,42 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("h") =!= col("h2")).count()
     assert(joined === 0)
   }
+
+  test("B174: the PPM parser recovers a hand-built image exactly") {
+    // 2x2 RGB image with known bytes, header written independently of
+    // ppmPayload (different whitespace shape than the generator's)
+    val pixels = Array[Byte](0, 127, -1, 10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val header = "P6 2\n2  255\n".getBytes("US-ASCII")
+    val f = Multimodal.decodePpm(7L, header ++ pixels)
+    assert(f.width === 2 && f.height === 2)
+    assert(f.n_bytes === 12L)
+    // -1 reads as unsigned 255
+    assert(f.luma_sum === pixels.map(_ & 0xFF).sum.toLong)
+  }
+
+  test("B174: malformed payloads fail loudly (magic, truncation, length)") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(1L, "P5\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](9))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(2L, "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(3L, "P6\n2".getBytes("US-ASCII"))
+    }
+  }
+
+  test("B174: generator and parser agree for every id shape (w/h residue sweep)") {
+    (0L to 200L).foreach { id =>
+      val f = Multimodal.decodePpm(id, Multimodal.ppmPayload(id))
+      assert(f.width === (id % 48).toInt + 16)
+      assert(f.height === (id % 32).toInt + 8)
+      assert(f.n_bytes === 3L * f.width * f.height)
+      // analytic mod-256 series sum (what the DuckDB oracle computes)
+      val want = (0L until f.n_bytes).map(i => (id + i) % 256).sum
+      assert(f.luma_sum === want)
+    }
+  }
 }
 
 /** Surrogate safety of the split('')-based codepoint fast path used by
