@@ -58,6 +58,7 @@ object SparkEntry {
       llm.ContrastivePairs.entries ++
       llm.CorpusAnalytics.entries ++
       llm.TextRank.entries ++
+      llm.FimTransform.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 
