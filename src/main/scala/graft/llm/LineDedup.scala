@@ -75,22 +75,47 @@ object LineDedup {
     * oracle compares exactly; path equality is pinned in LineDedupSpec. */
   def removeFrequentLines(docs: DataFrame, minDocs: Long = MinDocs,
       hashedLineKey: Boolean = false): DataFrame = {
+    val keyed = keyedLines(docs, hashedLineKey)
+    withBase(docs,
+      rebuildKept(keyed, lineDocCounts(keyed), minDocs))
+  }
+
+  /** (doc_id, line_no, line, lk) — one row per line of every document.
+    * `lk` is the shuffle key: the line string on the gate path, its
+    * xxhash64 on the 100 TB path (8 bytes over the wire, 2^-64 collision
+    * risk documented on [[removeFrequentLines]]). */
+  private[graft] def keyedLines(docs: DataFrame,
+      hashedLineKey: Boolean): DataFrame = {
     val lines = docs
       .select(col("doc_id"), posexplode_outer(split(col("text"), "\n")))
       .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"))
-    val keyed =
-      if (hashedLineKey) lines.withColumn("lk", xxhash64(col("line")))
-      else lines.withColumn("lk", col("line"))
-    // distinct-(line, doc) then count — two map-side-combinable stages
-    // keyed on the line, never a count(DISTINCT) expand over hot lines
-    val lineDocs = keyed.select(col("lk"), col("doc_id")).distinct()
+    if (hashedLineKey) lines.withColumn("lk", xxhash64(col("line")))
+    else lines.withColumn("lk", col("line"))
+  }
+
+  /** CCNet pass 1 — the per-line distinct-DOCUMENT count relation
+    * (lk, nd): distinct-(line, doc) then count — two map-side-combinable
+    * stages keyed on the line, never a count(DISTINCT) expand over hot
+    * lines. This is the only corpus-wide state the pass carries. */
+  private[graft] def lineDocCounts(keyed: DataFrame): DataFrame =
+    keyed.select(col("lk"), col("doc_id")).distinct()
       .groupBy("lk").agg(count(lit(1)).as("nd"))
-    val kept = keyed.join(lineDocs, "lk").filter(col("nd") < minDocs)
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(expr(
-        "transform(array_sort(collect_list(struct(line_no, line))), e -> e.line)"),
-        "\n").as("clean_text"))
+
+  /** CCNet pass 2 — drop lines whose count reaches `minDocs`, reassemble
+    * each document from surviving lines in order. Per-document work: one
+    * count-relation join plus one doc-keyed aggregate. */
+  private[graft] def rebuildKept(keyed: DataFrame, counts: DataFrame,
+      minDocs: Long): DataFrame =
+    keyed.join(counts, "lk").filter(col("nd") < minDocs)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(line_no, line))), e -> e.line)"),
+          "\n").as("clean_text"))
+
+  /** Rejoin to the full document list so fully-boilerplate docs keep
+    * their row with empty clean_text (the b93 convention). */
+  private[graft] def withBase(docs: DataFrame, rebuilt: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         size(split(col("text"), "\n")).cast("long").as("n_lines"))
@@ -99,10 +124,10 @@ object LineDedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
-  }
 
-  private val b170 = entry(
-    "b170_line_dedup",
+  /** Shared by b170 (batch) and b176 (streaming twin) — one oracle, two
+    * execution modes (the b92/b96 pattern). */
+  private val lineDedupOracleSql =
     s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |lined AS (
        |  SELECT doc_id,
@@ -131,10 +156,52 @@ object LineDedup {
        |       CAST(b.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
        |       coalesce(r.clean_text, '') AS clean_text
        |FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
-       |ORDER BY b.doc_id""".stripMargin, bench = true) { (s, d) =>
+       |ORDER BY b.doc_id""".stripMargin
+
+  private val b170 = entry("b170_line_dedup", lineDedupOracleSql,
+      bench = true) { (s, d) =>
     removeFrequentLines(linedCorpus(
       Tables.documents(s, d).select(col("doc_id"), col("text"))))
   }
 
-  val entries: Seq[Entry] = Seq(b170)
+  private lazy val chunkDir176: String =
+    java.nio.file.Files.createTempDirectory("graft_b176_lines").toString
+
+  /** B176 — the b170 pass run the way PRODUCTION runs CCNet: two passes.
+    * Pass 1 (the per-line distinct-doc count relation) is computed once
+    * over the corpus and becomes the STATIC side; pass 2 — removal and
+    * ordered reassembly — runs on the INGEST STREAM (the b96
+    * one-implementation-two-modes pattern): the lined corpus replays in 6
+    * doc_id-ordered chunks through a file source, each streamed line
+    * joins the static count relation (stream-static, stateless), and the
+    * per-doc reassembly aggregate runs in complete mode — the final table
+    * IS the batch report, hash-matched against b170's oracle. A doc never
+    * splits across chunks, so chunk boundaries can't split its line set.
+    *
+    * What this pins: CCNet's pass-2 is execution-mode-invisible — the
+    * count relation from yesterday's corpus snapshot cleans today's
+    * ingest stream with identical semantics. State note: the reassembly
+    * aggregate is keyed state ∝ docs seen — a production stream emits
+    * per-doc on watermark close (the b88 timer pattern); the replay is
+    * finite by construction. */
+  private val b176 = entry("b176_stream_line_dedup",
+      lineDedupOracleSql) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val corpus = linedCorpus(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    graft.streaming.StreamingOps.writeChunksDf(corpus, chunkDir176, n = 6,
+      sortCols = Seq("doc_id"))
+    // CCNet pass 1: the count relation, computed batch-side (static)
+    val counts = lineDocCounts(keyedLines(corpus, hashedLineKey = false))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = graft.streaming.StreamingOps.readStream(s, chunkDir176, schema)
+    s.catalog.dropTempView("b176_replay") // idempotent re-runs
+    val rebuilt = graft.streaming.StreamingOps.runToMemory(
+      rebuildKept(keyedLines(stream, hashedLineKey = false), counts, MinDocs),
+      "b176_replay", "complete")
+    withBase(corpus, rebuilt)
+  }
+
+  val entries: Seq[Entry] = Seq(b170, b176)
 }

@@ -60,4 +60,11 @@ class LineDedupSpec extends AnyFunSuite {
     // both copies survive (distinct-doc semantics, not occurrence count)
     assert(out.contains((13L, 3L, 0L, "repeat me\nrepeat me\nunique line 13")))
   }
+
+  test("B176: streamed pass-2 over the static count relation equals the batch pass") {
+    val batch = SparkEntry.queries("b170_line_dedup")(spark, sf).collect().toSeq
+    val streamed =
+      SparkEntry.queries("b176_stream_line_dedup")(spark, sf).collect().toSeq
+    assert(streamed === batch)
+  }
 }
