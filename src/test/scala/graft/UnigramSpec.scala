@@ -118,4 +118,99 @@ class UnigramSpec extends AnyFunSuite {
     assert(words.exists(w => dpIds(w).split(" ").length > 1),
       "vocab memorized every corpus word — Viterbi untested")
   }
+
+  // ——— B177 byte-fallback (graft.functions.UnigramByteFallback) ———
+
+  import graft.functions.UnigramByteFallback
+
+  private def dpBfIds(w: String): String =
+    UnigramByteFallback.encode(UTF8String.fromString(w)).toString
+
+  /** bruteBest extended by the byte candidate: at each position, besides
+    * vocab pieces, the single code point as its UTF-8 bytes at
+    * ByteCostPerByte per byte — the exact candidate set the bf DP walks. */
+  private def bruteBestBf(w: String): (Long, Long, List[String]) = {
+    val table = UnigramEncodeExpression.pieceTable
+    val maxLen = UnigramEncodeExpression.maxPieceLen
+    def go(pos: Int): List[(Long, Long, List[String])] =
+      if (pos == w.length) List((0L, 0L, Nil))
+      else {
+        val cut = if (pos > 0 && pos <= 62) 1L << pos else 0L
+        val vocabPaths =
+          (1 to math.min(maxLen, w.length - pos)).toList.flatMap { len =>
+            table.get(w.substring(pos, pos + len)).toList.flatMap { case (id, c) =>
+              go(pos + len).map { case (cost, mask, ids) =>
+                (cost + c, mask + cut, id.toString :: ids)
+              }
+            }
+          }
+        val cp = w.codePointAt(pos)
+        val cc = Character.charCount(cp)
+        val bytes = w.substring(pos, pos + cc)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => (UnigramByteFallback.ByteBase + (b & 0xFF)).toString).toList
+        val bytePaths = go(pos + cc).map { case (cost, mask, ids) =>
+          (cost + UnigramByteFallback.ByteCostPerByte * bytes.length,
+            mask + cut, bytes ::: ids)
+        }
+        vocabPaths ::: bytePaths
+      }
+    go(0).minBy { case (c, m, _) => (c, m) }
+  }
+
+  test("B177: byte-fallback encoder equals the base encoder on in-charset input") {
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0)).toSeq)
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty).distinct
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(dpBfIds(w) === dpIds(w), s"bf diverged from base on in-charset '$w'")
+    }
+  }
+
+  test("B177: bf DP = brute force with byte candidates on random mixed unicode") {
+    val rnd = new scala.util.Random(177)
+    val exotic = "ABZ09!?éüж語😀𝄞 ".toCharArray // astral chars arrive as pairs
+    (1 to 300).foreach { _ =>
+      val len = 1 + rnd.nextInt(9)
+      val sb = new StringBuilder
+      while (sb.length < len) {
+        val r = rnd.nextInt(40)
+        if (r < 26) sb += ('a' + r).toChar
+        else {
+          val c = exotic(rnd.nextInt(exotic.length))
+          if (c != ' ') { // space is the pre-tokenizer, not word content
+            if (Character.isHighSurrogate(c)) sb ++= "😀" else sb += c
+          }
+        }
+      }
+      val w = sb.toString
+      val (_, _, want) = bruteBestBf(w)
+      assert(dpBfIds(w) === want.mkString(" "),
+        s"bf DP diverged from brute force on '$w'")
+    }
+  }
+
+  test("B177: arbitrary unicode round-trips; fallback bytes count exactly") {
+    val rnd = new scala.util.Random(1770)
+    val pool = "abcdefghijklmnopqrstuvwxyz ABZ09!?éüж語😀𝄞"
+    val cps = pool.codePoints().toArray
+    (1 to 300).foreach { _ =>
+      val n = 1 + rnd.nextInt(20)
+      val text = new String(
+        (0 until n).map(_ => cps(rnd.nextInt(cps.length))).toArray, 0, n)
+      val ids = dpBfIds(text)
+      val decoded = UnigramByteFallback
+        .decode(UTF8String.fromString(ids)).toString
+      assert(decoded === text.replace(" ", ""), s"round-trip broke on '$text'")
+      val wantBytes = text.codePoints().toArray
+        .filterNot(cp => (cp >= 'a' && cp <= 'z') || cp == ' ')
+        .map(cp => new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length).sum
+      val gotBytes = ids.split(" ").filter(_.nonEmpty)
+        .count(_.toInt >= UnigramByteFallback.ByteBase)
+      assert(gotBytes === wantBytes,
+        s"fallback fired off-domain on '$text': $gotBytes vs $wantBytes")
+    }
+  }
 }
