@@ -203,8 +203,11 @@ object TextDedup {
     * Scale: candidates O(Σ bucket²), verify touches candidates only,
     * components shuffle O(V+E)·O(log diameter) — the oracle's recursive
     * closure is the sf0.01 crutch, not the plan. */
-  private val b90 = entry(
-    "b90_dedup_text_e2e",
+  /** The dup-closure CTE chain shared by b90 and b178: dup-injected
+    * corpus → distinct 3-shingles → exact-Jaccard ≥ 0.99 pairs →
+    * symmetric edges → recursive reachability. Both oracles differ only
+    * in what they DO with the components. */
+  private val dupClosureCtes =
     """WITH RECURSIVE
       |all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -231,7 +234,11 @@ object TextDedup {
       |reach(n, m) AS (
       |  SELECT doc_id, doc_id FROM all_docs
       |  UNION
-      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)""".stripMargin
+
+  private val b90 = entry(
+    "b90_dedup_text_e2e",
+    dupClosureCtes + """
       |SELECT n AS doc_id, min(m) AS canonical_id
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     val docs = docsWithDups(s, d)
@@ -243,5 +250,65 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b42, b43, b43lsh, b90)
+  /** B178 — KEEP-BEST CANONICAL SELECTION per near-dup cluster: b90
+    * elects min(doc_id) as each cluster's survivor — the textbook rule —
+    * but production dedup (Gopher, FineWeb, RefinedWeb dataset cards)
+    * keeps the BEST document of a cluster (highest quality score), which
+    * is NOT the first: a cleaner later crawl beats an earlier boilerplate-
+    * ridden copy. This row is the SELECTION operator: b90's components
+    * (same LSH candidates, same provable τ=0.99 recall, same closure)
+    * followed by an argmax-per-component election and a per-doc rewrite
+    * to (canonical_id, kept).
+    *
+    * The quality score here is the b167 Knuth scramble of doc_id —
+    * `q = (doc_id · 2654435761) mod 2³¹` — DELIBERATELY id-keyed: the
+    * corpus's planted mirrors carry identical text, so any text-derived
+    * score ties and keep-best silently degenerates to keep-min-id. The
+    * scramble makes the election observably real (roughly half the
+    * planted clusters elect the MIRROR — LlmOpsSpec pins a nonzero count
+    * both ways) while staying engine-shared integer arithmetic.
+    * Production plugs b45/b95 scores in; the election tail is unchanged.
+    * Tie rule: highest q, then min doc_id — spelled min(struct(2³¹ − q,
+    * doc_id)) on the Spark side and ORDER BY q DESC, doc_id in the
+    * oracle (the same total order).
+    *
+    * Scale posture: everything b90 ships plus one map-combinable
+    * struct-min aggregate keyed on component and one component-keyed
+    * rewrite join — no windows over the corpus, no new all-pairs. */
+  private val b178 = entry(
+    "b178_dedup_keep_best",
+    dupClosureCtes + """,
+      |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+      |winner AS (
+      |  SELECT component, doc_id AS canonical_id FROM (
+      |    SELECT component, doc_id,
+      |           row_number() OVER (PARTITION BY component
+      |             ORDER BY (doc_id * 2654435761) % 2147483648 DESC, doc_id)
+      |             AS rn
+      |    FROM comp) t
+      |  WHERE rn = 1)
+      |SELECT c.doc_id, w.canonical_id,
+      |       CAST(c.doc_id = w.canonical_id AS BIGINT) AS kept
+      |FROM comp c JOIN winner w USING (component)
+      |ORDER BY c.doc_id""".stripMargin, bench = true) { (s, d) =>
+    val docs = docsWithDups(s, d)
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.99, bucketCap = None)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = graft.operators.GraphOps
+      .connectedComponents(pairs, docs.select(col("doc_id").as("n")))
+      .select(col("n").as("doc_id"), col("component"))
+    // min(struct(2^31 - q, doc_id)) ⇔ ORDER BY q DESC, doc_id LIMIT 1
+    val winners = comp
+      .withColumn("nq",
+        lit(2147483648L) - (col("doc_id") * lit(2654435761L)) % lit(2147483648L))
+      .groupBy("component")
+      .agg(min(struct(col("nq"), col("doc_id"))).as("w"))
+      .select(col("component"), col("w.doc_id").as("canonical_id"))
+    comp.join(winners, "component")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b42, b43, b43lsh, b90, b178)
 }

@@ -196,6 +196,38 @@ class MinHashLshSpec extends AnyFunSuite {
     assert(viaArrays.exceptAll(viaExplode).count() === 0)
     assert(viaExplode.exceptAll(viaArrays).count() === 0)
   }
+
+  test("B178: keep-best election is lawful and observably differs from keep-first") {
+    val rows = SparkEntry.queries("b178_dedup_keep_best")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCanon = rows.groupBy(_._2)
+    byCanon.foreach { case (canon, members) =>
+      // the winner is a member of its own cluster and the only kept row
+      assert(members.exists(_._1 == canon), s"canonical $canon not in cluster")
+      assert(members.count(_._3 == 1L) === 1, s"cluster $canon kept != 1")
+      members.foreach { case (id, _, kept) =>
+        assert((kept == 1L) === (id == canon))
+      }
+    }
+    // the planted mirror clusters: roughly half elect the MIRROR (higher
+    // id) — the witness that keep-best is not keep-min-id — and some
+    // elect the original, so the scramble is doing real work both ways
+    val planted = rows.filter { case (id, _, _) => id >= 1000000L }
+      .map { case (mirror, canon, _) => (mirror, canon) }
+    assert(planted.nonEmpty)
+    assert(planted.exists { case (mirror, canon) => canon == mirror },
+      "no cluster elected its mirror — keep-best degenerated to keep-first")
+    assert(planted.exists { case (mirror, canon) => canon == mirror - 1000000L },
+      "no cluster elected its original")
+    // election law replayed in plain JVM: argmax of the Knuth scramble,
+    // ties to min id
+    def q(id: Long) = (id * 2654435761L) % 2147483648L
+    byCanon.foreach { case (canon, members) =>
+      val want = members.map(_._1).minBy(id => (-q(id), id))
+      assert(canon === want, s"cluster elected $canon, scramble argmax is $want")
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
