@@ -59,6 +59,7 @@ object SparkEntry {
       llm.CorpusAnalytics.entries ++
       llm.TextRank.entries ++
       llm.FimTransform.entries ++
+      llm.PostingCompress.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 
