@@ -111,10 +111,32 @@ object MixtureResample {
       weightsBp: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.PolyFoldExpression.register(spark)
+    resampleWithWeights(docs, weightsBp.toDF("source", "w_bp"), "mix:")
+  }
+
+  /** The weight-driven resample tail shared by B153 (literal weight
+    * vector) and B180 (data-derived temperature weights): weights are a
+    * (source, w_bp) RELATION, the ratios w_s/w_m make the arithmetic
+    * scale-invariant (no normalization needed), and `salt` decorrelates
+    * each caller's draw.
+    *
+    * `scrambled` selects the Knuth-scrambled selector (the b167 lesson,
+    * re-learned here with a sharper witness): the poly fold of
+    * `salt‖doc_id` is a POLYNOMIAL in the digits, so consecutive ids
+    * yield CONSECUTIVE fold values (the last digit enters with weight
+    * B⁰ = 1) — `% 10⁴` then keeps contiguous all-or-nothing RUNS of ids
+    * rather than a per-doc Bernoulli draw. Over a large id-interleaved
+    * corpus the RATE still converges (why b98/b153's mass properties
+    * hold, and their committed gate spelling stays frozen), but a SMALL
+    * source occupying a contiguous id block gets kept or dropped
+    * wholesale. One multiplicative scramble `(h mod 2³¹)·2654435761
+    * mod 2³¹` breaks the run structure; B180 uses it because
+    * temperature sampling exists precisely to protect small sources. */
+  private[graft] def resampleWithWeights(docs: DataFrame, w: DataFrame,
+      salt: String, scrambled: Boolean = false): DataFrame = {
+    graft.functions.PolyFoldExpression.register(docs.sparkSession)
     val toks = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val w = weightsBp.toDF("source", "w_bp")
     val tot = toks.groupBy("source").agg(sum("n_tok").as("t"))
       .join(broadcast(w), "source")
     val m = tot
@@ -124,9 +146,12 @@ object MixtureResample {
     val thr = tot.crossJoin(broadcast(m))
       .select(col("source"),
         least(lit(Bp), expr(s"mt * $Bp * w_bp div (mw * t)")).as("thr_bp"))
+    val h = s"poly_fold(concat('$salt', CAST(doc_id AS STRING)))"
+    val sel =
+      if (scrambled) s"($h % 2147483648) * 2654435761 % 2147483648 % $Bp"
+      else s"$h % $Bp"
     toks.join(broadcast(thr), "source")
-      .filter(expr(s"poly_fold(concat('mix:', CAST(doc_id AS STRING))) % $Bp")
-        < col("thr_bp"))
+      .filter(expr(sel) < col("thr_bp"))
       .select(col("doc_id"), col("source"), col("n_tok"))
       .orderBy("doc_id")
   }
@@ -165,5 +190,65 @@ object MixtureResample {
       .select(col("doc_id"), col("text"), col("source")), TargetWeightsBp)
   }
 
-  val entries: Seq[Entry] = Seq(b98, b153)
+  /** Exact integer square root: ⌊√t⌋, computed as the double sqrt with
+    * one ±1 correction step — exact for t < 2⁵² (double sqrt is within
+    * 1 ulp there; token totals reach 2⁵² at ~4.5×10¹⁵ tokens per
+    * source, far past the 10⁴·mass BIGINT bound documented above). The
+    * SAME spelling runs in DuckDB, so the two engines agree bit-exactly. */
+  private def isqrtSql(t: String): String = {
+    val x = s"CAST(floor(sqrt(CAST($t AS DOUBLE))) AS BIGINT)"
+    s"""($x + CASE WHEN ($x + 1) * ($x + 1) <= $t THEN 1
+       |          WHEN $x * $x > $t THEN -1 ELSE 0 END)""".stripMargin
+      .replace("\n", " ")
+  }
+
+  /** B180 — TEMPERATURE-FLATTENED MIXTURE (α-sampling, Conneau & Lample
+    * NeurIPS'19 §3.1 / mT5's α: multilingual and multi-domain corpora
+    * resample sources ∝ T_s^α to keep heads from drowning tails): the
+    * weight vector is DERIVED from the data as w_s = ⌊√T_s⌋ — α = ½, the
+    * one temperature where the power is EXACT integer arithmetic (isqrt
+    * with a ±1 correction), no float pow on the gate — then fed through
+    * the same scale-invariant resample tail as B153. The binding source
+    * is provably the smallest (argmin T/√T = argmin √T), kept whole;
+    * every other source keeps ≈ 10⁴·√(T_m/T_s) bp — the √ of B98's full
+    * equalization, i.e. flattened but not leveled: big sources keep MORE
+    * absolute mass (spec pins the kept-mass ordering AND that flattening
+    * provably bites vs both b98 and proportional). The 'temp:' salt
+    * decorrelates the draw from b98/b153.
+    *
+    * Scale posture: identical to B98/B153 — one |sources|-row aggregate
+    * broadcast back, keep decision map-side in the scan's codegen. */
+  private val b180 = entry(
+    "b180_temperature_mixture",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |tot0 AS (SELECT source, sum(n_tok) AS t FROM toks GROUP BY source),
+       |tot AS (
+       |  SELECT source, t, CAST(${isqrtSql("t")} AS BIGINT) AS w_bp
+       |  FROM tot0),
+       |m AS (
+       |  SELECT source AS msource, t AS mt, w_bp AS mw
+       |  FROM tot ORDER BY t * $RatioScale // w_bp, source LIMIT 1),
+       |thr AS (
+       |  SELECT source,
+       |         least($Bp, CAST(mt * $Bp * w_bp // (mw * t) AS BIGINT))
+       |           AS thr_bp
+       |  FROM tot, m)
+       |SELECT t.doc_id, t.source, t.n_tok
+       |FROM toks t JOIN thr ON thr.source = t.source
+       |WHERE (${Winnowing.polyFoldDuck("('temp:' || CAST(t.doc_id AS VARCHAR))")}
+       |       % 2147483648) * 2654435761 % 2147483648 % $Bp < thr.thr_bp
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val toks = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = toks.groupBy("source").agg(sum("n_tok").as("t"))
+      .select(col("source"), expr(s"CAST(${isqrtSql("t")} AS BIGINT)").as("w_bp"))
+    resampleWithWeights(docs, w, "temp:", scrambled = true)
+  }
+
+  val entries: Seq[Entry] = Seq(b98, b153, b180)
 }

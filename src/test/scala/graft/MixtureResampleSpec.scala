@@ -116,4 +116,59 @@ class MixtureResampleSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(asUniform.toSeq === kept.toSeq)
   }
+
+  private def isqrt(t: Long): Long = {
+    val x = math.floor(math.sqrt(t.toDouble)).toLong
+    x + (if ((x + 1) * (x + 1) <= t) 1L else if (x * x > t) -1L else 0L)
+  }
+
+  test("B180 temperature manifest equals a JVM replay of the sqrt-weight rates") {
+    val keptT = SparkEntry.queries("b180_temperature_mixture")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(keptT.nonEmpty)
+    val w = totals.map { case (s, t) => s -> isqrt(t) }
+    val (ms, _) = totals.minBy { case (s, t) => (t * 100000000L / w(s), s) }
+    val thr = totals.map { case (s, t) =>
+      s -> math.min(10000L, totals(ms) * 10000L * w(s) / (w(ms) * t))
+    }
+    val want = docs.collect().map { r =>
+      (r.getLong(0), r.getString(2), r.getString(1).split(" ", -1).count(_.nonEmpty).toLong)
+    }.filter { case (id, s, _) =>
+      val h = graft.llm.Winnowing.polyFoldString(s"temp:$id")
+      (h % 2147483648L) * 2654435761L % 2147483648L % 10000L < thr(s)
+    }.sortBy(_._1)
+    assert(keptT.toSeq === want.toSeq)
+  }
+
+  test("B180 flattens but does not level: kept mass strictly between b98 and proportional") {
+    // the real corpus's source skew is ~1.4x at gate SFs — too flat to
+    // separate the three regimes — so the property runs on a synthetic
+    // 64:16:1 corpus through the SAME weight derivation + resample tail
+    import spark.implicits._
+    val text20 = (1 to 20).map(_ => "w").mkString(" ")
+    val syn = (
+      (1L to 320L).map(i => (i, text20, "A")) ++
+        (1001L to 1080L).map(i => (i, text20, "B")) ++
+        (2001L to 2005L).map(i => (i, text20, "C"))
+      ).toDF("doc_id", "text", "source")
+    val w = syn
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"))
+      .select(col("source"),
+        expr("CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT)").as("w_bp"))
+    val keptSyn = MixtureResample
+      .resampleWithWeights(syn, w, "temp:", scrambled = true)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val mass = keptSyn.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // C (100 tokens) binds and is kept whole
+    assert(mass("C") === 100L)
+    // B: thr = 2500bp of 1600 tokens → ~400 ≈ √(100·1600); A: thr =
+    // 1250bp of 6400 → ~800 ≈ √(100·6400). Bands are ±3sd of the
+    // realized (deterministic) draw — strictly between leveled (100)
+    // and proportional (1600/6400), and monotone in source size
+    assert(mass("B") > 160L && mass("B") < 640L, s"B kept ${mass("B")}")
+    assert(mass("A") > 440L && mass("A") < 1160L, s"A kept ${mass("A")}")
+    assert(mass("A") > mass("B") && mass("B") > mass("C"),
+      "kept mass is not monotone in source size — flattening leveled it")
+  }
 }
