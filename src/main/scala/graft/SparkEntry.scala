@@ -60,6 +60,7 @@ object SparkEntry {
       llm.TextRank.entries ++
       llm.FimTransform.entries ++
       llm.PostingCompress.entries ++
+      llm.Snippets.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Snippets
+import graft.sources.Tables
+
+/** B181 KWIC snippet extraction: JVM brute-force replay of the window
+  * argmax, the leftmost tie rule on a crafted witness, short-doc
+  * truncation, and snippet-content consistency. */
+class SnippetsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private def brute(words: Array[String]): Option[(Long, Long, Long, String)] = {
+    val hits = words.map(w => if (Snippets.Terms.contains(w)) 1 else 0)
+    val total = hits.sum.toLong
+    if (total == 0) return None
+    val nStarts = math.max(words.length - Snippets.W + 1, 1)
+    val scores = (0 until nStarts)
+      .map(s => hits.slice(s, s + Snippets.W).sum)
+    val best = scores.max
+    val start = scores.indexOf(best) // first occurrence = leftmost
+    Some((total, best.toLong, start + 1L,
+      words.slice(start, start + Snippets.W).mkString(" ")))
+  }
+
+  test("entry equals a JVM brute-force replay on every corpus doc") {
+    val got = SparkEntry.queries("b181_snippet_extract")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    var matched = 0
+    docs.foreach { case (id, text) =>
+      brute(text.split(" ", -1)) match {
+        case Some(want) =>
+          assert(got.get(id).contains(want), s"doc $id diverged")
+          matched += 1
+        case None =>
+          assert(!got.contains(id), s"doc $id has no hits but was emitted")
+      }
+    }
+    assert(matched === got.size)
+    assert(matched > 0, "no corpus doc matched the query — test is vacuous")
+  }
+
+  test("ties break leftmost; short docs emit whole-doc snippets") {
+    import spark.implicits._
+    // two disjoint windows score 2; the leftmost (start 1) must win
+    val tie = "window agg x x x x x x x x x x window agg x x x x x x"
+    // short doc: 4 words, one hit -> snippet is the whole doc
+    val short = "a stream b c"
+    val df = Seq((1L, tie), (2L, short)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), brute(r.getString(1).split(" ", -1)).get))
+    val byId = rows.toMap
+    assert(byId(1L)._3 === 1L, "tie did not break leftmost")
+    assert(byId(1L)._2 === 2L)
+    assert(byId(2L) === ((1L, 1L, 1L, "a stream b c")))
+    // and the Spark spelling agrees on the same crafted corpus
+    val sparkRows = {
+      val inList = Snippets.Terms.map(t => s"'$t'").mkString(", ")
+      df.withColumn("hits", expr(s"transform(w, t -> CAST(t IN ($inList) AS INT))"))
+        .withColumn("total_hits", expr("CAST(aggregate(hits, 0, (a, x) -> a + x) AS BIGINT)"))
+        .withColumn("n_starts", greatest(size(col("w")) - lit(Snippets.W - 1), lit(1)))
+        .withColumn("scores", expr(
+          s"transform(sequence(1, n_starts), s -> aggregate(slice(hits, s, ${Snippets.W}), 0, (a, x) -> a + x))"))
+        .withColumn("win_hits", expr("CAST(array_max(scores) AS BIGINT)"))
+        .withColumn("best_start", expr("CAST(array_position(scores, array_max(scores)) AS BIGINT)"))
+        .select(col("doc_id"), col("total_hits"), col("win_hits"), col("best_start"),
+          expr(s"array_join(slice(w, CAST(best_start AS INT), ${Snippets.W}), ' ')").as("snippet"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+    }
+    assert(sparkRows === byId)
+  }
+
+  test("every snippet carries exactly win_hits query-term occurrences") {
+    val rows = SparkEntry.queries("b181_snippet_extract")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getString(4)))
+    rows.foreach { case (winHits, snippet) =>
+      val inSnippet = snippet.split(" ", -1).count(Snippets.Terms.contains)
+      assert(inSnippet.toLong === winHits,
+        s"snippet '$snippet' carries $inSnippet hits, claimed $winHits")
+      assert(snippet.split(" ", -1).length <= Snippets.W)
+    }
+  }
+}
