@@ -61,6 +61,7 @@ object SparkEntry {
       llm.FimTransform.entries ++
       llm.PostingCompress.entries ++
       llm.Snippets.entries ++
+      llm.Blocklist.entries ++
       streaming.StreamingBatchTwins.entries ++
       streaming.StreamReplay.entries
 

@@ -240,7 +240,7 @@ object MixtureResample {
        |FROM toks t JOIN thr ON thr.source = t.source
        |WHERE (${Winnowing.polyFoldDuck("('temp:' || CAST(t.doc_id AS VARCHAR))")}
        |       % 2147483648) * 2654435761 % 2147483648 % $Bp < thr.thr_bp
-       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY t.doc_id""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("source"))
     val toks = docs.select(col("source"),
