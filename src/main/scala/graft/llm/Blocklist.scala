@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Registry._
 import graft.sources.Tables
@@ -41,8 +42,8 @@ object Blocklist {
   private def valuesSql = Terms
     .map { case (t, s) => s"('$t', ${s}::BIGINT)" }.mkString(", ")
 
-  private val b182 = entry(
-    "b182_blocklist_filter",
+  /** Shared by b182 (batch) and b183 (streamed admission twin). */
+  private val blocklistOracleSql =
     s"""WITH bl(term, sev) AS (VALUES $valuesSql),
        |toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -67,29 +68,72 @@ object Blocklist {
        |              OR coalesce(h.n_mild, 0) * 10000 // b.n_tok >= $ThrBp
        |            THEN 'drop' ELSE 'keep' END AS action
        |FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
-       |ORDER BY b.doc_id""".stripMargin, bench = true) { (s, d) =>
-    import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** The audit chain over ANY (doc_id, text) relation — runs unchanged
+    * as a batch pass (b182) or on an ingest stream (b183): per-token
+    * classification is STATELESS (the blocklist broadcasts; no per-doc
+    * state is consulted), so the per-doc verdict needs only the doc's
+    * own tokens. */
+  private[graft] def auditReport(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
     val bl = Terms.toDF("term", "sev")
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val hits = toks.join(broadcast(bl), "term")
+    // token-level LEFT join (unblocked tokens keep sev null), then ONE
+    // doc-keyed aggregate carrying all three counts — no post-aggregate
+    // join, which is what lets the same plan run in complete mode on a
+    // stream (a join above a streaming aggregate is unsupported). Every
+    // corpus doc has >= 1 token (TablesSpec), so no doc vanishes in the
+    // explode.
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(bl), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(sum(when(col("sev") === 1, 1L).otherwise(0L)).as("n_mild"),
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("sev") === 1, 1L).otherwise(0L)).as("n_mild"),
         sum(when(col("sev") === 2, 1L).otherwise(0L)).as("n_severe"))
-    docs
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"),
-        coalesce(col("n_mild"), lit(0L)).as("n_mild"),
-        coalesce(col("n_severe"), lit(0L)).as("n_severe"))
       .withColumn("mild_bp", expr("n_mild * 10000 div n_tok"))
       .withColumn("action",
         when(col("n_severe") > 0 || col("mild_bp") >= ThrBp, "drop")
           .otherwise("keep"))
+  }
+
+  private val b182 = entry("b182_blocklist_filter", blocklistOracleSql,
+      bench = true) { (s, d) =>
+    auditReport(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b182)
+  private lazy val chunkDir183: String =
+    java.nio.file.Files.createTempDirectory("graft_b183_admission").toString
+
+  /** B183 — BLOCKLIST ADMISSION ON INGEST: the b182 chain run where
+    * production actually runs it — at the door, on the arriving stream,
+    * before anything lands in the lake (the b96/b176 one-implementation-
+    * two-modes pattern). The corpus replays in 6 doc_id-ordered chunks;
+    * the blocklist is the broadcast static side; per-token
+    * classification is stateless, and the per-doc rollup runs in
+    * complete mode — the final admission log IS the batch audit table,
+    * hash-matched against b182's oracle. Docs never split across chunks,
+    * so a chunk boundary can't split a doc's token counts.
+    *
+    * State note: the per-doc aggregate is keyed state ∝ docs seen — a
+    * production admission gate emits each doc's verdict on arrival
+    * (docs are atomic per micro-batch, the b88 close-on-complete
+    * convention); the replay is finite by construction. */
+  private val b183 = entry("b183_stream_blocklist_admission",
+      blocklistOracleSql) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.StreamingOps.writeChunksDf(docs, chunkDir183, n = 6,
+      sortCols = Seq("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = graft.streaming.StreamingOps.readStream(s, chunkDir183, schema)
+    s.catalog.dropTempView("b183_replay") // idempotent re-runs
+    graft.streaming.StreamingOps
+      .runToMemory(auditReport(stream), "b183_replay", "complete")
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b182, b183)
 }

@@ -75,4 +75,13 @@ class BlocklistSpec extends AnyFunSuite {
     assert(out(3L) === ((4L, 0L, "drop")))
     assert(out(4L) === ((0L, 0L, "keep")))
   }
+
+  test("B183: the streamed admission log equals the batch audit table") {
+    val batch = SparkEntry.queries("b182_blocklist_filter")(spark, sf)
+      .collect().toSeq
+    val streamed =
+      SparkEntry.queries("b183_stream_blocklist_admission")(spark, sf)
+        .collect().toSeq
+    assert(streamed === batch)
+  }
 }
