@@ -90,7 +90,7 @@ object Retrieval {
     qts.toDF("query_id", "term")
   }
 
-  private def duckQueryValues(qts: Seq[(Long, String)] = QueryTerms): String =
+  private[graft] def duckQueryValues(qts: Seq[(Long, String)] = QueryTerms): String =
     qts.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** BM25 contribution — written ONCE as SQL text so Spark and DuckDB
@@ -103,7 +103,7 @@ object Retrieval {
   /** The full-corpus BM25 oracle — shared verbatim by b107 (corpus-scan
     * spelling) and b111 (index-served spelling): both must produce the
     * identical ranking, so both hash against the one definition. */
-  private def bm25OracleSql(qts: Seq[(Long, String)] = QueryTerms): String =
+  private[graft] def bm25OracleSql(qts: Seq[(Long, String)] = QueryTerms): String =
     s"""WITH q AS (SELECT * FROM (VALUES ${duckQueryValues(qts)}) AS v(query_id, term)),
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -153,7 +153,11 @@ object Retrieval {
   /** B107 — BM25 top-10 docs per query, computed by corpus scan. */
   private val b107 = entry(
     "b107_text_bm25", bm25OracleSql(),
-    bench = true) { (s, d) =>
+    bench = true) { (s, d) => bm25TopDocsScan(s, d) }
+
+  /** b107's corpus-scan ranking as a composable relation (b184 serves
+    * snippets off it). */
+  private[graft] def bm25TopDocsScan(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val qt = queriesDf(s).select("term").distinct()

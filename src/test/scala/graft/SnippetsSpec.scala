@@ -81,6 +81,27 @@ class SnippetsSpec extends AnyFunSuite {
     assert(sparkRows === byId)
   }
 
+  test("B184: serve page preserves b107's ranking and snippets per-query terms") {
+    val page = SparkEntry.queries("b184_serve_page")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getString(6)))
+    assert(page.nonEmpty)
+    // the ranking columns are b107's, row for row
+    val ranked = SparkEntry.queries("b107_text_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(page.map(p => (p._1, p._2, p._3, p._4)).toSeq === ranked.toSeq)
+    // every snippet carries >= 1 hit, counted against ITS query's terms
+    val termsOf = graft.llm.Retrieval.QueryTerms.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    page.foreach { case (q, _, _, _, winHits, snippet) =>
+      assert(winHits >= 1L)
+      val inSnippet = snippet.split(" ", -1).count(termsOf(q).contains).toLong
+      assert(inSnippet === winHits,
+        s"query $q snippet '$snippet' carries $inSnippet, claimed $winHits")
+    }
+  }
+
   test("every snippet carries exactly win_hits query-term occurrences") {
     val rows = SparkEntry.queries("b181_snippet_extract")(spark, sf)
       .collect().map(r => (r.getLong(2), r.getString(4)))
