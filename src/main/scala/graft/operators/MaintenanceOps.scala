@@ -193,5 +193,65 @@ object MaintenanceOps {
       .join(s.table("graft_b86_orders"),
         col("l_orderkey") === col("o_orderkey"))
 
-  val entries: Seq[Entry] = Seq(b81, b82, b86)
+  /** Columns profiled by b185 — integer/string only, so min/max
+    * stringification is engine-exact (no float/timestamp formatting on
+    * the gate; `ts`/`value` stats belong to the b33/b22 families). */
+  private val StatsCols = Seq("event_id", "user_id", "event_type", "props")
+
+  /** B185 — CATALOG STATISTICS COLLECTION (the ANALYZE TABLE pass:
+    * Spark's own `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`, the
+    * Hive/Iceberg stats job): per column, exact NDV, min/max
+    * (stringified), and null count — the numbers a cost-based optimizer
+    * feeds on (join reorder, broadcast decisions, AQE skew detection all
+    * start from NDV + bounds). The corpus has no nulls, so `props` is
+    * deterministically NULLed on every event_id % 10 = 0 (the b64
+    * make-it-bite pattern) and the null counter must recover exactly
+    * that.
+    *
+    * One corpus pass computes all 16 aggregates; `stack` unpivots the
+    * 1×16 row into the 4-row catalog table. Exact NDV via count(DISTINCT)
+    * means an EXPAND ×|columns| over the scan — the committed gate
+    * spelling; the 100 TB path swaps in the b19/b78 HLL sketches per
+    * column (mergeable, incremental under b82-style compaction) at the
+    * documented ~2% error, leaving bounds and null counts exact.
+    *
+    * Scale posture: map-side partial aggregates throughout; output is
+    * |columns| rows — catalog-sized, not data-sized. */
+  private val b185 = entry(
+    "b185_table_stats", {
+      val per = StatsCols.map { c =>
+        s"""  SELECT '$c' AS column_name,
+           |         count(DISTINCT $c) AS ndv,
+           |         CAST(min($c) AS VARCHAR) AS min_s,
+           |         CAST(max($c) AS VARCHAR) AS max_s,
+           |         count(*) - count($c) AS n_null
+           |  FROM lifted""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH lifted AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props
+         |  FROM events),
+         |s AS (
+         |$per)
+         |SELECT column_name, CAST(ndv AS BIGINT) AS ndv, min_s, max_s,
+         |       CAST(n_null AS BIGINT) AS n_null
+         |FROM s ORDER BY column_name""".stripMargin
+    }, bench = true) { (s, d) =>
+    val lifted = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 10 === 0, lit(null: String))
+          .otherwise(col("props")).as("props"))
+    val aggs = StatsCols.flatMap(c => Seq(
+      countDistinct(col(c)).cast("long").as(s"${c}__ndv"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull")))
+    lifted.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${StatsCols.size}, " + StatsCols.map(c =>
+        s"'$c', ${c}__ndv, ${c}__min, ${c}__max, ${c}__nnull")
+        .mkString(", ") + ") AS (column_name, ndv, min_s, max_s, n_null)"))
+      .orderBy("column_name")
+  }
+
+  val entries: Seq[Entry] = Seq(b81, b82, b86, b185)
 }

@@ -69,4 +69,34 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     val compactRows = spark.read.parquet(MaintenanceOps.b82CompactDir).count()
     assert(compactRows === rows, "compaction lost or duplicated rows")
   }
+
+  test("B185: catalog stats equal a JVM replay; planted nulls counted exactly") {
+    val stats = SparkEntry.queries("b185_table_stats")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toMap
+    assert(stats.keySet === Set("event_id", "user_id", "event_type", "props"))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "props").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(ev.nonEmpty)
+    // the lifted table NULLs props on event_id % 10 = 0
+    val planted = ev.count(_._1 % 10 == 0).toLong
+    assert(planted > 0, "no event_id hits the null plant — premise broken")
+    assert(stats("props")._4 === planted)
+    assert(stats("event_id") ===
+      ((ev.map(_._1).distinct.length.toLong,
+        ev.map(_._1).min.toString, ev.map(_._1).max.toString, 0L)))
+    assert(stats("user_id") ===
+      ((ev.map(_._2).distinct.length.toLong,
+        ev.map(_._2).min.toString, ev.map(_._2).max.toString, 0L)))
+    val types = ev.map(_._3)
+    assert(stats("event_type") ===
+      ((types.distinct.length.toLong, types.min, types.max, 0L)))
+    val keptProps = ev.filter(_._1 % 10 != 0).map(_._4)
+    assert(stats("props")._1 === keptProps.distinct.length.toLong)
+    assert(stats("props")._2 === keptProps.min)
+    assert(stats("props")._3 === keptProps.max)
+  }
 }
