@@ -169,5 +169,66 @@ object Chunker {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b103, b105)
+  /** B186 sliding-window geometry: width and stride in WORDS. Overlap =
+    * SlideW − SlideS = 8 words — the context RAG retrieval pays for so
+    * no answer span is ever split across a chunk boundary wider than W−S. */
+  val SlideW = 32
+  val SlideS = 24
+
+  /** B186 — SLIDING-WINDOW CHUNKING (the fixed-size-with-overlap chunker
+    * every RAG stack defaults to — LangChain/LlamaIndex's recursive/token
+    * splitters degenerate to exactly this on flat text; the retrieval
+    * granularity of Lewis et al. NeurIPS'20): chunk k of a doc covers
+    * words [k·S, min(k·S + W, L)) — deterministic geometry from L alone,
+    * no content sensitivity. The DELIBERATE contrast to b103's CDC
+    * chunker: CDC boundaries survive edits (dedup-friendly) but vary per
+    * doc; sliding windows give uniform retrieval granularity and
+    * guaranteed overlap (W − S words) between consecutive chunks. A doc
+    * of L ≤ W words is one whole chunk; otherwise n_chunks =
+    * ⌈(L − W)/S⌉ + 1 (spelled with a CASE so the ceiling division never
+    * sees a negative numerator — Spark `div` truncates where DuckDB `//`
+    * floors).
+    *
+    * Scale posture: pure map-side explode (sequence over chunk indexes +
+    * array slice) inside whole-stage codegen; output rows ≈ L/S per doc
+    * — no shuffle, the ORDER BY is gate presentation only. */
+  private val b186 = entry(
+    "b186_chunk_sliding",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |         len(string_split(text, ' ')) AS l
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, w, l,
+       |         CASE WHEN l <= $SlideW THEN 1
+       |              ELSE (l - $SlideW + $SlideS - 1) // $SlideS + 1 END
+       |           AS n_chunks
+       |  FROM d),
+       |x AS (
+       |  SELECT doc_id, w, l, unnest(generate_series(0, n_chunks - 1)) AS k
+       |  FROM n)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+       |       CAST(k * $SlideS + 1 AS BIGINT) AS start_tok,
+       |       CAST(least(CAST($SlideW AS BIGINT), l - k * $SlideS) AS BIGINT)
+       |         AS n_tok,
+       |       array_to_string(
+       |         w[k * $SlideS + 1 : k * $SlideS + $SlideW], ' ') AS chunk_text
+       |FROM x ORDER BY doc_id, chunk_no""".stripMargin, bench = true) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("l", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("l") <= SlideW, lit(1L))
+          .otherwise(expr(s"(l - $SlideW + $SlideS - 1) div $SlideS + 1")))
+      .select(col("doc_id"), col("w"), col("l"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_no"),
+        (col("k") * SlideS + 1).as("start_tok"),
+        least(lit(SlideW.toLong), col("l") - col("k") * SlideS).as("n_tok"),
+        expr(s"array_join(slice(w, CAST(k * $SlideS + 1 AS INT), $SlideW), ' ')")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  val entries: Seq[Entry] = Seq(b103, b105, b186)
 }

@@ -109,4 +109,44 @@ class ChunkerSpec extends AnyFunSuite {
     assert(!plan.toString.contains("Exchange SinglePartition"),
       "per-doc prefix sum leaked into a global window")
   }
+
+  test("B186: sliding chunks cover every doc, overlap exactly W-S, reassemble losslessly") {
+    import graft.llm.Chunker.{SlideW, SlideS}
+    val chunks = SparkEntry.queries("b186_chunk_sliding")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(chunks.keySet === docs.keySet)
+    var sawMulti = false
+    chunks.foreach { case (id, cs) =>
+      val words = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // geometry: chunk k = words[k*S, min(k*S+W, L))
+      sorted.foreach { case (_, k, start, nTok, text) =>
+        assert(start === k * SlideS + 1)
+        val want = words.slice((k * SlideS).toInt,
+          math.min(k * SlideS + SlideW, words.length).toInt)
+        assert(nTok === want.length.toLong, s"doc $id chunk $k n_tok")
+        assert(text === want.mkString(" "), s"doc $id chunk $k text")
+      }
+      // coverage: stitching non-overlap prefixes + last chunk = the doc
+      val stitched = sorted.init.map(_._5.split(" ", -1).take(SlideS).mkString(" ")) :+
+        sorted.last._5
+      assert(stitched.mkString(" ") === docs(id), s"doc $id reassembly")
+      // overlap: consecutive full chunks share exactly W-S words
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aw = a._5.split(" ", -1); val bw = b._5.split(" ", -1)
+          if (aw.length == SlideW)
+            assert(aw.takeRight(SlideW - SlideS).toSeq ===
+              bw.take(SlideW - SlideS).toSeq, s"doc $id overlap at ${b._2}")
+          sawMulti = true
+        case _ =>
+      }
+    }
+    assert(sawMulti, "no doc produced >= 2 chunks — geometry untested")
+  }
 }
