@@ -310,5 +310,41 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b42, b43, b43lsh, b90, b178)
+  /** B187 — DUP-CLUSTER SIZE PROFILE (the governance dashboard read
+    * BEFORE committing a dedup pass: Lee et al. ACL'22 report exactly
+    * this table for C4 — how much of the corpus sits in clusters of
+    * size 2, 3, …, and how much a keep-one policy would delete): b90's
+    * components rolled up twice — per-cluster sizes, then the histogram
+    * (cluster_size → n_clusters, n_docs, docs_removed-if-keep-one).
+    * Singletons appear as size 1 with 0 removed, so the histogram's
+    * n_docs column sums to the corpus exactly (spec-pinned closure).
+    *
+    * Oracle: the shared dup-closure CTE chain + the same two rollups.
+    * Scale posture: everything b90 ships plus two map-combinable
+    * aggregates (component-keyed, then size-keyed) — output is
+    * histogram-sized, not corpus-sized. */
+  private val b187 = entry(
+    "b187_dedup_cluster_profile",
+    dupClosureCtes + """,
+      |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+      |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+      |SELECT CAST(sz AS BIGINT) AS cluster_size,
+      |       CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(sz * count(*) AS BIGINT) AS n_docs,
+      |       CAST((sz - 1) * count(*) AS BIGINT) AS docs_removed
+      |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    val docs = docsWithDups(s, d)
+    val pairs = MinHashLsh.nearDuplicates(docs, threshold = 0.99, bucketCap = None)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.GraphOps
+      .connectedComponents(pairs, docs.select(col("doc_id").as("n")))
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        ((col("sz") - 1) * col("n_clusters")).as("docs_removed"))
+      .orderBy("cluster_size")
+  }
+
+  val entries: Seq[Entry] = Seq(b42, b43, b43lsh, b90, b178, b187)
 }

@@ -228,6 +228,25 @@ class MinHashLshSpec extends AnyFunSuite {
       assert(canon === want, s"cluster elected $canon, scramble argmax is $want")
     }
   }
+
+  test("B187: cluster profile closes over the corpus and matches b90's components") {
+    val profile = SparkEntry.queries("b187_dedup_cluster_profile")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(profile.nonEmpty)
+    profile.foreach { case (sz, nc, nd, rm) =>
+      assert(nd === sz * nc); assert(rm === (sz - 1) * nc)
+    }
+    // closure: histogram docs sum to the dup-injected corpus exactly
+    val comp = SparkEntry.queries("b90_dedup_text_e2e")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(profile.map(_._3).sum === comp.length.toLong)
+    // and the histogram IS b90's component-size distribution
+    val wantHist = comp.groupBy(_._2).values.map(_.length)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(profile.map(p => p._1.toInt -> p._2).toMap === wantHist)
+    // the planted mirrors guarantee a non-singleton bucket
+    assert(profile.exists(p => p._1 >= 2 && p._2 > 0))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
