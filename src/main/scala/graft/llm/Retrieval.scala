@@ -1020,6 +1020,82 @@ object Retrieval {
       .orderBy("query_id", "rn")
   }
 
+  /** B188 — RETRIEVAL EVALUATION HARNESS (the TREC-style scorecard —
+    * recall@10 and MRR, Voorhees '99 — every retrieval change ships
+    * behind): metrics need RELEVANCE JUDGMENTS, and the corpus has no
+    * human qrels, so relevance is the deterministic BOOLEAN-AND rule —
+    * a doc is relevant to query q iff it contains EVERY term of q (the
+    * classic pseudo-qrel; both engines compute it independently, so the
+    * judgments themselves are inside the gate). Per query over b107's
+    * top-10: the corpus-wide relevant count, hits@10, recall@10 in
+    * integer basis points, and MRR as ⌊10⁶/first-relevant-rank⌋ micro
+    * units (0 when the page has no relevant doc) — no floats anywhere.
+    *
+    * Hash-green pins the full eval loop: qrel derivation, the join of
+    * judgments against the ranking, and both metric formulas. Scale
+    * posture: qrels are one distinct-(doc, term) pass joined to the
+    * broadcast query terms (map-combinable per-(q, doc) term counting);
+    * the metric tail touches |queries|·10 page rows plus a |queries|-row
+    * relevant-count aggregate — scorecard-sized output. */
+  private val b188 = entry(
+    "b188_retrieval_eval", {
+      val ranked = bm25OracleSql()
+      s"""WITH ranked AS ($ranked),
+         |qv(query_id, term) AS (VALUES ${duckQueryValues()}),
+         |nq AS (SELECT query_id, count(DISTINCT term) AS nt FROM qv GROUP BY query_id),
+         |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM documents),
+         |rel AS (
+         |  SELECT v.query_id, d.doc_id
+         |  FROM dt d JOIN qv v USING (term)
+         |  GROUP BY v.query_id, d.doc_id
+         |  HAVING count(DISTINCT d.term) = (SELECT nt FROM nq WHERE nq.query_id = v.query_id)),
+         |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+         |page AS (
+         |  SELECT r.query_id,
+         |         count(*) AS hits10,
+         |         min(r.rn) AS first_rn
+         |  FROM ranked r JOIN rel ON rel.query_id = r.query_id
+         |                        AND rel.doc_id = r.doc_id
+         |  GROUP BY r.query_id)
+         |SELECT n.query_id,
+         |       CAST(n.n_rel AS BIGINT) AS n_rel,
+         |       CAST(coalesce(p.hits10, 0) AS BIGINT) AS hits10,
+         |       CAST(coalesce(p.hits10, 0) * 10000 // n.n_rel AS BIGINT)
+         |         AS recall_bp,
+         |       CAST(coalesce(1000000 // p.first_rn, 0) AS BIGINT) AS mrr_micro
+         |FROM nrel n LEFT JOIN page p ON p.query_id = n.query_id
+         |ORDER BY n.query_id""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val ranked = bm25TopDocsScan(s, d)
+    val qv = queriesDf(s)
+    val nq = QueryTerms.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toSeq
+      .toDF("query_id", "nt")
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val rel = dt.join(broadcast(qv), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("got"))
+      .join(broadcast(nq), "query_id")
+      .filter(col("got") === col("nt"))
+      .select("query_id", "doc_id")
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val page = ranked.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits10"), min(col("rn")).as("first_rn"))
+    nrel.join(page, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits10"), lit(0L)).as("hits10"),
+        expr("CAST(coalesce(hits10, 0) * 10000 div n_rel AS BIGINT)")
+          .as("recall_bp"),
+        coalesce(expr("1000000 div first_rn").cast("long"), lit(0L))
+          .as("mrr_micro"))
+      .orderBy("query_id")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116, b156)
+    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116, b156, b188)
 }

@@ -446,4 +446,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"),
       s"touched path is not a semi join:\n$plan")
   }
+
+  test("B188: eval metrics equal a JVM replay of the boolean-AND qrels") {
+    val got = SparkEntry.queries("b188_retrieval_eval")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    val ranked = SparkEntry.queries("b107_text_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val termsOf = graft.llm.Retrieval.QueryTerms.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === termsOf.keySet)
+    termsOf.foreach { case (q, terms) =>
+      val rel = docs.filter { case (_, ws) => terms.subsetOf(ws) }.map(_._1).toSet
+      val page = ranked.filter(_._1 == q)
+      val hits = page.filter(p => rel.contains(p._3))
+      val firstRn = hits.map(_._2).sorted.headOption
+      val want = (rel.size.toLong, hits.length.toLong,
+        hits.length.toLong * 10000 / rel.size,
+        firstRn.map(rn => 1000000L / rn).getOrElse(0L))
+      assert(got(q) === want, s"query $q metrics diverged")
+      assert(rel.nonEmpty, s"query $q has no relevant docs — qrels vacuous")
+    }
+    // the metric discriminates: not every query scores a perfect page
+    assert(got.values.map(_._3).toSet.size > 1 ||
+      got.values.exists(_._3 < 10000L),
+      "recall@10 is saturated everywhere — eval has no signal")
+  }
 }
