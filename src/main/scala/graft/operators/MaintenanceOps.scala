@@ -253,5 +253,74 @@ object MaintenanceOps {
       .orderBy("column_name")
   }
 
-  val entries: Seq[Entry] = Seq(b81, b82, b86, b185)
+  /** B189 — INCREMENTAL STATISTICS MAINTENANCE (the ANALYZE job under
+    * APPENDS — b185's b69 twin: a 100 TB table's stats refresh from the
+    * delta batch, never a full rescan): the corpus splits into a BASE
+    * snapshot and an arriving DELTA (event_id % 8 = 0 — a later ingest),
+    * per-column partials are computed on each side SEPARATELY, and the
+    * catalog row is their MERGE — count/null-count add, min/max take
+    * least/greatest IN TYPE SPACE (merging stringified bounds would
+    * compare "10" < "9"; stringification happens after the merge).
+    *
+    * The t2 trick: the ORACLE recomputes every statistic from the FULL
+    * table in one pass — so hash-green IS the merge ≡ recompute theorem
+    * for these statistics, checked inside the gate rather than by a
+    * tolerance spec. NDV is deliberately absent: it is the one catalog
+    * statistic that does NOT merge exactly (that's b78's HLL-sketch
+    * territory, merge ≡ recompute pinned bit-exact there); everything a
+    * CBO needs besides it maintains incrementally for free.
+    *
+    * Scale posture: the delta pass touches only the delta; the base
+    * partials would persist in the catalog (here recomputed — the gate
+    * corpus has no stored catalog); the merge is a 2-row aggregate. */
+  private val b189 = entry(
+    "b189_stats_incremental", {
+      val per = StatsCols.map { c =>
+        s"""  SELECT '$c' AS column_name,
+           |         count(*) AS n_rows,
+           |         count(*) - count($c) AS n_null,
+           |         CAST(min($c) AS VARCHAR) AS min_s,
+           |         CAST(max($c) AS VARCHAR) AS max_s
+           |  FROM lifted""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH lifted AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props
+         |  FROM events),
+         |s AS (
+         |$per)
+         |SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |       CAST(n_null AS BIGINT) AS n_null, min_s, max_s
+         |FROM s ORDER BY column_name""".stripMargin
+    }) { (s, d) =>
+    val lifted = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 10 === 0, lit(null: String))
+          .otherwise(col("props")).as("props"))
+    val base = lifted.filter(col("event_id") % 8 =!= 0)
+    val delta = lifted.filter(col("event_id") % 8 === 0)
+    // per-side partials, typed min/max
+    def partials(df: org.apache.spark.sql.DataFrame) = {
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatsCols.flatMap(c => Seq(
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull")))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    // MERGE in type space: counts add, bounds least/greatest over the
+    // two partial rows — then stringify and stack to catalog rows
+    val mergeAggs = Seq(sum(col("n_rows")).as("n_rows")) ++
+      StatsCols.flatMap(c => Seq(
+        min(col(s"${c}__min")).cast("string").as(s"${c}__min"),
+        max(col(s"${c}__max")).cast("string").as(s"${c}__max"),
+        sum(col(s"${c}__nnull")).as(s"${c}__nnull")))
+    partials(base).unionByName(partials(delta))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .select(expr(s"stack(${StatsCols.size}, " + StatsCols.map(c =>
+        s"'$c', n_rows, ${c}__nnull, ${c}__min, ${c}__max")
+        .mkString(", ") + ") AS (column_name, n_rows, n_null, min_s, max_s)"))
+      .orderBy("column_name")
+  }
+
+  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189)
 }

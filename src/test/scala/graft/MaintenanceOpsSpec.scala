@@ -99,4 +99,25 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(stats("props")._2 === keptProps.min)
     assert(stats("props")._3 === keptProps.max)
   }
+
+  test("B189: merged base+delta stats agree with b185's one-shot pass; both sides non-trivial") {
+    val inc = SparkEntry.queries("b189_stats_incremental")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    val full = SparkEntry.queries("b185_table_stats")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toMap
+    assert(inc.keySet === full.keySet)
+    // bounds and null counts agree column for column (NDV is b78's job)
+    inc.foreach { case (c, (_, nNull, minS, maxS)) =>
+      assert((minS, maxS, nNull) === ((full(c)._2, full(c)._3, full(c)._4)), c)
+    }
+    // the split premise: both the base and the delta carry rows
+    val ev = graft.sources.Tables.events(spark, sf).select("event_id")
+      .collect().map(_.getLong(0))
+    assert(ev.exists(_ % 8 == 0) && ev.exists(_ % 8 != 0))
+    assert(inc("event_id")._1 === ev.length.toLong)
+  }
 }
