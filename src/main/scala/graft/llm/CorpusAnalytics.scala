@@ -367,5 +367,105 @@ object CorpusAnalytics {
     } finally hArr.unpersist()
   }
 
-  val entries: Seq[Entry] = Seq(b162, b163, b168, b169, b171)
+  /** B190 — DATASET CARD (Gebru et al. '21 "Datasheets for Datasets" /
+    * the HuggingFace dataset card every published corpus ships): ONE
+    * (section, metric, value) table unioning the governance numbers the
+    * card's tables quote — corpus totals (docs, tokens, vocabulary),
+    * global length percentiles (nearest-rank ⌈p·n⌉, the b169 definition,
+    * computed WITHOUT a corpus-wide rank window: cumulative counts over
+    * the distinct-length relation, bounded cardinality — the b125
+    * exception), exact-duplication summary (distinct texts, surplus
+    * copies, the hottest text's multiplicity — b42's statistics), and
+    * mixture shape (source count, top source share in bp). Every value
+    * BIGINT; the capstone proves the dashboards COMPOSE into the one
+    * artifact users actually read.
+    *
+    * Scale posture: three corpus passes (tokens, text hashes, source
+    * counts), each collapsing map-side into bounded relations (distinct
+    * lengths, per-text counts → 1-row rollup, |sources| rows); the only
+    * windows run over those bounded relations. No corpus-wide window,
+    * no driver traffic. */
+  private val b190 = entry(
+    "b190_dataset_card",
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+       |terms AS (
+       |  SELECT count(DISTINCT term) AS n_terms FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) q),
+       |lens AS (SELECT n_tok, count(*) AS cnt FROM toks GROUP BY n_tok),
+       |cum AS (
+       |  SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok) AS cum,
+       |         (SELECT sum(cnt) FROM lens) AS total
+       |  FROM lens),
+       |dups AS (
+       |  SELECT count(*) AS n_distinct, sum(c) - count(*) AS surplus,
+       |         max(c) AS max_copies
+       |  FROM (SELECT count(*) AS c FROM documents GROUP BY text) q),
+       |src AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+       |card AS (
+       |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+       |         (SELECT count(*) FROM documents) AS value
+       |  UNION ALL SELECT 'corpus', 'n_tokens', (SELECT sum(n_tok) FROM toks)
+       |  UNION ALL SELECT 'corpus', 'n_terms', (SELECT n_terms FROM terms)
+       |  UNION ALL SELECT 'length', 'min_tokens', (SELECT min(n_tok) FROM toks)
+       |  UNION ALL SELECT 'length', 'p50_tokens',
+       |    (SELECT min(n_tok) FROM cum WHERE cum * 100 >= 50 * total)
+       |  UNION ALL SELECT 'length', 'p90_tokens',
+       |    (SELECT min(n_tok) FROM cum WHERE cum * 100 >= 90 * total)
+       |  UNION ALL SELECT 'length', 'max_tokens', (SELECT max(n_tok) FROM toks)
+       |  UNION ALL SELECT 'dup', 'n_distinct_texts', (SELECT n_distinct FROM dups)
+       |  UNION ALL SELECT 'dup', 'surplus_copies', (SELECT surplus FROM dups)
+       |  UNION ALL SELECT 'dup', 'max_copies', (SELECT max_copies FROM dups)
+       |  UNION ALL SELECT 'mixture', 'n_sources', (SELECT count(*) FROM src)
+       |  UNION ALL SELECT 'mixture', 'top_source_share_bp',
+       |    (SELECT max(c) * 10000 // sum(c) FROM src))
+       |SELECT section, metric, CAST(value AS BIGINT) AS value
+       |FROM card ORDER BY section, metric""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      col("source"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def row(section: String, metric: String, v: org.apache.spark.sql.DataFrame) =
+      v.select(lit(section).as("section"), lit(metric).as("metric"),
+        col(v.columns.head).cast("long").as("value"))
+    val corpusTotals = toks.agg(count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens")).localCheckpoint(true)
+    val nTerms = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(countDistinct("term").as("n_terms"))
+    // nearest-rank percentiles from the bounded distinct-length relation
+    val lens = toks.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // bounded (distinct lengths); feeds 2 windows
+    val cumW = Window.orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lens
+      .withColumn("cum", sum("cnt").over(cumW))
+      .crossJoin(broadcast(lens.agg(sum("cnt").as("total"))))
+    def pct(p: Int) = cum.filter(col("cum") * 100 >= lit(p) * col("total"))
+      .agg(min("n_tok").as(s"p$p"))
+    val dups = docs.groupBy("text").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct"),
+        (sum("c") - count(lit(1))).as("surplus"), max("c").as("max_copies"))
+      .localCheckpoint(true)
+    val src = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_sources"),
+        expr("max(c) * 10000 div sum(c)").as("top_share"))
+      .localCheckpoint(true)
+    row("corpus", "n_docs", corpusTotals.select("n_docs"))
+      .unionByName(row("corpus", "n_tokens", corpusTotals.select("n_tokens")))
+      .unionByName(row("corpus", "n_terms", nTerms))
+      .unionByName(row("length", "min_tokens", toks.agg(min("n_tok"))))
+      .unionByName(row("length", "p50_tokens", pct(50)))
+      .unionByName(row("length", "p90_tokens", pct(90)))
+      .unionByName(row("length", "max_tokens", toks.agg(max("n_tok"))))
+      .unionByName(row("dup", "n_distinct_texts", dups.select("n_distinct")))
+      .unionByName(row("dup", "surplus_copies", dups.select("surplus")))
+      .unionByName(row("dup", "max_copies", dups.select("max_copies")))
+      .unionByName(row("mixture", "n_sources", src.select("n_sources")))
+      .unionByName(row("mixture", "top_source_share_bp", src.select("top_share")))
+      .orderBy("section", "metric")
+  }
+
+  val entries: Seq[Entry] = Seq(b162, b163, b168, b169, b171, b190)
 }

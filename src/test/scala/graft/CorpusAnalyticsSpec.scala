@@ -259,4 +259,32 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(rows.length === 30)
     rows.foreach { case (id, w, estW) => assert(estW === w, s"doc $id") }
   }
+
+  test("B190: the dataset card equals a JVM replay of every section") {
+    val card = SparkEntry.queries("b190_dataset_card")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val lens = docs.map(_._2.split(" ", -1).length.toLong).sorted
+    val n = lens.length.toLong
+    assert(card(("corpus", "n_docs")) === n)
+    assert(card(("corpus", "n_tokens")) === lens.sum)
+    assert(card(("corpus", "n_terms")) ===
+      docs.flatMap(_._2.split(" ", -1)).distinct.length.toLong)
+    // nearest-rank ⌈p·n⌉
+    def nearestRank(p: Int) = lens(((p * n + 99) / 100 - 1).toInt)
+    assert(card(("length", "min_tokens")) === lens.min)
+    assert(card(("length", "max_tokens")) === lens.max)
+    assert(card(("length", "p50_tokens")) === nearestRank(50))
+    assert(card(("length", "p90_tokens")) === nearestRank(90))
+    val byText = docs.groupBy(_._2).values.map(_.length.toLong)
+    assert(card(("dup", "n_distinct_texts")) === byText.size.toLong)
+    assert(card(("dup", "surplus_copies")) === byText.sum - byText.size)
+    assert(card(("dup", "max_copies")) === byText.max)
+    val bySrc = docs.groupBy(_._3).values.map(_.length.toLong)
+    assert(card(("mixture", "n_sources")) === bySrc.size.toLong)
+    assert(card(("mixture", "top_source_share_bp")) === bySrc.max * 10000 / n)
+    assert(card.size === 12)
+  }
 }
