@@ -420,7 +420,7 @@ object CorpusAnalytics {
        |  UNION ALL SELECT 'mixture', 'top_source_share_bp',
        |    (SELECT max(c) * 10000 // sum(c) FROM src))
        |SELECT section, metric, CAST(value AS BIGINT) AS value
-       |FROM card ORDER BY section, metric""".stripMargin) { (s, d) =>
+       |FROM card ORDER BY section, metric""".stripMargin, bench = true) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
       col("source"))
