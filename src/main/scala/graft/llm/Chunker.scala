@@ -192,8 +192,8 @@ object Chunker {
     * Scale posture: pure map-side explode (sequence over chunk indexes +
     * array slice) inside whole-stage codegen; output rows ≈ L/S per doc
     * — no shuffle, the ORDER BY is gate presentation only. */
-  private val b186 = entry(
-    "b186_chunk_sliding",
+  /** Shared by b186 (batch) and b191 (streamed ingest twin). */
+  private val slidingOracleSql =
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |         len(string_split(text, ' ')) AS l
@@ -213,8 +213,12 @@ object Chunker {
        |         AS n_tok,
        |       array_to_string(
        |         w[k * $SlideS + 1 : k * $SlideS + $SlideW], ' ') AS chunk_text
-       |FROM x ORDER BY doc_id, chunk_no""".stripMargin, bench = true) { (s, d) =>
-    Tables.documents(s, d)
+       |FROM x ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** The sliding-window geometry over ANY (doc_id, text) relation —
+    * pure stateless row-local work, so it runs unchanged on a stream. */
+  private[graft] def slideChunks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("l", size(col("w")).cast("long"))
       .withColumn("n_chunks",
@@ -227,8 +231,43 @@ object Chunker {
         least(lit(SlideW.toLong), col("l") - col("k") * SlideS).as("n_tok"),
         expr(s"array_join(slice(w, CAST(k * $SlideS + 1 AS INT), $SlideW), ' ')")
           .as("chunk_text"))
+
+  private val b186 = entry("b186_chunk_sliding", slidingOracleSql,
+      bench = true) { (s, d) =>
+    slideChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .orderBy("doc_id", "chunk_no")
   }
 
-  val entries: Seq[Entry] = Seq(b103, b105, b186)
+  private lazy val chunkDir191: String =
+    java.nio.file.Files.createTempDirectory("graft_b191_ingest").toString
+
+  /** B191 — CHUNKING ON INGEST (the RAG indexing pipeline's front half:
+    * documents arrive, chunks leave — a PURELY STATELESS streaming
+    * transform, the simplest streaming shape in the engine and the one
+    * production runs at the highest volume): the corpus replays in 6
+    * doc_id-ordered chunks through a file source, [[slideChunks]] runs
+    * per row in APPEND mode (no aggregate, no watermark, no state), and
+    * the landed chunk table hash-matches b186's oracle. What this pins:
+    * the geometry is row-local, so execution mode — batch, micro-batch,
+    * or continuous — cannot change a single chunk boundary.
+    *
+    * Scale posture: per-row map-side work at scan throughput; state is
+    * ZERO (append mode, no stateful operators), so this shape scales to
+    * any ingest rate the source sustains. */
+  private val b191 = entry("b191_stream_chunk_ingest",
+      slidingOracleSql) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.StreamingOps.writeChunksDf(docs, chunkDir191, n = 6,
+      sortCols = Seq("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = graft.streaming.StreamingOps.readStream(s, chunkDir191, schema)
+    s.catalog.dropTempView("b191_replay") // idempotent re-runs
+    graft.streaming.StreamingOps
+      .runToMemory(slideChunks(stream), "b191_replay", "append")
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  val entries: Seq[Entry] = Seq(b103, b105, b186, b191)
 }

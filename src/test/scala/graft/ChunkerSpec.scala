@@ -149,4 +149,12 @@ class ChunkerSpec extends AnyFunSuite {
     }
     assert(sawMulti, "no doc produced >= 2 chunks — geometry untested")
   }
+
+  test("B191: chunks landed from the ingest stream equal the batch chunk table") {
+    val batch = SparkEntry.queries("b186_chunk_sliding")(spark, sf)
+      .collect().toSeq
+    val streamed = SparkEntry.queries("b191_stream_chunk_ingest")(spark, sf)
+      .collect().toSeq
+    assert(streamed === batch)
+  }
 }
