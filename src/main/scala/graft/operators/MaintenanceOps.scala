@@ -322,5 +322,104 @@ object MaintenanceOps {
       .orderBy("column_name")
   }
 
-  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189)
+  /** B192 drift rule: a column drifts when its null rate moves > 5 % or
+    * its NDV ratio leaves ±15 % — the two signals that fire on silent
+    * upstream changes (a producer starts emitting nulls; a new enum
+    * value ships) without tripping on benign id-range growth. */
+  private val NullDeltaBp = 500L
+  private val NdvLoBp = 8500L
+  private val NdvHiBp = 11500L
+
+  /** B192 — PROFILE DRIFT MONITORING (Deequ's anomaly detection /
+    * Monte Carlo–free data-quality monitoring, Schelter et al. VLDB'18:
+    * profile every snapshot, alert on profile DELTAS): two snapshots of
+    * the events table — A (odd event_ids, "yesterday") and B (even ids,
+    * "today") — are profiled per column (rows, NDV, null count) and the
+    * report flags columns whose null rate moved > [[NullDeltaBp]] or
+    * whose NDV ratio left [[NdvLoBp]], [[NdvHiBp]]]. Drift is PLANTED
+    * twice so both detectors provably fire: the b185 null plant falls
+    * entirely in B (event_id % 10 = 0 ⇒ even — props' null rate jumps
+    * 0 → ~20 %), and B's event_type gains a new enum value 'drifted' on
+    * user_id % 5 = 0 (NDV 5 → 6 = ratio 12000 bp). event_id/user_id
+    * must stay clean — the rule ignores benign min/max movement
+    * (id ranges grow every day; bounds are reported, not alerted on).
+    *
+    * Scale posture: two profile passes (each the b185 shape — map-side
+    * partials, catalog-sized output) + a |columns|-row join. In
+    * production A's profile is the STORED artifact from yesterday's run
+    * (the b189 posture), so monitoring costs one pass over today only. */
+  private val b192 = entry(
+    "b192_profile_drift", {
+      def prof(rel: String) = StatsCols.map { c =>
+        s"""  SELECT '$c' AS column_name, count(*) AS n_rows,
+           |         count(DISTINCT $c) AS ndv,
+           |         count(*) - count($c) AS n_null
+           |  FROM $rel""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH lifted AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props
+         |  FROM events),
+         |a AS (SELECT * FROM lifted WHERE event_id % 2 = 1),
+         |b AS (
+         |  SELECT event_id, user_id,
+         |         CASE WHEN user_id % 5 = 0 THEN 'drifted' ELSE event_type END
+         |           AS event_type,
+         |         props
+         |  FROM lifted WHERE event_id % 2 = 0),
+         |pa AS (
+         |${prof("a")}),
+         |pb AS (
+         |${prof("b")}),
+         |j AS (
+         |  SELECT pa.column_name,
+         |         CAST(pa.ndv AS BIGINT) AS ndv_a,
+         |         CAST(pb.ndv AS BIGINT) AS ndv_b,
+         |         CAST(pa.n_null * 10000 // pa.n_rows AS BIGINT) AS null_bp_a,
+         |         CAST(pb.n_null * 10000 // pb.n_rows AS BIGINT) AS null_bp_b,
+         |         CAST(pb.ndv * 10000 // pa.ndv AS BIGINT) AS ndv_ratio_bp
+         |  FROM pa JOIN pb USING (column_name))
+         |SELECT column_name, ndv_a, ndv_b, null_bp_a, null_bp_b, ndv_ratio_bp,
+         |       CAST(CASE WHEN abs(null_bp_b - null_bp_a) > $NullDeltaBp
+         |                   OR ndv_ratio_bp < $NdvLoBp
+         |                   OR ndv_ratio_bp > $NdvHiBp
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM j ORDER BY column_name""".stripMargin
+    }) { (s, d) =>
+    val lifted = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 10 === 0, lit(null: String))
+          .otherwise(col("props")).as("props"))
+    val a = lifted.filter(col("event_id") % 2 === 1)
+    val b = lifted.filter(col("event_id") % 2 === 0)
+      .withColumn("event_type",
+        when(col("user_id") % 5 === 0, lit("drifted"))
+          .otherwise(col("event_type")))
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatsCols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull")))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${StatsCols.size}, " + StatsCols.map(c =>
+          s"'$c', n_rows, ${c}__ndv, ${c}__nnull").mkString(", ") +
+          ") AS (column_name, n_rows, ndv, n_null)"))
+    }
+    val pa = profile(a).select(col("column_name"),
+      col("ndv").as("ndv_a"),
+      expr("CAST(n_null * 10000 div n_rows AS BIGINT)").as("null_bp_a"))
+    val pb = profile(b).select(col("column_name"),
+      col("ndv").as("ndv_b"),
+      expr("CAST(n_null * 10000 div n_rows AS BIGINT)").as("null_bp_b"))
+    pa.join(pb, "column_name")
+      .withColumn("ndv_ratio_bp", expr("CAST(ndv_b * 10000 div ndv_a AS BIGINT)"))
+      .withColumn("drifted",
+        (abs(col("null_bp_b") - col("null_bp_a")) > NullDeltaBp ||
+          col("ndv_ratio_bp") < NdvLoBp || col("ndv_ratio_bp") > NdvHiBp)
+          .cast("long"))
+      .select("column_name", "ndv_a", "ndv_b", "null_bp_a", "null_bp_b",
+        "ndv_ratio_bp", "drifted")
+      .orderBy("column_name")
+  }
+
+  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189, b192)
 }

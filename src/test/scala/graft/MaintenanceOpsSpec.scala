@@ -120,4 +120,32 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(ev.exists(_ % 8 == 0) && ev.exists(_ % 8 != 0))
     assert(inc("event_id")._1 === ev.length.toLong)
   }
+
+  test("B192: both planted drifts fire, clean columns stay clean, values replay in JVM") {
+    val rows = SparkEntry.queries("b192_profile_drift")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // planted: props' nulls all land in snapshot B; event_type gains an enum value
+    assert(rows("props")._6 === 1L, "props null-rate drift missed")
+    assert(rows("props")._3 === 0L, "snapshot A should carry zero planted nulls")
+    assert(rows("props")._4 > 500L)
+    assert(rows("event_type")._6 === 1L, "event_type NDV drift missed")
+    assert(rows("event_type")._2 === rows("event_type")._1 + 1,
+      "the planted enum value should add exactly one NDV")
+    // clean columns: benign id-range movement must NOT alert
+    assert(rows("event_id")._6 === 0L)
+    assert(rows("user_id")._6 === 0L)
+    // JVM replay of the event_type numbers
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val aTypes = ev.filter(_._1 % 2 == 1).map(_._3).distinct.length.toLong
+    val bTypes = ev.filter(_._1 % 2 == 0)
+      .map(e => if (e._2 % 5 == 0) "drifted" else e._3).distinct.length.toLong
+    assert(rows("event_type")._1 === aTypes)
+    assert(rows("event_type")._2 === bTypes)
+    assert(rows("event_type")._5 === bTypes * 10000 / aTypes)
+  }
 }
