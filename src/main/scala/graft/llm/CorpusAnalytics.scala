@@ -467,5 +467,57 @@ object CorpusAnalytics {
       .orderBy("section", "metric")
   }
 
-  val entries: Seq[Entry] = Seq(b162, b163, b168, b169, b171, b190)
+  /** Exemplars per source shown on the card. */
+  private val ExemplarK = 3
+
+  /** B193 — DATASET-CARD EXEMPLARS (the "random samples" section every
+    * HF dataset card renders — Gebru '21 recommends inspectable
+    * examples per slice): K = 3 documents per source, drawn by
+    * BOTTOM-K OF A SCRAMBLED HASH — the derandomized uniform sample
+    * (b56's pure-function-of-the-key rule + the b167/b180 Knuth
+    * scramble, mandatory here: unscrambled, the poly fold's consecutive
+    * ids would make every source's "sample" its first K ids — newest-
+    * crawl bias in production, where id blocks are ingest batches). The
+    * draw is rerun-, engine- and partitioning-stable, and adding
+    * documents evicts at most the displaced exemplars. Output carries a
+    * 12-word preview — what the card actually renders.
+    *
+    * Scale posture: the rank window partitions by source (parallelism
+    * \|sources\|, the b169 shape, never SinglePartition); at extreme
+    * per-source cardinality the window swaps for a K-row struct-min
+    * aggregate (the b29 TakeOrdered idiom) — same result, map-combinable. */
+  private val b193 = entry(
+    "b193_card_exemplars",
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         array_to_string(string_split(text, ' ')[1:12], ' ') AS preview,
+       |         (${Winnowing.polyFoldDuck("('card:' || CAST(doc_id AS VARCHAR))")}
+       |          % 2147483648) * 2654435761 % 2147483648 AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, n_tok, preview,
+       |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |           AS rnk
+       |  FROM scored)
+       |SELECT source, CAST(rnk AS BIGINT) AS exemplar_rank, doc_id, n_tok,
+       |       preview
+       |FROM ranked WHERE rnk <= $ExemplarK
+       |ORDER BY source, exemplar_rank""".stripMargin) { (s, d) =>
+    graft.functions.PolyFoldExpression.register(s)
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("array_join(slice(split(text, ' '), 1, 12), ' ')").as("preview"),
+        expr("(poly_fold(concat('card:', CAST(doc_id AS STRING))) % 2147483648) * 2654435761 % 2147483648")
+          .as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ExemplarK)
+      .select(col("source"), col("rnk").as("exemplar_rank"), col("doc_id"),
+        col("n_tok"), col("preview"))
+      .orderBy("source", "exemplar_rank")
+  }
+
+  val entries: Seq[Entry] = Seq(b162, b163, b168, b169, b171, b190, b193)
 }

@@ -287,4 +287,29 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(card(("mixture", "top_source_share_bp")) === bySrc.max * 10000 / n)
     assert(card.size === 12)
   }
+
+  test("B193: exemplars are the scrambled bottom-K per source, not the first K ids") {
+    val rows = SparkEntry.queries("b193_card_exemplars")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def h(id: Long) = {
+      val f = graft.llm.Winnowing.polyFoldString(s"card:$id")
+      (f % 2147483648L) * 2654435761L % 2147483648L
+    }
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.groupBy(_._1).keySet === bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val want = ds.map(_._2).sortBy(id => (h(id), id)).take(3)
+      val got = rows.filter(_._1 == src).sortBy(_._2).map(_._3).toSeq
+      assert(got === want.toSeq, s"source $src exemplars")
+      // the anti-bias property: the sample is NOT simply the smallest ids
+      // for every source (the unscrambled poly fold would make it so)
+    }
+    val firstK = bySrc.map { case (src, ds) => src -> ds.map(_._2).sorted.take(3).toSeq }
+    val got = rows.groupBy(_._1).map { case (s2, rs) => s2 -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(bySrc.keys.exists(s2 => got(s2) !== firstK(s2)),
+      "every source sampled its first K ids — the scramble is not biting")
+  }
 }
