@@ -106,4 +106,57 @@ private[graft] object CdcSnapshots {
        |FROM base b FULL OUTER JOIN changes c USING (k)
        |WHERE op IS NULL OR op <> 'D'
        |ORDER BY k""".stripMargin
+
+  // ——— B194: the multi-VERSION log (time travel) ———
+
+  /** Second change batch (version 2), applied on top of version 1's
+    * result: every base key k % 30 = 0 that survived v1 is RE-updated
+    * (so last-writer-wins provably binds — those keys also carry a v1
+    * 'U'), and every v1-inserted key with k % 100 = 0 is deleted. */
+  val upd2Mod = 30
+  val del2Mod = 100
+  val bump2 = 700
+
+  /** The full change LOG: (seq, k, op, status, cents), versions 1 and 2
+    * — SQL form (expects `base` in scope). */
+  val logSql: String =
+    s"""SELECT 1 AS seq, k, op, status, cents FROM (
+       |    $changesSql) v1
+       |  UNION ALL
+       |  SELECT 2, k, 'U', 'Z-UPD2', cents + $bump + $bump2
+       |  FROM base WHERE k % $upd2Mod = 0 AND k % $delMod <> 0
+       |  UNION ALL
+       |  SELECT 2, k + $shift, 'D', NULL, NULL
+       |  FROM base WHERE k % $insMod = 0 AND k % $del2Mod = 0""".stripMargin
+
+  def log(baseDf: DataFrame): DataFrame = {
+    // v2 'U' cents: v1 already bumped k%10=0 keys; k%30=0 ⊂ k%10=0, so
+    // the v2 value is base + bump + bump2 (matching the SQL above)
+    changes(baseDf).select(lit(1L).as("seq"), col("k"), col("op"),
+        col("status"), col("cents"))
+      .unionByName(baseDf
+        .filter(col("k") % upd2Mod === 0 && col("k") % delMod =!= 0)
+        .select(lit(2L).as("seq"), col("k"), lit("U").as("op"),
+          lit("Z-UPD2").as("status"),
+          (col("cents") + bump + bump2).as("cents")))
+      .unionByName(baseDf
+        .filter(col("k") % insMod === 0 && col("k") % del2Mod === 0)
+        .select(lit(2L).as("seq"), (col("k") + shift).as("k"),
+          lit("D").as("op"), lit(null).cast("string").as("status"),
+          lit(null).cast("long").as("cents")))
+  }
+
+  /** AS-OF reconstruction: collapse the log at seq ≤ asOf to its
+    * LAST-WRITER-WINS row per key (max seq — at most one change per
+    * (k, seq), so the struct-max is unambiguous), then one key-join
+    * apply. The b62 merge is the asOf = 1 special case. */
+  def asOf(baseDf: DataFrame, logDf: DataFrame, asOfSeq: Long): DataFrame = {
+    val last = logDf.filter(col("seq") <= asOfSeq)
+      .groupBy("k")
+      .agg(max(struct(col("seq"), col("op"), col("status"), col("cents")))
+        .as("w"))
+      .select(col("k"), col("w.op").as("op"), col("w.status").as("status"),
+        col("w.cents").as("cents"))
+    applyChanges(baseDf, last)
+  }
 }

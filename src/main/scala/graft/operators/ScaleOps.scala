@@ -476,5 +476,54 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b58, b58c, b59, b60, b61, b62, b66, b76, b167)
+  /** B194 — TIME TRAVEL / SNAPSHOT-AS-OF from a versioned CDC log (the
+    * Delta/Iceberg `VERSION AS OF` semantics, engine-level — the natural
+    * completion of b62's one-batch merge and b72's streamed apply): the
+    * change LOG carries (seq, k, op, …) across two versions; AS OF s
+    * reconstructs by collapsing `seq ≤ s` to its LAST-WRITER-WINS row
+    * per key (max seq; at most one change per (k, seq), so the
+    * struct-max is unambiguous — keys k % 30 = 0 carry BOTH a v1 'U'
+    * and a v2 'U', so the tie-break provably binds) and applying once.
+    * The output unions the as_of = 1 and as_of = 2 snapshots; as_of = 1
+    * must equal b62's merged table exactly (spec-pinned), and v2's
+    * deletes of v1-INSERTED keys pin that reconstruction composes
+    * across versions rather than re-reading the base.
+    *
+    * Scale posture: the log collapse is one map-combinable struct-max
+    * aggregate keyed on k (log-sized, not table-sized); apply is b62's
+    * single key join. A real lakehouse stores checkpoints so AS OF
+    * replays only the log suffix — same operator, shorter log. */
+  private val b194 = entry(
+    "b194_time_travel", {
+      def snap(s: Int) =
+        s"""SELECT $s AS as_of, k,
+           |       CASE WHEN op IS NOT NULL THEN c.status ELSE b.status END AS status,
+           |       CASE WHEN op IS NOT NULL THEN c.cents ELSE b.cents END AS cents
+           |FROM base b FULL OUTER JOIN (
+           |  SELECT k, op, status, cents FROM (
+           |    SELECT k, op, status, cents,
+           |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+           |    FROM log WHERE seq <= $s) t
+           |  WHERE rn = 1) c USING (k)
+           |WHERE op IS NULL OR op <> 'D'""".stripMargin
+      s"""WITH base AS (
+         |  ${CdcSnapshots.baseSql}),
+         |log AS (
+         |  ${CdcSnapshots.logSql})
+         |SELECT CAST(as_of AS BIGINT) AS as_of, k, status, cents FROM (
+         |${snap(1)}
+         |UNION ALL
+         |${snap(2)}) u
+         |ORDER BY as_of, k""".stripMargin
+    }) { (s, d) =>
+    val base = CdcSnapshots.base(s, d)
+    val theLog = CdcSnapshots.log(base)
+    def snap(asOfSeq: Long) =
+      CdcSnapshots.asOf(base, theLog, asOfSeq)
+        .select(lit(asOfSeq).as("as_of"), col("k"), col("status"), col("cents"))
+    snap(1L).unionByName(snap(2L)).orderBy("as_of", "k")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b58, b58c, b59, b60, b61, b62, b66, b76, b167, b194)
 }

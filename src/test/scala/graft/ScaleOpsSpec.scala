@@ -149,4 +149,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(math.abs(est - exact(k)).toDouble <= math.max(2.0, 0.02 * exact(k)),
         s"estimate $est too far from exact ${exact(k)} for $k")
   }
+
+  test("B194: as-of-1 equals b62's merge; v2 rewrites and deletes provably bind") {
+    val tt = SparkEntry.queries("b194_time_travel")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val v1 = tt.filter(_._1 == 1L).map(t => (t._2, t._3, t._4))
+    val v2 = tt.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq
+    val merged = SparkEntry.queries("b62_merge_upsert")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(v1.toSeq === merged.toSeq, "AS OF 1 diverged from the one-batch merge")
+    // v2 re-update beats v1's: every surviving k % 30 == 0 key reads Z-UPD2
+    val reupdated = v2.filter(t => t._1 % 30 == 0 && t._1 % 50 != 0
+      && t._1 < CdcSnapshotsShift)
+    assert(reupdated.nonEmpty)
+    reupdated.foreach { case (k, status, _) =>
+      assert(status === "Z-UPD2", s"key $k kept v1's value — LWW not binding")
+    }
+    // v2 deletes of v1-INSERTED keys: gone at as_of 2, present at as_of 1
+    val v1Keys = v1.map(_._1).toSet
+    val v2Keys = v2.map(_._1).toSet
+    val delIns = v1.map(_._1)
+      .filter(k => k >= CdcSnapshotsShift && (k - CdcSnapshotsShift) % 100 == 0)
+    assert(delIns.nonEmpty)
+    delIns.foreach { k =>
+      assert(v1Keys.contains(k) && !v2Keys.contains(k),
+        s"inserted key $k not deleted by v2")
+    }
+  }
+
+  private val CdcSnapshotsShift = graft.operators.CdcSnapshots.shift
 }
