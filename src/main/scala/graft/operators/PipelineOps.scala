@@ -459,5 +459,50 @@ object PipelineOps {
       .orderBy("cohort_week", "week")
   }
 
-  val entries: Seq[Entry] = Seq(b67, b68, b69, b71, b73, b77, b78, b117, b118)
+  /** B195 — EVENT-TRANSITION MATRIX (the first-order Markov model of
+    * user behavior — the product-analytics "what happens after X" table,
+    * and the sequence-statistics counterpart to B129's word bigrams on
+    * the EVENTS domain): per user, events order by (ts, event_id) —
+    * event_id breaks timestamp ties deterministically — adjacent pairs
+    * count into the corpus-wide (prev, next) matrix, and each row
+    * normalizes to transition probabilities in integer basis points
+    * (n·10⁴ div row-total; B117/B118 answer funnel/cohort questions,
+    * this is the unconditioned dynamics table they're special cases of).
+    *
+    * Scale posture: one lag window PARTITIONED BY USER (state bounded by
+    * a user's event count, never corpus-global), then a map-combinable
+    * (prev, next) count; the row-normalize join runs over the
+    * |event_types|² matrix — dashboard-sized. */
+  private val b195 = entry(
+    "b195_event_transitions",
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id
+       |                               ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT prev_type, event_type AS next_type, count(*) AS n
+       |  FROM seq WHERE prev_type IS NOT NULL
+       |  GROUP BY prev_type, event_type),
+       |rows_ AS (SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type)
+       |SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+       |       CAST(p.n * 10000 // r.tot AS BIGINT) AS p_bp
+       |FROM pairs p JOIN rows_ r USING (prev_type)
+       |ORDER BY p.prev_type, p.next_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("CAST(n * 10000 div tot AS BIGINT)").as("p_bp"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b67, b68, b69, b71, b73, b77, b78, b117, b118, b195)
 }

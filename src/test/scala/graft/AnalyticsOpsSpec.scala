@@ -110,4 +110,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("outside the 64-week state horizon")),
       s"unexpected failure chain: ${messages(e).mkString(" | ")}")
   }
+
+  test("B195: transition matrix equals a JVM replay; rows floor-normalize to 10^4") {
+    val got = SparkEntry.queries("b195_event_transitions")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      val types = es.sortBy(e => (e._3.getTime, e._4)).map(_._2)
+      types.zip(types.drop(1))
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === want.keySet)
+    val rowTotals = want.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    got.foreach { case ((p, nx), (n, pBp)) =>
+      assert(n === want((p, nx)), s"count ($p -> $nx)")
+      assert(pBp === n * 10000 / rowTotals(p), s"p_bp ($p -> $nx)")
+    }
+    // each row's floored probabilities sum within |row| of 10^4
+    got.groupBy(_._1._1).foreach { case (p, cells) =>
+      val s2 = cells.values.map(_._2).sum
+      assert(s2 <= 10000L && s2 > 10000L - cells.size, s"row $p sums to $s2")
+    }
+  }
 }
