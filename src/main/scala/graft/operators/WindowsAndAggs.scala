@@ -410,6 +410,62 @@ object WindowsAndAggs {
       .orderBy("op", "nk")
   }
 
+  /** B196 — PER-KEY TREND FITTING (exact integer OLS — the per-entity
+    * slope table feeding anomaly triage and forecasting dashboards; the
+    * regression counterpart to B22's corr): per user, the least-squares
+    * slope of event cents over the day index, in MICRO-cents/day, from
+    * the four classical sufficient statistics (n, Σx, Σy, Σxy, Σx²) —
+    * all BIGINT, one map-combinable aggregate, and the slope is the
+    * textbook ⌊(n·Σxy − Σx·Σy)·10⁶ / (n·Σx² − (Σx)²)⌋ with BOTH engines
+    * walking the identical subtraction-before-scale order (the committed
+    * overflow bound: |n·Σxy| ≤ n²·x_max·y_max ≈ 7·10¹¹ on this corpus,
+    * ×10⁶ after the cancellation stays far inside BIGINT; cents via the
+    * b53 round(value·100) convention; x = days since 2024-01-01, the
+    * corpus epoch). Degenerate keys (all events one day ⇒ zero
+    * variance) drop — a slope of an undefined line is not 0. NEGATIVE
+    * slopes are first-class here (roughly half the corpus keys), which
+    * makes this row the engine's pin that Spark's `div` and DuckDB's
+    * `//` agree on negative inexact quotients (both truncate toward
+    * zero for integer operands — hash-checked over ~750 negative
+    * divisions per SF; the spec adds a direct witness).
+    *
+    * Scale posture: ONE map-combinable aggregate keyed on user — the
+    * sufficient-statistics trick is exactly what makes regression
+    * 100 TB-able (no per-key sort, no window, no second pass); output is
+    * |keys| rows. */
+  private val b196 = entry(
+    "b196_trend_ols",
+    s"""WITH pts AS (
+       |  SELECT user_id,
+       |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+       |         CAST(round(value * 100) AS BIGINT) AS y
+       |  FROM events),
+       |st AS (
+       |  SELECT user_id, count(*) AS n,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM pts GROUP BY user_id)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+       |            AS BIGINT) AS slope_micro
+       |FROM st WHERE n * sxx - sx * sx > 0
+       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val pts = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+    pts.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .filter(expr("n * sxx - sx * sx > 0"))
+      .select(col("user_id"), col("n"),
+        expr("CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)")
+          .as("slope_micro"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b19, b20, b20p, b20u, b21, b22, b23, b23a, b25, b26, b27, b28, b29, b30, b31)
+    Seq(b19, b20, b20p, b20u, b21, b22, b23, b23a, b25, b26, b27, b28, b29,
+      b30, b31, b196)
 }

@@ -71,4 +71,32 @@ class ApproxSpec extends AnyFunSuite {
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("B196: OLS slopes equal a JVM replay; negative inexact divisions truncate in both engines") {
+    val spark = TestSession.spark
+    val sf = TestSession.sf0001
+    // the div-semantics witness the b196 scaladoc cites: Spark `div` and
+    // DuckDB `//` both truncate toward zero on negative operands
+    assert(spark.sql("SELECT -7 div 2").head.getLong(0) === -3L)
+    val got = SparkEntry.queries("b196_trend_ols")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val pts = graft.sources.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(datediff(to_date(ts), CAST('2024-01-01' AS DATE)) AS LONG)").as("x"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100) AS LONG)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pts.groupBy(_._1).flatMap { case (u, es) =>
+      val n = es.length.toLong
+      val sx = es.map(_._2).sum; val sy = es.map(_._3).sum
+      val sxy = es.map(e => e._2 * e._3).sum; val sxx = es.map(e => e._2 * e._2).sum
+      val den = n * sxx - sx * sx
+      if (den > 0) Some(u -> (n, (n * sxy - sx * sy) * 1000000L / den)) else None
+    }
+    assert(got === want.toMap)
+    // negative slopes genuinely occur — the truncation semantics are load-bearing
+    assert(got.values.exists(_._2 < 0), "no negative slope — witness vacuous")
+  }
 }
