@@ -13,12 +13,14 @@ object SparkEntry {
 
   def all: Seq[Entry] =
     operators.Relational.entries ++
+      operators.AnalyticsOps.entries ++
       operators.WindowsAndAggs.entries ++
       operators.Scalars.entries ++
       operators.TemporalJoins.entries ++
       operators.Extensions.entries ++
       operators.ScaleOps.entries ++
       operators.MaintenanceOps.entries ++
+      operators.SpatialOps.entries ++
       operators.AvroInterchange.entries ++
       operators.GraphOps.entries ++
       operators.PipelineOps.entries ++
@@ -56,6 +58,7 @@ object SparkEntry {
       llm.IncrementalDedup.entries ++
       llm.SetSimJoin.entries ++
       llm.ContrastivePairs.entries ++
+      llm.FuzzyJoin.entries ++
       llm.CorpusAnalytics.entries ++
       llm.TextRank.entries ++
       llm.FimTransform.entries ++

@@ -137,4 +137,112 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(s2 <= 10000L && s2 > 10000L - cells.size, s"row $p sums to $s2")
     }
   }
+
+  test("B197: association rules equal a JVM basket replay; conf >= support") {
+    val got = SparkEntry.queries("b197_basket_rules")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.nonEmpty)
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nB = baskets.size.toLong
+    val itemN = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairN = baskets.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    assert(got.keySet === pairN.keySet)
+    got.foreach { case ((p1, p2), (n, sup, c12, c21, lift)) =>
+      val (n1, n2) = (itemN(p1), itemN(p2))
+      assert(n === pairN((p1, p2)))
+      assert(sup === n * 10000 / nB)
+      assert(c12 === n * 10000 / n1 && c21 === n * 10000 / n2)
+      assert(lift === n * nB * 1000000L / (n1 * n2))
+      assert(c12 >= sup && c21 >= sup, "confidence below support")
+    }
+  }
+
+  test("B199: quintile buckets are ANSI-sized and ordered; code digits match") {
+    val rows = SparkEntry.queries("b199_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val (big, small) = (n / 5 + (if (n % 5 > 0) 1 else 0), n / 5)
+    def checkTile(key: ((Long, Long, Long, Long, Long, Long, Long, Long)) => (Long, Long),
+        tile: ((Long, Long, Long, Long, Long, Long, Long, Long)) => Long,
+        tag: String): Unit = {
+      val sizes = rows.groupBy(tile).view.mapValues(_.length).toMap
+      assert((1L to 5L).forall(k => sizes.getOrElse(k, 0) == big ||
+        sizes.getOrElse(k, 0) == small), s"$tag bucket sizes $sizes")
+      // bucket k's max sort key precedes bucket k+1's min sort key
+      val byTile = rows.groupBy(tile).view.mapValues(_.map(key)).toMap
+      for (k <- 1L to 4L if byTile.contains(k) && byTile.contains(k + 1))
+        assert(Ordering[(Long, Long)].lteq(byTile(k).max, byTile(k + 1).min),
+          s"$tag buckets $k/${k + 1} out of order")
+    }
+    checkTile(r => (r._2, r._1), _._5, "recency")            // asc
+    checkTile(r => (-r._3, r._1), _._6, "frequency")         // desc
+    checkTile(r => (-r._4, r._1), _._7, "monetary")          // desc
+    rows.foreach(r =>
+      assert(r._8 === r._5 * 100 + r._6 * 10 + r._7, s"rfm_code ${r._1}"))
+  }
+
+  test("B201: Welch readout equals a JVM sufficient-statistics replay (ITT)") {
+    val r = SparkEntry.queries("b201_ab_experiment")(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    val users = ev.map(_._1).distinct
+    val cents = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum).toMap
+    def variant(u: Long) = ((u % 2147483648L) * 2654435761L % 2147483648L) % 2
+    val x = users.map(u => (variant(u), cents.getOrElse(u, 0L)))
+    def st(v: Long) = {
+      val xs = x.filter(_._1 == v).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(c => c * c).sum)
+    }
+    val (nu0, s0, ss0) = st(0); val (nu1, s1, ss1) = st(1)
+    assert(r.getLong(0) === nu0 && r.getLong(1) === nu1)
+    assert(nu0 + nu1 === users.length.toLong, "intent-to-treat: all users")
+    assert(r.getLong(2) === s0 && r.getLong(3) === s1)
+    assert(r.getLong(4) === ss0 && r.getLong(5) === ss1)
+    assert(r.getLong(6) === s0 / nu0 && r.getLong(7) === s1 / nu1)
+    assert(r.getLong(8) === s1 / nu1 - s0 / nu0)
+    val diff = s1.toDouble / nu1 - s0.toDouble / nu0
+    val t2 = diff * diff /
+      ((nu0.toDouble * ss0 - s0.toDouble * s0) / (nu0.toDouble * nu0 * (nu0 - 1)) +
+        (nu1.toDouble * ss1 - s1.toDouble * s1) / (nu1.toDouble * nu1 * (nu1 - 1)))
+    assert(math.abs(r.getDouble(9) - t2) <= 5e-5 + 1e-9 * math.abs(t2),
+      s"t2 ${r.getDouble(9)} vs JVM $t2")
+  }
+
+  test("B202: TWAP equals a JVM interval replay and sits inside per-user bounds") {
+    val got = SparkEntry.queries("b202_twap_user")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val iv = s.zip(s.drop(1)).map { case (a, b) => (a._4, (b._2 - a._2) / 1000) }
+      val tot = iv.map(_._2).sum
+      if (tot > 0) Some(u -> (iv.length.toLong, tot,
+        iv.map { case (c, w) => c * w }.sum / tot))
+      else None
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (u, (nIv, tot, twap)) =>
+      assert(got(u) === ((nIv, tot, twap)), s"user $u")
+      val cs = ev.filter(_._1 == u).map(_._4)
+      assert(twap >= cs.min - 1 && twap <= cs.max, s"user $u twap outside range")
+    }
+  }
 }
