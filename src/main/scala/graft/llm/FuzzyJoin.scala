@@ -104,7 +104,7 @@ object FuzzyJoin {
        |       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
        |       CAST(a.c AS BIGINT) AS c1, CAST(b.c AS BIGINT) AS c2
        |FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= $K
-       |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+       |ORDER BY w1, w2""".stripMargin, bench = true) { (s, d) =>
     val v = vocab(s, d)
     candidates(v)
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))

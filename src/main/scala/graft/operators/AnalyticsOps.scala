@@ -68,7 +68,7 @@ object AnalyticsOps {
        |JOIN itemn i1 ON i1.p = p.p1
        |JOIN itemn i2 ON i2.p = p.p2
        |WHERE p.n_pair >= $MinSup
-       |ORDER BY p.p1, p.p2""".stripMargin) { (s, d) =>
+       |ORDER BY p.p1, p.p2""".stripMargin, bench = true) { (s, d) =>
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -286,7 +286,7 @@ object AnalyticsOps {
       |  GROUP BY user_id HAVING sum(d_ms) > 0)
       |SELECT user_id, n_iv, tot_ms,
       |       CAST(wsum // tot_ms AS BIGINT) AS twap_cents
-      |FROM agg ORDER BY user_id""".stripMargin) { (s, d) =>
+      |FROM agg ORDER BY user_id""".stripMargin, bench = true) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val seq = Tables.events(s, d)

@@ -488,7 +488,7 @@ object PipelineOps {
        |SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
        |       CAST(p.n * 10000 // r.tot AS BIGINT) AS p_bp
        |FROM pairs p JOIN rows_ r USING (prev_type)
-       |ORDER BY p.prev_type, p.next_type""".stripMargin) { (s, d) =>
+       |ORDER BY p.prev_type, p.next_type""".stripMargin, bench = true) { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))

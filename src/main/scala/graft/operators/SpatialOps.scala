@@ -68,7 +68,7 @@ object SpatialOps {
        |            AS BIGINT) AS d2
        |FROM p a JOIN p b ON a.user_id < b.user_id CROSS JOIN r
        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= r.r2
-       |ORDER BY u1, u2""".stripMargin) { (s, d) =>
+       |ORDER BY u1, u2""".stripMargin, bench = true) { (s, d) =>
     val p = points(s, d).localCheckpoint(true)
     // O(1) driver scalar (population count) sizes the radius and the
     // cell width w = ceil-isqrt(r²) ≥ r, exact in Long arithmetic
