@@ -305,5 +305,240 @@ object AnalyticsOps {
       .orderBy("user_id")
   }
 
-  val entries: Seq[Entry] = Seq(b197, b199, b201, b202)
+  /** B203 — TEMPORAL COALESCE / interval union (Snodgrass, "Developing
+    * Time-Oriented Database Applications in SQL", ch. 6; the classic
+    * gaps-and-islands with VARIABLE-length intervals): each event opens
+    * an interval [ts, ts + cents seconds) (cents = floor(value·100+0.5),
+    * so durations span 3 s – ~9.1 h against a ~10.7 h mean inter-event
+    * gap — both merges and gaps occur), and a user's overlapping or
+    * touching intervals coalesce into maximal islands. Where B67's
+    * fixed-gap sessionize only compares ADJACENT timestamps, variable
+    * durations need the running max of interval END over all preceding
+    * rows: island-break ⟺ ts_us > max(end_us) over rows before this one
+    * (touching, ts = run_end, merges — half-open intervals). Island ids
+    * are the running sum of break flags; the island row carries min
+    * start, max end, event count and duration.
+    *
+    * Ordering is (ts_us, event_id) — the repo's deterministic timestamp
+    * tie-break. All arithmetic BIGINT µs (cents·10⁶ ≤ 3.3·10¹⁰/row).
+    *
+    * Scale posture: two user-partitioned windows (running max, running
+    * sum) + one map-combinable (user, island) aggregate — the b195/b202
+    * cost class; no global window, no driver traffic. */
+  private val b203 = entry(
+    "b203_interval_coalesce",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000
+      |           AS end_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, max(end_us) OVER (PARTITION BY user_id
+      |                              ORDER BY ts_us, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING
+      |                              AND 1 PRECEDING) AS run_end
+      |  FROM seq),
+      |f AS (
+      |  SELECT *, CASE WHEN run_end IS NULL OR ts_us > run_end
+      |                 THEN 1 ELSE 0 END AS nf
+      |  FROM m),
+      |i AS (
+      |  SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id
+      |                               ORDER BY ts_us, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |              AS island
+      |  FROM f)
+      |SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_events,
+      |       min(ts_us) AS start_us, max(end_us) AS end_us,
+      |       CAST((max(end_us) - min(ts_us)) // 1000 AS BIGINT) AS dur_ms
+      |FROM i GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin, bench = true) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) +
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000L"))
+          .as("end_us"))
+    seq
+      .withColumn("run_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nf",
+        when(col("run_end").isNull || col("ts_us") > col("run_end"), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("nf")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("end_us")).as("end_us"))
+      .withColumn("dur_ms", expr("(end_us - start_us) div 1000"))
+      .orderBy("user_id", "island")
+  }
+
+  /** Session gap for B204: 6 h in µs. Sized against the events domain's
+    * ~10.7 h mean inter-event gap so sessions are non-trivial in BOTH
+    * directions (~43% of gaps merge → mean session ≈ 1.8 events; most
+    * sessions still lack most event types, so pattern support is a real
+    * statistic, not 10⁴ bp everywhere — B117's funnel over a lifetime
+    * horizon IS near-vacuous that way, which is why this row scopes to
+    * sessions). */
+  private val SessGapUs = 21600000000L
+
+  /** B204 — SEQUENTIAL-PATTERN SUPPORT COUNTING (the 2-sequence pass of
+    * GSP/SPADE; Srikant & Agrawal EDBT'96, Zaki MLJ'01): for every
+    * ordered event-type pair (a, b), the number of SESSIONS containing
+    * some a strictly before some b, and its share of all sessions in
+    * integer bp. Sessions are fixed-gap islands ([[SessGapUs]]) per user
+    * — the b67 semantics inline. The exists-a-before-b predicate
+    * collapses exactly to min_ts(a) < max_ts(b) within the session, so
+    * the quadratic-looking containment check is an equi-join of two
+    * 5-row-per-session summaries (bounded by |event_types|, never by
+    * session length).
+    *
+    * Scale posture: one lag window per user, one map-combinable
+    * (user, sess, type) aggregate, a per-session self-join with ≤ |T|²
+    * fanout, and one O(1) session-count scalar cross-broadcast (the b197
+    * convention). */
+  private val b204 = entry(
+    "b204_seq_pattern_support",
+    s"""WITH seq AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessGapUs
+       |                 THEN 1 ELSE 0 END AS nf
+       |  FROM seq),
+       |s AS (
+       |  SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id
+       |                               ORDER BY ts_us, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |              AS sess
+       |  FROM f),
+       |t AS (
+       |  SELECT user_id, sess, event_type,
+       |         min(ts_us) AS mn, max(ts_us) AS mx
+       |  FROM s GROUP BY user_id, sess, event_type),
+       |ns AS (
+       |  SELECT count(*) AS n_sessions
+       |  FROM (SELECT DISTINCT user_id, sess FROM s)),
+       |sup AS (
+       |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_sess
+       |  FROM t a JOIN t b
+       |    ON a.user_id = b.user_id AND a.sess = b.sess
+       |   AND a.event_type <> b.event_type AND a.mn < b.mx
+       |  GROUP BY a.event_type, b.event_type)
+       |SELECT sup.t1, sup.t2, CAST(sup.n_sess AS BIGINT) AS n_sess,
+       |       CAST(sup.n_sess * 10000 // ns.n_sessions AS BIGINT)
+       |         AS support_bp
+       |FROM sup CROSS JOIN ns
+       |ORDER BY sup.t1, sup.t2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("nf",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessGapUs, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("nf")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+    val t = sess.groupBy("user_id", "sess", "event_type")
+      .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+    val nSess = sess.select("user_id", "sess").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    t.as("a")
+      .join(t.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.sess") === col("b.sess") &&
+          col("a.event_type") =!= col("b.event_type") &&
+          col("a.mn") < col("b.mx"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_sess"))
+      .crossJoin(broadcast(nSess))
+      .select(col("t1"), col("t2"), col("n_sess"),
+        expr("CAST(n_sess * 10000 div n_sessions AS BIGINT)").as("support_bp"))
+      .orderBy("t1", "t2")
+  }
+
+  /** B205 — CUSUM CHANGEPOINT SCAN per user (Page, Biometrika 1954; the
+    * offline max-|S| form): over a user's event values in order, the
+    * centered cumulative sum S_k = Σ_{i≤k}(x_i − x̄) localizes a level
+    * shift at the argmax of S. To stay EXACT BIGINT the row scales S by
+    * n: s_k = n·prefix_k − k·Σx (≡ n·Σ_{i≤k}(x_i − x̄), same argmax and
+    * range shape, zero endpoints). The row carries the per-user extremes,
+    * range, and the FIRST k attaining the max (ties → smallest k, via
+    * min-filtered conditional agg — composable, unlike an arbitrary
+    * arg_max). Overflow: n·prefix ≤ n²·maxcents ≈ 1.4·10⁸ per user at
+    * the ~65-event density; safe while n²·maxcents < 9·10¹⁸ (n ~ 10⁷
+    * events/user at web-scale cents — far past any real user).
+    *
+    * Scale posture: two user-partitioned windows (prefix sum, row
+    * number) + two map-combinable per-user aggregates and a per-user
+    * totals join — the b195/b202 cost class. */
+  private val b205 = entry(
+    "b205_cusum_changepoint",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id, cents,
+      |         CAST(sum(cents) OVER (PARTITION BY user_id
+      |                               ORDER BY ts_us, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           AS pref,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY ts_us, event_id) AS BIGINT)
+      |           AS k
+      |  FROM seq),
+      |tot AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS sx
+      |  FROM seq GROUP BY user_id),
+      |sc AS (
+      |  SELECT p.user_id, p.k, tot.n, tot.n * p.pref - p.k * tot.sx AS s_k
+      |  FROM p JOIN tot USING (user_id)),
+      |mx AS (
+      |  SELECT user_id, max(s_k) AS s_max, min(s_k) AS s_min
+      |  FROM sc GROUP BY user_id)
+      |SELECT sc.user_id, max(sc.n) AS n, mx.s_max, mx.s_min,
+      |       mx.s_max - mx.s_min AS s_range,
+      |       CAST(min(CASE WHEN sc.s_k = mx.s_max THEN sc.k END) AS BIGINT)
+      |         AS argmax_k
+      |FROM sc JOIN mx USING (user_id)
+      |GROUP BY sc.user_id, mx.s_max, mx.s_min
+      |ORDER BY sc.user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val p = seq
+      .withColumn("pref",
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .withColumn("k", row_number().over(w).cast("long"))
+    val tot = seq.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"))
+    val sc = p.join(tot, "user_id")
+      .select(col("user_id"), col("k"), col("n"),
+        (col("n") * col("pref") - col("k") * col("sx")).as("s_k"))
+    val mx = sc.groupBy("user_id")
+      .agg(max(col("s_k")).as("s_max"), min(col("s_k")).as("s_min"))
+    sc.join(mx, "user_id")
+      .groupBy(col("user_id"), col("s_max"), col("s_min"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("s_k") === col("s_max"), col("k"))).as("argmax_k"))
+      .select(col("user_id"), col("n"), col("s_max"), col("s_min"),
+        (col("s_max") - col("s_min")).as("s_range"), col("argmax_k"))
+      .orderBy("user_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b197, b199, b201, b202, b203, b204, b205)
 }

@@ -245,4 +245,97 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(twap >= cs.min - 1 && twap <= cs.max, s"user $u twap outside range")
     }
   }
+
+  test("B203: islands equal a JVM interval-merge replay and partition the events") {
+    val got = SparkEntry.queries("b203_interval_coalesce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(1) + math.floor(r.getDouble(3) * 100 + 0.5).toLong * 1000000L))
+    // classic sweep-line merge per user (order by ts, event_id; break on
+    // start strictly past the running max end)
+    val want = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val islands = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (n, st, en) = (0L, 0L, Long.MinValue)
+      s.foreach { case (_, ts, _, end) =>
+        if (ts > en) { if (n > 0) islands += ((n, st, en)); n = 0; st = ts; en = end }
+        else en = math.max(en, end)
+        n += 1; en = math.max(en, end)
+      }
+      if (n > 0) islands += ((n, st, en))
+      islands.zipWithIndex.map { case ((ne, a, b), i) => (u, i + 1L, ne, a, b) }
+    }.toSet
+    assert(got.toSet === want)
+    // islands partition the user's events
+    val perUser = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.groupBy(_._1).foreach { case (u, is) =>
+      assert(is.map(_._3).sum === perUser(u), s"user $u island sizes != events")
+    }
+    assert(got.exists(_._3 >= 2), "no merged island — coalesce is vacuous")
+  }
+
+  test("B204: session pattern support equals a JVM sessionize-and-scan replay") {
+    val got = SparkEntry.queries("b204_seq_pattern_support")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 21600000000L
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer[Seq[(Long, String)]]()
+      var cur = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var prev = Long.MinValue / 4
+      s.foreach { case (_, ts, _, t) =>
+        if (ts - prev > gap) { if (cur.nonEmpty) out += cur.toSeq; cur.clear() }
+        cur += ((ts, t)); prev = ts
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }
+    val types = ev.map(_._4).distinct.sorted
+    val want = (for {
+      a <- types; b <- types if a != b
+      n = sessions.count(ss => {
+        val as = ss.filter(_._2 == a).map(_._1)
+        val bs = ss.filter(_._2 == b).map(_._1)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      }).toLong
+      if n > 0
+    } yield (a, b) -> (n, n * 10000L / sessions.length)).toMap
+    assert(got === want)
+    assert(got.values.exists(_._1 >= 1) &&
+      got.values.forall(_._2 < 10000), "support saturated — gap mis-sized")
+  }
+
+  test("B205: scaled CUSUM has zero endpoint (s_max >= 0 >= s_min) and " +
+    "argmax replays in JVM") {
+    val got = SparkEntry.queries("b205_cusum_changepoint")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      val xs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      val n = xs.length.toLong; val sx = xs.sum
+      val sk = xs.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+        .map { case (p, i) => n * p - (i + 1L) * sx }
+      val sMax = sk.max; val sMin = sk.min
+      u -> (n, sMax, sMin, sMax - sMin, sk.indexOf(sMax) + 1L)
+    }
+    assert(got === want)
+    got.values.foreach { case (_, sMax, sMin, _, _) =>
+      assert(sMax >= 0L && sMin <= 0L, "S_n = 0 must bound the extremes")
+    }
+    assert(got.values.exists(_._4 > 0), "all-flat CUSUM — vacuous corpus")
+  }
 }
