@@ -540,5 +540,114 @@ object AnalyticsOps {
       .orderBy("user_id")
   }
 
-  val entries: Seq[Entry] = Seq(b197, b199, b201, b202, b203, b204, b205)
+  /** B206 — 2-D SKYLINE / Pareto frontier (Börzsönyi, Kossmann &
+    * Stocker, ICDE'01) over purchasing customers, maximizing (last-order
+    * DAY, monetary cents): "no other customer is both at least as
+    * recently active and at least as valuable, with one strict" — the
+    * recency×value retention shortlist (order count was rejected: it
+    * correlates with monetary so tightly the frontier degenerates to one
+    * row; the day grain keeps the first dimension's cardinality
+    * CALENDAR-bounded). The quadratic dominance test collapses to the
+    * classic sort-scan: per last-day group keep only rows at the group
+    * max M (equal-day domination), then a running max of group-max-M
+    * over STRICTLY more recent days (ROWS ... 1 PRECEDING over the
+    * distinct-day relation, one row per day so the frame boundary IS the
+    * strict boundary) — frontier iff m = gmax(day) AND gmax(day) > run.
+    * Duplicate (day, M) points neither dominate the other and all stay,
+    * which the replay spec pins.
+    *
+    * Scale posture: one map-combinable customer aggregate, one
+    * map-combinable day-group aggregate, then a window over the
+    * DISTINCT-DAY relation — cardinality bounded by the calendar
+    * (121/577/1136 days at the three SFs), not by data — and a
+    * broadcast join back. The all-pairs spelling never runs; the JVM
+    * replay at the gate SF is the losslessness proof (the b198/b200
+    * pattern, in the spec rather than the oracle). */
+  private val b206 = entry(
+    "b206_skyline_pareto",
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |         CAST(epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT)
+      |           AS last_day,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |g AS (SELECT last_day, max(monetary_cents) AS gmax
+      |      FROM m GROUP BY last_day),
+      |r AS (SELECT last_day, gmax,
+      |             max(gmax) OVER (ORDER BY last_day DESC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                             AND 1 PRECEDING) AS run
+      |      FROM g)
+      |SELECT m.o_custkey, m.last_day, m.monetary_cents
+      |FROM m JOIN r ON r.last_day = m.last_day
+      |WHERE m.monetary_cents = r.gmax AND (r.run IS NULL OR r.gmax > r.run)
+      |ORDER BY m.o_custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d).groupBy("o_custkey").agg(
+      expr("CAST(unix_micros(CAST(max(o_orderdate) AS TIMESTAMP))" +
+        " div 86400000000 AS BIGINT)").as("last_day"),
+      sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("monetary_cents"))
+    val g = m.groupBy("last_day").agg(max("monetary_cents").as("gmax"))
+    // global window over the distinct-day relation only (calendar-bounded,
+    // never data-proportional)
+    val w = Window.orderBy(col("last_day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("run", max(col("gmax")).over(w))
+    m.join(broadcast(r), "last_day")
+      .filter(col("monetary_cents") === col("gmax") &&
+        (col("run").isNull || col("gmax") > col("run")))
+      .select(col("o_custkey"), col("last_day"), col("monetary_cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** The B208 pattern: a view, then any run of clicks/errors, then the
+    * FIRST purchase that follows. [ce] excludes p, so the match always
+    * ends at the first p after the run — backtracking (Java) and
+    * automaton (RE2/DuckDB) engines agree on every match and on the
+    * non-overlapping count; never put the terminator inside the starred
+    * class or the two regex engines may disagree. */
+  private val CepPattern = "v[ce]*p"
+
+  /** B208 — EVENT-SEQUENCE REGEX MATCH (MATCH_RECOGNIZE-lite / complex
+    * event processing on the stored domain; SQL:2016 row-pattern
+    * semantics' simplest useful fragment): each user's history becomes a
+    * string of event-type initials in (ts, event_id) order — the five
+    * types have distinct initials c/e/p/s/v — and the row counts
+    * non-overlapping occurrences of [[CepPattern]] (view → any clicks or
+    * errors → purchase, the "browse converts without leaving" motif
+    * B117's step funnel cannot express: the funnel admits ANY
+    * interleaving, the regex forbids s/v/p inside the gap).
+    *
+    * Scale posture: one per-user sorted collect (bounded by a user's own
+    * activity — the b21 contract) + one codegen'd regexp_count; no
+    * window, no join, no driver traffic. */
+  private val b208 = entry(
+    "b208_event_regex_match",
+    s"""WITH seq AS (
+       |  SELECT user_id, substr(event_type, 1, 1) AS ini,
+       |         epoch_us(ts) AS ts_us, event_id
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, string_agg(ini, '' ORDER BY ts_us, event_id) AS sq
+       |  FROM seq GROUP BY user_id)
+       |SELECT user_id, CAST(length(sq) AS BIGINT) AS seq_len,
+       |       CAST(len(regexp_extract_all(sq, '$CepPattern')) AS BIGINT)
+       |         AS n_matches
+       |FROM s ORDER BY user_id""".stripMargin, bench = true) { (s, d) =>
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), substring(col("event_type"), 1, 1).as("ini"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    seq.groupBy("user_id")
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(ts_us, event_id, ini)))," +
+          " x -> x.ini)")).as("sq"))
+      .select(col("user_id"), length(col("sq")).cast("long").as("seq_len"),
+        regexp_count(col("sq"), lit(CepPattern)).cast("long").as("n_matches"))
+      .orderBy("user_id")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208)
 }

@@ -728,5 +728,76 @@ object GraphOps {
       .orderBy("side", "node_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149, b150, b157)
+  /** BFS round count for B207 — a DETERMINISM choice like [[PrIters]]:
+    * both engines compute the identical four expand-and-min rounds, so
+    * the hash pins distances ≤ 4 (the co-purchase graph's effective
+    * diameter at the gate SFs; unreached nodes simply don't appear). */
+  private[graft] val BfsRounds = 4
+
+  /** Seed selector for B207: graph nodes ≡ 0 (mod 97). A fixed prime
+    * residue is engine-identical and scale-stable (~1% of parts at any
+    * SF); NOT a keep/drop ratio selector, so the SCALE.md §3.9 scramble
+    * rule doesn't bite (any deterministic seed set works — the operator
+    * under test is the traversal, not the seed choice). */
+  private[graft] val BfsSeedMod = 97L
+
+  /** B207 — MULTI-SOURCE BFS / hop-distance labeling (the unweighted
+    * single-source shortest-path Pregel shape, Malewicz SIGMOD'10; the
+    * "distance-to-nearest-hub" feature of graph feature engineering)
+    * over the part co-purchase graph: dist(n) = min hops from any seed
+    * ([[BfsSeedMod]]), computed as [[BfsRounds]] unrolled
+    * expand-and-group-min rounds — round k's relation holds the exact
+    * BFS distance for every node within k hops (expanding the FULL
+    * frontier each round keeps the relation a distance table, so min()
+    * is the whole merge logic; a delta-frontier variant saves traffic
+    * but needs an anti-join per round — the full-relation spelling is
+    * the oracle-shared one).
+    *
+    * Scale posture: per-round cost is one join of the distance table to
+    * the symmetrized edge list keyed on the node (map-side combinable
+    * min), the canonical Pregel round; localCheckpoint per round cuts
+    * lineage (the b63/b119 convention); rounds are O(diameter-bound),
+    * fixed. No driver traffic at all. */
+  private val b207 = entry(
+    "b207_graph_bfs_hops",
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS MATERIALIZED (
+       |  SELECT src AS a, dst AS b FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |r0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM sym WHERE a % $BfsSeedMod = 0),
+       |${(1 to BfsRounds).map { k =>
+           s"""r$k AS MATERIALIZED (
+              |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+              |    SELECT node, dist FROM r${k - 1}
+              |    UNION ALL
+              |    SELECT s.b AS node, r.dist + 1 AS dist
+              |    FROM r${k - 1} r JOIN sym s ON s.a = r.node)
+              |  GROUP BY node)""".stripMargin
+         }.mkString(",\n")}
+       |SELECT node AS part_id, dist FROM r$BfsRounds
+       |ORDER BY part_id""".stripMargin, bench = true) { (s, d) =>
+    val e0 = copurchaseEdges(s, d)
+    val sym = e0.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true)
+    var dist = sym.select(col("a").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to BfsRounds) {
+      val expand = dist.join(sym, col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(expand)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node").as("part_id"), col("dist")).orderBy("part_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149, b150, b157, b207)
 }

@@ -338,4 +338,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_._4 > 0), "all-flat CUSUM — vacuous corpus")
   }
+
+  test("B206: sort-scan skyline equals the all-pairs dominance definition") {
+    val got = SparkEntry.queries("b206_skyline_pareto")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(expr("CAST(unix_micros(CAST(max(o_orderdate) AS TIMESTAMP))" +
+        " div 86400000000 AS BIGINT)").as("d"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the quadratic definition the sort-scan must be lossless against
+    val want = pts.filter { case (_, d, m) =>
+      !pts.exists { case (_, d2, m2) =>
+        d2 >= d && m2 >= m && (d2 > d || m2 > m)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.size >= 2, "degenerate 1-point frontier — metrics re-correlated")
+    // frontier is an anti-chain: no member dominates another
+    got.foreach { case (_, d, m) =>
+      assert(!got.exists { case (_, d2, m2) =>
+        d2 >= d && m2 >= m && (d2 > d || m2 > m) }, "frontier not an anti-chain")
+    }
+  }
+
+  test("B208: regex match counts equal an engine-independent scan counter") {
+    val got = SparkEntry.queries("b208_event_regex_match")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // hand-rolled non-overlapping v[ce]*p counter — no regex engine at all
+    def countMatches(sq: String): Long = {
+      var i = 0; var n = 0L
+      while (i < sq.length) {
+        if (sq(i) == 'v') {
+          var j = i + 1
+          while (j < sq.length && (sq(j) == 'c' || sq(j) == 'e')) j += 1
+          if (j < sq.length && sq(j) == 'p') { n += 1; i = j + 1 }
+          else i += 1
+        } else i += 1
+      }
+      n
+    }
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      val sq = es.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      u -> (sq.length.toLong, countMatches(sq))
+    }
+    assert(got === want)
+    assert(got.values.map(_._2).sum > 0, "no matches — pattern vacuous")
+  }
 }

@@ -424,4 +424,36 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotRnd === labels)
   }
+
+  test("B207: hop distances equal an unbounded JVM BFS (within 4 hops) and " +
+    "every level-d node has a level-(d-1) neighbor") {
+    val sf = TestSession.sf0001
+    val got = SparkEntry.queries("b207_graph_bfs_hops")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ps = os.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // unbounded BFS from the seed set in JVM
+    val seeds = adj.keySet.filter(_ % 97 == 0)
+    assert(seeds.nonEmpty, "no seeds in graph — BFS vacuous")
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+      next.foreach(n => dist += n -> d)
+      frontier = next
+    }
+    assert(got === dist.filter(_._2 <= 4))
+    assert(got.values.toSet.size >= 2, "single-level BFS — vacuous")
+    got.filter(_._2 > 0).foreach { case (n, dd) =>
+      assert(adj(n).exists(m => got.get(m).contains(dd - 1)),
+        s"node $n at level $dd has no level-${dd - 1} neighbor")
+    }
+  }
 }
