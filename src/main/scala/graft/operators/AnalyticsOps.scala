@@ -648,6 +648,64 @@ object AnalyticsOps {
       .orderBy("user_id")
   }
 
+  /** B209 — GINI CONCENTRATION per nation (Gini 1912, via the exact
+    * rank-sum identity G = (2·Σ r·x_(r) − (n+1)·Σx) / (n·Σx); the
+    * revenue-concentration dashboard behind "top customers" risk): per
+    * nation over its purchasing customers' monetary cents, reported in
+    * integer bp. Everything BIGINT: the numerator 2Σrx − (n+1)Σx is
+    * computed FIRST (it is ≤ n·Σx and ≥ 0 — Σrx is maximal when ranked
+    * ascending, minimal (n+1)Σx/2 under any permutation — so the later
+    * ·10⁴ div is on positive operands) and only then scaled; safe while
+    * n·Σx < 9.2·10¹⁴ per nation (sf0.1: ~7·10¹²; past that drop the
+    * scale to 10² — a constant, not a plan change). Rank ties (equal
+    * cents) are broken by custkey, which provably cannot change the
+    * result: Σ r·x over a tied group is invariant under any rank
+    * permutation within the group.
+    *
+    * Scale posture: customer-key aggregate (map-combinable), one
+    * nation-partitioned rank window over the CUSTOMER dimension (~10⁴×
+    * smaller than facts, the b199 argument), one map-combinable nation
+    * aggregate. */
+  private val b209 = entry(
+    "b209_gini_concentration",
+    """WITH m AS (
+      |  SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+      |         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_nationkey, o.o_custkey),
+      |r AS (
+      |  SELECT nk, cents,
+      |         CAST(row_number() OVER (PARTITION BY nk ORDER BY cents, ck)
+      |              AS BIGINT) AS rk
+      |  FROM m),
+      |g AS (
+      |  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS sx,
+      |         CAST(sum(rk * cents) AS BIGINT) AS srx
+      |  FROM r GROUP BY nk)
+      |SELECT nk AS nationkey, n, sx AS total_cents,
+      |       CAST((2 * srx - (n + 1) * sx) * 10000 // (n * sx) AS BIGINT)
+      |         AS gini_bp
+      |FROM g ORDER BY nationkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("cents"), col("ck"))
+    m.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("rk") * col("cents")).as("srx"))
+      .select(col("nk").as("nationkey"), col("n"), col("sx").as("total_cents"),
+        expr("CAST((2 * srx - (n + 1) * sx) * 10000 div (n * sx) AS BIGINT)")
+          .as("gini_bp"))
+      .orderBy("nationkey")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208)
+    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209)
 }

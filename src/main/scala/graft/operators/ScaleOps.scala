@@ -524,6 +524,63 @@ object ScaleOps {
     snap(1L).unionByName(snap(2L)).orderBy("as_of", "k")
   }
 
+  /** B210 — SCD TYPE-2 DIMENSION BUILD (Kimball's slowly-changing
+    * dimension, "The Data Warehouse Toolkit" ch. 5) from the b194 CDC
+    * log: stack the base snapshot as version seq = 0 ('I') under the
+    * (seq, k, op, …) change log, and each key's ordered changes become
+    * versioned rows valid over [valid_from, valid_to) — valid_to =
+    * lead(seq) per key (NULL = open), 'D' tombstones CLOSE the prior
+    * version (their seq becomes its valid_to) but emit no row, and
+    * is_current flags the open version. The fixture exercises every
+    * shape: re-updated keys get three-row chains 0→1→2→open, v1 deletes
+    * leave a closed-only key, v1 inserts deleted in v2 open and close
+    * entirely inside the log.
+    *
+    * The load-bearing law (spec-pinned): slicing the SCD2 table at any
+    * s — rows with valid_from ≤ s < coalesce(valid_to, ∞) — must
+    * reproduce [[CdcSnapshots.asOf]] exactly; SCD2 is the materialized
+    * union of every AS-OF snapshot, which is the entire point of the
+    * Type-2 shape.
+    *
+    * Scale posture: one key-partitioned lead window over base+log (per
+    * key state = its version count) + a filter; no join at all — cheaper
+    * than the b194 reconstruction it indexes. */
+  private val b210 = entry(
+    "b210_scd2_dimension",
+    s"""WITH base AS (
+       |  ${CdcSnapshots.baseSql}),
+       |log AS (
+       |  ${CdcSnapshots.logSql}),
+       |stacked AS (
+       |  SELECT 0 AS seq, k, 'I' AS op, status, cents FROM base
+       |  UNION ALL
+       |  SELECT seq, k, op, status, cents FROM log),
+       |v AS (
+       |  SELECT k, CAST(seq AS BIGINT) AS valid_from, op, status, cents,
+       |         CAST(lead(seq) OVER (PARTITION BY k ORDER BY seq)
+       |              AS BIGINT) AS valid_to
+       |  FROM stacked)
+       |SELECT k, valid_from, valid_to, status, cents,
+       |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_current
+       |FROM v WHERE op <> 'D'
+       |ORDER BY k, valid_from""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = CdcSnapshots.base(s, d)
+    val stacked = base.select(lit(0L).as("seq"), col("k"), lit("I").as("op"),
+        col("status"), col("cents"))
+      .unionByName(CdcSnapshots.log(base)
+        .select(col("seq"), col("k"), col("op"), col("status"), col("cents")))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+    stacked
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("seq").as("valid_from"), col("valid_to"),
+        col("status"), col("cents"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("k", "valid_from")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b58, b58c, b59, b60, b61, b62, b66, b76, b167, b194)
+    Seq(b58, b58c, b59, b60, b61, b62, b66, b76, b167, b194, b210)
 }

@@ -390,4 +390,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.values.map(_._2).sum > 0, "no matches — pattern vacuous")
   }
+
+  test("B209: per-nation Gini equals a JVM rank-sum replay and sits in [0, 10^4)") {
+    val got = SparkEntry.queries("b209_gini_concentration")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = cents.toSeq.groupBy { case (ck, _) => cust(ck) }.map {
+      case (nk, xs) =>
+        val sorted = xs.sortBy { case (ck, c) => (c, ck) }.map(_._2)
+        val n = sorted.length.toLong
+        val sx = sorted.sum
+        val srx = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+        nk -> (n, sx, (2 * srx - (n + 1) * sx) * 10000L / (n * sx))
+    }
+    assert(got === want)
+    got.values.foreach { case (_, _, g) =>
+      assert(g >= 0L && g < 10000L, s"gini $g outside [0, 10^4)")
+    }
+    assert(got.values.map(_._3).toSet.size > 1, "all nations identical — vacuous")
+  }
 }

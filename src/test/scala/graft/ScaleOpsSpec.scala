@@ -178,4 +178,37 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   private val CdcSnapshotsShift = graft.operators.CdcSnapshots.shift
+
+  test("B210: version chains are gapless with at most one open row, and " +
+    "slicing at any seq reproduces the as-of snapshot") {
+    import graft.operators.CdcSnapshots
+    val sf = TestSession.sf0001
+    val rows = SparkEntry.queries("b210_scd2_dimension")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    // chain law: per key, sorted versions abut (valid_to = next valid_from),
+    // only the last may be open, is_current ⟺ open
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val s = vs.sortBy(_._2)
+      s.init.zip(s.tail).foreach { case (a, b) =>
+        assert(a._3.contains(b._2), s"key $k: gap ${a._3} -> ${b._2}")
+      }
+      assert(s.init.forall(_._3.nonEmpty), s"key $k: open row mid-chain")
+      s.foreach(v => assert((v._6 == 1L) === v._3.isEmpty, s"key $k is_current"))
+    }
+    assert(rows.count(_._3.isEmpty) >= 1 && rows.exists(_._3.nonEmpty))
+    // slice law: SCD2 at s ≡ asOf(s) for every version incl. the base
+    val base = CdcSnapshots.base(spark, sf)
+    val theLog = CdcSnapshots.log(base)
+    for (s <- 0L to 2L) {
+      val slice = rows.filter(v => v._2 <= s && v._3.forall(_ > s))
+        .map(v => (v._1, v._4, v._5)).toSet
+      val want =
+        (if (s == 0) base else CdcSnapshots.asOf(base, theLog, s))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSet
+      assert(slice === want, s"SCD2 slice at seq $s != as-of snapshot")
+    }
+  }
 }
