@@ -706,6 +706,113 @@ object AnalyticsOps {
       .orderBy("nationkey")
   }
 
+  /** The B212 χ² contribution as ONE shared expression text (the
+    * welchT2Expr convention): the exact BIGINT residual numerator
+    * n·T − r·c (|·| ≤ T² ≈ 10¹⁰ at sf0.1 — BIGINT-safe while T < 3·10⁹
+    * events) is cast to DOUBLE ONCE and squared in IEEE, over the
+    * DOUBLE-promoted T·r·c. */
+  private val chi2Expr: String =
+    "round((CAST(n * t - r * c AS DOUBLE) * CAST(n * t - r * c AS DOUBLE))" +
+      " / (CAST(t AS DOUBLE) * r * c), 4)"
+
+  /** B212 — SEASONALITY GRID + INDEPENDENCE RESIDUALS (Pearson's χ²
+    * contingency machinery, 1900, applied as the day-of-week × hour
+    * traffic heatmap every analytics product ships): cell counts
+    * n(d, h), margins r(d) and c(h), expectation under independence
+    * r·c/T as exact integer micro (r·c·10⁶ div T), and each cell's χ²
+    * contribution (n·T − r·c)²/(T·r·c) via [[chi2Expr]]. Day/hour
+    * derive from epoch µs arithmetic ((us div 86400000000 + 4) % 7 with
+    * 0 = Monday, us % 86400000000 div 3600000000) — NO calendar
+    * functions, whose week-start and DST conventions differ between
+    * engines; the µs spelling is engine-proof by construction.
+    *
+    * Scale posture: one map-combinable (d, h) count (168 cells), two
+    * broadcast margin joins, one O(1) total cross-broadcast — the whole
+    * test is dashboard-sized after a single fact pass. */
+  private val b212 = entry(
+    "b212_seasonality_chi2",
+    s"""WITH e AS (
+       |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       |         epoch_us(ts) % 86400000000 // 3600000000 AS hod
+       |  FROM events),
+       |cells AS (
+       |  SELECT dow, hod, CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY dow, hod),
+       |rm AS (SELECT dow, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY dow),
+       |cm AS (SELECT hod, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY hod),
+       |tm AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells)
+       |SELECT cells.dow, cells.hod, cells.n,
+       |       CAST(rm.r * cm.c * 1000000 // tm.t AS BIGINT) AS exp_micro,
+       |       $chi2Expr AS chi2_c
+       |FROM cells JOIN rm USING (dow) JOIN cm USING (hod) CROSS JOIN tm
+       |ORDER BY cells.dow, cells.hod""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+      expr("unix_micros(ts) % 86400000000 div 3600000000").as("hod"))
+    val cells = e.groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+    val rm = cells.groupBy("dow").agg(sum("n").as("r"))
+    val cm = cells.groupBy("hod").agg(sum("n").as("c"))
+    val tm = cells.agg(sum("n").as("t"))
+    cells.join(broadcast(rm), "dow").join(broadcast(cm), "hod")
+      .crossJoin(broadcast(tm))
+      .select(col("dow"), col("hod"), col("n"),
+        expr("CAST(r * c * 1000000 div t AS BIGINT)").as("exp_micro"),
+        expr(chi2Expr).as("chi2_c"))
+      .orderBy("dow", "hod")
+  }
+
+  /** B213 — TIME-TO-CONVERT DECILES (the first-passage-time readout of
+    * product analytics: "how long from first view to the first purchase
+    * AFTER it"): per user, fv = min view ts, ttc_ms = (min purchase ts
+    * strictly after fv − fv) div 1000; non-converting users (no view,
+    * or no later purchase) drop. The distribution ships as ANSI
+    * ntile(10) deciles over (ttc_ms, user_id) — the b199 determinism
+    * argument — each with count/min/max ms.
+    *
+    * Scale posture: two map-combinable per-user aggregates (view min;
+    * filtered later-purchase min after a user-keyed join of the
+    * purchase stream to the view-min dimension) + one global ntile over
+    * the USER dimension. */
+  private val b213 = entry(
+    "b213_time_to_convert",
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS fv_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |fp AS (
+      |  SELECT e.user_id,
+      |         CAST((min(epoch_us(e.ts)) - fv.fv_us) // 1000 AS BIGINT)
+      |           AS ttc_ms
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.fv_us
+      |  GROUP BY e.user_id, fv.fv_us),
+      |dec AS (
+      |  SELECT user_id, ttc_ms,
+      |         CAST(ntile(10) OVER (ORDER BY ttc_ms, user_id) AS BIGINT)
+      |           AS decile
+      |  FROM fp)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+      |       min(ttc_ms) AS min_ms, max(ttc_ms) AS max_ms
+      |FROM dec GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fv_us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(unix_micros(col("ts")) > col("fv_us"))
+      .groupBy("user_id", "fv_us")
+      .agg(min(unix_micros(col("ts"))).as("fp_us"))
+      .select(col("user_id"),
+        expr("CAST((fp_us - fv_us) div 1000 AS BIGINT)").as("ttc_ms"))
+    val w = Window.orderBy(col("ttc_ms"), col("user_id"))
+    fp.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), min("ttc_ms").as("min_ms"),
+        max("ttc_ms").as("max_ms"))
+      .orderBy("decile")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209)
+    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
+      b213)
 }

@@ -465,7 +465,52 @@ object WindowsAndAggs {
       .orderBy("user_id")
   }
 
+  /** B211 — ROLLING EXACT MEDIAN over a row frame (the moving-quantile
+    * smoother behind latency/price dashboards; b27's frame machinery
+    * carrying an ORDER STATISTIC instead of an algebraic aggregate):
+    * per user, over the last ≤ 8 events ((ts, event_id) order, ROWS 7
+    * PRECEDING), med = the LOWER median — the ⌈n/2⌉-th smallest, an
+    * exact BIGINT cents value; interpolated medians are doubles whose
+    * halving diverges between engines, order statistics hash. Spelled
+    * as collect-over-frame → sort → element_at((n+1) div 2) in BOTH
+    * engines (Spark collect_list window / DuckDB list window — the
+    * per-row list is frame-bounded, ≤ 8 elements).
+    *
+    * Scale posture: one user-partitioned frame window; per-row state is
+    * the 8-element frame, O(1) — never a per-key sort of the whole
+    * history. The b27 cost class with a constant-factor list. */
+  private val b211 = entry(
+    "b211_rolling_median",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, cents,
+      |         list_sort(list(cents) OVER (PARTITION BY user_id
+      |                                     ORDER BY ts_us, event_id
+      |                                     ROWS BETWEEN 7 PRECEDING
+      |                                     AND CURRENT ROW)) AS win
+      |  FROM seq)
+      |SELECT user_id, event_id, cents,
+      |       CAST(len(win) AS BIGINT) AS win_n,
+      |       win[CAST((len(win) + 1) // 2 AS INT)] AS med_cents
+      |FROM f ORDER BY user_id, event_id""".stripMargin, bench = true) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-7, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("win", array_sort(collect_list(col("cents")).over(w)))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        size(col("win")).cast("long").as("win_n"),
+        element_at(col("win"), expr("CAST((size(win) + 1) div 2 AS INT)"))
+          .as("med_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   val entries: Seq[Entry] =
     Seq(b19, b20, b20p, b20u, b21, b22, b23, b23a, b25, b26, b27, b28, b29,
-      b30, b31, b196)
+      b30, b31, b196, b211)
 }

@@ -417,4 +417,81 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._3).toSet.size > 1, "all nations identical — vacuous")
   }
+
+  test("B211: rolling median equals a JVM frame replay (lower-median order statistic)") {
+    val got = SparkEntry.queries("b211_rolling_median")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).toSeq
+      s.zipWithIndex.map { case ((_, _, eid, c), i) =>
+        val frame = s.slice(math.max(0, i - 7), i + 1).map(_._4).sorted
+        (u, eid) -> ((c, frame.length.toLong, frame((frame.length + 1) / 2 - 1)))
+      }
+    }
+    assert(got === want.toMap)
+    // the median is a member of its frame and bounds at least half of it
+    got.foreach { case (_, (_, n, med)) => assert(n >= 1L && n <= 8L && med >= 0L) }
+  }
+
+  test("B212: chi-square grid margins are consistent and cells replay in JVM") {
+    val rows = SparkEntry.queries("b212_seasonality_chi2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val ev = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)").as("us")).collect().map(_.getLong(0))
+    val cells = ev.groupBy(us => ((us / 86400000000L + 4) % 7,
+      us % 86400000000L / 3600000000L)).view.mapValues(_.size.toLong).toMap
+    val t = ev.length.toLong
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(rows.map(_._3).sum === t)
+    rows.foreach { case (d, h, n, expMicro, chi2) =>
+      assert(n === cells((d, h)))
+      val (r, c) = (rm(d), cm(h))
+      assert(expMicro === r * c * 1000000L / t)
+      val num = (n * t - r * c).toDouble
+      val wantChi2 = num * num / (t.toDouble * r * c)
+      assert(math.abs(chi2 - wantChi2) <= 5e-5 + 1e-9 * wantChi2, s"cell ($d,$h)")
+    }
+    assert(rows.exists(_._5 > 0.0), "perfectly independent grid — vacuous")
+  }
+
+  test("B213: time-to-convert deciles replay in JVM with ANSI ntile sizes " +
+    "and non-overlapping ranges") {
+    val got = SparkEntry.queries("b213_time_to_convert")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val ttc = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val vs = es.filter(_._3 == "view").map(_._2)
+      if (vs.isEmpty) None
+      else {
+        val fv = vs.min
+        val ps = es.filter(e => e._3 == "purchase" && e._2 > fv).map(_._2)
+        if (ps.isEmpty) None else Some(u -> (ps.min - fv) / 1000L)
+      }
+    }.toSeq.sortBy { case (u, ms) => (ms, u) }
+    // ANSI ntile: the first (n mod 10) buckets get one extra row
+    val n = ttc.length; val base = n / 10; val extra = n % 10
+    val sizes = (1 to 10).map(d => if (d <= extra) base + 1 else base)
+    val bounds = sizes.scanLeft(0)(_ + _)
+    val want = (1 to 10).flatMap { dd =>
+      val slice = ttc.slice(bounds(dd - 1), bounds(dd)).map(_._2)
+      if (slice.isEmpty) None
+      else Some(dd.toLong -> (slice.length.toLong, slice.min, slice.max))
+    }.toMap
+    assert(got === want)
+    (1L to 9L).foreach { dd =>
+      for { a <- got.get(dd); b <- got.get(dd + 1) }
+        assert(a._3 <= b._2, s"decile $dd max > decile ${dd + 1} min")
+    }
+  }
 }
