@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
@@ -473,8 +474,10 @@ object PipelineOps {
     * a user's event count, never corpus-global), then a map-combinable
     * (prev, next) count; the row-normalize join runs over the
     * |event_types|² matrix — dashboard-sized. */
-  private val b195 = entry(
-    "b195_event_transitions",
+  /** B195's oracle — shared VERBATIM by B214's streamed maintenance (the
+    * b144/b148 twin convention: the stream must land on exactly the
+    * batch matrix). */
+  private[graft] val transitionOracleSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_type,
        |         lag(event_type) OVER (PARTITION BY user_id
@@ -488,7 +491,23 @@ object PipelineOps {
        |SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
        |       CAST(p.n * 10000 // r.tot AS BIGINT) AS p_bp
        |FROM pairs p JOIN rows_ r USING (prev_type)
-       |ORDER BY p.prev_type, p.next_type""".stripMargin, bench = true) { (s, d) =>
+       |ORDER BY p.prev_type, p.next_type""".stripMargin
+
+  /** The row-normalize tail over a (prev_type, next_type, n) pair-count
+    * relation — shared by B195 (batch) and B214 (streamed counts), the
+    * b161 liftFromBigrams pattern: keeping the tail literally shared is
+    * what makes the twins' equality a statement about the FOLD, not
+    * about two copies of the presentation. */
+  private[graft] def normalizeTransitions(pairs: DataFrame): DataFrame = {
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("CAST(n * 10000 div tot AS BIGINT)").as("p_bp"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val b195 = entry(
+    "b195_event_transitions", transitionOracleSql, bench = true) { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
@@ -496,11 +515,7 @@ object PipelineOps {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
-    pairs.join(broadcast(totals), "prev_type")
-      .select(col("prev_type"), col("next_type"), col("n"),
-        expr("CAST(n * 10000 div tot AS BIGINT)").as("p_bp"))
-      .orderBy("prev_type", "next_type")
+    normalizeTransitions(pairs)
   }
 
   val entries: Seq[Entry] =

@@ -653,7 +653,53 @@ object StreamReplay {
     graft.llm.NgramLm.liftFromBigrams(bg)
   }
 
+  private lazy val chunkDir214: String =
+    java.nio.file.Files.createTempDirectory("graft_b214_chunks").toString
+
+  /** B214 — STREAMED TRANSITION-MATRIX MAINTENANCE: B195's first-order
+    * Markov table kept current at the ingest door. The stateful fold
+    * ([[TransitionProcessor]]: one (ts, event_id, type) triple per user)
+    * replaces the batch lag window — each arriving event emits its
+    * adjacency against the carried last event — and the emitted pairs
+    * aggregate into the SHARED
+    * [[graft.operators.PipelineOps.normalizeTransitions]] tail. Oracle is
+    * B195's SQL verbatim: hash-green proves the micro-batched stateful
+    * fold ≡ the batch window for every (prev, next) cell and every bp.
+    * In-order arrival per user holds across batches by chunk construction
+    * (globally (ts, event_id)-sorted); within a batch the processor
+    * sorts, making order a non-assumption.
+    *
+    * Scale: streaming state is ONE triple per user (the minimum any
+    * adjacency fold needs); emissions collapse map-side into the
+    * |types|² matrix before the normalize join. */
+  private val b214 = entry(
+    "b214_stream_transitions",
+    graft.operators.PipelineOps.transitionOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("user_id", "ts", "event_id", "event_type")
+    StreamingOps.writeChunksDf(ev, chunkDir214, n = 8)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val pairs = StreamingOps.transitionPairsTws(
+        StreamingOps.readStream(s, chunkDir214))
+      s.catalog.dropTempView("b214_replay") // idempotent re-runs
+      // checkpoint the matrix: dedups the memory-sink scan under the
+      // normalize tail's self-join (conflicting-reference resolution
+      // fails on a shared MemoryPlan view) AND materializes before the
+      // provider conf is restored
+      val emitted = StreamingOps.runToMemory(pairs, "b214_replay", "append")
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      graft.operators.PipelineOps.normalizeTransitions(emitted)
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161)
+      b133, b148, b161, b214)
 }

@@ -335,6 +335,22 @@ object StreamingOps {
       .toDF("user_id", "start_micros", "n", "cents")
   }
 
+  /** The B214 stateful adjacency fold: (user, ts, event_id, type) stream
+    * → (prev_type, next_type) emissions via [[TransitionProcessor]]. */
+  def transitionPairsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TransitionProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF("prev_type", "next_type")
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =

@@ -190,6 +190,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(abs(col("balance") - col("expected")) > 1e-6).count() === 0)
   }
 
+  test("B214: cross-chunk adjacencies count exactly once in the stateful " +
+    "transition fold") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // user 1's walk a->b->c->d straddles all three chunks (2 rows per
+    // chunk under (ts, event_id) ordering with n = 3 over 6 rows); user
+    // 2 interleaves to prove key isolation
+    val rows = Seq(
+      (1L, 1000L, 1L, "a"), (2L, 1500L, 2L, "x"),
+      (1L, 2000L, 3L, "b"), (2L, 2500L, 4L, "y"),
+      (1L, 3000L, 5L, "c"), (1L, 4000L, 6L, "d"))
+    val df = rows.map { case (u, ms, id, t) =>
+      (id, new Timestamp(ms), u, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_b214_spec").toString
+    StreamingOps.writeChunksDf(df, dir, n = 3)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = StreamingOps.runToMemory(
+        StreamingOps.transitionPairsTws(StreamingOps.readStream(spark, dir, df.schema)),
+        "t_transitions_spec", "append")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === Map(("a", "b") -> 1, ("b", "c") -> 1, ("c", "d") -> 1,
+        ("x", "y") -> 1),
+        "each adjacency (incl. the chunk-straddling ones) exactly once")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B53 native: transformWithState running balance matches batch totals") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
