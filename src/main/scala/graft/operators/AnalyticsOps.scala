@@ -812,7 +812,260 @@ object AnalyticsOps {
       .orderBy("decile")
   }
 
+  /** B215 — LAST-TOUCH ATTRIBUTION (the marketing-analytics revenue
+    * allocator: every purchase credits the user's most recent PRECEDING
+    * non-purchase event type): per purchase, channel = last non-purchase
+    * type over ROWS UNBOUNDED PRECEDING AND 1 PRECEDING with IGNORE
+    * NULLS (Spark `last(expr, ignoreNulls)` ≡ DuckDB `last_value(expr
+    * IGNORE NULLS)` — frame semantics identical), purchases with no
+    * prior touch land in the '(none)' bucket; channels aggregate
+    * n/revenue cents/revenue share bp (revenue·10⁴ div total).
+    *
+    * Scale posture: one user-partitioned window + one map-combinable
+    * channel aggregate (≤|types| rows) + an O(1) total cross-broadcast. */
+  private val b215 = entry(
+    "b215_attribution_last_touch",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |att AS (
+      |  SELECT event_type, cents,
+      |         last_value(CASE WHEN event_type <> 'purchase'
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS src
+      |  FROM seq),
+      |ch AS (
+      |  SELECT coalesce(src, '(none)') AS channel,
+      |         CAST(count(*) AS BIGINT) AS n_purchases,
+      |         CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |  FROM att WHERE event_type = 'purchase'
+      |  GROUP BY coalesce(src, '(none)')),
+      |tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM ch)
+      |SELECT channel, n_purchases, revenue_cents,
+      |       CAST(revenue_cents * 10000 // tot.t AS BIGINT) AS share_bp
+      |FROM ch CROSS JOIN tot
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val att = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("src",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+    val ch = att.filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("src"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+    val tot = ch.agg(sum("revenue_cents").as("t"))
+    ch.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_purchases"), col("revenue_cents"),
+        expr("CAST(revenue_cents * 10000 div t AS BIGINT)").as("share_bp"))
+      .orderBy("channel")
+  }
+
+  /** B216 — GROWTH ACCOUNTING / revenue waterfall (the SaaS
+    * new-expansion-contraction-churn bridge; Skok's "SaaS metrics"
+    * canon): per (user, week — [[graft.operators.PipelineOps.weekFloorExpr]])
+    * purchase cents, each consecutive-week pair (full outer join of week
+    * w against w−1 per user) decomposes into
+    *   new (first-ever week), resurrected (absent w−1, not first),
+    *   expansion (max(0, cur−prev)), contraction (−max(0, prev−cur)),
+    *   churned (−prev when absent in w),
+    * with retained = min(cur, prev) implied. The BRIDGE IDENTITY —
+    * revenue(w) − revenue(w−1) = new + resurrected + expansion +
+    * contraction + churned — holds exactly in integer cents and is
+    * spec-pinned per week.
+    *
+    * Scale posture: one map-combinable (user, week) aggregate, one
+    * per-user first-week aggregate (broadcast-joined), one self-join
+    * keyed (user, week) with ±1-week shift, one map-combinable week
+    * aggregate. */
+  private val b216 = entry(
+    "b216_growth_accounting",
+    s"""WITH uw AS (
+       |  SELECT user_id,
+       |         ${graft.operators.PipelineOps.weekFloorSqlDuck} AS week,
+       |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |           AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id, 2),
+       |fw AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY user_id),
+       |pairs AS (
+       |  SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       |         coalesce(c.week, p.week + 1) AS week,
+       |         c.cents AS cur, p.cents AS prev
+       |  FROM uw c FULL OUTER JOIN uw p
+       |    ON p.user_id = c.user_id AND p.week = c.week - 1),
+       |cls AS (
+       |  SELECT pairs.week,
+       |         CASE WHEN cur IS NOT NULL AND prev IS NULL
+       |                   AND pairs.week = fw.first_week THEN cur ELSE 0 END
+       |           AS new_c,
+       |         CASE WHEN cur IS NOT NULL AND prev IS NULL
+       |                   AND pairs.week > fw.first_week THEN cur ELSE 0 END
+       |           AS res_c,
+       |         CASE WHEN cur IS NOT NULL AND prev IS NOT NULL AND cur > prev
+       |              THEN cur - prev ELSE 0 END AS exp_c,
+       |         CASE WHEN cur IS NOT NULL AND prev IS NOT NULL AND cur < prev
+       |              THEN cur - prev ELSE 0 END AS con_c,
+       |         CASE WHEN cur IS NULL THEN -prev ELSE 0 END AS chu_c
+       |  FROM pairs JOIN fw ON fw.user_id = pairs.user_id)
+       |SELECT week, CAST(sum(new_c) AS BIGINT) AS new_cents,
+       |       CAST(sum(res_c) AS BIGINT) AS resurrected_cents,
+       |       CAST(sum(exp_c) AS BIGINT) AS expansion_cents,
+       |       CAST(sum(con_c) AS BIGINT) AS contraction_cents,
+       |       CAST(sum(chu_c) AS BIGINT) AS churned_cents,
+       |       CAST(sum(new_c + res_c + exp_c + con_c + chu_c) AS BIGINT)
+       |         AS net_cents
+       |FROM cls GROUP BY week ORDER BY week""".stripMargin) { (s, d) =>
+    val uw = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+    val fw = uw.groupBy("user_id").agg(min("week").as("first_week"))
+    val c = uw.select(col("user_id").as("cu"), col("week").as("cw"),
+      col("cents").as("cur"))
+    val p = uw.select(col("user_id").as("pu"), col("week").as("pw"),
+      col("cents").as("prev"))
+    val pairs = c.join(p, col("pu") === col("cu") && col("pw") === col("cw") - 1,
+        "full_outer")
+      .select(coalesce(col("cu"), col("pu")).as("user_id"),
+        coalesce(col("cw"), col("pw") + 1).as("week"),
+        col("cur"), col("prev"))
+    pairs.join(fw, "user_id")
+      .select(col("week"),
+        when(col("cur").isNotNull && col("prev").isNull &&
+          col("week") === col("first_week"), col("cur")).otherwise(0L).as("new_c"),
+        when(col("cur").isNotNull && col("prev").isNull &&
+          col("week") > col("first_week"), col("cur")).otherwise(0L).as("res_c"),
+        when(col("cur").isNotNull && col("prev").isNotNull &&
+          col("cur") > col("prev"), col("cur") - col("prev")).otherwise(0L)
+          .as("exp_c"),
+        when(col("cur").isNotNull && col("prev").isNotNull &&
+          col("cur") < col("prev"), col("cur") - col("prev")).otherwise(0L)
+          .as("con_c"),
+        when(col("cur").isNull, -col("prev")).otherwise(0L).as("chu_c"))
+      .groupBy("week")
+      .agg(sum("new_c").as("new_cents"), sum("res_c").as("resurrected_cents"),
+        sum("exp_c").as("expansion_cents"), sum("con_c").as("contraction_cents"),
+        sum("chu_c").as("churned_cents"),
+        sum(col("new_c") + col("res_c") + col("exp_c") + col("con_c") +
+          col("chu_c")).as("net_cents"))
+      .orderBy("week")
+  }
+
+  /** B217 — ITEM-ITEM RECOMMENDATION SERVE TABLE (the co-occurrence
+    * conditional ranking behind "customers also bought"; Linden et al.,
+    * IEEE IC'03): b197's basket pairs symmetrized, then per item the top
+    * 3 partners by confidence (n_pair·10⁴ div n_item) with
+    * (conf DESC, partner ASC) rank — a deterministic dense serve table,
+    * minsup [[MinSup]] inherited.
+    *
+    * Scale posture: the bounded-fanout basket self-join (b197 argument)
+    * + one item-partitioned rank window over the PAIR relation (≤
+    * basket-pair cardinality, far below facts) + broadcast item counts. */
+  private val b217 = entry(
+    "b217_item_item_topk",
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |itemn AS (SELECT p, count(*) AS n_item FROM items GROUP BY p),
+       |pairs AS (
+       |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_pair
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p),
+       |sym AS (
+       |  SELECT p1 AS a, p2 AS b, n_pair FROM pairs WHERE n_pair >= $MinSup
+       |  UNION ALL
+       |  SELECT p2, p1, n_pair FROM pairs WHERE n_pair >= $MinSup),
+       |conf AS (
+       |  SELECT sym.a, sym.b,
+       |         CAST(sym.n_pair * 10000 // i.n_item AS BIGINT) AS conf_bp
+       |  FROM sym JOIN itemn i ON i.p = sym.a),
+       |rk AS (
+       |  SELECT a, b, conf_bp,
+       |         CAST(row_number() OVER (PARTITION BY a
+       |                                 ORDER BY conf_bp DESC, b) AS BIGINT)
+       |           AS rnk
+       |  FROM conf)
+       |SELECT a AS item, rnk, b AS rec, conf_bp
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY item, rnk""".stripMargin, bench = true) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("x")
+      .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSup)
+    val sym = pairs.select(col("p1").as("a"), col("p2").as("b"), col("n_pair"))
+      .unionByName(pairs.select(col("p2").as("a"), col("p1").as("b"),
+        col("n_pair")))
+    val conf = sym
+      .join(broadcast(itemN.select(col("p").as("a"), col("n_item"))), "a")
+      .select(col("a"), col("b"),
+        expr("CAST(n_pair * 10000 div n_item AS BIGINT)").as("conf_bp"))
+    val w = Window.partitionBy(col("a")).orderBy(col("conf_bp").desc, col("b"))
+    conf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("a").as("item"), col("rnk"), col("b").as("rec"),
+        col("conf_bp"))
+      .orderBy("item", "rnk")
+  }
+
+  /** B218 — STICKINESS (WAU / trailing-4-week MAU, the DAU/MAU engagement
+    * ratio at week grain every growth dashboard carries): per week w,
+    * wau = distinct active users in w, mau4 = distinct users across
+    * weeks w−3..w (computed by fanning each (user, week) presence row
+    * out to the ≤4 windows it serves — a BOUNDED-fanout equi-ish join,
+    * never a distinct-over-range window, which neither engine has), and
+    * stickiness_bp = wau·10⁴ div mau4 ≤ 10⁴.
+    *
+    * Scale posture: per-(user, week) presence is map-combinable; the
+    * fanout join multiplies by ≤4 then collapses to (week, user)
+    * distinct → week counts; the week spine is calendar-bounded. */
+  private val b218 = entry(
+    "b218_stickiness_wau_mau",
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id,
+       |         ${graft.operators.PipelineOps.weekFloorSqlDuck} AS week
+       |  FROM events),
+       |wk AS (SELECT DISTINCT week FROM uw),
+       |wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM uw GROUP BY week),
+       |mau AS (
+       |  SELECT wk.week, CAST(count(DISTINCT uw.user_id) AS BIGINT) AS mau4
+       |  FROM wk JOIN uw
+       |    ON uw.week BETWEEN wk.week - 3 AND wk.week
+       |  GROUP BY wk.week)
+       |SELECT wau.week, wau.wau, mau.mau4,
+       |       CAST(wau.wau * 10000 // mau.mau4 AS BIGINT) AS stickiness_bp
+       |FROM wau JOIN mau USING (week)
+       |ORDER BY wau.week""".stripMargin) { (s, d) =>
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+      .distinct()
+    val wk = uw.select("week").distinct()
+    val wau = uw.groupBy("week").agg(count(lit(1)).as("wau"))
+    val mau = wk.select(col("week").as("w"))
+      .join(uw, col("week").between(col("w") - 3, col("w")))
+      .select(col("w").as("week"), col("user_id")).distinct()
+      .groupBy("week").agg(count(lit(1)).as("mau4"))
+    wau.join(mau, "week")
+      .select(col("week"), col("wau"), col("mau4"),
+        expr("CAST(wau * 10000 div mau4 AS BIGINT)").as("stickiness_bp"))
+      .orderBy("week")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
-      b213)
+      b213, b215, b216, b217, b218)
 }

@@ -450,6 +450,11 @@ object PipelineOps {
     "(unix_micros(ts) - 1704067200000000L) div 604800000000L" +
       " - cast((unix_micros(ts) - 1704067200000000L) % 604800000000L < 0 as bigint)"
 
+  /** [[weekFloorExpr]]'s DuckDB spelling (`//` IS floor division there —
+    * no sign correction needed). Shared by the b216/b218 oracles. */
+  private[graft] val weekFloorSqlDuck: String =
+    "(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 604800000000"
+
   private val b118 = entry("b118_cohort_retention", cohortOracleSql) { (s, d) =>
     val wk = Tables.events(s, d).select(col("user_id"),
       expr(weekFloorExpr).as("week"))

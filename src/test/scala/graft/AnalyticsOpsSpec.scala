@@ -494,4 +494,105 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         assert(a._3 <= b._2, s"decile $dd max > decile ${dd + 1} min")
     }
   }
+
+  test("B215: last-touch allocation replays in JVM and conserves revenue") {
+    val got = SparkEntry.queries("b215_attribution_last_touch")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong))
+    val alloc = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var lastTouch: Option[String] = None
+      es.sortBy(e => (e._2, e._3)).flatMap { case (_, _, _, t, c) =>
+        val out = if (t == "purchase") Some(lastTouch.getOrElse("(none)") -> c)
+                  else { lastTouch = Some(t); None }
+        out
+      }
+    }
+    val wantRev = alloc.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val total = alloc.map(_._2).sum
+    val want = wantRev.map { case (ch, (n, rev)) =>
+      ch -> (n, rev, rev * 10000L / total)
+    }
+    assert(got === want)
+    assert(got.values.map(_._2).sum === total, "revenue not conserved")
+    val shareSum = got.values.map(_._3).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - got.size,
+      "floor shares must sum to within |channels| of 10^4")
+  }
+
+  test("B216: the growth-accounting bridge identity holds per week in exact cents") {
+    val got = SparkEntry.queries("b216_growth_accounting")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))
+      .toMap
+    // independent weekly revenue (purchases only, same week floor)
+    val rev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weeks = (got.keySet ++ rev.keySet).toSeq.sorted
+    weeks.foreach { w =>
+      val (nw, rs, ex, co, ch, net) = got.getOrElse(w, (0L, 0L, 0L, 0L, 0L, 0L))
+      assert(net === nw + rs + ex + co + ch, s"week $w: net != sum of parts")
+      val bridge = rev.getOrElse(w, 0L) - rev.getOrElse(w - 1, 0L)
+      assert(net === bridge,
+        s"week $w: net $net != revenue bridge $bridge")
+    }
+    assert(got.values.exists(_._4 < 0) && got.values.exists(_._5 < 0),
+      "no contraction/churn observed — decomposition vacuous")
+  }
+
+  test("B217: item-item top-3 replays in JVM (symmetric confidence ranking)") {
+    val got = SparkEntry.queries("b217_item_item_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val itemN = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = li.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2L).toMap
+    val sym = pairCnt.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (a, xs) =>
+      xs.map { case (_, b, n) => (b, n * 10000L / itemN(a)) }
+        .sortBy { case (b, conf) => (-conf, b) }
+        .take(3).zipWithIndex
+        .map { case ((b, conf), i) => (a, i + 1L, b, conf) }
+    }.toSet
+    assert(got.toSet === want)
+    got.groupBy(_._1).foreach { case (item, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq,
+        s"item $item ranks not contiguous")
+    }
+  }
+
+  test("B218: stickiness replays in JVM; wau <= mau4 and ratio <= 10^4") {
+    val got = SparkEntry.queries("b218_stickiness_wau_mau")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val uw = Tables.events(spark, sf)
+      .select(col("user_id"), expr(graft.operators.PipelineOps.weekFloorExpr)
+        .as("week")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val weeks = uw.map(_._2).distinct
+    val want = weeks.map { w =>
+      val wau = uw.count(_._2 == w).toLong
+      val mau = uw.filter(x => x._2 >= w - 3 && x._2 <= w).map(_._1)
+        .distinct.length.toLong
+      w -> (wau, mau, wau * 10000L / mau)
+    }.toMap
+    assert(got === want)
+    got.values.foreach { case (wau, mau, bp) =>
+      assert(wau <= mau && bp <= 10000L)
+    }
+  }
 }
