@@ -1065,7 +1065,174 @@ object AnalyticsOps {
       .orderBy("week")
   }
 
+  /** The B219 per-type c·ln(c) term — 0 for empty counts, CAST-to-DOUBLE
+    * before the product (the welchT2Expr literal rule: bare float
+    * literals parse DECIMAL). */
+  private def clnc(c: String): String =
+    s"CASE WHEN $c > 0 THEN CAST($c AS DOUBLE) * ln(CAST($c AS DOUBLE))" +
+      s" ELSE CAST(0 AS DOUBLE) END"
+
+  /** B219's Shannon entropy over the FIXED five-type pivot, as ONE
+    * shared expression text: H = ln(n) − Σ c·ln(c) / n. Pivoting the
+    * closed type set into named columns is what makes the float SUM
+    * deterministic — the five terms add in the WRITTEN order, where a
+    * SQL sum() over a doubles column would expose engine partial-sum
+    * order (the b22 lesson applied to entropy). */
+  private val entropyExpr: String =
+    s"round(ln(CAST(n AS DOUBLE)) - (${clnc("c_click")} + ${clnc("c_error")}" +
+      s" + ${clnc("c_purchase")} + ${clnc("c_signup")} + ${clnc("c_view")})" +
+      s" / CAST(n AS DOUBLE), 4)"
+
+  /** B219 — BEHAVIORAL DIVERSITY SCORE (Shannon entropy of each user's
+    * event-type mix — the exploration/specialization signal recsys and
+    * engagement models feed on; Shannon 1948): per user, the closed
+    * five-type histogram pivots to fixed columns (conditional
+    * map-combinable sums — the closed set IS the contract, like b208's
+    * pattern alphabet), and H computes via [[entropyExpr]] with the
+    * written-order float sum. Bounds 0 ≤ H ≤ ln(5) ≈ 1.6094 spec-pinned.
+    *
+    * Scale posture: ONE map-combinable aggregate keyed on user; the
+    * entropy is a scalar expression over six columns — no window, no
+    * join, no second pass. */
+  private val b219 = entry(
+    "b219_user_entropy",
+    s"""WITH pv AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c_click,
+       |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c_error,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c_purchase,
+       |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c_signup,
+       |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c_view
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id, n,
+       |       CAST((CASE WHEN c_click > 0 THEN 1 ELSE 0 END) +
+       |            (CASE WHEN c_error > 0 THEN 1 ELSE 0 END) +
+       |            (CASE WHEN c_purchase > 0 THEN 1 ELSE 0 END) +
+       |            (CASE WHEN c_signup > 0 THEN 1 ELSE 0 END) +
+       |            (CASE WHEN c_view > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_types,
+       |       $entropyExpr AS entropy
+       |FROM pv ORDER BY user_id""".stripMargin) { (s, d) =>
+    val pv = Tables.events(s, d).groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c_click"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c_error"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c_purchase"),
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("c_signup"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_view"))
+    pv.select(col("user_id"), col("n"),
+        expr("CAST((CASE WHEN c_click > 0 THEN 1 ELSE 0 END) +" +
+          " (CASE WHEN c_error > 0 THEN 1 ELSE 0 END) +" +
+          " (CASE WHEN c_purchase > 0 THEN 1 ELSE 0 END) +" +
+          " (CASE WHEN c_signup > 0 THEN 1 ELSE 0 END) +" +
+          " (CASE WHEN c_view > 0 THEN 1 ELSE 0 END) AS BIGINT)").as("n_types"),
+        expr(entropyExpr).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  /** B220 — DUPLICATE-TRANSACTION AUDIT (the double-charge candidate
+    * pass of payment forensics): pairs of a user's events in the same
+    * DOLLAR bucket (cents div 100 — the bucket is what makes the
+    * blocking key selective without an all-pairs scan) within 24 h,
+    * ordered (ts, event_id) so each unordered pair emits exactly once;
+    * rows carry the gap for triage. 22/195/2228 pairs at the three gate
+    * SFs — non-vacuous, not exploding.
+    *
+    * Scale posture: an EQUI-join keyed (user, dollar) — cost Σ group²
+    * over same-user-same-dollar groups (collision-sized), never n²; the
+    * time predicate is a join residual. The b43-LSH shape with an exact
+    * blocking key. */
+  private val b220 = entry(
+    "b220_duplicate_txn_audit",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS dollars
+      |  FROM events)
+      |SELECT a.user_id, a.event_id AS e1, b.event_id AS e2, a.dollars,
+      |       CAST((b.us - a.us) // 1000 AS BIGINT) AS gap_ms
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND a.dollars = b.dollars
+      | AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+      | AND b.us - a.us <= 86400000000
+      |ORDER BY a.user_id, e1, e2""".stripMargin, bench = true) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100").as("dollars"))
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.dollars") === col("b.dollars") &&
+          (col("a.us") < col("b.us") ||
+            (col("a.us") === col("b.us") &&
+              col("a.event_id") < col("b.event_id"))) &&
+          col("b.us") - col("a.us") <= 86400000000L)
+      .select(col("a.user_id").as("user_id"), col("a.event_id").as("e1"),
+        col("b.event_id").as("e2"), col("a.dollars").as("dollars"),
+        expr("CAST((b.us - a.us) div 1000 AS BIGINT)").as("gap_ms"))
+      .orderBy("user_id", "e1", "e2")
+  }
+
+  /** Benford first-digit probabilities, floor(log10(1 + 1/d)·10⁶) — the
+    * nine micro constants ARE the contract (no runtime log10, whose libm
+    * could differ); they sum to 999995 (floor loss ≤ 9). */
+  private val BenfordMicro: Seq[(Long, Long)] = Seq(
+    1L -> 301029L, 2L -> 176091L, 3L -> 124938L, 4L -> 96910L, 5L -> 79181L,
+    6L -> 66946L, 7L -> 57991L, 8L -> 51152L, 9L -> 45757L)
+
+  /** B221 — BENFORD FIRST-DIGIT AUDIT (Benford 1938; Nigrini's forensic
+    * accounting screen): the first-digit distribution of order totals in
+    * cents vs the Benford expectation log10(1 + 1/d), both in integer
+    * micro. First digit extracts via string head (engine-identical for
+    * positive integers — no float log10 in the digit path either);
+    * constants are frozen literals [[BenfordMicro]]. Deviation is signed
+    * micro; the verdict column |dev| is left to the reader — the audit
+    * table is the operator.
+    *
+    * Scale posture: one map-combinable 9-bucket count + an O(1) total
+    * cross-broadcast + a 9-row broadcast constants join. */
+  private val b221 = entry(
+    "b221_benford_audit", {
+      val vals = BenfordMicro.map { case (dd, m) => s"($dd, $m)" }.mkString(", ")
+      s"""WITH fd AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+         |                               AS BIGINT) AS VARCHAR), 1, 1)
+         |              AS BIGINT) AS digit
+         |  FROM orders),
+         |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+         |        FROM fd GROUP BY digit),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+         |bf(digit, benford_micro) AS (VALUES $vals)
+         |SELECT cnt.digit, cnt.n,
+         |       CAST(cnt.n * 1000000 // tot.t AS BIGINT) AS obs_micro,
+         |       CAST(bf.benford_micro AS BIGINT) AS benford_micro,
+         |       CAST(cnt.n * 1000000 // tot.t - bf.benford_micro AS BIGINT)
+         |         AS dev_micro
+         |FROM cnt CROSS JOIN tot JOIN bf USING (digit)
+         |ORDER BY cnt.digit""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val fd = Tables.orders(s, d).select(
+      expr("CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)" +
+        " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val cnt = fd.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum("n").as("t"))
+    val bf = BenfordMicro.toDF("digit", "benford_micro")
+    cnt.crossJoin(broadcast(tot)).join(broadcast(bf), "digit")
+      .select(col("digit"), col("n"),
+        expr("CAST(n * 1000000 div t AS BIGINT)").as("obs_micro"),
+        col("benford_micro"),
+        expr("CAST(n * 1000000 div t - benford_micro AS BIGINT)")
+          .as("dev_micro"))
+      .orderBy("digit")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
-      b213, b215, b216, b217, b218)
+      b213, b215, b216, b217, b218, b219, b220, b221)
 }

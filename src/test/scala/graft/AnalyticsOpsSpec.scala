@@ -595,4 +595,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(wau <= mau && bp <= 10000L)
     }
   }
+
+  test("B219: user entropy replays in JVM and sits in [0, ln 5]") {
+    val got = SparkEntry.queries("b219_user_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      val cs = types.map(t => es.count(_._2 == t).toLong)
+      val n = es.length.toLong
+      val h = math.log(n.toDouble) -
+        cs.map(c => if (c > 0) c.toDouble * math.log(c.toDouble) else 0.0).sum / n
+      u -> (n, cs.count(_ > 0).toLong, h)
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (u, (n, nt, h)) =>
+      val (gn, gnt, gh) = got(u)
+      assert(gn === n && gnt === nt)
+      assert(math.abs(gh - h) <= 5e-5 + 1e-9, s"user $u entropy")
+      assert(gh >= 0.0 && gh <= math.log(5.0) + 5e-5, s"user $u bounds")
+    }
+  }
+
+  test("B220: duplicate-pair audit replays in JVM; each unordered pair once; " +
+    "gaps within the day window") {
+    val got = SparkEntry.queries("b220_duplicate_txn_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong / 100L))
+    val want = (for {
+      a <- ev; b <- ev
+      if a._1 == b._1 && a._4 == b._4
+      if a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)
+      if b._2 - a._2 <= 86400000000L
+    } yield (a._1, a._3, b._3, a._4, (b._2 - a._2) / 1000L)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "no duplicate candidates — audit vacuous")
+    got.foreach { case (_, e1, e2, _, gap) =>
+      assert(e1 != e2 && gap >= 0L && gap <= 86400000L)
+    }
+    // exactly-once: no pair appears in both orientations
+    val ids = got.map(p => (p._2, p._3))
+    assert(ids.intersect(got.map(p => (p._3, p._2))).isEmpty)
+  }
+
+  test("B221: Benford audit replays in JVM; digits complete; constants " +
+    "sum to 999995") {
+    val got = SparkEntry.queries("b221_benford_audit")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet === (1L to 9L).toSet)
+    assert(got.values.map(_._3).sum === 999995L)
+    val cents = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+    val cnt = cents.groupBy(_.toString.head.asDigit.toLong).view
+      .mapValues(_.length.toLong).toMap
+    val t = cents.length.toLong
+    got.foreach { case (dd, (n, obs, bf, dev)) =>
+      assert(n === cnt(dd))
+      assert(obs === n * 1000000L / t)
+      assert(dev === obs - bf)
+    }
+  }
 }
