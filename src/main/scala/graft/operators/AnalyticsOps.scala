@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Registry._
 import graft.sources.Tables
@@ -823,8 +824,9 @@ object AnalyticsOps {
     *
     * Scale posture: one user-partitioned window + one map-combinable
     * channel aggregate (≤|types| rows) + an O(1) total cross-broadcast. */
-  private val b215 = entry(
-    "b215_attribution_last_touch",
+  /** B215's oracle — shared VERBATIM by B224's streamed maintenance (the
+    * b195/b214 twin convention). */
+  private[graft] val attributionOracleSql: String =
     """WITH seq AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -847,7 +849,23 @@ object AnalyticsOps {
       |SELECT channel, n_purchases, revenue_cents,
       |       CAST(revenue_cents * 10000 // tot.t AS BIGINT) AS share_bp
       |FROM ch CROSS JOIN tot
-      |ORDER BY channel""".stripMargin) { (s, d) =>
+      |ORDER BY channel""".stripMargin
+
+  /** The channel-rollup tail over (channel, cents) allocation rows —
+    * shared by B215 (batch window) and B224 (streamed stateful fold),
+    * the normalizeTransitions pattern. */
+  private[graft] def channelShares(att: DataFrame): DataFrame = {
+    val ch = att.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+    val tot = ch.agg(sum("revenue_cents").as("t"))
+    ch.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_purchases"), col("revenue_cents"),
+        expr("CAST(revenue_cents * 10000 div t AS BIGINT)").as("share_bp"))
+      .orderBy("channel")
+  }
+
+  private val b215 = entry(
+    "b215_attribution_last_touch", attributionOracleSql) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -858,14 +876,8 @@ object AnalyticsOps {
       .withColumn("src",
         last(when(col("event_type") =!= "purchase", col("event_type")),
           ignoreNulls = true).over(w))
-    val ch = att.filter(col("event_type") === "purchase")
-      .groupBy(coalesce(col("src"), lit("(none)")).as("channel"))
-      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
-    val tot = ch.agg(sum("revenue_cents").as("t"))
-    ch.crossJoin(broadcast(tot))
-      .select(col("channel"), col("n_purchases"), col("revenue_cents"),
-        expr("CAST(revenue_cents * 10000 div t AS BIGINT)").as("share_bp"))
-      .orderBy("channel")
+    channelShares(att.filter(col("event_type") === "purchase")
+      .select(coalesce(col("src"), lit("(none)")).as("channel"), col("cents")))
   }
 
   /** B216 — GROWTH ACCOUNTING / revenue waterfall (the SaaS
@@ -1232,7 +1244,121 @@ object AnalyticsOps {
       .orderBy("digit")
   }
 
+  /** B222 — COHORT LTV CURVE (the lifetime-value-by-age readout layered
+    * on B118's retention triangle: the same (cohort, offset) grid
+    * carrying MONEY instead of presence): cohort = a user's first
+    * ACTIVITY week (any event — the b118 convention), revenue = purchase
+    * cents per (cohort, offset = week − cohort); cum_cents accumulates
+    * over each cohort's present offsets (zero-revenue offsets are
+    * absent; the cumulative at present offsets is unaffected), and
+    * ltv_per_user_cents = cum div cohort size (ALL users in the cohort —
+    * intent-to-treat, the b201 argument).
+    *
+    * Scale posture: two map-combinable aggregates + a user-keyed join +
+    * one cohort-partitioned cumulative window over the (cohort, offset)
+    * GRID (calendar² rows, never data-proportional) + a broadcast
+    * cohort-size join. */
+  private val b222 = entry(
+    "b222_cohort_ltv", {
+      val wf = graft.operators.PipelineOps.weekFloorSqlDuck
+      s"""WITH co AS (
+         |  SELECT user_id, min($wf) AS cohort_week
+         |  FROM events GROUP BY user_id),
+         |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+         |       FROM co GROUP BY cohort_week),
+         |rev AS (
+         |  SELECT co.cohort_week, $wf - co.cohort_week AS offs,
+         |         CAST(count(*) AS BIGINT) AS n_purchases,
+         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS rev_cents
+         |  FROM events e JOIN co ON co.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase'
+         |  GROUP BY co.cohort_week, 2),
+         |cum AS (
+         |  SELECT cohort_week, offs, n_purchases, rev_cents,
+         |         CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+         |                                   ORDER BY offs
+         |                                   ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cum_cents
+         |  FROM rev)
+         |SELECT cum.cohort_week, cum.offs, cum.n_purchases, cum.rev_cents,
+         |       cum.cum_cents, cs.cohort_size,
+         |       CAST(cum.cum_cents // cs.cohort_size AS BIGINT)
+         |         AS ltv_per_user_cents
+         |FROM cum JOIN cs USING (cohort_week)
+         |ORDER BY cum.cohort_week, cum.offs""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wf = graft.operators.PipelineOps.weekFloorExpr
+    val ev = Tables.events(s, d)
+    val co = ev.groupBy("user_id").agg(min(expr(wf)).as("cohort_week"))
+    val cs = co.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(co, "user_id")
+      .groupBy(col("cohort_week"),
+        (expr(wf) - col("cohort_week")).as("offs"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("offs"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("cum_cents", sum(col("rev_cents")).over(w).cast("long"))
+      .join(broadcast(cs), "cohort_week")
+      .select(col("cohort_week"), col("offs"), col("n_purchases"),
+        col("rev_cents"), col("cum_cents"), col("cohort_size"),
+        expr("CAST(cum_cents div cohort_size AS BIGINT)")
+          .as("ltv_per_user_cents"))
+      .orderBy("cohort_week", "offs")
+  }
+
+  /** B223 bin width: $25k in cents — ~25 occupied bins over the order
+    * price range at every SF (the generated totalprice distribution is
+    * SF-invariant). */
+  private val HistW = 2500000L
+
+  /** B223 — EQUI-WIDTH HISTOGRAM + CDF (the profiler primitive behind
+    * every "distribution of X" panel, and the exact-integer sibling of
+    * B23's percentiles): order totals in cents bucket by div
+    * [[HistW]], each bin carrying count, share bp, cumulative count and
+    * CDF bp (cum·10⁴ div N — monotone, ending at 10⁴ exactly).
+    * Empty interior bins are absent (the bin spine is the OCCUPIED set;
+    * CDF at present bins is unaffected — the b222 offsets argument).
+    *
+    * Scale posture: one map-combinable bin count + a cumulative window
+    * over the BIN spine (range-bounded, ~25 rows) + O(1) total. */
+  private val b223 = entry(
+    "b223_histogram_cdf",
+    s"""WITH b AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // $HistW
+       |           AS bin,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b),
+       |c AS (
+       |  SELECT bin, n,
+       |         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+       |              AS BIGINT) AS cum
+       |  FROM b)
+       |SELECT c.bin, c.bin * $HistW AS lo_cents, c.n,
+       |       CAST(c.n * 10000 // tot.t AS BIGINT) AS share_bp,
+       |       c.cum, CAST(c.cum * 10000 // tot.t AS BIGINT) AS cdf_bp
+       |FROM c CROSS JOIN tot
+       |ORDER BY c.bin""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.orders(s, d)
+      .select(expr(s"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div $HistW")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val tot = b.agg(sum("n").as("t"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    b.withColumn("cum", sum(col("n")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), (col("bin") * HistW).as("lo_cents"), col("n"),
+        expr("CAST(n * 10000 div t AS BIGINT)").as("share_bp"), col("cum"),
+        expr("CAST(cum * 10000 div t AS BIGINT)").as("cdf_bp"))
+      .orderBy("bin")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
-      b213, b215, b216, b217, b218, b219, b220, b221)
+      b213, b215, b216, b217, b218, b219, b220, b221, b222, b223)
 }

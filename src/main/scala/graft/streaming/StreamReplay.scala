@@ -699,7 +699,44 @@ object StreamReplay {
     }
   }
 
+  private lazy val chunkDir224: String =
+    java.nio.file.Files.createTempDirectory("graft_b224_chunks").toString
+
+  /** B224 — STREAMED LAST-TOUCH ATTRIBUTION: B215's revenue allocator at
+    * the ingest door (the b214 convention applied to the attribution
+    * fold): [[AttributionProcessor]] carries one last-touch string per
+    * user and emits (channel, cents) per purchase; emissions roll up
+    * through the SHARED
+    * [[graft.operators.AnalyticsOps.channelShares]] tail. Oracle is
+    * B215's SQL verbatim — the streamed fold lands on exactly the batch
+    * IGNORE-NULLS window's allocation, every channel, every bp.
+    *
+    * Scale: streaming state is ONE string per user; emissions collapse
+    * map-side into the ≤|types| channel table before the share join. */
+  private val b224 = entry(
+    "b224_stream_attribution",
+    graft.operators.AnalyticsOps.attributionOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    StreamingOps.writeChunksDf(ev, chunkDir224, n = 8)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val att = StreamingOps.attributionTws(
+        StreamingOps.readStream(s, chunkDir224))
+      s.catalog.dropTempView("b224_replay") // idempotent re-runs
+      // checkpoint before the share tail's self-join (the b214 rule)
+      val emitted = StreamingOps.runToMemory(att, "b224_replay", "append")
+        .localCheckpoint(true)
+      graft.operators.AnalyticsOps.channelShares(emitted)
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214)
+      b133, b148, b161, b214, b224)
 }

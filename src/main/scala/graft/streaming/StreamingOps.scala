@@ -351,6 +351,24 @@ object StreamingOps {
       .toDF("prev_type", "next_type")
   }
 
+  /** The B224 stateful attribution fold: (user, ts, event_id, type,
+    * value) stream → (channel, cents) emissions via
+    * [[AttributionProcessor]]. */
+  def attributionTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new AttributionProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF("channel", "cents")
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =

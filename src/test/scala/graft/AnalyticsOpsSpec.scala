@@ -664,4 +664,53 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(dev === obs - bf)
     }
   }
+
+  test("B222: LTV curve replays in JVM; cumulative is monotone and " +
+    "totals conserve purchase revenue") {
+    val got = SparkEntry.queries("b222_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr(graft.operators.PipelineOps.weekFloorExpr)
+        .as("week"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val cells = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .view.mapValues(xs => (xs.size.toLong, xs.map(_._4).sum)).toMap
+    val want = cells.keys.toSeq.sorted.map { case (cw, off) =>
+      val (n, rev) = cells((cw, off))
+      val cum = cells.filter(c => c._1._1 == cw && c._1._2 <= off)
+        .values.map(_._2).sum
+      (cw, off) -> (n, rev, cum, sizes(cw), cum / sizes(cw))
+    }.toMap
+    assert(got === want)
+    // conservation: the last cumulative per cohort sums to all purchase cents
+    val lastCum = got.groupBy(_._1._1).values
+      .map(g => g.maxBy(_._1._2)._2._3).sum
+    assert(lastCum === ev.filter(_._3 == "purchase").map(_._4).sum)
+  }
+
+  test("B223: histogram replays in JVM; CDF is monotone and ends at 10^4") {
+    val got = SparkEntry.queries("b223_histogram_cdf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val cents = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+    val bins = cents.groupBy(_ / 2500000L).view.mapValues(_.length.toLong).toMap
+    val t = cents.length.toLong
+    assert(got.map(_._1).toSet === bins.keySet)
+    got.foreach { case (bin, (lo, n, share, cum, cdf)) =>
+      assert(lo === bin * 2500000L && n === bins(bin))
+      assert(share === n * 10000L / t)
+      assert(cum === bins.filter(_._1 <= bin).values.sum)
+      assert(cdf === cum * 10000L / t)
+    }
+    val sortedCdf = got.sortBy(_._1).map(_._2._5)
+    assert(sortedCdf === sortedCdf.sorted && sortedCdf.last === 10000L)
+  }
 }

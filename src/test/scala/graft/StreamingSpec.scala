@@ -226,6 +226,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("B224: a purchase is attributed to a touch from an EARLIER chunk, " +
+    "and pre-touch purchases land in (none)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // user 1: purchase BEFORE any touch (-> none), view in chunk 1,
+    // purchase in chunk 3 (straddles two chunk boundaries); user 2's
+    // click interleaves to prove key isolation
+    val rows = Seq(
+      (1L, 1000L, 1L, "purchase", 2.0), (1L, 1500L, 2L, "view", 0.0),
+      (2L, 2000L, 3L, "click", 0.0), (2L, 2500L, 4L, "purchase", 3.0),
+      (1L, 3000L, 5L, "error", 0.0), (1L, 4000L, 6L, "purchase", 5.0))
+    val df = rows.map { case (u, ms, id, t, v) =>
+      (id, new Timestamp(ms), u, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_b224_spec").toString
+    StreamingOps.writeChunksDf(df, dir, n = 3)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = StreamingOps.runToMemory(
+        StreamingOps.attributionTws(StreamingOps.readStream(spark, dir, df.schema)),
+        "t_attribution_spec", "append")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got === Seq(("(none)", 200L), ("click", 300L), ("error", 500L)),
+        "cross-chunk touch carry, (none) fallback, and key isolation")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B53 native: transformWithState running balance matches batch totals") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
