@@ -158,5 +158,58 @@ object Snippets {
       .orderBy("query_id", "rn")
   }
 
-  val entries: Seq[Entry] = Seq(b181, b184)
+  /** B229 token budget: 256 tokens ≈ 4-5 of the 10-99-token docs — the
+    * greedy prefix provably truncates at every SF (some of the top-10
+    * always drop), which is what makes the budget binding. */
+  private val CtxBudget = 256L
+
+  /** B229 — RAG CONTEXT PACKING (the retrieve-then-fit step between
+    * b107's ranking and a generator's context window; the serve-side
+    * sibling of b97/b154's training-side packing): per query, walk the
+    * BM25 top-10 IN RANK ORDER and keep the maximal prefix whose
+    * cumulative whitespace-token count fits [[CtxBudget]] — greedy
+    * PREFIX packing (rank order is the relevance contract; skip-fit
+    * would trade a better fill for rank inversions). cum is a rank-
+    * ordered running sum, so `cum ≤ B` IS the prefix cut.
+    *
+    * Scale posture: b107's plan upstream; the packing adds one doc-keyed
+    * join for token counts and one window over the ≤10-row-per-query
+    * serve set — serve-shaped, never corpus-shaped. */
+  private val b229 = entry(
+    "b229_rag_context_pack", {
+      val ranked = Retrieval.bm25OracleSql()
+      s"""WITH ranked AS ($ranked),
+         |tok AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT r.query_id, r.rn, r.doc_id, r.bm25, t.n_tokens,
+         |         CAST(sum(t.n_tokens) OVER (PARTITION BY r.query_id
+         |                                    ORDER BY r.rn
+         |                                    ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cum_tokens
+         |  FROM ranked r JOIN tok t USING (doc_id))
+         |SELECT query_id, rn, doc_id, bm25, n_tokens, cum_tokens
+         |FROM cum WHERE cum_tokens <= $CtxBudget
+         |ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Retrieval.bm25TopDocsScan(s, d)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
+          .as("n_tokens"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.join(tok, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= CtxBudget)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("bm25"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("query_id", "rn")
+  }
+
+  val entries: Seq[Entry] = Seq(b181, b184, b229)
 }

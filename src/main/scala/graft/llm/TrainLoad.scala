@@ -509,6 +509,48 @@ object TrainLoad {
       fertilityFromAgg(agg)
   }
 
+  /** B230 — CLASS-BALANCED DOWNSAMPLING (the equal-per-label training
+    * set behind language-ID / classifier training; the per-LABEL
+    * counterpart of b135's random split and b98's source rebalance):
+    * every language keeps exactly n_min = min class size docs, chosen as
+    * the bottom-n_min of the SCRAMBLED doc-id hash per label — the
+    * SCALE.md §3.9 rule: a raw polyFold/id selector keeps contiguous id
+    * RUNS (newest-crawl bias); the Knuth scramble makes the sample
+    * id-uniform while staying derandomized (rerun/engine/partition
+    * stable). The en-heavy corpus (193/70/80/82/74 at sf0.001) makes the
+    * balance provably binding.
+    *
+    * Scale posture: one map-combinable label count + O(|labels|) min
+    * broadcast + one label-partitioned rank window over the corpus
+    * (state = the running rank; the b28 argument per label). */
+  private val b230 = entry(
+    "b230_class_balanced_sample",
+    """WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang),
+      |nm AS (SELECT CAST(min(n) AS BIGINT) AS n_min FROM lc),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |                 ORDER BY ((doc_id % 2147483648) * 2654435761)
+      |                          % 2147483648, doc_id)
+      |              AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT r.lang, r.rn, r.doc_id
+      |FROM r CROSS JOIN nm WHERE r.rn <= nm.n_min
+      |ORDER BY r.lang, r.rn""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("lang", "doc_id")
+    val nm = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("n_min"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(expr("((doc_id % 2147483648) * 2654435761) % 2147483648"),
+        col("doc_id"))
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(nm))
+      .filter(col("rn") <= col("n_min"))
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b134, b135, b136, b137, b138, b139, b140, b141, b143)
+    Seq(b134, b135, b136, b137, b138, b139, b140, b141, b143, b230)
 }

@@ -112,4 +112,36 @@ class SnippetsSpec extends AnyFunSuite {
       assert(snippet.split(" ", -1).length <= Snippets.W)
     }
   }
+
+  test("B229: the packed context is a maximal rank prefix under the budget") {
+    val sf = TestSession.sf0001
+    val got = SparkEntry.queries("b229_rag_context_pack")(spark, sf).collect()
+      .map(r => (r.getAs[Any](0).toString, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](4).longValue,
+        r.getAs[Number](5).longValue))
+    val ranked = graft.llm.Retrieval.bm25TopDocsScan(spark, sf).collect()
+      .map(r => (r.getAs[Any](0).toString, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue))
+    val tok = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val rns = rows.map(_._2).sorted.toSeq
+      assert(rns === (1L to rns.length).toSeq, s"$q: kept set is not a prefix")
+      val cum = rows.maxBy(_._2)._5
+      assert(cum <= 256L, s"$q: budget exceeded")
+      // maximality: the next-ranked doc (if any) would not have fit
+      ranked.filter(r => r._1 == q && r._2 == rns.length + 1).foreach { nxt =>
+        assert(cum + tok(nxt._3) > 256L, s"$q: next doc would still fit")
+      }
+    }
+    // the budget binds somewhere: at least one query truncates its top-10
+    val truncated = got.groupBy(_._1).exists { case (q, rows) =>
+      rows.length < ranked.count(_._1 == q)
+    }
+    assert(truncated, "no query truncated - budget vacuous")
+  }
 }

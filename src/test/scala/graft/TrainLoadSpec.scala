@@ -278,4 +278,28 @@ class TrainLoadSpec extends AnyFunSuite {
       assert(splitOf(id) == "train", s"held-out doc $id in the train report")
     }
   }
+
+  test("B230: every class keeps exactly the min class size, and the " +
+    "scramble provably de-biases against id order") {
+    val sf = TestSession.sf0001
+    val got = SparkEntry.queries("b230_class_balanced_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nMin = byLang.values.map(_.size).min
+    val kept = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(kept.keySet === byLang.keySet)
+    kept.foreach { case (lang, ids) =>
+      assert(ids.size === nMin, s"$lang kept ${ids.size} != $nMin")
+      assert(ids.subsetOf(byLang(lang)), s"$lang sample not a subset")
+    }
+    // anti-bias (the b193 pin): for the majority class the scrambled
+    // sample must differ from the lowest-doc_id prefix a raw selector keeps
+    val major = byLang.maxBy(_._2.size)._1
+    val idPrefix = byLang(major).toSeq.sorted.take(nMin).toSet
+    assert(kept(major) !== idPrefix,
+      "scrambled sample equals the id prefix - selector is id-ordered")
+  }
 }
