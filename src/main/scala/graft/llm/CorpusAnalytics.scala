@@ -519,5 +519,56 @@ object CorpusAnalytics {
       .orderBy("source", "exemplar_rank")
   }
 
-  val entries: Seq[Entry] = Seq(b162, b163, b168, b169, b171, b190, b193)
+  /** B233 — SOURCE VOCABULARY OVERLAP (the corpus-mixing diagnostic:
+    * how much of each source pair's token TYPE inventory is shared —
+    * high overlap means redundant sources, low overlap means a domain
+    * gap; the type-level companion of b163's document-level audit): per
+    * source the distinct non-empty whitespace token set, pairwise
+    * intersection via a token-keyed equi-join (per token the fanout is
+    * C(sources-with-token, 2) ≤ C(20, 2) — SOURCE-bounded, never
+    * corpus-bounded), union by inclusion-exclusion, Jaccard in integer
+    * bp by cross-multiplication (inter·10⁴ div (v1+v2−inter)).
+    *
+    * Scale posture: one distinct (source, token) pass (map-combinable),
+    * per-source vocab sizes broadcast, the intersection join keyed on
+    * the TOKEN with |sources|²-bounded fanout, final |sources|² table. */
+  private val b233 = entry(
+    "b233_source_vocab_overlap",
+    """WITH st AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  WHERE w <> ''),
+      |vs AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+      |       FROM st GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS i
+      |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT inter.s1, inter.s2, v1.v AS v1, v2.v AS v2, inter.i AS inter,
+      |       CAST(inter.i * 10000 // (v1.v + v2.v - inter.i) AS BIGINT)
+      |         AS jaccard_bp
+      |FROM inter JOIN vs v1 ON v1.source = inter.s1
+      |JOIN vs v2 ON v2.source = inter.s2
+      |ORDER BY inter.s1, inter.s2""".stripMargin, bench = true) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val vs = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.as("a")
+      .join(st.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(vs.select(col("source").as("s1"), col("v").as("v1"))), "s1")
+      .join(broadcast(vs.select(col("source").as("s2"), col("v").as("v2"))), "s2")
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("i").as("inter"),
+        expr("CAST(i * 10000 div (v1 + v2 - i) AS BIGINT)").as("jaccard_bp"))
+      .orderBy("s1", "s2")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b162, b163, b168, b169, b171, b190, b193, b233)
 }

@@ -1570,8 +1570,64 @@ object AnalyticsOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** B232 — TOP CONVERSION PATHS (the "paths to purchase" table of
+    * journey analytics; b208's sequence machinery turned into a grouped
+    * inventory): per user, the ≤6-step window of type initials ENDING at
+    * the first purchase (instr is 1-based and engine-identical;
+    * non-converting users drop), grouped into path counts with share bp
+    * over converting users. No regex backreferences anywhere — RE2
+    * (DuckDB) has none, so adjacent-step collapsing is deliberately NOT
+    * spelled (the raw window is the portable contract).
+    *
+    * Scale posture: one per-user sorted collect (b21 contract) + string
+    * ops + a map-combinable path count (≤ |alphabet|⁶ rows) + O(1)
+    * total. */
+  private val b232 = entry(
+    "b232_conversion_paths",
+    s"""WITH seq AS (
+       |  SELECT user_id, substr(event_type, 1, 1) AS ini,
+       |         epoch_us(ts) AS ts_us, event_id
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, string_agg(ini, '' ORDER BY ts_us, event_id) AS sq
+       |  FROM seq GROUP BY user_id),
+       |p AS (
+       |  SELECT user_id, instr(sq, 'p') AS pos, sq FROM s
+       |  WHERE instr(sq, 'p') > 0),
+       |pa AS (
+       |  SELECT user_id,
+       |         substr(sq, CASE WHEN pos > 6 THEN pos - 5 ELSE 1 END,
+       |                CASE WHEN pos > 6 THEN 6 ELSE pos END) AS path
+       |  FROM p),
+       |pc AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+       |       FROM pa GROUP BY path),
+       |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM pc)
+       |SELECT pc.path, pc.n_users,
+       |       CAST(pc.n_users * 10000 // tot.t AS BIGINT) AS share_bp
+       |FROM pc CROSS JOIN tot
+       |ORDER BY pc.n_users DESC, pc.path""".stripMargin) { (s, d) =>
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), substring(col("event_type"), 1, 1).as("ini"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val sq = seq.groupBy("user_id")
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(ts_us, event_id, ini)))," +
+          " x -> x.ini)")).as("sq"))
+      .withColumn("pos", instr(col("sq"), "p"))
+      .filter(col("pos") > 0)
+    val pc = sq
+      .select(expr("substr(sq, CASE WHEN pos > 6 THEN pos - 5 ELSE 1 END," +
+        " CASE WHEN pos > 6 THEN 6 ELSE pos END)").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    val tot = pc.agg(sum("n_users").as("t"))
+    pc.crossJoin(broadcast(tot))
+      .select(col("path"), col("n_users"),
+        expr("CAST(n_users * 10000 div t AS BIGINT)").as("share_bp"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
       b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
-      b226, b227, b228)
+      b226, b227, b228, b232)
 }

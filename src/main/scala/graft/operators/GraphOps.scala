@@ -799,5 +799,89 @@ object GraphOps {
     dist.select(col("node").as("part_id"), col("dist")).orderBy("part_id")
   }
 
-  val entries: Seq[Entry] = Seq(b63, b119, b144, b147, b149, b150, b157, b207)
+  /** B231 — PERSONALIZED PAGERANK (Haveliwala WWW'02; random walk with
+    * restart to the [[BfsSeedMod]] seed set — "proximity to the hubs"
+    * ranking, where B119's global teleport ranks popularity and B207
+    * ranks by hop count, PPR weights ALL paths): exact fixed-point
+    * integer iteration, restart(n) = SCALE div |S| on seeds else 0,
+    * rank = (15·restart) div 100 + (85·inflow) div 100, [[PrIters]]
+    * rounds — the same determinism argument as b119 (both engines walk
+    * the bit-identical trajectory; the hash pins the trajectory, not a
+    * converged blur). Unreached nodes (rank 0) drop.
+    *
+    * Scale posture: identical to b119 — per round one broadcast-sized
+    * degree lookup + one dst-keyed shuffle with map-side partial sums +
+    * localCheckpoint; the restart vector is a per-row CASE, not a join. */
+  private val b231 = entry(
+    "b231_personalized_pagerank", {
+      val restart = s"CASE WHEN n.node % $BfsSeedMod = 0" +
+        s" THEN $PrScale // ns.c ELSE 0 END"
+      val iters = (1 to PrIters).map { k =>
+        s"""i$k AS (
+           |  SELECT s.b AS node, CAST(sum(r.rank // o.od) AS BIGINT) AS inflow
+           |  FROM r${k - 1} r JOIN outdeg o ON o.node = r.node
+           |  JOIN sym s ON s.a = r.node
+           |  WHERE r.rank > 0
+           |  GROUP BY s.b),
+           |r$k AS (
+           |  SELECT n.node,
+           |         CAST((15 * ($restart)) // 100
+           |              + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT)
+           |           AS rank
+           |  FROM nodes n CROSS JOIN ns
+           |  LEFT JOIN i$k i ON i.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM e0
+         |  UNION ALL SELECT dst, src FROM e0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes
+         |       WHERE node % $BfsSeedMod = 0),
+         |outdeg AS MATERIALIZED (
+         |  SELECT a AS node, CAST(count(*) AS BIGINT) AS od
+         |  FROM sym GROUP BY a),
+         |r0 AS MATERIALIZED (
+         |  SELECT n.node, CAST(CASE WHEN n.node % $BfsSeedMod = 0
+         |                           THEN $PrScale // ns.c ELSE 0 END
+         |                      AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN ns),
+         |$iters
+         |SELECT node, rank FROM r$PrIters WHERE rank > 0
+         |ORDER BY node""".stripMargin
+    }, bench = true) { (s, d) =>
+    val e0 = copurchaseEdges(s, d)
+    val sym = e0.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
+    val nSeeds = nodes.filter(col("node") % BfsSeedMod === 0).count()
+    require(nSeeds > 0, "seed set empty — PPR undefined")
+    val outdeg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
+    val restart = s"CASE WHEN node % $BfsSeedMod = 0" +
+      s" THEN ${PrScale}L div ${nSeeds}L ELSE 0L END"
+    var rank = nodes.select(col("node"),
+      expr(s"CAST($restart AS BIGINT)").as("rank")).localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val inflow = rank.filter(col("rank") > 0)
+        .join(outdeg, "node")
+        .join(sym, col("a") === col("node"))
+        .select(col("b"), expr("rank div od").as("share"))
+        .groupBy(col("b").as("inode")).agg(sum("share").as("inflow"))
+      rank = nodes
+        .join(inflow, col("node") === col("inode"), "left")
+        .select(col("node"),
+          expr(s"CAST((15 * ($restart)) div 100" +
+            " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)").as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.filter(col("rank") > 0).orderBy("node")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b63, b119, b144, b147, b149, b150, b157, b207, b231)
 }

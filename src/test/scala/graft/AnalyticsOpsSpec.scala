@@ -818,4 +818,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(n >= 4L && n <= 8L && dev2 > thr)
     }
   }
+
+  test("B232: conversion paths replay in JVM; every path ends at the first " +
+    "purchase") {
+    val got = SparkEntry.queries("b232_conversion_paths")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      val sq = es.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      val pos = sq.indexOf('p') + 1
+      if (pos == 0) None
+      else Some(sq.substring(math.max(0, pos - 6), pos))
+    }
+    val tot = paths.length.toLong
+    val want = paths.groupBy(identity).map { case (p, xs) =>
+      p -> (xs.length.toLong, xs.length.toLong * 10000L / tot)
+    }
+    assert(got === want)
+    got.keys.foreach { p =>
+      assert(p.endsWith("p") && p.length <= 6 && p.count(_ == 'p') == 1,
+        s"path '$p' malformed — must end at the FIRST purchase")
+    }
+  }
 }

@@ -312,4 +312,30 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(bySrc.keys.exists(s2 => got(s2) !== firstK(s2)),
       "every source sampled its first K ids — the scramble is not biting")
   }
+
+  test("B233: source vocabulary overlap replays in JVM with the " +
+    "inclusion-exclusion and bound laws") {
+    val sf = TestSession.sf0001
+    val got = SparkEntry.queries("b233_source_vocab_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ")).filter(_.nonEmpty).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      a = srcs(i); b = srcs(j)
+      inter = (vocab(a) & vocab(b)).size.toLong
+    } yield (a, b) -> ((vocab(a).size.toLong, vocab(b).size.toLong, inter,
+      inter * 10000L / (vocab(a).size + vocab(b).size - inter)))).toMap
+    assert(got === want)
+    got.foreach { case ((a, b), (v1, v2, inter, j)) =>
+      assert(a < b, "matrix not upper-triangular")
+      assert(inter <= math.min(v1, v2) && j <= 10000L)
+    }
+    assert(got.values.map(_._4).toSet.size > 1, "uniform overlap - vacuous")
+  }
 }

@@ -456,4 +456,42 @@ class GraphOpsSpec extends AnyFunSuite {
         s"node $n at level $dd has no level-${dd - 1} neighbor")
     }
   }
+
+  test("B231: personalized PageRank equals a sequential JVM integer fold, " +
+    "and every seed keeps the restart floor") {
+    val sf = TestSession.sf0001
+    val got = SparkEntry.queries("b231_personalized_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = li.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ps = os.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.distinct
+    val nodes = sym.map(_._1).distinct
+    val outdeg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = nodes.filter(_ % 97 == 0).toSet
+    val scale = 1000000000000L
+    val base = nodes.map(n =>
+      n -> (if (seeds(n)) scale / seeds.size else 0L)).toMap
+    var rank = base
+    for (_ <- 1 to 6) {
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      nodes.foreach { n =>
+        val r = rank(n)
+        if (r > 0) {
+          val share = r / outdeg(n)
+          adj(n).foreach(m => inflow(m) += share)
+        }
+      }
+      rank = nodes.map(n =>
+        n -> ((15 * base(n)) / 100 + (85 * inflow(n)) / 100)).toMap
+    }
+    assert(got === rank.filter(_._2 > 0))
+    val floor = (15L * (scale / seeds.size)) / 100
+    seeds.foreach(sd => assert(got(sd) >= floor, s"seed $sd below restart floor"))
+    assert(got.keySet.exists(n => !seeds(n)), "no mass left the seed set")
+  }
 }
