@@ -1530,8 +1530,9 @@ object AnalyticsOps {
     *
     * Scale posture: one user-partitioned frame window (O(1) per-row
     * state) + filter; no join, no driver traffic. */
-  private val b228 = entry(
-    "b228_rolling_zscore_outliers",
+  /** B228's oracle — shared VERBATIM by B234's streamed monitor (the
+    * b214/b224 twin convention). */
+  private[graft] val zscoreOracleSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -1550,7 +1551,10 @@ object AnalyticsOps {
        |FROM f
        |WHERE n >= $ZMinHist
        |  AND (n * cents - sx) * (n * cents - sx) > 4 * (n * sxx - sx * sx)
-       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+       |ORDER BY user_id, event_id""".stripMargin
+
+  private val b228 = entry(
+    "b228_rolling_zscore_outliers", zscoreOracleSql) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(-8, -1)

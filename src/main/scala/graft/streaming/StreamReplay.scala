@@ -736,7 +736,43 @@ object StreamReplay {
     }
   }
 
+  private lazy val chunkDir234: String =
+    java.nio.file.Files.createTempDirectory("graft_b234_chunks").toString
+
+  /** B234 — STREAMED ROLLING Z-SCORE MONITOR: B228's integer anomaly
+    * flags at the ingest door (the b214/b224 convention; the archetypal
+    * "alert as events arrive" workload). [[ZScoreProcessor]] carries the
+    * last ≤ 8 cents per user as a bounded ListState deque and tests each
+    * arrival against the carried baseline — self-exclusion falls out of
+    * testing BEFORE pushing. Oracle is B228's framed-window SQL verbatim:
+    * hash-green proves the incremental deque ≡ the batch frame for every
+    * flag, n, dev², and threshold.
+    *
+    * Scale: streaming state is ≤ 8 longs per user — the b228 frame,
+    * incrementalized; emissions are flag-sparse. */
+  private val b234 = entry(
+    "b234_stream_zscore_monitor",
+    graft.operators.AnalyticsOps.zscoreOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("user_id", "ts", "event_id", "value")
+    StreamingOps.writeChunksDf(ev, chunkDir234, n = 8)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val flags = StreamingOps.zscoreTws(
+        StreamingOps.readStream(s, chunkDir234))
+      s.catalog.dropTempView("b234_replay") // idempotent re-runs
+      StreamingOps.runToMemory(flags, "b234_replay", "append")
+        .orderBy("user_id", "event_id")
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224)
+      b133, b148, b161, b214, b224, b234)
 }

@@ -369,6 +369,24 @@ object StreamingOps {
       .toDF("channel", "cents")
   }
 
+  /** The B234 stateful z-score monitor: (user, ts, event_id, value)
+    * stream → flagged (user, event_id, cents, n, dev2, thr) emissions via
+    * [[ZScoreProcessor]]. */
+  def zscoreTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ZScoreProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "event_id", "cents", "n", "dev2", "thr")
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink
     * (Trigger.AvailableNow — B54) and return the materialized result. */
   def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =

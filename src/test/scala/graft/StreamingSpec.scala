@@ -260,6 +260,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("B234: the z-score deque carries across chunks — a spike after a " +
+    "flat cross-chunk baseline flags, the baseline itself does not") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // user 1: six flat $1.00 events spread over 3 chunks, then a $50 spike
+    // (must flag with n = 7); user 2 interleaves flat (never flags)
+    val rows = (1 to 6).map(i => (1L, i * 1000L, i.toLong, 1.0)) ++
+      Seq((2L, 6500L, 90L, 2.0), (2L, 6600L, 91L, 2.0)) ++
+      Seq((1L, 7000L, 7L, 50.0))
+    val df = rows.map { case (u, ms, id, v) =>
+      (id, new Timestamp(ms), u, v)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_b234_spec").toString
+    StreamingOps.writeChunksDf(df, dir, n = 3)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = StreamingOps.runToMemory(
+        StreamingOps.zscoreTws(StreamingOps.readStream(spark, dir, df.schema)),
+        "t_zscore_spec", "append")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(got.length === 1, s"expected exactly the spike: ${got.toSeq}")
+      val (u, eid, cents, n) = got.head
+      assert(u === 1L && eid === 7L && cents === 5000L && n === 6L,
+        "the spike must be judged against the SIX flat events carried " +
+          "across all three chunks")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("B53 native: transformWithState running balance matches batch totals") {
     // transformWithState requires the RocksDB state store provider
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
