@@ -1361,10 +1361,13 @@ object AnalyticsOps {
   /** B225 — FULFILLMENT CYCLE-TIME PROFILE (the order-to-last-shipment
     * operations dashboard): per order, cycle_days = floor((max ship −
     * order date) / day) — the generated dates are uncorrelated so cycles
-    * go NEGATIVE, which makes the b118 sign-corrected floor mandatory
-    * (Spark `div` truncates toward zero; DuckDB `//` floors); per 30-day
-    * order period: n, exact LOWER-median cycle (rank-window order
-    * statistic at rn = (n+1) div 2, orderkey tie-break — the b211
+    * go NEGATIVE, and BOTH engines' integer division truncates toward
+    * zero (b196's pin), so the sign-corrected FLOOR is spelled explicitly
+    * on BOTH sides. On this corpus the dates are midnight-aligned (every
+    * difference is an exact day multiple, trunc ≡ floor — the hash can't
+    * tell), but the committed floor spelling holds for ANY timestamps;
+    * per 30-day order period: n, exact LOWER-median cycle (rank-window
+    * order statistic at rn = (n+1) div 2, orderkey tie-break — the b211
     * argument: interpolated medians are engine-divergent doubles), min
     * and max.
     *
@@ -1380,6 +1383,8 @@ object AnalyticsOps {
       |  SELECT o.o_orderkey,
       |         epoch_us(o.o_orderdate) // 86400000000 // 30 AS period,
       |         (s.ship_us - epoch_us(o.o_orderdate)) // 86400000000
+      |           - CAST((s.ship_us - epoch_us(o.o_orderdate)) % 86400000000 < 0
+      |                  AS BIGINT)
       |           AS cycle_days
       |  FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey),
       |r AS (

@@ -430,7 +430,9 @@ object PipelineOps {
     """WITH wk AS (
       |  SELECT user_id,
       |         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
-      |           // 604800000000 AS week
+      |           // 604800000000
+      |           - CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+      |                  % 604800000000 < 0 AS BIGINT) AS week
       |  FROM events),
       |f AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
       |a AS (SELECT DISTINCT user_id, week FROM wk)
@@ -439,21 +441,31 @@ object PipelineOps {
       |GROUP BY f.cohort_week, a.week
       |ORDER BY f.cohort_week, a.week""".stripMargin
 
-  /** Week bucket with FLOOR-division semantics, matching DuckDB's `//`
-    * exactly. Spark's `div` truncates toward zero, so a pre-anchor
-    * timestamp (negative numerator) would land one week later than the
-    * oracle; the `%`-sign correction makes both engines agree for ANY
-    * event time, not just the generated 2024-only range (ADVICE r10).
-    * Shared by b118 and b121's streaming ingest. */
+  /** Week bucket with FLOOR-division semantics. BOTH engines' integer
+    * division truncates toward zero (Spark `div` AND DuckDB `//` —
+    * verified −7 // 2 = −3; only DuckDB's float `//` floors), so the
+    * `%`-sign correction is spelled on BOTH sides ([[weekFloorSqlDuck]],
+    * cohortOracleSql) to commit FLOOR for ANY event time — a pre-anchor
+    * timestamp must land in the week CONTAINING it, not one week later
+    * (ADVICE r10, semantics corrected r14). Shared by b118/b121 and the
+    * b216/b218/b222 family. */
   private[graft] val weekFloorExpr: String =
     // 1704067200000000 = epoch µs of 2024-01-01T00:00Z; 604800000000 = 1 week
     "(unix_micros(ts) - 1704067200000000L) div 604800000000L" +
       " - cast((unix_micros(ts) - 1704067200000000L) % 604800000000L < 0 as bigint)"
 
-  /** [[weekFloorExpr]]'s DuckDB spelling (`//` IS floor division there —
-    * no sign correction needed). Shared by the b216/b218 oracles. */
+  /** [[weekFloorExpr]]'s DuckDB spelling. DuckDB's integer `//` ALSO
+    * truncates toward zero (verified: −7 // 2 = −3 on BIGINT — b196's
+    * pin; only the FLOAT `//` floors), so the floor needs the same sign
+    * correction here. On this corpus every event is post-anchor (the
+    * numerator is positive, trunc ≡ floor — the hash can't tell), but
+    * the committed FLOOR semantics must hold for any event time. Shared
+    * by the b216/b218/b222 oracles. */
   private[graft] val weekFloorSqlDuck: String =
-    "(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 604800000000"
+    "((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))" +
+      " // 604800000000" +
+      " - CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))" +
+      " % 604800000000 < 0 AS BIGINT))"
 
   private val b118 = entry("b118_cohort_retention", cohortOracleSql) { (s, d) =>
     val wk = Tables.events(s, d).select(col("user_id"),
