@@ -569,6 +569,64 @@ object CorpusAnalytics {
       .orderBy("s1", "s2")
   }
 
+  /** B235 minimum term frequency — keeps the trend table on the Zipf
+    * head where a slope is a signal, not noise. */
+  private val TrendMinTotal = 20L
+
+  /** B235 — TRENDING TERMS (b196's sufficient-statistics OLS on the
+    * CORPUS domain: per-term frequency slope across the b162 doc-id
+    * deciles — the "emerging vocabulary" monitor that pairs with b162's
+    * saturation curve): x = decile 1..10 is a FIXED design, so Σx = 55,
+    * Σx² = 385, n = 10 and the OLS denominator n·Σx² − (Σx)² = 825 is a
+    * frozen literal; absent deciles are implicit zeros (they contribute
+    * nothing to Σy or Σxy, so the sparse per-(term, decile) counts ARE
+    * the sufficient statistics — no densify pass). slope_micro =
+    * (10·Σxy − 55·Σy)·10⁶ div 825, SIGNED — both engines truncate
+    * toward zero identically (the b196 pin).
+    *
+    * Scale posture: one corpus token pass collapsing map-side into
+    * (term, decile) counts (Zipf-bounded), one map-combinable term
+    * aggregate; no window, no join. */
+  private val b235 = entry(
+    "b235_trending_terms",
+    s"""WITH mx AS (
+       |  SELECT CAST((max(doc_id) + 1 + ${Deciles - 1}) // $Deciles AS BIGINT)
+       |    AS w
+       |  FROM documents),
+       |tk AS (
+       |  SELECT CAST(doc_id // w + 1 AS BIGINT) AS k,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM documents, mx),
+       |cnt AS (
+       |  SELECT term, k, CAST(count(*) AS BIGINT) AS n
+       |  FROM tk WHERE term <> '' GROUP BY term, k),
+       |st AS (
+       |  SELECT term, CAST(sum(n) AS BIGINT) AS total,
+       |         CAST(sum(k * n) AS BIGINT) AS sxy
+       |  FROM cnt GROUP BY term)
+       |SELECT term, total,
+       |       CAST((10 * sxy - 55 * total) * 1000000 // 825 AS BIGINT)
+       |         AS slope_micro
+       |FROM st WHERE total >= $TrendMinTotal
+       |ORDER BY term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val width = broadcast(docs.agg(
+      expr(s"CAST((max(doc_id) + 1 + ${Deciles - 1}) div $Deciles AS BIGINT)")
+        .as("w")).localCheckpoint(true))
+    val cnt = docs.crossJoin(width)
+      .select(expr("doc_id div w + 1").as("k"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "k").agg(count(lit(1)).as("n"))
+    cnt.groupBy("term")
+      .agg(sum("n").as("total"), sum(expr("k * n")).as("sxy"))
+      .filter(col("total") >= TrendMinTotal)
+      .select(col("term"), col("total"),
+        expr("CAST((10 * sxy - 55 * total) * 1000000 div 825 AS BIGINT)")
+          .as("slope_micro"))
+      .orderBy("term")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b162, b163, b168, b169, b171, b190, b193, b233)
+    Seq(b162, b163, b168, b169, b171, b190, b193, b233, b235)
 }

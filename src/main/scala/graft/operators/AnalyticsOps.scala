@@ -385,7 +385,7 @@ object AnalyticsOps {
     * statistic, not 10⁴ bp everywhere — B117's funnel over a lifetime
     * horizon IS near-vacuous that way, which is why this row scopes to
     * sessions). */
-  private val SessGapUs = 21600000000L
+  private[graft] val SessGapUs = 21600000000L
 
   /** B204 — SEQUENTIAL-PATTERN SUPPORT COUNTING (the 2-sequence pass of
     * GSP/SPADE; Srikant & Agrawal EDBT'96, Zaki MLJ'01): for every
@@ -1635,8 +1635,79 @@ object AnalyticsOps {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** The committed week floor over a µs EPOCH column (start_us), both
+    * dialects — the weekFloorExpr spelling without the ts cast (B236's
+    * session weeks; positive on this corpus, floor committed anyway). */
+  private def weekOfUs(c: String): String =
+    s"($c - 1704067200000000) div 604800000000" +
+      s" - cast(($c - 1704067200000000) % 604800000000 < 0 as bigint)"
+  private def weekOfUsDuck(c: String): String =
+    s"($c - 1704067200000000) // 604800000000" +
+      s" - CAST(($c - 1704067200000000) % 604800000000 < 0 AS BIGINT)"
+
+  /** B236 — WEEKLY BOUNCE RATE (the landing-quality headline of web
+    * analytics): sessions are the b204 6 h fixed-gap islands
+    * ([[SessGapUs]] — the constant IS shared, so "session" means the
+    * same thing across the engine); a bounce is a 1-event session; per
+    * week of SESSION START: sessions, bounces, bounce share bp.
+    *
+    * Scale posture: the b204 lag-window sessionizer + one map-combinable
+    * (user, sess) aggregate + one map-combinable week aggregate — the
+    * b195/b204 cost class with a calendar-bounded output. */
+  private val b236 = entry(
+    "b236_bounce_rate_weekly",
+    s"""WITH seq AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessGapUs
+       |                 THEN 1 ELSE 0 END AS nf
+       |  FROM seq),
+       |s AS (
+       |  SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id
+       |                               ORDER BY ts_us, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |              AS sess
+       |  FROM f),
+       |g AS (
+       |  SELECT user_id, sess, min(ts_us) AS start_us,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM s GROUP BY user_id, sess),
+       |wk AS (
+       |  SELECT CAST(${weekOfUsDuck("start_us")} AS BIGINT) AS week,
+       |         CAST(count(*) AS BIGINT) AS n_sessions,
+       |         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_bounces
+       |  FROM g GROUP BY 1)
+       |SELECT week, n_sessions, n_bounces,
+       |       CAST(n_bounces * 10000 // n_sessions AS BIGINT) AS bounce_bp
+       |FROM wk ORDER BY week""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("nf",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessGapUs, 1).otherwise(0))
+      .withColumn("sess",
+        sum(col("nf")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+    sess.groupBy("user_id", "sess")
+      .agg(min(col("ts_us")).as("start_us"), count(lit(1)).as("n"))
+      .groupBy(expr(s"CAST(${weekOfUs("start_us")} AS BIGINT)").as("week"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("week"), col("n_sessions"), col("n_bounces"),
+        expr("CAST(n_bounces * 10000 div n_sessions AS BIGINT)")
+          .as("bounce_bp"))
+      .orderBy("week")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
       b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
-      b226, b227, b228, b232)
+      b226, b227, b228, b232, b236)
 }

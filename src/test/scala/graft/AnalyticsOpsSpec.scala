@@ -843,4 +843,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"path '$p' malformed — must end at the FIRST purchase")
     }
   }
+
+  test("B236: weekly bounce rate replays in JVM over the shared 6h sessions") {
+    val got = SparkEntry.queries("b236_bounce_rate_weekly")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (start, n)
+      var start = 0L; var n = 0L; var prev = Long.MinValue / 4
+      s.foreach { case (_, ts, _) =>
+        if (ts - prev > graft.operators.AnalyticsOps.SessGapUs) {
+          if (n > 0) out += ((start, n)); start = ts; n = 0
+        }
+        n += 1; prev = ts
+      }
+      if (n > 0) out += ((start, n))
+      out
+    }
+    val want = sessions.groupBy { case (st, _) =>
+      Math.floorDiv(st - 1704067200000000L, 604800000000L)
+    }.map { case (wk, ss) =>
+      val b = ss.count(_._2 == 1L).toLong
+      wk -> (ss.length.toLong, b, b * 10000L / ss.length)
+    }
+    assert(got === want)
+    got.values.foreach { case (ns, nb, bp) =>
+      assert(nb <= ns && bp <= 10000L)
+    }
+    assert(got.values.exists(_._2 > 0), "no bounces — metric vacuous")
+  }
 }

@@ -338,4 +338,29 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._4).toSet.size > 1, "uniform overlap - vacuous")
   }
+
+  test("B235: per-term decile slopes replay in JVM over the fixed 10-point " +
+    "design (implicit zero deciles)") {
+    val sf = TestSession.sf0001
+    val got = SparkEntry.queries("b235_trending_terms")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val w = (docs.map(_._1).max + 1 + 9) / 10
+    val cnt = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(term => (term, id / w + 1))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = cnt.keys.map(_._1).toSeq.distinct.flatMap { term =>
+      val total = (1L to 10L).map(k => cnt.getOrElse((term, k), 0L)).sum
+      if (total < 20) None
+      else {
+        val sxy = (1L to 10L).map(k => k * cnt.getOrElse((term, k), 0L)).sum
+        Some(term -> (total, (10 * sxy - 55 * total) * 1000000L / 825L))
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0),
+      "slopes all one sign - trend table vacuous")
+  }
 }
