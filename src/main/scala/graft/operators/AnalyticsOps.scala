@@ -1706,8 +1706,101 @@ object AnalyticsOps {
       .orderBy("week")
   }
 
+  /** B237 — LINEAR MULTI-TOUCH ATTRIBUTION (the equal-credit allocator —
+    * b215's last-touch counterpart; Shao & Li KDD'11 ch. on rule-based
+    * models): each purchase's cents split EQUALLY across the touches in
+    * its segment (the non-purchase events since the user's previous
+    * purchase), with integer remainder discipline — share = cents div k
+    * per touch and the LAST touch (max (ts, event_id)) receives
+    * cents − (k−1)·share, so every purchase allocates EXACTLY its cents
+    * (fractional-cent leakage is a real reconciliation bug in naive
+    * float splits; the conservation law is spec-pinned to the corpus
+    * total). Segments via the purchase-prefix count over PRECEDING rows
+    * (a touch and the purchase it precedes share the count); purchases
+    * with no touch land whole in '(none)'.
+    *
+    * Scale posture: two user-partitioned windows (segment id, last-touch
+    * rank) + one (user, segment) aggregate + a segment-keyed join of
+    * touches to their purchase + a map-combinable channel rollup. */
+  private val b237 = entry(
+    "b237_attribution_linear",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              AS BIGINT) AS seg
+      |  FROM events),
+      |pur AS (
+      |  SELECT user_id, seg, cents
+      |  FROM seq WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT user_id, seg, event_type AS channel,
+      |         CAST(row_number() OVER (PARTITION BY user_id, seg
+      |                                 ORDER BY ts_us DESC, event_id DESC)
+      |              AS BIGINT) AS rdesc,
+      |         CAST(count(*) OVER (PARTITION BY user_id, seg) AS BIGINT) AS k
+      |  FROM seq WHERE event_type <> 'purchase'),
+      |alloc AS (
+      |  SELECT t.channel,
+      |         CAST(CASE WHEN t.rdesc = 1
+      |              THEN p.cents - (t.k - 1) * (p.cents // t.k)
+      |              ELSE p.cents // t.k END AS BIGINT) AS credit
+      |  FROM pur p JOIN tch t ON t.user_id = p.user_id AND t.seg = p.seg
+      |  UNION ALL
+      |  SELECT '(none)' AS channel, p.cents AS credit
+      |  FROM pur p
+      |  WHERE NOT EXISTS (SELECT 1 FROM tch t
+      |                    WHERE t.user_id = p.user_id AND t.seg = p.seg)),
+      |ch AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+      |         CAST(sum(credit) AS BIGINT) AS revenue_cents
+      |  FROM alloc GROUP BY channel),
+      |tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM ch)
+      |SELECT channel, n_credits, revenue_cents,
+      |       CAST(revenue_cents * 10000 // tot.t AS BIGINT) AS share_bp
+      |FROM ch CROSS JOIN tot
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("seg",
+        count(when(col("event_type") === "purchase", 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)).cast("long"))
+    val pur = seq.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("seg"), col("cents"))
+    val wt = Window.partitionBy(col("user_id"), col("seg"))
+    val tch = seq.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("seg"), col("event_type").as("channel"),
+        col("ts_us"), col("event_id"))
+      .withColumn("rdesc",
+        row_number().over(wt.orderBy(col("ts_us").desc, col("event_id").desc))
+          .cast("long"))
+      .withColumn("k", count(lit(1)).over(wt).cast("long"))
+    val credited = pur.join(tch, Seq("user_id", "seg"))
+      .select(col("channel"),
+        when(col("rdesc") === 1,
+          col("cents") - (col("k") - 1) * expr("cents div k"))
+          .otherwise(expr("cents div k")).cast("long").as("credit"))
+    val none = pur.join(tch.select("user_id", "seg").distinct(),
+        Seq("user_id", "seg"), "left_anti")
+      .select(lit("(none)").as("channel"), col("cents").as("credit"))
+    val ch = credited.unionByName(none)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum("credit").as("revenue_cents"))
+    val tot = ch.agg(sum("revenue_cents").as("t"))
+    ch.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_credits"), col("revenue_cents"),
+        expr("CAST(revenue_cents * 10000 div t AS BIGINT)").as("share_bp"))
+      .orderBy("channel")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
       b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
-      b226, b227, b228, b232, b236)
+      b226, b227, b228, b232, b236, b237)
 }

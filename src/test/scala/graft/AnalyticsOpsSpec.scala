@@ -876,4 +876,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_._2 > 0), "no bounces — metric vacuous")
   }
+
+  test("B237: linear attribution replays in JVM and conserves every " +
+    "purchase's cents exactly (remainder discipline)") {
+    val got = SparkEntry.queries("b237_attribution_linear")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong))
+    val credits = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      var seg = scala.collection.mutable.ArrayBuffer[String]()
+      s.foreach { case (_, _, _, t, c) =>
+        if (t == "purchase") {
+          val k = seg.length.toLong
+          if (k == 0) out += (("(none)", c))
+          else {
+            val share = c / k
+            seg.init.foreach(ch => out += ((ch, share)))
+            out += ((seg.last, c - (k - 1) * share))
+          }
+          seg.clear()
+        } else seg += t
+      }
+      out
+    }
+    val tot = credits.map(_._2).sum
+    val want = credits.groupBy(_._1).map { case (ch, xs) =>
+      ch -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).sum * 10000L / tot)
+    }
+    assert(got === want)
+    // conservation: every purchase's cents land somewhere, exactly
+    val allPurchases = ev.filter(_._4 == "purchase").map(_._5).sum
+    assert(got.values.map(_._2).sum === allPurchases,
+      "allocated cents != total purchase cents — fractional leakage")
+  }
 }
