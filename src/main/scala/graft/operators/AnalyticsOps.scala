@@ -1799,8 +1799,166 @@ object AnalyticsOps {
       .orderBy("channel")
   }
 
+  /** B238 — RECOMMENDER EVALUATION (leave-one-out hit-rate@3 of B217's
+    * serve table — the b188 eval pattern applied to recsys; Cremonesi
+    * RecSys'10 methodology): per basket with ≥ 2 distinct items, hold
+    * out the MAX partkey (a deterministic rule — any fixed holdout works
+    * for a relative metric; max is order-free), and the basket HITS if
+    * any remaining item's top-3 recommendations contain the held-out
+    * item. Reported per basket size: baskets, hits, hitrate bp. The recs
+    * relation is B217's chain inline (same minsup, same tie rule), so
+    * this row moves exactly when the serve table moves.
+    *
+    * Self-recommendation bias note: the held-out item still participated
+    * in the co-occurrence counts (standard offline-eval leakage, true of
+    * the cited methodology too); the metric is comparative, not
+    * absolute.
+    *
+    * Scale posture: the b197/b217 bounded-fanout joins + one semi-join
+    * of context items against the ≤3-per-item recs dimension + a
+    * map-combinable size rollup. */
+  private val b238 = entry(
+    "b238_rec_eval_hitrate",
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |itemn AS (SELECT p, count(*) AS n_item FROM items GROUP BY p),
+       |pairs AS (
+       |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_pair
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p),
+       |sym AS (
+       |  SELECT p1 AS a, p2 AS b, n_pair FROM pairs WHERE n_pair >= $MinSup
+       |  UNION ALL
+       |  SELECT p2, p1, n_pair FROM pairs WHERE n_pair >= $MinSup),
+       |conf AS (
+       |  SELECT sym.a, sym.b,
+       |         CAST(sym.n_pair * 10000 // i.n_item AS BIGINT) AS conf_bp
+       |  FROM sym JOIN itemn i ON i.p = sym.a),
+       |recs AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b,
+       |           row_number() OVER (PARTITION BY a
+       |                              ORDER BY conf_bp DESC, b) AS rnk
+       |    FROM conf) r
+       |  WHERE rnk <= 3),
+       |sized AS (
+       |  SELECT o, CAST(count(*) AS BIGINT) AS sz, max(p) AS held
+       |  FROM items GROUP BY o HAVING count(*) >= 2),
+       |hits AS (
+       |  SELECT s.o, s.sz,
+       |         CAST(CASE WHEN EXISTS (
+       |           SELECT 1 FROM items c JOIN recs r ON r.a = c.p
+       |           WHERE c.o = s.o AND c.p <> s.held AND r.b = s.held)
+       |           THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |  FROM sized s)
+       |SELECT sz AS basket_size, CAST(count(*) AS BIGINT) AS n_baskets,
+       |       CAST(sum(hit) AS BIGINT) AS n_hits,
+       |       CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS hitrate_bp
+       |FROM hits GROUP BY sz ORDER BY sz""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint(true)
+    val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("x")
+      .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSup)
+    val sym = pairs.select(col("p1").as("a"), col("p2").as("b"), col("n_pair"))
+      .unionByName(pairs.select(col("p2").as("a"), col("p1").as("b"),
+        col("n_pair")))
+    val conf = sym
+      .join(broadcast(itemN.select(col("p").as("a"), col("n_item"))), "a")
+      .select(col("a"), col("b"),
+        expr("CAST(n_pair * 10000 div n_item AS BIGINT)").as("conf_bp"))
+    val w = Window.partitionBy(col("a")).orderBy(col("conf_bp").desc, col("b"))
+    val recs = conf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select(col("a"), col("b"))
+    val sized = items.groupBy("o")
+      .agg(count(lit(1)).as("sz"), max("p").as("held"))
+      .filter(col("sz") >= 2)
+    // a basket hits iff SOME context item recommends the held-out item:
+    // semi-join of (order, context, held) against the recs dimension
+    val hitOrders = sized.join(items, "o")
+      .filter(col("p") =!= col("held"))
+      .join(recs, col("a") === col("p") && col("b") === col("held"),
+        "left_semi")
+      .select("o").distinct()
+      .withColumn("hit", lit(1L))
+    sized.join(hitOrders, Seq("o"), "left")
+      .select(col("sz"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("sz").as("basket_size"))
+      .agg(count(lit(1)).as("n_baskets"), sum("hit").as("n_hits"))
+      .select(col("basket_size"), col("n_baskets"), col("n_hits"),
+        expr("CAST(n_hits * 10000 div n_baskets AS BIGINT)").as("hitrate_bp"))
+      .orderBy("basket_size")
+  }
+
+  /** B239 — JOIN-KEY SKEW DIAGNOSTIC (the profiler that DECIDES when
+    * b66's salted join is warranted — Spark's AQE skew threshold made an
+    * explicit, auditable table): over the fact table's part key, one
+    * summary row: key count, row total, the heaviest key (smallest key
+    * id among ties — composable), its count, the exact LOWER-median and
+    * p99 per-key counts (rank-window order statistics, the b225
+    * argument), and skew = max·n_keys·10⁶ div total (max/mean in micro —
+    * ≥ 10⁶ by construction, = 10⁶ iff perfectly uniform).
+    *
+    * Scale posture: one map-combinable key count + rank windows over the
+    * KEY dimension (~10⁴× smaller than facts) + one-row output. */
+  private val b239 = entry(
+    "b239_key_skew_report",
+    """WITH kc AS (
+      |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_partkey),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |         CAST(sum(c) AS BIGINT) AS total,
+      |         CAST(max(c) AS BIGINT) AS max_c
+      |  FROM kc),
+      |mk AS (SELECT min(k) AS max_key FROM kc, st WHERE kc.c = st.max_c),
+      |r AS (
+      |  SELECT c,
+      |         CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS rn
+      |  FROM kc),
+      |q AS (
+      |  SELECT
+      |    CAST(min(CASE WHEN rn = (st.n_keys + 1) // 2 THEN c END) AS BIGINT)
+      |      AS med_c,
+      |    CAST(min(CASE WHEN rn = (st.n_keys * 99 + 99) // 100 THEN c END)
+      |         AS BIGINT) AS p99_c
+      |  FROM r CROSS JOIN st GROUP BY st.n_keys)
+      |SELECT st.n_keys, st.total, mk.max_key, st.max_c, q.med_c, q.p99_c,
+      |       CAST(st.max_c * st.n_keys * 1000000 // st.total AS BIGINT)
+      |         AS skew_max_mean_micro
+      |FROM st CROSS JOIN mk CROSS JOIN q""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val kc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val st = kc.agg(count(lit(1)).as("n_keys"), sum("c").as("total"),
+      max("c").as("max_c"))
+    val mk = kc.crossJoin(broadcast(st.select(col("max_c").as("mc"))))
+      .filter(col("c") === col("mc"))
+      .agg(min("k").as("max_key"))
+    val r = kc.withColumn("rn",
+      row_number().over(Window.orderBy(col("c"), col("k"))).cast("long"))
+    val q = r.crossJoin(broadcast(st.select(col("n_keys").as("nk"))))
+      .groupBy("nk")
+      .agg(min(when(col("rn") === expr("(nk + 1) div 2"), col("c")))
+        .as("med_c"),
+        min(when(col("rn") === expr("(nk * 99 + 99) div 100"), col("c")))
+          .as("p99_c"))
+      .select("med_c", "p99_c")
+    st.crossJoin(broadcast(mk)).crossJoin(broadcast(q))
+      .select(col("n_keys"), col("total"), col("max_key"), col("max_c"),
+        col("med_c"), col("p99_c"),
+        expr("CAST(max_c * n_keys * 1000000 div total AS BIGINT)")
+          .as("skew_max_mean_micro"))
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
       b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
-      b226, b227, b228, b232, b236, b237)
+      b226, b227, b228, b232, b236, b237, b238, b239)
 }

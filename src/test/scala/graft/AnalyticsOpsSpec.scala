@@ -915,4 +915,62 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === allPurchases,
       "allocated cents != total purchase cents — fractional leakage")
   }
+
+  test("B238: leave-one-out hit-rate replays in JVM against rebuilt recs") {
+    val got = SparkEntry.queries("b238_rec_eval_hitrate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val itemN = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = li.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2L).toMap
+    val recs = pairCnt.toSeq
+      .flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        xs.map { case (_, b, n) => (b, n * 10000L / itemN(xs.head._1)) }
+          .sortBy { case (b, c) => (-c, b) }.take(3).map(_._1).toSet
+      }.toMap
+    val want = li.groupBy(_._1).values.toSeq
+      .map(_.map(_._2).distinct.toSeq)
+      .filter(_.length >= 2)
+      .map { ps =>
+        val held = ps.max
+        val hit = ps.filter(_ != held)
+          .exists(c => recs.getOrElse(c, Set.empty).contains(held))
+        (ps.length.toLong, if (hit) 1L else 0L)
+      }
+      .groupBy(_._1).map { case (sz, xs) =>
+        val h = xs.map(_._2).sum
+        sz -> (xs.length.toLong, h, h * 10000L / xs.length)
+      }
+    assert(got === want)
+    val (totB, totH) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(totH > 0 && totH < totB, "hit-rate saturated or zero — eval vacuous")
+  }
+
+  test("B239: the skew report replays in JVM; max/mean >= 10^6 and the " +
+    "order statistics are ordered") {
+    val r = SparkEntry.queries("b239_key_skew_report")(spark, sf).collect().head
+    val counts = Tables.lineitem(spark, sf)
+      .select("l_partkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nKeys = counts.size.toLong
+    val total = counts.values.sum
+    val maxC = counts.values.max
+    val maxKey = counts.filter(_._2 == maxC).keys.min
+    val sorted = counts.toSeq.sortBy { case (k, c) => (c, k) }.map(_._2)
+    val med = sorted(((nKeys + 1) / 2 - 1).toInt)
+    val p99 = sorted(((nKeys * 99 + 99) / 100 - 1).toInt)
+    assert(r.getLong(0) === nKeys && r.getLong(1) === total)
+    assert(r.getLong(2) === maxKey && r.getLong(3) === maxC)
+    assert(r.getLong(4) === med && r.getLong(5) === p99)
+    assert(r.getLong(6) === maxC * nKeys * 1000000L / total)
+    assert(r.getLong(6) >= 1000000L, "max/mean below 1 — impossible")
+    assert(med <= p99 && p99 <= maxC)
+  }
 }
