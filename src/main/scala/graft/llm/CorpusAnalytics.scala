@@ -608,7 +608,7 @@ object CorpusAnalytics {
        |       CAST((10 * sxy - 55 * total) * 1000000 // 825 AS BIGINT)
        |         AS slope_micro
        |FROM st WHERE total >= $TrendMinTotal
-       |ORDER BY term""".stripMargin) { (s, d) =>
+       |ORDER BY term""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val width = broadcast(docs.agg(
       expr(s"CAST((max(doc_id) + 1 + ${Deciles - 1}) div $Deciles AS BIGINT)")
