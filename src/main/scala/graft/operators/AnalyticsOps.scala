@@ -1957,8 +1957,59 @@ object AnalyticsOps {
           .as("skew_max_mean_micro"))
   }
 
+  /** B240 — BRAND AFFINITY MATRIX (b197's association pass ROLLED UP
+    * THROUGH A DIMENSION — the merchandising cross-sell grid): baskets
+    * coarsen from parts to their p_brand via a broadcast dimension join
+    * BEFORE the distinct (so a basket with three parts of one brand is
+    * ONE brand presence), then the standard pair support/lift in exact
+    * integer bp/micro. 25 brands → a ≤ C(25,2) matrix; lift > 10⁶ marks
+    * complements, < 10⁶ substitutes.
+    *
+    * Scale posture: fact → BROADCAST dim join (the canonical star-schema
+    * move) + (order, brand) distinct + bounded C(brands-in-basket, 2)
+    * self-join fanout + broadcast margins + O(1) basket-count scalar. */
+  private val b240 = entry(
+    "b240_brand_affinity",
+    """WITH bi AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM bi),
+      |bn AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM bi GROUP BY b),
+      |pairs AS (
+      |  SELECT a.b AS b1, c.b AS b2, CAST(count(*) AS BIGINT) AS n_pair
+      |  FROM bi a JOIN bi c ON a.o = c.o AND a.b < c.b
+      |  GROUP BY a.b, c.b)
+      |SELECT p.b1, p.b2, p.n_pair,
+      |       CAST(p.n_pair * 10000 // n.n_baskets AS BIGINT) AS support_bp,
+      |       CAST(p.n_pair * n.n_baskets * 1000000 // (b1n.n_b * b2n.n_b)
+      |            AS BIGINT) AS lift_micro
+      |FROM pairs p CROSS JOIN n
+      |JOIN bn b1n ON b1n.b = p.b1
+      |JOIN bn b2n ON b2n.b = p.b2
+      |ORDER BY p.b1, p.b2""".stripMargin) { (s, d) =>
+    val bi = Tables.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("o"), col("p_brand").as("b"))
+      .distinct()
+    val n = bi.agg(countDistinct(col("o")).as("n_baskets"))
+    val bn = bi.groupBy("b").agg(count(lit(1)).as("n_b"))
+    val pairs = bi.as("x")
+      .join(bi.as("y"), col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs.crossJoin(broadcast(n))
+      .join(broadcast(bn.select(col("b").as("b1"), col("n_b").as("n1"))), "b1")
+      .join(broadcast(bn.select(col("b").as("b2"), col("n_b").as("n2"))), "b2")
+      .select(col("b1"), col("b2"), col("n_pair"),
+        expr("CAST(n_pair * 10000 div n_baskets AS BIGINT)").as("support_bp"),
+        expr("CAST(n_pair * n_baskets * 1000000 div (n1 * n2) AS BIGINT)")
+          .as("lift_micro"))
+      .orderBy("b1", "b2")
+  }
+
   val entries: Seq[Entry] =
     Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
       b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
-      b226, b227, b228, b232, b236, b237, b238, b239)
+      b226, b227, b228, b232, b236, b237, b238, b239, b240)
 }

@@ -973,4 +973,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getLong(6) >= 1000000L, "max/mean below 1 — impossible")
     assert(med <= p99 && p99 <= maxC)
   }
+
+  test("B240: brand affinity replays in JVM through the dimension rollup; " +
+    "lift splits around 10^6") {
+    val got = SparkEntry.queries("b240_brand_affinity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val brand = Tables.part(spark, sf).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bi = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brand(r.getLong(1)))).distinct
+    val n = bi.map(_._1).distinct.length.toLong
+    val bn = bi.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = bi.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val bs = xs.map(_._2).distinct.sorted.toSeq
+      for (a <- bs; b <- bs if a < b) yield (a, b)
+    }.groupBy(identity).map { case ((a, b), ps) =>
+      val np = ps.length.toLong
+      (a, b) -> (np, np * 10000L / n, np * n * 1000000L / (bn(a) * bn(b)))
+    }
+    assert(got === want)
+    assert(got.values.exists(_._3 > 1000000L) &&
+      got.values.exists(_._3 < 1000000L),
+      "all lifts one side of independence — matrix vacuous")
+  }
 }
