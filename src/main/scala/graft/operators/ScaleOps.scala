@@ -545,8 +545,9 @@ object ScaleOps {
     * Scale posture: one key-partitioned lead window over base+log (per
     * key state = its version count) + a filter; no join at all — cheaper
     * than the b194 reconstruction it indexes. */
-  private val b210 = entry(
-    "b210_scd2_dimension",
+  /** B210's oracle — shared VERBATIM by B241's streamed maintenance (the
+    * b72/b214 twin convention). */
+  private[graft] val scd2OracleSql: String =
     s"""WITH base AS (
        |  ${CdcSnapshots.baseSql}),
        |log AS (
@@ -564,7 +565,10 @@ object ScaleOps {
        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
        |         AS is_current
        |FROM v WHERE op <> 'D'
-       |ORDER BY k, valid_from""".stripMargin) { (s, d) =>
+       |ORDER BY k, valid_from""".stripMargin
+
+  private val b210 = entry(
+    "b210_scd2_dimension", scd2OracleSql) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val base = CdcSnapshots.base(s, d)
     val stacked = base.select(lit(0L).as("seq"), col("k"), lit("I").as("op"),

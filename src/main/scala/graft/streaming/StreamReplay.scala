@@ -772,7 +772,73 @@ object StreamReplay {
     }
   }
 
+  private lazy val chunkDir241: String =
+    java.nio.file.Files.createTempDirectory("graft_b241_chunks").toString
+
+  private lazy val stateDir241: String =
+    java.nio.file.Files.createTempDirectory("graft_b241_state").toString
+
+  /** B241 — STREAMED SCD TYPE-2 MAINTENANCE: B210's versioned dimension
+    * kept current as the CDC log arrives (the b72 versioned-snapshot
+    * pattern, but maintaining HISTORY instead of last-writer state —
+    * each change CLOSES its key's open version at its seq and, for
+    * U/I, OPENS a new one; 'D' closes without opening). Chunks are
+    * (seq, k)-sorted, so a micro-batch may straddle the version
+    * boundary and carry BOTH of a key's changes — the apply loops the
+    * batch's distinct seqs IN ORDER (an O(#versions) driver scalar, the
+    * sanctioned b46 class), making any chunking safe. Oracle is B210's
+    * lead-window SQL verbatim: the incremental open/close fold lands on
+    * exactly the batch-built dimension, every version interval and
+    * is_current flag.
+    *
+    * Scale: state versions are immutable parquet snapshots (copy-on-
+    * write); each sub-apply is one key join of |state| + |chunk| — the
+    * b72 cost with one extra union for the opened rows. */
+  private val b241 = entry(
+    "b241_stream_scd2_apply",
+    graft.operators.ScaleOps.scd2OracleSql) { (s, d) =>
+    val base = graft.operators.CdcSnapshots.base(s, d)
+    val theLog = graft.operators.CdcSnapshots.log(base)
+    StreamingOps.writeChunksDf(theLog, chunkDir241, n = 4,
+      sortCols = Seq("seq", "k"))
+    base.select(col("k"), lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"), col("status"), col("cents"))
+      .write.mode("overwrite").parquet(s"$stateDir241/v0")
+    var cur = "v0"
+    val stream = StreamingOps.readStream(s, chunkDir241, theLog.schema)
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      var state = s.read.parquet(s"$stateDir241/$cur")
+      // distinct seqs in this batch, ascending — ≤ #versions values
+      val seqs = batch.select("seq").distinct().collect()
+        .map(_.getLong(0)).sorted
+      seqs.foreach { sq =>
+        val ch = batch.filter(col("seq") === sq)
+          .select(col("k").as("ck"), col("op"),
+            col("status").as("c_status"), col("cents").as("c_cents"))
+        val closed = state
+          .join(ch.select(col("ck")), col("k") === col("ck"), "left")
+          .select(col("k"), col("valid_from"),
+            when(col("ck").isNotNull && col("valid_to").isNull, lit(sq))
+              .otherwise(col("valid_to")).as("valid_to"),
+            col("status"), col("cents"))
+        val opened = ch.filter(col("op") =!= "D")
+          .select(col("ck").as("k"), lit(sq).as("valid_from"),
+            lit(null).cast("long").as("valid_to"),
+            col("c_status").as("status"), col("c_cents").as("cents"))
+        state = closed.unionByName(opened)
+      }
+      val next = s"v${id + 1}"
+      state.write.mode("overwrite").parquet(s"$stateDir241/$next")
+      cur = next
+    }
+    s.read.parquet(s"$stateDir241/$cur")
+      .select(col("k"), col("valid_from"), col("valid_to"), col("status"),
+        col("cents"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("k", "valid_from")
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224, b234)
+      b133, b148, b161, b214, b224, b234, b241)
 }

@@ -211,4 +211,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(slice === want, s"SCD2 slice at seq $s != as-of snapshot")
     }
   }
+
+  test("B241: the chunked log STRADDLES the version boundary, so the " +
+    "in-batch multi-seq apply path is load-bearing, and some key carries " +
+    "changes in both versions") {
+    import graft.operators.CdcSnapshots
+    val sf = TestSession.sf0001
+    // replicate the entry's chunking: 4 count-balanced chunks over the
+    // (seq, k)-sorted log — the seq-1/seq-2 boundary cannot sit on a
+    // chunk edge unless the seq-1 volume is an exact quarter multiple
+    val theLog = CdcSnapshots.log(CdcSnapshots.base(spark, sf))
+      .orderBy("seq", "k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = theLog.length
+    val bounds = (1 to 3).map(i => i * n / 4)
+    val chunks = (Seq(0) ++ bounds ++ Seq(n)).sliding(2).map {
+      case Seq(a, b) => theLog.slice(a, b)
+    }.toSeq
+    assert(chunks.exists(c => c.map(_._1).distinct.length > 1),
+      "no chunk carries both versions — the multi-seq loop is vacuous here")
+    // and the straddling chunk carries a key with changes in BOTH seqs
+    val straddle = chunks.find(c => c.map(_._1).distinct.length > 1).get
+    val k1 = straddle.filter(_._1 == 1L).map(_._2).toSet
+    val k2 = straddle.filter(_._1 == 2L).map(_._2).toSet
+    assert(theLog.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(theLog.filter(_._1 == 2L).map(_._2).toSet).nonEmpty,
+      "no key changes in both versions — the close-then-reopen path untested")
+    assert(k1.nonEmpty && k2.nonEmpty)
+  }
 }
