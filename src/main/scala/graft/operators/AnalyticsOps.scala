@@ -117,10 +117,18 @@ object AnalyticsOps {
     * = bucket 1), frequency/monetary rank DESC (best = bucket 1), and
     * rfm_code = r·100 + f·10 + m.
     *
-    * Scale posture: one map-combinable aggregate keyed on the customer,
-    * then three global ntile windows over the CUSTOMER DIMENSION — the
-    * b28 global-sort cost class on a relation ~10⁴× smaller than the
-    * fact table (the windows never see the order rows). */
+    * Scale posture (VERDICT r14 item 2): one map-combinable aggregate
+    * keyed on the customer, then three GLOBAL quintile assignments over
+    * the customer dimension — which at a 100 TB estate is billions of
+    * rows, so none of them may run as a naive `ntile OVER (ORDER BY …)`
+    * (an Exchange SinglePartition funneling every customer through one
+    * task). Each runs as [[OrderStats.withGlobalRank]]'s two-phase
+    * bucketed scan instead — recency buckets by day (calendar-bounded
+    * range), frequency by order count, monetary by cents div 2²² —
+    * followed by the closed-form [[OrderStats.ntileFromRank]] mapping
+    * (no window at all for the tile). SinglePartition-freedom is
+    * plan-asserted (OrderStatsSpec); the oracle keeps the naive ntile
+    * spelling — same relation, different physical plan, hash-equal. */
   private val b199 = entry(
     "b199_rfm_segments",
     s"""WITH m AS (
@@ -143,7 +151,6 @@ object AnalyticsOps {
        |SELECT o_custkey, recency_days, frequency, monetary_cents,
        |       r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
        |FROM q ORDER BY o_custkey""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val m = Tables.orders(s, d).groupBy("o_custkey").agg(
       // o_orderdate decodes as TIMESTAMP_NTZ; the cast is exact under the
       // UTC session timezone (Tables.events note)
@@ -152,14 +159,25 @@ object AnalyticsOps {
       count(lit(1)).as("frequency"),
       sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
         .as("monetary_cents"))
-    val rw = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fw = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val mw = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
-    m.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      .localCheckpoint(true) // feeds three rank passes + their fold collects
+    // three two-phase global ranks (ASC recency; DESC frequency/monetary —
+    // bucket on the NEGATED value, monotone under trunc div); each bucket
+    // range is bounded: days by the calendar, frequency by max orders per
+    // customer, cents div 2^22 by max customer value / 4.2e6
+    val (mr, n, _) = OrderStats.withGlobalRank(m,
+      expr("recency_days div 64"),
+      Seq(col("recency_days"), col("o_custkey")), "_rn_r")
+    val (mf, _, _) = OrderStats.withGlobalRank(mr,
+      expr("(-frequency) div 4"),
+      Seq(col("frequency").desc, col("o_custkey")), "_rn_f")
+    val (mm, _, _) = OrderStats.withGlobalRank(mf,
+      expr("(-monetary_cents) div 4194304"),
+      Seq(col("monetary_cents").desc, col("o_custkey")), "_rn_m")
+    mm.select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
-        ntile(5).over(rw).cast("long").as("r_q"),
-        ntile(5).over(fw).cast("long").as("f_q"),
-        ntile(5).over(mw).cast("long").as("m_q"))
+        OrderStats.ntileFromRank("_rn_r", n, 5).as("r_q"),
+        OrderStats.ntileFromRank("_rn_f", n, 5).as("f_q"),
+        OrderStats.ntileFromRank("_rn_m", n, 5).as("m_q"))
       .withColumn("rfm_code",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
       .orderBy("o_custkey")
@@ -770,10 +788,14 @@ object AnalyticsOps {
     * ntile(10) deciles over (ttc_ms, user_id) — the b199 determinism
     * argument — each with count/min/max ms.
     *
-    * Scale posture: two map-combinable per-user aggregates (view min;
-    * filtered later-purchase min after a user-keyed join of the
-    * purchase stream to the view-min dimension) + one global ntile over
-    * the USER dimension. */
+    * Scale posture (VERDICT r14 item 2): two map-combinable per-user
+    * aggregates (view min; filtered later-purchase min after a user-keyed
+    * join of the purchase stream to the view-min dimension), then the
+    * global decile over the USER dimension as [[OrderStats]]'s two-phase
+    * scan (ttc_ms div 2³¹ ≈ 25-day buckets — range bounded by the event
+    * horizon) + closed-form [[OrderStats.ntileFromRank]] — never a
+    * SinglePartition ntile window over a relation that grows with the
+    * estate (plan-asserted, OrderStatsSpec). */
   private val b213 = entry(
     "b213_time_to_convert",
     """WITH fv AS (
@@ -794,7 +816,6 @@ object AnalyticsOps {
       |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
       |       min(ttc_ms) AS min_ms, max(ttc_ms) AS max_ms
       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
     val fv = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fv_us"))
@@ -805,8 +826,11 @@ object AnalyticsOps {
       .agg(min(unix_micros(col("ts"))).as("fp_us"))
       .select(col("user_id"),
         expr("CAST((fp_us - fv_us) div 1000 AS BIGINT)").as("ttc_ms"))
-    val w = Window.orderBy(col("ttc_ms"), col("user_id"))
-    fp.withColumn("decile", ntile(10).over(w).cast("long"))
+      .localCheckpoint(true) // feeds the rank pass + its fold collect
+    val (ranked, n, _) = OrderStats.withGlobalRank(fp,
+      expr("ttc_ms div 2147483648"),
+      Seq(col("ttc_ms"), col("user_id")), "_rn")
+    ranked.withColumn("decile", OrderStats.ntileFromRank("_rn", n, 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), min("ttc_ms").as("min_ms"),
         max("ttc_ms").as("max_ms"))
@@ -1472,9 +1496,14 @@ object AnalyticsOps {
     * the INCLUSIVE-boundary convention (the first part crossing 80%
     * is still A), deterministic by the total rank order.
     *
-    * Scale posture: map-combinable part revenue + ONE global rank window
-    * over the PART dimension (~10⁴× smaller than facts — the b28/b199
-    * argument) + O(1) total cross-broadcast. */
+    * Scale posture (VERDICT r14 item 2): map-combinable part revenue,
+    * then the global rank AND running revenue sum over the PART dimension
+    * as ONE [[OrderStats.withGlobalRank]] two-phase scan (bucket =
+    * −rev_cents div 2²⁰; both statistics stitch from the same per-bucket
+    * fold), the grand total arriving as a driver literal from that fold —
+    * no SinglePartition window, no separate one-row total aggregate
+    * (plan-asserted, OrderStatsSpec). The oracle keeps the naive global
+    * window + CROSS JOIN tot spelling — hash-equal by construction. */
   private val b227 = entry(
     "b227_abc_classification",
     """WITH pr AS (
@@ -1498,22 +1527,18 @@ object AnalyticsOps {
       |            ELSE 'C' END AS abc_class
       |FROM r CROSS JOIN tot
       |ORDER BY r.rnk""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val pr = Tables.lineitem(s, d).groupBy("l_partkey")
       .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
         .as("rev_cents"))
-    val tot = pr.agg(sum("rev_cents").as("t"))
-    val ord = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-    val r = pr
-      .withColumn("rnk", row_number().over(ord).cast("long"))
-      .withColumn("cum",
-        sum(col("rev_cents")).over(ord.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("long"))
-    r.crossJoin(broadcast(tot))
-      .select(col("l_partkey"), col("rev_cents"), col("rnk"),
-        expr("CAST(cum * 10000 div t AS BIGINT)").as("cum_bp"),
-        expr("CASE WHEN cum * 10000 div t <= 8000 THEN 'A'" +
-          " WHEN cum * 10000 div t <= 9500 THEN 'B' ELSE 'C' END")
+      .localCheckpoint(true) // feeds the rank pass + its fold collect
+    val (r, _, Seq(tot)) = OrderStats.withGlobalRank(pr,
+      expr("(-rev_cents) div 1048576"),
+      Seq(col("rev_cents").desc, col("l_partkey")), "rnk",
+      runningSums = Seq((col("rev_cents"), "cum")))
+    r.select(col("l_partkey"), col("rev_cents"), col("rnk"),
+        expr(s"CAST(cum * 10000 div ${tot}L AS BIGINT)").as("cum_bp"),
+        expr(s"CASE WHEN cum * 10000 div ${tot}L <= 8000 THEN 'A'" +
+          s" WHEN cum * 10000 div ${tot}L <= 9500 THEN 'B' ELSE 'C' END")
           .as("abc_class"))
       .orderBy("rnk")
   }
@@ -1904,8 +1929,22 @@ object AnalyticsOps {
     * argument), and skew = max·n_keys·10⁶ div total (max/mean in micro —
     * ≥ 10⁶ by construction, = 10⁶ iff perfectly uniform).
     *
-    * Scale posture: one map-combinable key count + rank windows over the
-    * KEY dimension (~10⁴× smaller than facts) + one-row output. */
+    * Scale posture (VERDICT r14 item 2 — in the very query whose purpose
+    * is diagnosing skew, the diagnostic itself must not be the skew): the
+    * oracle spells the order statistics as a global rank window over ALL
+    * distinct keys, but the Spark side never ranks keys at all. It
+    * collapses the key counts to the COUNT HISTOGRAM (count value →
+    * number of keys — the b190 cumulative-counts idiom; distinct per-key
+    * count values grow O(√facts), and the two-phase scan bounds driver
+    * traffic to O(buckets) regardless), runs [[OrderStats.withGlobalRank]]
+    * over the histogram for the cumulative key count, and reads the
+    * median/p99 as the first histogram row whose cumulative count reaches
+    * the rank position (nearest-rank over grouped data — exactly the
+    * oracle's rank-window answer, since keys sharing a count are a
+    * contiguous rank run). n_keys/total arrive as driver literals from
+    * the same fold; max_key is a 1-row-broadcast join + per-partition
+    * top-1 (TakeOrdered — no global sort). No SinglePartition anywhere
+    * (plan-asserted, OrderStatsSpec). */
   private val b239 = entry(
     "b239_key_skew_report",
     """WITH kc AS (
@@ -1932,28 +1971,31 @@ object AnalyticsOps {
       |       CAST(st.max_c * st.n_keys * 1000000 // st.total AS BIGINT)
       |         AS skew_max_mean_micro
       |FROM st CROSS JOIN mk CROSS JOIN q""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val kc = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val st = kc.agg(count(lit(1)).as("n_keys"), sum("c").as("total"),
-      max("c").as("max_c"))
-    val mk = kc.crossJoin(broadcast(st.select(col("max_c").as("mc"))))
-      .filter(col("c") === col("mc"))
-      .agg(min("k").as("max_key"))
-    val r = kc.withColumn("rn",
-      row_number().over(Window.orderBy(col("c"), col("k"))).cast("long"))
-    val q = r.crossJoin(broadcast(st.select(col("n_keys").as("nk"))))
-      .groupBy("nk")
-      .agg(min(when(col("rn") === expr("(nk + 1) div 2"), col("c")))
-        .as("med_c"),
-        min(when(col("rn") === expr("(nk * 99 + 99) div 100"), col("c")))
-          .as("p99_c"))
-      .select("med_c", "p99_c")
-    st.crossJoin(broadcast(mk)).crossJoin(broadcast(q))
-      .select(col("n_keys"), col("total"), col("max_key"), col("max_c"),
-        col("med_c"), col("p99_c"),
-        expr("CAST(max_c * n_keys * 1000000 div total AS BIGINT)")
+    // count histogram: O(distinct count values) = O(sqrt(facts)) rows
+    val hist = kc.groupBy("c").agg(count(lit(1)).as("nk"))
+      .localCheckpoint(true) // feeds the scan pass + its fold collect
+    val (h2, dCount, Seq(nKeys, total)) = OrderStats.withGlobalRank(hist,
+      expr("c div 1024"), Seq(col("c")), "_rn",
+      runningSums = Seq((col("nk"), "cumk"), (expr("c * nk"), "cumr")))
+    val medPos = (nKeys + 1) / 2
+    val p99Pos = (nKeys * 99 + 99) / 100
+    // nearest-rank over the grouped histogram: the key at rank position p
+    // has count = min{c : cumulative keys(c) >= p}
+    val med = h2.filter(col("cumk") >= medPos)
+      .orderBy("c").limit(1).select(col("c").as("med_c"))
+    val p99 = h2.filter(col("cumk") >= p99Pos)
+      .orderBy("c").limit(1).select(col("c").as("p99_c"))
+    val mc = h2.filter(col("_rn") === dCount).select(col("c").as("max_c"))
+    val mk = kc.join(broadcast(mc), col("c") === col("max_c"))
+      .orderBy("k").limit(1)
+      .select(col("k").as("max_key"), col("max_c"))
+    mk.crossJoin(broadcast(med)).crossJoin(broadcast(p99))
+      .select(lit(nKeys).as("n_keys"), lit(total).as("total"),
+        col("max_key"), col("max_c"), col("med_c"), col("p99_c"),
+        expr(s"CAST(max_c * ${nKeys}L * 1000000 div ${total}L AS BIGINT)")
           .as("skew_max_mean_micro"))
   }
 
