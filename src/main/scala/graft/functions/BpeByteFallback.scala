@@ -88,6 +88,13 @@ object BpeByteFallback {
     "vocab ids overlap the byte-fallback id space")
 
   private val memoCap = 65536
+  /** ADVICE r14: cap KEY size too — the entry-count cap alone leaves
+    * retained width unbounded on adversarial/high-entropy corpora (64Ki
+    * arbitrary-length words per executor JVM for the process lifetime).
+    * Words past this length are encoded but never memoized, bounding
+    * retained heap to memoCap * O(memoMaxKeyLen). Real-token hit rates
+    * are unaffected (natural-language words are far shorter). */
+  private val memoMaxKeyLen = 64
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** w split into code-point strings (surrogate pairs stay whole). */
@@ -134,7 +141,7 @@ object BpeByteFallback {
       }
     }
     val ids = sb.toString
-    if (memo.size < memoCap) memo.put(w, ids)
+    if (w.length <= memoMaxKeyLen && memo.size < memoCap) memo.put(w, ids)
     ids
   }
 

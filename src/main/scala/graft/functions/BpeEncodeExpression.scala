@@ -87,6 +87,13 @@ object BpeEncodeExpression {
     * adversarial high-cardinality corpus degrades to cache misses, never
     * to unbounded executor memory. */
   private val memoCap = 65536
+  /** ADVICE r14: cap KEY size too — the entry-count cap alone leaves
+    * retained width unbounded on adversarial/high-entropy corpora (64Ki
+    * arbitrary-length words per executor JVM for the process lifetime).
+    * Words past this length are encoded but never memoized, bounding
+    * retained heap to memoCap * O(memoMaxKeyLen). Real-token hit rates
+    * are unaffected (natural-language words are far shorter). */
+  private val memoMaxKeyLen = 64
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def encodeWord(w: String): String = {
@@ -106,7 +113,7 @@ object BpeEncodeExpression {
       }
     }
     val ids = syms.map(s => tokenIds.getOrElse(s, 0)).mkString(" ")
-    if (memo.size < memoCap) memo.put(w, ids)
+    if (w.length <= memoMaxKeyLen && memo.size < memoCap) memo.put(w, ids)
     ids
   }
 

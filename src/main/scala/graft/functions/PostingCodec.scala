@@ -112,6 +112,9 @@ object PostingCodec {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xFF
+      // ADVICE r14: an overlong varint (10+ continuation bytes) would wrap
+      // the shift amount mod 64 and silently corrupt — violations throw
+      require(shift <= 63, "varint too long: more than 10 bytes")
       acc |= (b & 0x7FL) << shift
       shift += 7
       inValue = true

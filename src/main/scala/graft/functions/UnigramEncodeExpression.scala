@@ -83,6 +83,13 @@ object UnigramEncodeExpression {
   val maxPieceLen: Int = vocab.map(_._1.length).max
 
   private val memoCap = 65536
+  /** ADVICE r14: cap KEY size too — the entry-count cap alone leaves
+    * retained width unbounded on adversarial/high-entropy corpora (64Ki
+    * arbitrary-length words per executor JVM for the process lifetime).
+    * Words past this length are encoded but never memoized, bounding
+    * retained heap to memoCap * O(memoMaxKeyLen). Real-token hit rates
+    * are unaffected (natural-language words are far shorter). */
+  private val memoMaxKeyLen = 64
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val Inf = Long.MaxValue / 4
@@ -135,7 +142,7 @@ object UnigramEncodeExpression {
         while (j > 0) { out += backId(j); j = backPos(j) }
         out.reverseIterator.mkString(" ")
       }
-    if (memo.size < memoCap) memo.put(w, ids)
+    if (w.length <= memoMaxKeyLen && memo.size < memoCap) memo.put(w, ids)
     ids
   }
 

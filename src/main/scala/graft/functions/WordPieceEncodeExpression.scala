@@ -53,6 +53,13 @@ case class WordPieceEncodeExpression(child: Expression) extends UnaryExpression 
 object WordPieceEncodeExpression {
 
   private val memoCap = 65536
+  /** ADVICE r14: cap KEY size too — the entry-count cap alone leaves
+    * retained width unbounded on adversarial/high-entropy corpora (64Ki
+    * arbitrary-length words per executor JVM for the process lifetime).
+    * Words past this length are encoded but never memoized, bounding
+    * retained heap to memoCap * O(memoMaxKeyLen). Real-token hit rates
+    * are unaffected (natural-language words are far shorter). */
+  private val memoMaxKeyLen = 64
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Max-munch over one word; OOV char → the whole word is "0". */
@@ -82,7 +89,7 @@ object WordPieceEncodeExpression {
       }
     }
     val ids = if (dead) "0" else out.toString
-    if (memo.size < memoCap) memo.put(w, ids)
+    if (w.length <= memoMaxKeyLen && memo.size < memoCap) memo.put(w, ids)
     ids
   }
 

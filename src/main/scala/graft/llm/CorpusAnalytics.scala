@@ -336,6 +336,14 @@ object CorpusAnalytics {
     graft.functions.ShingleHashesExpression.register(s)
     graft.functions.MinHashSigExpression.register(s)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    // ADVICE r14: the mirror-id offset is a literal shared with the oracle;
+    // CHECK the headroom instead of assuming it — past 3M docs the mirror
+    // ids would collide with real ones and both engines would agree on a
+    // silently-wrong pair attribution. One O(1) driver scalar (b109 rule).
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    require(maxId < 3000000L,
+      s"b171 mirror-id offset exhausted: max(doc_id) = $maxId >= 3000000; " +
+        "raise the offset constant in BOTH the entry and its oracle SQL")
     val aug = docs.unionByName(
       docs.filter(col("doc_id") % 6 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"),

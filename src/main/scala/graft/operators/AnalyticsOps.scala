@@ -200,9 +200,12 @@ object AnalyticsOps {
 
   /** B201 — A/B EXPERIMENT READOUT (the two-sample Welch test over a
     * deterministic assignment; Kohavi et al., KDD'07 practice): users
-    * are assigned variant = knuth_scramble(user_id) % 2 — the SCRAMBLED
-    * selector is mandatory for any keep/split gate (SCALE.md §3.9: raw
-    * folds keep contiguous id runs wholesale) — and the metric is each
+    * are assigned variant = knuth_scramble(user_id) div 2³⁰ — the TOP bit
+    * of the 31-bit scramble, never the bottom (ADVICE r14: the multiplier
+    * is odd, so `scramble % 2` reduces to raw `user_id % 2` and the
+    * scramble is a no-op for a low-bit split; the high bit actually mixes
+    * — the same reason SCALE.md §3.9 mandates scrambled selectors for
+    * keep/drop gates) — and the metric is each
     * user's total purchase VALUE in exact cents (floor(value·100 + 0.5)
     * per event row, then BIGINT sums; users with no purchase events
     * count as 0 — intent-to-treat, so nu0+nu1 = all users). The readout
@@ -219,8 +222,8 @@ object AnalyticsOps {
     "b201_ab_experiment",
     s"""WITH u AS (SELECT DISTINCT user_id FROM events),
        |v AS (SELECT user_id,
-       |             (((user_id % 2147483648) * 2654435761) % 2147483648) % 2
-       |               AS variant FROM u),
+       |             (((user_id % 2147483648) * 2654435761) % 2147483648)
+       |               // 1073741824 AS variant FROM u),
        |px AS (SELECT user_id,
        |              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
        |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
@@ -247,7 +250,8 @@ object AnalyticsOps {
     val ev = Tables.events(s, d)
     val u = ev.select("user_id").distinct()
     val v = u.withColumn("variant",
-      expr("(((user_id % 2147483648) * 2654435761) % 2147483648) % 2"))
+      expr("(((user_id % 2147483648) * 2654435761) % 2147483648)" +
+        " div 1073741824"))
     val px = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))

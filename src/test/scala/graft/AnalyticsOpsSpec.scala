@@ -200,7 +200,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val users = ev.map(_._1).distinct
     val cents = ev.filter(_._2 == "purchase").groupBy(_._1).view
       .mapValues(_.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum).toMap
-    def variant(u: Long) = ((u % 2147483648L) * 2654435761L % 2147483648L) % 2
+    // top bit of the 31-bit scramble (ADVICE r14: % 2 of an odd-multiplier
+    // scramble is raw id parity — the high bit actually mixes)
+    def variant(u: Long) =
+      ((u % 2147483648L) * 2654435761L % 2147483648L) / 1073741824L
     val x = users.map(u => (variant(u), cents.getOrElse(u, 0L)))
     def st(v: Long) = {
       val xs = x.filter(_._1 == v).map(_._2)
