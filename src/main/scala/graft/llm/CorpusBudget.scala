@@ -143,6 +143,110 @@ object CorpusBudget {
     budgetManifest(docs)
   }
 
+  /** B242's per-source ceiling as a SHARE of corpus tokens, in basis
+    * points: 500 bp = 5%. Sized so the gate is exercised non-vacuously at
+    * every SF: measured per-source token shares span 418-593 bp across
+    * sf0.001/0.01/0.1, so a 500 bp ceiling always binds on SOME sources
+    * and never on all (both directions checked in-entry). */
+  val MaxShareBp = 500L
+
+  /** B242's scrambled selection priority — unlike B124's frozen raw-fold
+    * priority (its caveat documented in SCALE.md §3.9), every NEW keep/
+    * drop selector uses the Knuth-scrambled spelling: raw poly_fold gives
+    * CONSECUTIVE ids CONSECUTIVE fold values, so a raw-fold order would
+    * sample contiguous id runs; the multiplicative scramble decorrelates
+    * the order from id adjacency (the b167/b180 lesson). */
+  private def quotaPriorities(docs: DataFrame): DataFrame = {
+    graft.functions.PolyFoldExpression.register(docs.sparkSession)
+    val pri = "((poly_fold(concat('quota:', CAST(doc_id AS STRING)))" +
+      " % 2147483648) * 2654435761) % 2147483648"
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(pri).as("pri"))
+      .withColumn("bucket", expr("pri div 8388608")) // 2^31/2^23 -> <=256
+  }
+
+  /** B242 — PER-SOURCE SHARE QUOTA (the C4/RefinedWeb/MassiveWeb
+    * per-domain curation knob; Raffel et al. '20, Penedo et al. '23, Rae
+    * et al. '21): no single source may exceed `maxShareBp` of the CORPUS
+    * token mass — the quota is DERIVED from the corpus total, unlike
+    * B124's absolute per-source budget ("at most 5% from any one domain"
+    * vs B124's "exactly B tokens from each source"). The fixture's
+    * `source` column plays the registrable-domain role (the b163/b171/
+    * b233 convention). Over-quota sources keep the greedy prefix of
+    * their docs in scrambled-priority order (keep while the prefix START
+    * is below the quota — the B124/B97 overshoot convention, so the last
+    * kept doc may straddle); under-quota sources keep everything.
+    *
+    * Same two-phase scan as [[budgetManifest]] — and the ONE driver fold
+    * yields the per-(source, bucket) offsets, the per-source totals AND
+    * the corpus total, so the quota itself costs nothing extra: O(sources
+    * ·256) scalars fold once, the post-quota buckets are pruned BEFORE
+    * the per-(source, bucket) window, and no SinglePartition appears
+    * anywhere (CorpusBudgetSpec). At 100 TB with millions of real
+    * domains the fold is O(domains·256) scalars — past driver comfort,
+    * shard the fold by a domain-hash prefix (the manifest stays exact);
+    * the per-domain window state is bounded either way. */
+  def shareQuotaManifest(docs: DataFrame, maxShareBp: Long = MaxShareBp)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = quotaPriorities(docs)
+    val folds = toks.groupBy("source", "bucket").agg(sum("n_tok").as("btok"))
+      .collect()
+    val corpusTot = folds.map(_.getLong(2)).sum
+    val quota = corpusTot * maxShareBp / 10000
+    val bySrc = folds.groupBy(_.getString(0))
+    // bindingness lives IN the entry (the b124/b130 provenance rule) and
+    // comes free from the fold: a corpus regeneration that makes the
+    // ceiling vacuous (or all-binding — equally suspicious for a SHARE
+    // cap) must turn the row red, not silently weaken the gate
+    val over = bySrc.count { case (_, rows) => rows.map(_.getLong(2)).sum > quota }
+    require(over > 0 && over < bySrc.size,
+      s"share quota $maxShareBp bp is " +
+        (if (over == 0) "non-binding" else "all-binding") +
+        s": $over of ${bySrc.size} sources over $quota tokens")
+    val offsets = bySrc.toSeq.flatMap { case (src, rows) =>
+      var acc = 0L
+      rows.sortBy(_.getLong(1)).map { r =>
+        val off = (src, r.getLong(1), acc); acc += r.getLong(2); off
+      }
+    }
+    val offDf = offsets.toDF("source", "bucket", "bucket_off")
+    val wB = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("pri"), col("doc_id"))
+    toks.join(broadcast(offDf), Seq("source", "bucket"))
+      .filter(col("bucket_off") < quota)
+      .withColumn("start",
+        col("bucket_off") + sum(col("n_tok")).over(wB) - col("n_tok"))
+      .filter(col("start") < quota)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start"))
+      .orderBy("doc_id")
+  }
+
+  private val b242 = entry(
+    "b242_source_share_quota",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ((${Winnowing.polyFoldDuck("'quota:' || CAST(doc_id AS VARCHAR)")}
+       |           % 2147483648) * 2654435761) % 2147483648 AS pri
+       |  FROM documents),
+       |q AS (SELECT CAST(sum(n_tok) * $MaxShareBp // 10000 AS BIGINT)
+       |        AS quota FROM toks),
+       |offs AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source
+       |                               ORDER BY pri, doc_id
+       |                               ROWS UNBOUNDED PRECEDING) - n_tok
+       |              AS BIGINT) AS start
+       |  FROM toks)
+       |SELECT doc_id, source, n_tok, start
+       |FROM offs CROSS JOIN q WHERE start < quota
+       |ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
+    shareQuotaManifest(Tables.documents(s, d))
+  }
+
   /** Budget shards for streaming admission (B128): a per-source admission
     * counter is inherently sequential, so the budget splits across hash
     * shards — sources × shards independent keys, 8 bytes of state each. */
@@ -219,5 +323,5 @@ object CorpusBudget {
     (s, d) => vocabCoverage(Tables.documents(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b124, b125)
+  val entries: Seq[Entry] = Seq(b124, b125, b242)
 }

@@ -129,6 +129,73 @@ class CorpusBudgetSpec extends AnyFunSuite {
       plan.linesIterator.take(40).mkString("\n"))
   }
 
+  // ---- B242 ------------------------------------------------------------
+
+  private lazy val quotaManifest = CorpusBudget.shareQuotaManifest(docs)
+    .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3)))
+
+  test("B242: two-phase share-quota scan equals the naive per-source window") {
+    docs.createOrReplaceTempView("cb_docs")
+    val pri = "((" + graft.llm.Winnowing
+      .polyFoldSpark("concat('quota:', CAST(doc_id AS STRING))") +
+      " % 2147483648) * 2654435761) % 2147483648"
+    val naive = spark.sql(
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(size(split(text, ' ')) AS BIGINT) AS n_tok,
+         |         $pri AS pri
+         |  FROM cb_docs),
+         |q AS (SELECT CAST(sum(n_tok) * ${CorpusBudget.MaxShareBp} div 10000
+         |        AS BIGINT) AS quota FROM toks)
+         |SELECT doc_id, source, n_tok, start FROM (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+         |  FROM toks) CROSS JOIN q
+         |WHERE start < quota ORDER BY doc_id""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(quotaManifest.toSeq === naive.toSeq)
+  }
+
+  test("B242: quota semantics — the ceiling binds on some sources (capped " +
+    "at the boundary) and spares others (kept whole), per the share rule") {
+    val totals = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val quota = totals.values.map(_._1).sum * CorpusBudget.MaxShareBp / 10000
+    val bySrc = quotaManifest.groupBy(_._2)
+    assert(bySrc.keySet === totals.keySet, "no source may vanish under the quota")
+    var capped = 0
+    var whole = 0
+    for ((src, rows) <- bySrc) {
+      val (t, nDocs) = totals(src)
+      for ((_, _, _, start) <- rows) assert(start < quota)
+      if (t <= quota) {
+        assert(rows.length.toLong === nDocs, s"$src under quota must keep all")
+        whole += 1
+      } else {
+        val covered = rows.map(r => r._4 + r._3).max
+        assert(covered >= quota, s"$src kept prefix ends at $covered < $quota")
+        // over-quota keeps a PREFIX; it only drops docs when some start
+        // lands past the quota (the last kept doc may straddle — the
+        // B124/B97 overshoot convention)
+        if (rows.length.toLong < nDocs) capped += 1
+      }
+    }
+    assert(capped > 0, "the 500 bp ceiling must observably drop docs somewhere")
+    assert(whole > 0, "the 500 bp ceiling must not bind everywhere")
+  }
+
+  test("B242 plan: no SinglePartition exchange in the quota scan") {
+    val plan = CorpusBudget.shareQuotaManifest(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
   // ---- B128 ------------------------------------------------------------
 
   test("B128: streaming admission equals a sequential JVM fold of the " +
