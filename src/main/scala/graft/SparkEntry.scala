@@ -52,6 +52,7 @@ object SparkEntry {
       llm.BpeTrain.entries ++
       llm.Quantize.entries ++
       llm.CorpusBudget.entries ++
+      llm.QualityClassifier.entries ++
       llm.NgramLm.entries ++
       llm.ModelReady.entries ++
       llm.TrainLoad.entries ++
