@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
+import graft.sources.Tables
 
 /** Repeated-span removal (SURVEY §2B round-6 row B93): corpus-wide EXACT
   * substring dedup at word-k-gram granularity — the ExactSubstr pass of
@@ -40,12 +41,12 @@ object SpanDedup {
   /** (doc_id, pos, gram) — every word-k-gram occurrence, pos = 0-based
     * start. Docs shorter than k words contribute none (and can't contain
     * a duplicated span). */
-  private def spans(docs: DataFrame): DataFrame =
+  private def spans(docs: DataFrame, k: Int = SpanWords): DataFrame =
     docs.withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= SpanWords)
+      .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode_outer(expr(
-        s"""transform(sequence(0, size(w) - $SpanWords),
-           |          i -> array_join(slice(w, i + 1, $SpanWords), ' '))""".stripMargin)))
+        s"""transform(sequence(0, size(w) - $k),
+           |          i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("gram"))
 
   /** Cleaned corpus: every non-first occurrence of a corpus-duplicated
@@ -89,6 +90,14 @@ object SpanDedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(SpanWords - 1))).as("pos"))
       .distinct()
+    rebuildWithout(docs, covered)
+  }
+
+  /** The reassembly law shared by B93 and B244: delete `covered`
+    * (doc_id, pos) word positions, stitch survivors back in position
+    * order. One row per input doc — a fully-deleted doc keeps its row
+    * with empty text; n_removed + n_kept = n_words by construction. */
+  private def rebuildWithout(docs: DataFrame, covered: DataFrame): DataFrame = {
     val kept = words(docs).join(covered, Seq("doc_id", "pos"), "left_anti")
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
@@ -156,5 +165,151 @@ object SpanDedup {
     removeRepeatedSpans(TextDedup.docsWithDups(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b93)
+  // ---- B244: minimum-length exact substring dedup (Lee et al. '22) ----
+
+  /** B244's seed-gram width. */
+  val GramK = 10
+
+  /** Minimum verbatim-repeat length (tokens) for removal — Lee et al.'s
+    * ExactSubstr removes only LONG repeats (their threshold is 50 BPE
+    * tokens); B93's k-gram pass has no length floor, so it also deletes
+    * short common phrases ("of the end of the"), which over-removes on
+    * natural text. 30 words here (their 50 BPE tokens ≈ 35 words; 30
+    * keeps the gate exercised by the fixture's doc lengths). */
+  val MinSpanTokens = 30
+
+  /** A repeated region of ≥ [[MinSpanTokens]] tokens ⟺ a run of ≥
+    * MinSpanTokens − GramK + 1 CONSECUTIVE duplicated gram starts. */
+  val MinRun: Int = MinSpanTokens - GramK + 1
+
+  /** Maximal-run exact substring dedup: every non-first occurrence of a
+    * duplicated [[GramK]]-gram is a candidate, candidates coalesce into
+    * maximal consecutive-position runs per doc (gaps-and-islands on a
+    * doc-PARTITIONED window — never a global one), and only runs
+    * spanning ≥ [[MinSpanTokens]] tokens are excised; the first
+    * occurrence of every span survives (the min-struct convention B93
+    * established). This is the distributed spelling of Lee et al. 2022's
+    * ExactSubstr semantics — their suffix array finds maximal repeats ≥ L
+    * on one node; the shingle-position posting join + island coalescing
+    * finds the same regions (over-approximating only where DISTINCT
+    * repeat sources overlap within one gram width) with corpus-scale
+    * shuffles keyed on the gram.
+    *
+    * Scale posture: identical cost classes to B93 — one gram-keyed
+    * shuffle (8-byte xxhash64 keys on the 100 TB path, strings here so
+    * the oracle compares exactly), one map-combinable gram-stats
+    * aggregate, per-doc windows and joins after that; the island window
+    * state is O(1) per row. Runs and covered positions are proportional
+    * to the DUPLICATED text mass, not the corpus. */
+  def removeLongRepeats(docs: DataFrame): DataFrame = {
+    val occ = spans(docs, GramK).localCheckpoint(true) // two consumers (b93 note)
+    val gramStats = occ.groupBy("gram").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dup = occ.join(gramStats, "gram")
+      .filter(col("cnt") > 1 &&
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("p0"), max("pos").as("p1"), count(lit(1)).as("len"))
+      .filter(col("len") >= MinRun)
+    val covered = runs
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p1") + lit(GramK - 1))).as("pos"))
+      .distinct()
+    rebuildWithout(docs, covered)
+  }
+
+  /** The B244 fixture: the corpus plus PLANTED overlaps proving the
+    * length threshold in both directions — every 9th doc re-appears as a
+    * 40-token verbatim prefix plus a unique marker (≥ MinSpanTokens ⇒ the
+    * copy's head must excise, the marker and the ORIGINAL must survive),
+    * and every 11th doc re-appears as a 12-token prefix plus a marker
+    * (< MinSpanTokens ⇒ nothing may be removed, where B93 would delete
+    * it). */
+  def plantedLongShort(docs: DataFrame): DataFrame = {
+    val dw = docs.withColumn("w", split(col("text"), " "))
+    val long = dw.filter(col("doc_id") % 9 === 0 && size(col("w")) >= 40)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(array_join(slice(col("w"), 1, 40), " "),
+          lit(" zz"), col("doc_id").cast("string")).as("text"))
+    val short = dw.filter(col("doc_id") % 11 === 0 && size(col("w")) >= 12)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(array_join(slice(col("w"), 1, 12), " "),
+          lit(" qq"), col("doc_id").cast("string")).as("text"))
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(long).unionByName(short)
+  }
+
+  private val b244 = entry(
+    "b244_exact_substr_dedup",
+    s"""WITH dw0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |         array_to_string(w[1:40], ' ') || ' zz' || CAST(doc_id AS VARCHAR)
+       |  FROM dw0 WHERE doc_id % 9 = 0 AND len(w) >= 40
+       |  UNION ALL
+       |  SELECT doc_id + 4000000,
+       |         array_to_string(w[1:12], ' ') || ' qq' || CAST(doc_id AS VARCHAR)
+       |  FROM dw0 WHERE doc_id % 11 = 0 AND len(w) >= 12),
+       |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+       |words AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+       |      i -> {'pos': i - 1, 'word': w[i]})) AS u
+       |    FROM dw)),
+       |occ AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(w) - ${GramK - 1}),
+       |      i -> {'pos': i - 1,
+       |            'gram': array_to_string(w[i:i + ${GramK - 1}], ' ')})) AS u
+       |    FROM dw WHERE len(w) >= $GramK)),
+       |gram_stats AS (
+       |  SELECT gram, count(*) AS cnt,
+       |         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+       |  FROM occ GROUP BY gram),
+       |dup AS (
+       |  SELECT o.doc_id, o.pos
+       |  FROM occ o JOIN gram_stats g USING (gram)
+       |  WHERE g.cnt > 1
+       |    AND NOT (o.doc_id = g.first['doc_id'] AND o.pos = g.first['pos'])),
+       |runs AS (
+       |  SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |             AS island
+       |    FROM dup)
+       |  GROUP BY doc_id, island HAVING count(*) >= $MinRun),
+       |covered AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(generate_series(p0, p1 + ${GramK - 1})) AS pos
+       |  FROM runs),
+       |kept AS (
+       |  SELECT w.doc_id, w.pos, w.word FROM words w
+       |  ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(word, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(w) AS n_words,
+       |       len(w) - coalesce(r.n_kept, 0) AS n_removed,
+       |       coalesce(r.clean_text, '') AS clean_text
+       |FROM dw d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin, bench = true) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // the b171 headroom rule: plant ids must not collide with real ones
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    require(maxId < 2000000L,
+      s"b244 plant-id offsets exhausted: max(doc_id) = $maxId >= 2000000")
+    removeLongRepeats(plantedLongShort(docs))
+  }
+
+  val entries: Seq[Entry] = Seq(b93, b244)
 }

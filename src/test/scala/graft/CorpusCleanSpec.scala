@@ -146,4 +146,77 @@ class CorpusCleanSpec extends AnyFunSuite {
           .otherwise(size(split(col("clean_text"), " ")))).count() === 0,
       "kept-word accounting diverged from the reassembled text")
   }
+
+  // ---- B244: minimum-length exact substring dedup ----------------------
+
+  private lazy val b244rows =
+    SparkEntry.queries("b244_exact_substr_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+
+  test("B244: long plants lose exactly their 40-token verbatim head; " +
+    "the marker and the ORIGINAL survive") {
+    val longIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 9 === 0 &&
+        size(split(col("text"), " ")) >= 40)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(longIds.nonEmpty, "fixture has no long-plant candidates")
+    for (id <- longIds) {
+      val (nw, nr, clean) = b244rows(id + 2000000L)
+      assert(nw === 41L && nr === 40L && clean === s"zz$id",
+        s"copy of $id: n_words=$nw n_removed=$nr clean='$clean'")
+    }
+    // plants have strictly HIGHER ids, so they can never steal first-
+    // occurrence status: every original doc's row must be bit-identical
+    // with and without the plants (originals that do lose text — e.g. the
+    // corpus's own organic near-dup copies like doc 360 of doc 8 — lose
+    // exactly the same text either way)
+    val unplanted = SpanDedup.removeLongRepeats(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    for ((id, row) <- unplanted)
+      assert(b244rows(id) === row, s"plants changed original $id's outcome")
+    assert(unplanted.exists(_._2._2 == 0L), "no original survived untouched")
+    assert(unplanted.exists(_._2._2 > 0L),
+      "fixture degenerate: no organic long repeat found (doc 8/360 family)")
+  }
+
+  test("B244: short plants (12 tokens, below MinSpanTokens) are NOT removed " +
+    "— the length floor B93 lacks") {
+    val shortIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0 &&
+        size(split(col("text"), " ")) >= 12)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(shortIds.nonEmpty, "fixture has no short-plant candidates")
+    for (id <- shortIds) {
+      val (nw, nr, _) = b244rows(id + 4000000L)
+      assert(nw === 13L && nr === 0L,
+        s"short plant of $id was removed: n_removed=$nr (threshold broken)")
+    }
+  }
+
+  test("B244: the MinSpanTokens threshold is exact at the boundary") {
+    import spark.implicits._
+    val at = (1 to SpanDedup.MinSpanTokens).map(i => s"sa$i").mkString(" ")
+    val under = (1 to SpanDedup.MinSpanTokens - 1).map(i => s"sc$i").mkString(" ")
+    val docs = Seq(
+      (1L, at + " enda"), (2L, at + " endb"),       // exactly 30 shared
+      (3L, under + " endc"), (4L, under + " endd")) // 29 shared
+      .toDF("doc_id", "text")
+    val got = SpanDedup.removeLongRepeats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === 0L, "first occurrence must survive")
+    assert(got(2L) === SpanDedup.MinSpanTokens.toLong,
+      "a repeat of exactly MinSpanTokens must excise")
+    assert(got(3L) === 0L && got(4L) === 0L,
+      "a repeat one token under the floor must survive")
+  }
+
+  test("B244 plan: island coalescing windows are doc-partitioned, " +
+    "never SinglePartition") {
+    val plan = SparkEntry.queries("b244_exact_substr_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
 }
