@@ -1883,7 +1883,7 @@ object AnalyticsOps {
        |SELECT sz AS basket_size, CAST(count(*) AS BIGINT) AS n_baskets,
        |       CAST(sum(hit) AS BIGINT) AS n_hits,
        |       CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS hitrate_bp
-       |FROM hits GROUP BY sz ORDER BY sz""".stripMargin) { (s, d) =>
+       |FROM hits GROUP BY sz ORDER BY sz""".stripMargin, bench = true) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -2032,7 +2032,7 @@ object AnalyticsOps {
       |FROM pairs p CROSS JOIN n
       |JOIN bn b1n ON b1n.b = p.b1
       |JOIN bn b2n ON b2n.b = p.b2
-      |ORDER BY p.b1, p.b2""".stripMargin) { (s, d) =>
+      |ORDER BY p.b1, p.b2""".stripMargin, bench = true) { (s, d) =>
     val bi = Tables.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
       .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
         col("p_partkey") === col("l_partkey"))
