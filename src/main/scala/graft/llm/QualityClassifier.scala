@@ -64,5 +64,94 @@ object QualityClassifier {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b243)
+  // ---- B245: Gopher repetition signals ---------------------------------
+
+  /** Keep thresholds (basis points) for the B245 gate — sized against the
+    * measured fixture distributions so the gate binds without degenerating
+    * (top2 spans 125-1428 bp with median ~322; dup2 coverage spans
+    * 384-4736 on the 68% of docs that have any repeated 2-gram; the
+    * joint gate keeps ~86% at every SF). Gopher's published character-
+    * fraction thresholds (0.20/0.18/0.16) translate loosely to the token
+    * domain; the CONTRACT is the rule shape, the constants are corpus
+    * knobs. */
+  val Top2MaxBp = 800L
+  val Top3MaxBp = 800L
+  val Dup2CovMaxBp = 2500L
+
+  /** B245 report: per doc, the exact repetition fractions and the Gopher
+    * keep flag — a REPORT, not a filter, so downstream pipelines choose
+    * the bite (the b239 diagnostic convention). Zero exchanges before the
+    * presentation sort (the B243 posture, spec-asserted). */
+  def repetitionReport(docs: DataFrame): DataFrame = {
+    graft.functions.RepetitionStatsExpression.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("repetition_stats(text)").as("st"))
+      .select(col("doc_id"),
+        expr("st[0]").as("n_tok"),
+        expr("CAST(CASE WHEN st[0] >= 2 THEN st[1] * 10000 div (st[0] - 1)" +
+          " ELSE 0 END AS BIGINT)").as("top2_bp"),
+        expr("CAST(CASE WHEN st[0] >= 3 THEN st[2] * 10000 div (st[0] - 2)" +
+          " ELSE 0 END AS BIGINT)").as("top3_bp"),
+        expr("CAST(CASE WHEN st[0] >= 4 THEN st[3] * 10000 div (st[0] - 3)" +
+          " ELSE 0 END AS BIGINT)").as("top4_bp"),
+        expr("CAST(CASE WHEN st[0] >= 2 THEN st[4] * 10000 div st[0]" +
+          " ELSE 0 END AS BIGINT)").as("dup2_cov_bp"))
+      .withColumn("kept",
+        expr(s"CAST(top2_bp <= $Top2MaxBp AND top3_bp <= $Top3MaxBp" +
+          s" AND dup2_cov_bp <= $Dup2CovMaxBp AS BIGINT)"))
+  }
+
+  private val b245 = entry(
+    "b245_repetition_filter",
+    s"""WITH dw AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+       |           AS w
+       |  FROM documents),
+       |base AS (SELECT doc_id, len(w) AS n FROM dw),
+       |occ2 AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i:i+1], ' ') AS g
+       |  FROM dw, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |  WHERE len(w) >= 2),
+       |m2 AS (SELECT doc_id, max(c) AS mx FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM occ2 GROUP BY 1, 2) GROUP BY 1),
+       |g3 AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS g
+       |  FROM dw WHERE len(w) >= 3),
+       |m3 AS (SELECT doc_id, max(c) AS mx FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+       |g4 AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
+       |    i -> array_to_string(w[i:i+3], ' '))) AS g
+       |  FROM dw WHERE len(w) >= 4),
+       |m4 AS (SELECT doc_id, max(c) AS mx FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
+       |c2 AS (SELECT doc_id, g FROM occ2 GROUP BY doc_id, g
+       |       HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT o.doc_id, count(DISTINCT p) AS cv
+       |  FROM occ2 o JOIN c2 USING (doc_id, g),
+       |       unnest(generate_series(o.pos, o.pos + 1)) AS q(p)
+       |  GROUP BY o.doc_id),
+       |f AS (
+       |  SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
+       |    CAST(CASE WHEN b.n >= 2 THEN coalesce(m2.mx, 0) * 10000 // (b.n - 1)
+       |         ELSE 0 END AS BIGINT) AS top2_bp,
+       |    CAST(CASE WHEN b.n >= 3 THEN coalesce(m3.mx, 0) * 10000 // (b.n - 2)
+       |         ELSE 0 END AS BIGINT) AS top3_bp,
+       |    CAST(CASE WHEN b.n >= 4 THEN coalesce(m4.mx, 0) * 10000 // (b.n - 3)
+       |         ELSE 0 END AS BIGINT) AS top4_bp,
+       |    CAST(CASE WHEN b.n >= 2 THEN coalesce(cov.cv, 0) * 10000 // b.n
+       |         ELSE 0 END AS BIGINT) AS dup2_cov_bp
+       |  FROM base b
+       |  LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+       |  LEFT JOIN m4 USING (doc_id) LEFT JOIN cov USING (doc_id))
+       |SELECT doc_id, n_tok, top2_bp, top3_bp, top4_bp, dup2_cov_bp,
+       |       CAST(top2_bp <= $Top2MaxBp AND top3_bp <= $Top3MaxBp
+       |            AND dup2_cov_bp <= $Dup2CovMaxBp AS BIGINT) AS kept
+       |FROM f ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
+    repetitionReport(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b243, b245)
 }

@@ -57,6 +57,79 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(got(0L) === 0L && got(1L) === 0L, "no tokens -> score 0")
   }
 
+  // ---- B245: Gopher repetition signals ----------------------------------
+
+  // independent replay with plain Scala collections
+  private def replayStats(text: String): (Long, Long, Long, Long, Long) = {
+    val t = text.split(" ", -1).filter(_.nonEmpty)
+    val n = t.length
+    def mx(k: Int): Long =
+      if (n < k) 0L
+      else t.sliding(k).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size.toLong).max
+    val cov = if (n < 2) 0L else {
+      val c = t.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val m = Array.fill(n)(false)
+      for (i <- 0 until n - 1 if c(t(i) + " " + t(i + 1)) >= 2) {
+        m(i) = true; m(i + 1) = true
+      }
+      m.count(identity).toLong
+    }
+    (n.toLong, mx(2), mx(3), mx(4), cov)
+  }
+
+  test("B245: report equals the JVM replay of all five statistics") {
+    val got = SparkEntry.queries("b245_repetition_filter")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    for ((id, text) <- docs) {
+      val (n, m2, m3, m4, cov) = replayStats(text)
+      val t2 = if (n >= 2) m2 * 10000 / (n - 1) else 0L
+      val t3 = if (n >= 3) m3 * 10000 / (n - 2) else 0L
+      val t4 = if (n >= 4) m4 * 10000 / (n - 3) else 0L
+      val dc = if (n >= 2) cov * 10000 / n else 0L
+      val kept = if (t2 <= QualityClassifier.Top2MaxBp &&
+        t3 <= QualityClassifier.Top3MaxBp &&
+        dc <= QualityClassifier.Dup2CovMaxBp) 1L else 0L
+      assert(got(id) === ((n, t2, t3, t4, dc, kept)), s"doc $id")
+    }
+    val keptVals = got.values.map(_._6).toSet
+    assert(keptVals === Set(0L, 1L), "gate must bind in both directions")
+  }
+
+  test("B245: constructed repetition extremes behave per the Gopher rules") {
+    val cases = Seq(
+      (1L, ("a b " * 40).trim),           // one 2-gram dominates -> dropped
+      (2L, (1 to 80).map("u" + _).mkString(" ")), // all-unique -> kept
+      (3L, ""), (4L, "solo"), (5L, "two toks"))
+    val df = cases.toDF("doc_id", "text")
+    val got = QualityClassifier.repetitionReport(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(1L)._3 === 0L, "degenerate repetition must drop")
+    assert(got(1L)._1 > QualityClassifier.Top2MaxBp)
+    assert(got(1L)._2 === 10000L, "every token of 'a b a b ...' is covered")
+    assert(got(2L) === ((126L, 0L, 1L)),
+      "all-unique doc: 1*10000 div 79 = 126 top share, kept")
+    assert(got(3L) === ((0L, 0L, 1L)) && got(4L) === ((0L, 0L, 1L)),
+      "sub-gram docs default to 0 fractions, kept")
+    // a 2-token doc's single 2-gram is a 100% top share — the repetition
+    // rule drops it by construction; length floors are a separate pass
+    // (b45/b94), not this one's job
+    assert(got(5L) === ((10000L, 0L, 0L)))
+  }
+
+  test("B245 plan: zero exchanges before the presentation sort") {
+    val plan = QualityClassifier.repetitionReport(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"within-doc statistics must not shuffle:\n$plan")
+    assert(plan.contains("repetition_stats"), plan)
+  }
+
   test("B243 plan: zero exchanges before the gate; scoring is codegen") {
     val gated = QualityClassifier.scored(
         Tables.documents(spark, sf).select(col("doc_id"), col("text")))
