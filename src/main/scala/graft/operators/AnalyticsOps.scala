@@ -348,8 +348,9 @@ object AnalyticsOps {
     * Scale posture: two user-partitioned windows (running max, running
     * sum) + one map-combinable (user, island) aggregate — the b195/b202
     * cost class; no global window, no driver traffic. */
-  private val b203 = entry(
-    "b203_interval_coalesce",
+  /** B203's oracle — shared VERBATIM by B246's streamed incremental
+    * maintenance (the b214/b224/b234/b241 twin convention). */
+  private[graft] val intervalCoalesceOracleSql: String =
     """WITH seq AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
       |         epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000
@@ -375,7 +376,11 @@ object AnalyticsOps {
       |       min(ts_us) AS start_us, max(end_us) AS end_us,
       |       CAST((max(end_us) - min(ts_us)) // 1000 AS BIGINT) AS dur_ms
       |FROM i GROUP BY user_id, island
-      |ORDER BY user_id, island""".stripMargin, bench = true) { (s, d) =>
+      |ORDER BY user_id, island""".stripMargin
+
+  private val b203 = entry(
+    "b203_interval_coalesce", intervalCoalesceOracleSql,
+    bench = true) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val seq = Tables.events(s, d)

@@ -838,7 +838,114 @@ object StreamReplay {
       .orderBy("k", "valid_from")
   }
 
+  private lazy val chunkDir246: String =
+    java.nio.file.Files.createTempDirectory("graft_b246_chunks").toString
+
+  private lazy val stateDir246: String =
+    java.nio.file.Files.createTempDirectory("graft_b246_state").toString
+
+  /** B246 — STREAMED INTERVAL COALESCING: B203's temporal-union islands
+    * maintained incrementally as events arrive (streaming sessionization
+    * with VARIABLE-length intervals — the b241 snapshot pattern on the
+    * events domain). The state is the islands table itself: closed
+    * islands are immutable; each user's one OPEN island re-enters the
+    * per-batch fold as a synthetic interval row [start, cur_end) carrying
+    * its event count as weight (sorting first for its user: event_id −1,
+    * ts = island start ≤ every future ts by the chunks' global
+    * (ts, event_id) order). The fold is B203's own window spelling over
+    * synth ∪ batch — incremental view maintenance by literally re-running
+    * the batch operator on the boundary summary plus the delta (the b148
+    * streaming-triangles argument) — and island ids continue per user via
+    * the open island's offset. Oracle is B203's SQL VERBATIM: hash-green
+    * proves open-island carry, touching-merge (ts = run_end), weight
+    * accounting and id continuity across every chunk boundary.
+    *
+    * Scale: per-batch state is one open-island row per ACTIVE user plus
+    * the append-only closed set (output-sized, the b241 posture); the
+    * fold's windows partition by user. */
+  /** The B246 replay harness over an arbitrary (user_id, event_id, ts_us,
+    * end_us) interval relation — the entry feeds the events projection,
+    * StreamingSpec feeds a constructed straddle fixture. */
+  private[graft] def runIntervalMerge(s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame, chunkDir: String, stateDir: String,
+      nChunks: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    StreamingOps.writeChunksDf(ev, chunkDir, n = nChunks,
+      sortCols = Seq("ts_us", "event_id"))
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("island",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("start_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("end_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("open",
+        org.apache.spark.sql.types.IntegerType)))
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stateSchema)
+      .write.mode("overwrite").parquet(s"$stateDir/v0")
+    var cur = "v0"
+    val stream = StreamingOps.readStream(s, chunkDir, ev.schema)
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      val state = s.read.parquet(s"$stateDir/$cur")
+      val closed = state.filter(col("open") === 0)
+      val open = state.filter(col("open") === 1)
+      val synth = open.select(col("user_id"), lit(-1L).as("event_id"),
+        col("start_us").as("ts_us"), col("end_us"),
+        col("n_events").as("wt"), (col("island") - 1L).as("off"))
+      val offs = open.select(col("user_id"), (col("island") - 1L).as("uoff"))
+      val evb = batch
+        .join(offs, Seq("user_id"), "left")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("end_us"),
+          lit(1L).as("wt"), coalesce(col("uoff"), lit(0L)).as("off"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val isl = synth.unionByName(evb)
+        .withColumn("run_end",
+          max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nf",
+          when(col("run_end").isNull || col("ts_us") > col("run_end"), 1)
+            .otherwise(0))
+        .withColumn("li",
+          sum(col("nf")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"))
+        .groupBy(col("user_id"), (col("off") + col("li")).as("island"))
+        .agg(sum("wt").as("n_events"), min("ts_us").as("start_us"),
+          max("end_us").as("end_us"))
+      val mx = isl.groupBy("user_id").agg(max("island").as("mxi"))
+      val newState = closed.unionByName(
+        isl.join(mx, "user_id")
+          .select(col("user_id"), col("island"), col("n_events"),
+            col("start_us"), col("end_us"),
+            when(col("island") === col("mxi"), 1).otherwise(0).as("open")))
+      val next = s"v${id + 1}"
+      newState.write.mode("overwrite").parquet(s"$stateDir/$next")
+      cur = next
+    }
+    s.read.parquet(s"$stateDir/$cur")
+      .select(col("user_id"), col("island"), col("n_events"),
+        col("start_us"), col("end_us"),
+        expr("CAST((end_us - start_us) div 1000 AS BIGINT)").as("dur_ms"))
+      .orderBy("user_id", "island")
+  }
+
+  private val b246 = entry(
+    "b246_stream_interval_merge",
+    graft.operators.AnalyticsOps.intervalCoalesceOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) +
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000L"))
+          .as("end_us"))
+    runIntervalMerge(s, ev, chunkDir246, stateDir246, nChunks = 6)
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224, b234, b241)
+      b133, b148, b161, b214, b224, b234, b241, b246)
 }

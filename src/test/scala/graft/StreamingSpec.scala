@@ -456,4 +456,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(back === (1 to 100).map(i => (i.toLong, s"row_$i")).toSet)
     } finally server.stop(0)
   }
+  test("B246: open islands straddle chunk boundaries — carry, touching-merge, " +
+    "id continuity, and close-then-reopen all land batch-equal") {
+    import spark.implicits._
+    // 2 rows/chunk under (ts_us, event_id) order:
+    //   u1: [1000,5000) c1 + [3000,4000) c2 merge across the boundary
+    //       (island 1, 2 events); [9000,12000) c3 breaks -> island 2
+    //   u2: [2000,2500) c1 closes; [6000,7000) c2 opens island 2, and
+    //       [6500,8000) c3 OVERLAP-merges into it across the boundary
+    val rows = Seq(
+      (1L, 1L, 1000L, 5000L), (2L, 2L, 2000L, 2500L),
+      (1L, 3L, 3000L, 4000L), (2L, 4L, 6000L, 7000L),
+      (2L, 6L, 6500L, 8000L), (1L, 5L, 9000L, 12000L))
+    val ev = rows.toDF("user_id", "event_id", "ts_us", "end_us")
+    val cd = java.nio.file.Files.createTempDirectory("graft_b246_spec_c").toString
+    val sd = java.nio.file.Files.createTempDirectory("graft_b246_spec_s").toString
+    val got = graft.streaming.StreamReplay.runIntervalMerge(spark, ev, cd, sd, nChunks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 1000L, 5000L, 4L), (1L, 2L, 1L, 9000L, 12000L, 3L),
+      (2L, 1L, 1L, 2000L, 2500L, 0L), (2L, 2L, 2L, 6000L, 8000L, 2L)))
+    // the snapshot chain proves the straddle is real: after batch 0, u1's
+    // island 1 is OPEN with 1 event; the final table shows it absorbed a
+    // later chunk's event
+    val v1 = spark.read.parquet(s"$sd/v1")
+      .filter(col("user_id") === 1L && col("open") === 1).collect()
+    assert(v1.length === 1 && v1.head.getAs[Long]("n_events") === 1L,
+      "after chunk 1, u1's island must be open with exactly its first event")
+  }
 }
+
