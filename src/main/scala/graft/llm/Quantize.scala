@@ -252,5 +252,47 @@ object Quantize {
       .toDF("n_probes", "k", "n_hits", "recall_bp")
   }
 
-  val entries: Seq[Entry] = Seq(b123, b126, b127)
+  /** B247 — the Achlioptas sparse random projection (see
+    * [[graft.functions.RandomProjectExpression]] for the model and the
+    * exactness contract) as a corpus pass over the embeddings table:
+    * (vec_id, k, y_fp) in long form, 64 dims → 16.
+    *
+    * Scale posture: the projection is one map-side codegen expression per
+    * vector (zero exchanges before the presentation explode/sort,
+    * spec-asserted on [[projected]]); at 100 TB the output is 16 BIGINTs
+    * per vector — a 4× narrower relation feeding the B44/B84 index
+    * builds, with the JL distance guarantee QuantizeSpec sanity-pins. */
+  def projected(emb: DataFrame): DataFrame = {
+    graft.functions.RandomProjectExpression.register(emb.sparkSession)
+    emb.select(col("vec_id"), expr("random_project(embedding)").as("y"))
+  }
+
+  private val b247 = entry(
+    "b247_random_projection",
+    s"""WITH x AS (
+       |  SELECT vec_id, j - 1 AS j,
+       |         -- CAST to DOUBLE first: bare float*int runs in float32 in
+       |         -- DuckDB, while the JVM side promotes to double
+       |         CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000 + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j)),
+       |r AS (
+       |  SELECT x.vec_id, v.k, x.q,
+       |         (((x.j * ${graft.functions.RandomProjectExpression.K} + v.k + 1)
+       |           * 2654435761) % 2147483648) % 6 AS h
+       |  FROM x, unnest(generate_series(0,
+       |    ${graft.functions.RandomProjectExpression.K - 1})) AS v(k))
+       |SELECT vec_id, CAST(k AS BIGINT) AS k,
+       |       CAST(sum(q * (CASE WHEN h = 0 THEN 1 WHEN h = 1 THEN -1
+       |                          ELSE 0 END)) AS BIGINT) AS y_fp
+       |FROM r GROUP BY vec_id, k
+       |ORDER BY vec_id, k""".stripMargin, bench = true) { (s, d) =>
+    projected(Tables.embeddings(s, d))
+      .select(col("vec_id"), posexplode(col("y")))
+      .select(col("vec_id"), col("pos").cast("long").as("k"),
+        col("col").as("y_fp"))
+      .orderBy("vec_id", "k")
+  }
+
+  val entries: Seq[Entry] = Seq(b123, b126, b127, b247)
 }

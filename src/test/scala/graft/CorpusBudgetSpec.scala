@@ -129,6 +129,62 @@ class CorpusBudgetSpec extends AnyFunSuite {
       plan.linesIterator.take(40).mkString("\n"))
   }
 
+  // ---- B247 ------------------------------------------------------------
+
+  private def jvmCell(j: Int, k: Int): Long = {
+    val h = (((j.toLong * 16 + k + 1) * 2654435761L) % 2147483648L) % 6L
+    if (h == 0L) 1L else if (h == 1L) -1L else 0L
+  }
+
+  test("B247: the frozen Achlioptas matrix has the 1/6, 1/6, 2/3 shape") {
+    val cells = for (j <- 0 until 64; k <- 0 until 16) yield jvmCell(j, k)
+    val n = cells.length.toDouble
+    val pPlus = cells.count(_ == 1L) / n
+    val pMinus = cells.count(_ == -1L) / n
+    val pZero = cells.count(_ == 0L) / n
+    assert(math.abs(pPlus - 1.0 / 6) < 0.07, s"P(+1) = $pPlus")
+    assert(math.abs(pMinus - 1.0 / 6) < 0.07, s"P(-1) = $pMinus")
+    assert(math.abs(pZero - 2.0 / 3) < 0.07, s"P(0) = $pZero")
+  }
+
+  test("B247: projection equals a JVM replay, and JL distances survive") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = SparkEntry.queries("b247_random_projection")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def q(x: Float): Long = math.floor(x.toDouble * 10000.0 + 0.5).toLong
+    def proj(v: Array[Float]): Array[Long] = {
+      val y = new Array[Long](16)
+      for (j <- v.indices; k <- 0 until 16) y(k) += q(v(j)) * jvmCell(j, k)
+      y
+    }
+    val projs = emb.view.mapValues(proj).toMap
+    for ((id, v) <- projs; k <- 0 until 16)
+      assert(got((id, k.toLong)) === v(k), s"vec $id dim $k")
+    // JL sanity: E[||Δy||²] = (1/3)·||Δq||², so 3·||Δy||²/||Δq||² ≈ 1;
+    // with K = 16 individual pairs scatter but the median must hold
+    val ids = emb.keys.toSeq.sorted.take(25)
+    val ratios = for (a <- ids; b <- ids if a < b) yield {
+      val dq = emb(a).zip(emb(b)).map { case (x, y) => q(x) - q(y) }
+        .map(d => d.toDouble * d).sum
+      val dy = projs(a).zip(projs(b)).map { case (x, y) => (x - y).toDouble }
+        .map(d => d * d).sum
+      3.0 * dy / (16.0 * dq)
+    }
+    val sortedR = ratios.sorted
+    val med = sortedR(sortedR.length / 2)
+    assert(med > 0.5 && med < 2.0, s"JL median distortion $med")
+    assert(ratios.forall(r => r > 0.02 && r < 50), "a pair distorted wildly")
+  }
+
+  test("B247 plan: the projection is map-side — zero exchanges") {
+    val plan = Quantize.projected(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("random_project"), plan)
+  }
+
   // ---- B242 ------------------------------------------------------------
 
   private lazy val quotaManifest = CorpusBudget.shareQuotaManifest(docs)
