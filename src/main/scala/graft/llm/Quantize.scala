@@ -260,8 +260,21 @@ object Quantize {
     * Scale posture: the projection is one map-side codegen expression per
     * vector (zero exchanges before the presentation explode/sort,
     * spec-asserted on [[projected]]); at 100 TB the output is 16 BIGINTs
-    * per vector — a 4× narrower relation feeding the B44/B84 index
-    * builds, with the JL distance guarantee QuantizeSpec sanity-pins. */
+    * per vector — a 4× narrower relation for distance-sketching, with the
+    * JL distance guarantee CorpusBudgetSpec sanity-pins (median pairwise
+    * distortion ≈ 1).
+    *
+    * NEGATIVE RESULT (r15, measured): a b127-style top-10 RECALL gate in
+    * the projected space was evaluated and rejected — this fixture's
+    * embeddings are isotropic (near-uniform pairwise cosines), so K = 16
+    * preserves distance DISTRIBUTIONS but not neighbor RANKS: raw
+    * projected-space recall@10 is 450/400/150 bp at sf0.001/0.01/0.1 and
+    * even a shortlist-200 + exact-rerank two-stage reaches only
+    * 6000/5950/3050 bp, degrading with corpus size. Rank-based gates are
+    * the wrong property for JL at this K; the distortion pin is the right
+    * one. (The b84/b44 IVF/PQ rows carry the serving-grade recall gates —
+    * their quantizers exploit what structure the data has instead of a
+    * data-oblivious projection.) */
   def projected(emb: DataFrame): DataFrame = {
     graft.functions.RandomProjectExpression.register(emb.sparkSession)
     emb.select(col("vec_id"), expr("random_project(embedding)").as("y"))

@@ -53,6 +53,10 @@ class PostingCompressSpec extends AnyFunSuite {
     val enc = PostingCodec.encode(arr(Seq(1000000L)))
     assert(enc.length > 1)
     intercept[IllegalArgumentException](PostingCodec.decode(enc.dropRight(1)))
+    // ADVICE r14: an overlong varint (11 continuation bytes) must THROW,
+    // not wrap the shift mod 64 and silently decode a wrong value
+    val overlong = Array.fill(11)(0x80.toByte) :+ 0x01.toByte
+    intercept[IllegalArgumentException](PostingCodec.decode(overlong))
   }
 
   test("B179 entry: round-trip green corpus-wide, sizes lawful, dense postings compress") {
