@@ -930,8 +930,9 @@ object AnalyticsOps {
     * per-user first-week aggregate (broadcast-joined), one self-join
     * keyed (user, week) with ±1-week shift, one map-combinable week
     * aggregate. */
-  private val b216 = entry(
-    "b216_growth_accounting",
+  /** B216's oracle — shared VERBATIM by B248's streamed maintenance (the
+    * b214/b224/b234/b241/b246 twin convention). */
+  private[graft] val growthOracleSql: String =
     s"""WITH uw AS (
        |  SELECT user_id,
        |         ${graft.operators.PipelineOps.weekFloorSqlDuck} AS week,
@@ -967,12 +968,12 @@ object AnalyticsOps {
        |       CAST(sum(chu_c) AS BIGINT) AS churned_cents,
        |       CAST(sum(new_c + res_c + exp_c + con_c + chu_c) AS BIGINT)
        |         AS net_cents
-       |FROM cls GROUP BY week ORDER BY week""".stripMargin) { (s, d) =>
-    val uw = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"),
-        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
-      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+       |FROM cls GROUP BY week ORDER BY week""".stripMargin
+
+  /** The classification + bridge tail over an arbitrary per-(user, week)
+    * purchase-cents relation — B216 feeds the batch aggregate, B248 the
+    * streamed complete-mode fold; the bridge algebra is fold-agnostic. */
+  private[graft] def growthFromWeekly(uw: DataFrame): DataFrame = {
     val fw = uw.groupBy("user_id").agg(min("week").as("first_week"))
     val c = uw.select(col("user_id").as("cu"), col("week").as("cw"),
       col("cents").as("cur"))
@@ -1003,6 +1004,15 @@ object AnalyticsOps {
         sum(col("new_c") + col("res_c") + col("exp_c") + col("con_c") +
           col("chu_c")).as("net_cents"))
       .orderBy("week")
+  }
+
+  private val b216 = entry(
+    "b216_growth_accounting", growthOracleSql) { (s, d) =>
+    growthFromWeekly(Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents")))
   }
 
   /** B217 — ITEM-ITEM RECOMMENDATION SERVE TABLE (the co-occurrence

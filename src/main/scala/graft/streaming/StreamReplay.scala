@@ -945,7 +945,41 @@ object StreamReplay {
     runIntervalMerge(s, ev, chunkDir246, stateDir246, nChunks = 6)
   }
 
+  private lazy val chunkDir248: String =
+    java.nio.file.Files.createTempDirectory("graft_b248_chunks").toString
+
+  /** B248 — STREAMED GROWTH ACCOUNTING: B216's SaaS revenue bridge kept
+    * current as purchases arrive. The stream maintains the per-(user,
+    * week) cents fold in complete mode (state: one BIGINT per active
+    * (user, week) — the b133 complete-fold convention; a week's sum can
+    * STRADDLE micro-batches, which is exactly what the complete fold
+    * absorbs and an emit-on-week-close design would get wrong), and the
+    * bridge classification runs as the SHARED
+    * [[graft.operators.AnalyticsOps.growthFromWeekly]] tail over the
+    * final fold. Oracle is B216's SQL verbatim — hash-green pins that
+    * cross-batch week accumulation loses nothing, including the bridge
+    * identity per week.
+    *
+    * Scale: streaming state ∝ active (user, week) pairs inside the
+    * retention horizon on a production stream; the tail is B216's own
+    * audited batch shape. */
+  private val b248 = entry(
+    "b248_stream_growth_accounting",
+    graft.operators.AnalyticsOps.growthOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamingOps.writeChunksDf(ev, chunkDir248, n = 6)
+    val weekly = StreamingOps.readStream(s, chunkDir248, ev.schema)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+    s.catalog.dropTempView("b248_replay") // idempotent re-runs
+    val uw = StreamingOps.runToMemory(weekly, "b248_replay", "complete")
+    graft.operators.AnalyticsOps.growthFromWeekly(uw)
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224, b234, b241, b246)
+      b133, b148, b161, b214, b224, b234, b241, b246, b248)
 }

@@ -485,5 +485,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1.length === 1 && v1.head.getAs[Long]("n_events") === 1L,
       "after chunk 1, u1's island must be open with exactly its first event")
   }
+  test("B248: some (user, week) purchase sum straddles a chunk boundary — " +
+    "the complete-mode fold is load-bearing, not incidental") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+    // replicate writeChunksDf's boundaries: 6 chunks of ceil(n/6) rows
+    val per = math.max(1, (ev.length + 5) / 6)
+    val chunkOf = ev.zipWithIndex
+      .map { case ((_, u, t, w), i) => ((u, w, t), i / per) }
+    val straddling = chunkOf.filter(_._1._3 == "purchase")
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      .count(_._2 >= 2)
+    assert(straddling > 0,
+      "no (user, week) purchase mass crosses a chunk boundary — the " +
+        "fixture would not exercise cross-batch accumulation")
+  }
 }
+
 
