@@ -96,6 +96,99 @@ object AnalyticsOps {
       .orderBy("p1", "p2")
   }
 
+  /** B249 — A-PRIORI 3-ITEMSET CANDIDATE GENERATION + VERIFICATION
+    * (Agrawal & Srikant VLDB'94 §2.1.1, the step B197 stops short of —
+    * and the step where A-priori's entire value lives: DOWNWARD CLOSURE
+    * prunes the candidate space before any counting): C3 = triples whose
+    * THREE sub-pairs are all frequent (L2, support ≥ [[MinSup]]), each
+    * verified against the baskets for its true count. The row ships the
+    * audit a mining run reads: the three sub-pair supports, the closure
+    * bound (min of them — n_basket ≤ bound is a THEOREM, spec-pinned),
+    * the true count and the survives-support flag. The fixture makes the
+    * prune's necessity visible: 1.6M raw triples at sf0.1 collapse to ONE
+    * candidate, and candidates ≠ frequent (it fails verification).
+    *
+    * Scale posture (the A-priori argument, distributed): enumeration is
+    * STAGED — items self-join to L2-pruned pairs first (semi-join against
+    * the broadcast L2), then extend by one item with BOTH new sub-pairs
+    * semi-joined against L2 — so per-order fanout is bounded by the
+    * frequent-pair adjacency, never C(basket, 3); beyond broadcast size
+    * the semi-joins shuffle keyed on the pair, same plan class. Margins
+    * re-join broadcast. */
+  private val b249 = entry(
+    "b249_basket_triples",
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |l2 AS (
+       |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS s
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSup),
+       |tri AS (
+       |  SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+       |         CAST(count(*) AS BIGINT) AS n_basket
+       |  FROM items a
+       |  JOIN items b ON a.o = b.o AND a.p < b.p
+       |  JOIN items c ON a.o = c.o AND b.p < c.p
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT t.p1, t.p2, t.p3, x.s AS s12, y.s AS s13, z.s AS s23,
+       |         t.n_basket
+       |  FROM tri t
+       |  JOIN l2 x ON x.p1 = t.p1 AND x.p2 = t.p2
+       |  JOIN l2 y ON y.p1 = t.p1 AND y.p2 = t.p3
+       |  JOIN l2 z ON z.p1 = t.p2 AND z.p2 = t.p3)
+       |SELECT p1, p2, p3, s12, s13, s23,
+       |       least(s12, s13, s23) AS closure_bound, n_basket,
+       |       CAST(n_basket >= $MinSup AS BIGINT) AS is_frequent
+       |FROM cand ORDER BY p1, p2, p3""".stripMargin, bench = true) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val l2 = items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= MinSup)
+      .localCheckpoint(true) // feeds 5 joins below
+    val l2k = l2.select(col("p1").as("k1"), col("p2").as("k2"))
+    // staged pruned enumeration: extend only L2 pairs, check both new
+    // sub-pairs against L2 before counting
+    val ab = items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("p1"), col("b.p").as("p2"))
+      .join(broadcast(l2k),
+        col("p1") === col("k1") && col("p2") === col("k2"), "left_semi")
+    val tri = ab.as("ab")
+      .join(items.as("c"),
+        col("ab.o") === col("c.o") && col("ab.p2") < col("c.p"))
+      .select(col("ab.o").as("o"), col("ab.p1").as("p1"),
+        col("ab.p2").as("p2"), col("c.p").as("p3"))
+      .join(broadcast(l2k),
+        col("p1") === col("k1") && col("p3") === col("k2"), "left_semi")
+      .join(broadcast(l2k),
+        col("p2") === col("k1") && col("p3") === col("k2"), "left_semi")
+      .groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("n_basket"))
+    tri
+      .join(broadcast(l2.select(col("p1").as("k1"), col("p2").as("k2"),
+        col("s").as("s12"))),
+        col("p1") === col("k1") && col("p2") === col("k2")).drop("k1", "k2")
+      .join(broadcast(l2.select(col("p1").as("k1"), col("p2").as("k2"),
+        col("s").as("s13"))),
+        col("p1") === col("k1") && col("p3") === col("k2")).drop("k1", "k2")
+      .join(broadcast(l2.select(col("p1").as("k1"), col("p2").as("k2"),
+        col("s").as("s23"))),
+        col("p2") === col("k1") && col("p3") === col("k2")).drop("k1", "k2")
+      .select(col("p1"), col("p2"), col("p3"), col("s12"), col("s13"),
+        col("s23"), least(col("s12"), col("s13"), col("s23"))
+          .as("closure_bound"),
+        col("n_basket"),
+        expr(s"CAST(n_basket >= $MinSup AS BIGINT)").as("is_frequent"))
+      .orderBy("p1", "p2", "p3")
+  }
+
   /** "now" for B199's recency metric: 2001-09-01T00:00Z in epoch µs — a
     * literal parameter (Registry determinism contract: never
     * current_timestamp()), one month past the orders table's max
@@ -2070,7 +2163,7 @@ object AnalyticsOps {
   }
 
   val entries: Seq[Entry] =
-    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212,
+    Seq(b197, b199, b201, b202, b203, b204, b205, b206, b208, b209, b212, b249,
       b213, b215, b216, b217, b218, b219, b220, b221, b222, b223, b225,
       b226, b227, b228, b232, b236, b237, b238, b239, b240)
 }

@@ -1001,4 +1001,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       got.values.exists(_._3 < 1000000L),
       "all lifts one side of independence — matrix vacuous")
   }
+  test("B249: candidates equal a JVM A-priori replay; the closure bound " +
+    "is a law; the prune and the verify both bite") {
+    val got = SparkEntry.queries("b249_basket_triples")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))).toMap
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val triCount = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    for (ps <- baskets.values) {
+      for (a <- ps; b <- ps if a < b)
+        pairCount((a, b)) = pairCount.getOrElse((a, b), 0L) + 1L
+      for (a <- ps; b <- ps if a < b; c <- ps if b < c)
+        triCount((a, b, c)) = triCount.getOrElse((a, b, c), 0L) + 1L
+    }
+    val l2 = pairCount.filter(_._2 >= 2L).toMap
+    val want = triCount.collect {
+      case ((a, b, c), n) if l2.contains((a, b)) && l2.contains((a, c)) &&
+        l2.contains((b, c)) =>
+        val (s12, s13, s23) = (l2((a, b)), l2((a, c)), l2((b, c)))
+        (a, b, c) -> (s12, s13, s23, Seq(s12, s13, s23).min, n,
+          if (n >= 2L) 1L else 0L)
+    }.toMap
+    assert(got === want)
+    // downward closure: the true count never exceeds any sub-pair support
+    for ((_, (_, _, _, bound, n, _)) <- got) assert(n <= bound)
+    // the prune bites (candidates << raw triples) and the verify bites
+    // (some candidate fails support)
+    assert(got.size.toLong < triCount.size.toLong / 5)
+    assert(got.values.exists(_._6 == 1L) && got.values.exists(_._6 == 0L))
+  }
 }
+
