@@ -35,25 +35,30 @@ object QualityClassifier {
     s"((((${Winnowing.polyFoldDuck(salted)} % 4096) * 2654435761)" +
       " % 2147483648) % 2001) - 1000"
 
-  /** The oracle replays hash → dot → threshold in pure SQL: the salted
-    * codepoint fold per unigram and per bigram of the FILTERED token
-    * list, the scrambled centered weight, list_sum (empty lists coalesce
-    * to 0 — DuckDB's list_sum of [] is NULL where Spark's aggregate init
-    * is 0), and the same strict `> 0` keep. */
-  private[graft] val qualityOracleSql: String =
+  /** The score CTE chain shared VERBATIM by B243's gate and B250's
+    * calibration: the salted codepoint fold per unigram and per bigram of
+    * the FILTERED token list, the scrambled centered weight, list_sum
+    * (empty lists coalesce to 0 — DuckDB's list_sum of [] is NULL where
+    * Spark's aggregate init is 0). `feats` carries (doc_id, n_tok,
+    * score). */
+  private[graft] val scoreCtesDuck: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
        |           AS w
        |  FROM documents),
        |feats AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
        |    coalesce(list_sum(list_transform(w,
        |      t -> ${wexprDuck("'qc:' || t")})), 0) +
        |    coalesce(list_sum(list_transform(
        |      list_transform(generate_series(1, len(w) - 1),
        |                     i -> w[i] || ' ' || w[i+1]),
        |      t -> ${wexprDuck("'qc2:' || t")})), 0) AS score
-       |  FROM toks)
+       |  FROM toks)""".stripMargin
+
+  /** B243's oracle — hash → dot → threshold in pure SQL. */
+  private[graft] val qualityOracleSql: String =
+    scoreCtesDuck + """
        |SELECT doc_id, CAST(score AS BIGINT) AS score
        |FROM feats WHERE score > 0 ORDER BY doc_id""".stripMargin
 
@@ -153,5 +158,56 @@ object QualityClassifier {
       .orderBy("doc_id")
   }
 
-  val entries: Seq[Entry] = Seq(b243, b245)
+  // ---- B250: score calibration deciles ---------------------------------
+
+  /** B250 — QUALITY-SCORE CALIBRATION (the ML-ops artifact a classifier
+    * gate ships with: score deciles vs observable covariates, so a model
+    * swap is auditable against "decile 1 used to mean short spammy docs"):
+    * all documents ranked by (score, doc_id) into ANSI deciles, each
+    * decile reporting n_docs, exact score range and token mass/mean.
+    *
+    * The decile rank runs over the CORPUS (not a dimension), so it uses
+    * [[graft.operators.OrderStats.withGlobalRank]]'s two-phase scan —
+    * the first corpus-scale consumer of the r15 rewrite machinery —
+    * bucketed by score div 4096 (scores are a ±|doc|·10³-bounded random
+    * walk, so non-empty buckets stay O(range/4096); trunc division is
+    * monotone over negatives, the OrderStats contract) and the
+    * closed-form ntile; no SinglePartition anywhere (spec-asserted).
+    * The oracle keeps the naive ntile window over the SHARED score CTEs. */
+  def calibrationDeciles(docs: DataFrame): DataFrame = {
+    graft.functions.QualityScoreExpression.register(docs.sparkSession)
+    val sc = docs.select(col("doc_id"),
+      expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)")
+        .as("n_tok"),
+      expr("quality_score(text)").as("score"))
+    val (ranked, n, _) = graft.operators.OrderStats.withGlobalRank(sc,
+      expr("score div 4096"), Seq(col("score"), col("doc_id")), "_rn")
+    ranked
+      .withColumn("decile",
+        graft.operators.OrderStats.ntileFromRank("_rn", n, 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("score_min"), max("score").as("score_max"),
+        sum("n_tok").as("tok_sum"))
+      .withColumn("tok_mean", expr("tok_sum div n_docs"))
+      .orderBy("decile")
+  }
+
+  private val b250 = entry(
+    "b250_score_calibration",
+    scoreCtesDuck + """,
+       |dec AS (
+       |  SELECT doc_id, n_tok, CAST(score AS BIGINT) AS score,
+       |         CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+       |           AS decile
+       |  FROM feats)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(score) AS score_min, max(score) AS score_max,
+       |       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       |       CAST(sum(n_tok) // count(*) AS BIGINT) AS tok_mean
+       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    calibrationDeciles(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
+  val entries: Seq[Entry] = Seq(b243, b245, b250)
 }

@@ -143,4 +143,26 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
     assert(plan.contains("quality_score"), plan)
   }
+  // ---- B250: score calibration deciles ----------------------------------
+
+  test("B250: deciles are ANSI-sized, score-ordered, mass-conserving, and " +
+    "the plan has no SinglePartition despite the corpus-scale rank") {
+    val rows = SparkEntry.queries("b250_score_calibration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val n = rows.map(_._2).sum
+    val (big, small) = (n / 10 + (if (n % 10 > 0) 1 else 0), n / 10)
+    assert(rows.forall(r => r._2 == big || r._2 == small), "ANSI sizing")
+    // score ranges are disjoint and ordered across deciles
+    for (w <- rows.sliding(2); if w.length == 2; a = w(0); b = w(1))
+      assert(a._4 <= b._3, s"decile ${a._1} max > decile ${b._1} min")
+    assert(n === docs.length.toLong)
+    for (r <- rows) assert(r._6 === r._5 / r._2, "tok_mean law")
+    val plan = graft.llm.QualityClassifier.calibrationDeciles(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
+  }
 }
+
