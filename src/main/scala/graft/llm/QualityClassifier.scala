@@ -205,7 +205,8 @@ object QualityClassifier {
        |       min(score) AS score_min, max(score) AS score_max,
        |       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
        |       CAST(sum(n_tok) // count(*) AS BIGINT) AS tok_mean
-       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+       |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
+    bench = true) { (s, d) =>
     calibrationDeciles(Tables.documents(s, d).select(col("doc_id"), col("text")))
   }
 
