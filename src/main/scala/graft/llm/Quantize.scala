@@ -307,5 +307,86 @@ object Quantize {
       .orderBy("vec_id", "k")
   }
 
-  val entries: Seq[Entry] = Seq(b123, b126, b127, b247)
+  /** B251 — LABEL-CENTROID SEPARABILITY (the embedding-QA report every
+    * labeled corpus ships — a Fisher-style between/within scatter table,
+    * Fisher 1936 by way of every probing paper's "are the classes even
+    * separable" sanity check): per label, the exact fixed-point centroid
+    * (bp-quantized elements, the B247 convention incl. the DOUBLE
+    * promotion; sums div n TRUNCATE identically in both engines — the r14
+    * `//` lesson, no sign correction needed on negative sums) and the
+    * within-label scatter r² = ssq div n − Σc² (the floor-div spelling of
+    * E‖x‖² − ‖c‖², committed identically both sides); per label pair, the
+    * squared centroid distance and separation_bp = dist²·10⁴ div
+    * (r²_a + r²_b) — the Fisher-criterion shape in exact BIGINT.
+    *
+    * Scale posture: everything collapses map-side — (label, dim) sums and
+    * per-label ssq are map-combinable partials (shuffle carries
+    * |labels|·dim rows per task, never vectors), centroids/radii are
+    * |labels|-sized broadcasts, the pair join runs on a 640-row relation.
+    * Overflow: q ≤ 10⁴ ⇒ ssq ≤ n·dim·10⁸ — BIGINT-safe past 10⁹ vectors. */
+  private val b251 = entry(
+    "b251_label_centroid_separation",
+    """WITH x AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, j - 1 AS dim,
+      |         CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000 + 0.5)
+      |              AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(j)),
+      |n AS (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      |      FROM x GROUP BY 1),
+      |s AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS s
+      |      FROM x GROUP BY 1, 2),
+      |cen AS (SELECT s.label, s.dim, CAST(s.s // n.n AS BIGINT) AS c
+      |        FROM s JOIN n USING (label)),
+      |ssq AS (SELECT label, CAST(sum(q * q) AS BIGINT) AS ssq
+      |        FROM x GROUP BY 1),
+      |cc AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS c2
+      |       FROM cen GROUP BY 1),
+      |rad AS (
+      |  SELECT n.label, CAST(ssq.ssq // n.n - cc.c2 AS BIGINT) AS r2
+      |  FROM n JOIN ssq USING (label) JOIN cc USING (label)),
+      |pd AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |         CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+      |  FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT la, lb, dist2, ra.r2 AS r2_a, rb.r2 AS r2_b,
+      |       CAST(dist2 * 10000 // (ra.r2 + rb.r2) AS BIGINT)
+      |         AS separation_bp
+      |FROM pd JOIN rad ra ON ra.label = pd.la
+      |JOIN rad rb ON rb.label = pd.lb
+      |ORDER BY la, lb""".stripMargin) { (s, d) =>
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos").cast("long").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("q"))
+      .localCheckpoint(true) // feeds three aggregates
+    val n = x.groupBy("label").agg(countDistinct("vec_id").as("n"))
+    val cen = x.groupBy("label", "dim").agg(sum("q").as("s"))
+      .join(broadcast(n), "label")
+      .select(col("label"), col("dim"), expr("CAST(s div n AS BIGINT)").as("c"))
+      .localCheckpoint(true) // feeds cc + the pair join (x2)
+    val ssq = x.groupBy("label").agg(sum(col("q") * col("q")).as("ssq"))
+    val cc = cen.groupBy("label").agg(sum(col("c") * col("c")).as("c2"))
+    val rad = n.join(ssq, "label").join(cc, "label")
+      .select(col("label"), expr("CAST(ssq div n - c2 AS BIGINT)").as("r2"))
+    val pd = cen.as("a")
+      .join(cen.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")))
+        .as("dist2"))
+    pd
+      .join(broadcast(rad.select(col("label").as("la"), col("r2").as("r2_a"))),
+        "la")
+      .join(broadcast(rad.select(col("label").as("lb"), col("r2").as("r2_b"))),
+        "lb")
+      .select(col("la"), col("lb"), col("dist2"), col("r2_a"), col("r2_b"),
+        expr("CAST(dist2 * 10000 div (r2_a + r2_b) AS BIGINT)")
+          .as("separation_bp"))
+      .orderBy("la", "lb")
+  }
+
+  val entries: Seq[Entry] = Seq(b123, b126, b127, b247, b251)
 }

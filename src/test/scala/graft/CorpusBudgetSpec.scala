@@ -185,6 +185,38 @@ class CorpusBudgetSpec extends AnyFunSuite {
     assert(plan.contains("random_project"), plan)
   }
 
+  // ---- B251 ------------------------------------------------------------
+
+  test("B251: separability equals a JVM replay; radii positive; all " +
+    "C(10,2) pairs present") {
+    val got = SparkEntry.queries("b251_label_centroid_separation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1).toLong, r.getSeq[Float](2).toArray))
+    def q(x: Float): Long = math.floor(x.toDouble * 10000.0 + 0.5).toLong
+    val byLabel = emb.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dims = emb.head._2.length
+    val cen = byLabel.map { case (l, vs) =>
+      val n = vs.length.toLong
+      l -> (0 until dims).map(d => vs.map(v => q(v(d))).sum / n).toArray
+    }
+    val rad = byLabel.map { case (l, vs) =>
+      val n = vs.length.toLong
+      val ssq = vs.map(v => v.map(x => { val a = q(x); a * a }).sum).sum
+      l -> (ssq / n - cen(l).map(c => c * c).sum)
+    }
+    val labels = byLabel.keys.toSeq.sorted
+    assert(got.size === labels.combinations(2).size)
+    for (Seq(a, b) <- labels.combinations(2)) {
+      val d2 = cen(a).zip(cen(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val sep = d2 * 10000L / (rad(a) + rad(b))
+      assert(got((a, b)) === ((d2, rad(a), rad(b), sep)), s"pair ($a,$b)")
+      assert(rad(a) > 0 && d2 >= 0)
+    }
+  }
+
   // ---- B242 ------------------------------------------------------------
 
   private lazy val quotaManifest = CorpusBudget.shareQuotaManifest(docs)
