@@ -421,5 +421,60 @@ object MaintenanceOps {
       .orderBy("column_name")
   }
 
-  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189, b192)
+  /** One evolution dir per JVM (the b04/b61/b76 sink-dir rationale). */
+  private[graft] lazy val b252EvoDir: String =
+    java.nio.file.Files.createTempDirectory("graft_b252_evo").toString
+
+  /** Epoch µs of 1997-01-01T00:00Z — the schema-change boundary. */
+  private val EvoCutoffUs = 852076800000000L
+
+  /** B252 — SCHEMA-EVOLUTION READ (the schema-drift reality of any
+    * long-lived lake: ingestion eras write different column sets, and
+    * `mergeSchema` must union them with NULL backfill — Parquet schema
+    * merging, the Delta/Iceberg ADD COLUMN semantics at the raw-file
+    * level): era-1 files carry (o_orderkey, o_custkey, o_totalprice);
+    * era-2 files add o_orderpriority; the merged read groups revenue by
+    * the evolved column with era-1 rows landing in the '(pre-schema)'
+    * bucket. The oracle never sees the files — it re-derives the same
+    * relation from the source table with the date-driven CASE, so the
+    * hash pins that mergeSchema + NULL backfill lose and invent nothing.
+    *
+    * Scale posture: schema merging is a FOOTER-level operation (the
+    * merged StructType is computed from file metadata, not data);
+    * per-file projection pushes the union schema down with NULL fill for
+    * absent columns — the read stays columnar and pruned. At 100 TB the
+    * one knob that matters is set explicitly: mergeSchema on the READ
+    * (era dirs keep their own footers; no rewrite of old files). */
+  private val b252 = entry(
+    "b252_schema_evolution_read",
+    s"""WITH eff AS (
+       |  SELECT CASE WHEN epoch_us(o_orderdate) >= $EvoCutoffUs
+       |              THEN o_orderpriority ELSE '(pre-schema)' END AS priority,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+       |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM eff GROUP BY priority
+       |ORDER BY priority""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val cut = unix_micros(expr("CAST(o_orderdate AS TIMESTAMP)"))
+    // era 1: the pre-1997 schema (no priority column in the files)
+    orders.filter(cut < EvoCutoffUs)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$b252EvoDir/era=1")
+    // era 2: the evolved schema
+    orders.filter(cut >= EvoCutoffUs)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$b252EvoDir/era=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$b252EvoDir/era=1", s"$b252EvoDir/era=2")
+      .select(coalesce(col("o_orderpriority"), lit("(pre-schema)"))
+          .as("priority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+      .orderBy("priority")
+  }
+
+  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189, b192, b252)
 }

@@ -148,4 +148,27 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(rows("event_type")._2 === bTypes)
     assert(rows("event_type")._5 === bTypes * 10000 / aTypes)
   }
+  test("B252: mergeSchema unions eras losslessly — era-1 lacks the column, " +
+    "merged read NULL-backfills exactly the era-1 rows, nothing drops") {
+    import org.apache.spark.sql.functions._
+    // run the entry first so the era dirs exist
+    val got = SparkEntry.queries("b252_schema_evolution_read")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dir = graft.operators.MaintenanceOps.b252EvoDir
+    val era1 = spark.read.parquet(s"$dir/era=1")
+    assert(!era1.columns.contains("o_orderpriority"),
+      "era-1 files must NOT carry the evolved column")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/era=1", s"$dir/era=2")
+    assert(merged.columns.contains("o_orderpriority"))
+    val n1 = era1.count()
+    val n2 = spark.read.parquet(s"$dir/era=2").count()
+    assert(n1 > 0 && n2 > 0, "the schema boundary must split the table")
+    assert(merged.count() === n1 + n2, "mergeSchema dropped rows")
+    assert(merged.filter(col("o_orderpriority").isNull).count() === n1,
+      "NULL backfill must cover exactly the era-1 rows")
+    assert(got("(pre-schema)")._1 === n1)
+    assert(got.values.map(_._1).sum === n1 + n2)
+  }
 }
+
