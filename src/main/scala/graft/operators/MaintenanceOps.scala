@@ -476,5 +476,82 @@ object MaintenanceOps {
       .orderBy("priority")
   }
 
-  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189, b192, b252)
+  /** B253 — REFERENTIAL-INTEGRITY AUDIT (the dbt `relationships` test /
+    * Great Expectations FK check — the first data-quality gate any
+    * warehouse runs): for each declared FK edge, the row count, orphan
+    * count (children whose key has no parent — one left-anti join) and
+    * orphan share in bp. Three clean edges audit the REAL tables (their
+    * zero rows are the point: FK integrity is an asserted property, not
+    * an assumption), and a fourth leg audits a DELIBERATELY corrupted
+    * lineitem copy (every 97th orderkey bumped past the key space — the
+    * b171/b244 planted convention), proving the detector fires: the
+    * corrupted leg's orphan count equals the planted mass exactly.
+    *
+    * Scale posture: each check is ONE left-anti join keyed on the FK with
+    * the parent key column broadcast when dimension-sized (customer/part)
+    * and shuffled when fact-sized (orders); counts map-combine. No
+    * windows, no driver traffic. */
+  private val b253 = entry(
+    "b253_referential_audit",
+    """WITH checks AS (
+      |  SELECT 'lineitem->orders' AS fk_check,
+      |         (SELECT count(*) FROM lineitem) AS n_rows,
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey))
+      |           AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem->part',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM part p
+      |                            WHERE p.p_partkey = l.l_partkey))
+      |  UNION ALL
+      |  SELECT 'orders->customer',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'corrupted_lineitem->orders',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM (
+      |            SELECT CASE WHEN l_orderkey % 97 = 0
+      |                        THEN l_orderkey + 1000000000
+      |                        ELSE l_orderkey END AS k FROM lineitem) l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.k)))
+      |SELECT fk_check, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_orphans AS BIGINT) AS n_orphans,
+      |       CAST(n_orphans * 10000 // n_rows AS BIGINT) AS orphan_bp
+      |FROM checks ORDER BY fk_check""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def audit(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val keys = parent.select(col(pkey).as("_pk")).distinct()
+      val pk = if (bcast) broadcast(keys) else keys
+      val orphans = child.join(pk, col(key) === col("_pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(broadcast(orphans))
+        .select(lit(name).as("fk_check"), col("n_rows"), col("n_orphans"),
+          expr("CAST(n_orphans * 10000 div n_rows AS BIGINT)")
+            .as("orphan_bp"))
+    }
+    val corrupted = li.select(
+      expr("CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000" +
+        " ELSE l_orderkey END").as("k"))
+    audit("lineitem->orders", li, "l_orderkey", ord, "o_orderkey",
+        bcast = false)
+      .unionByName(audit("lineitem->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true))
+      .unionByName(audit("orders->customer", ord, "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = true))
+      .unionByName(audit("corrupted_lineitem->orders", corrupted, "k", ord,
+        "o_orderkey", bcast = false))
+      .orderBy("fk_check")
+  }
+
+  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189, b192, b252, b253)
 }

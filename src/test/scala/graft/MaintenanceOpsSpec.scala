@@ -170,5 +170,24 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(got("(pre-schema)")._1 === n1)
     assert(got.values.map(_._1).sum === n1 + n2)
   }
+  test("B253: clean FK edges report exactly zero orphans; the corrupted " +
+    "leg reports exactly the planted mass") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("b253_referential_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 4)
+    for (clean <- Seq("lineitem->orders", "lineitem->part",
+        "orders->customer"))
+      assert(got(clean)._2 === 0L && got(clean)._3 === 0L,
+        s"$clean: FK integrity must hold on the generated tables")
+    val planted = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 97 === 0).count()
+    assert(planted > 0, "the corruption pattern must plant something")
+    val (nRows, nOrph, bp) = got("corrupted_lineitem->orders")
+    assert(nOrph === planted, "detector must fire on exactly the planted rows")
+    assert(bp === nOrph * 10000 / nRows)
+  }
 }
+
 
