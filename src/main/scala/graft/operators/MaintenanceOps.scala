@@ -553,5 +553,66 @@ object MaintenanceOps {
       .orderBy("fk_check")
   }
 
-  val entries: Seq[Entry] = Seq(b81, b82, b86, b185, b189, b192, b252, b253)
+  /** B254 — KEY-UNIQUENESS AUDIT (B253's sibling: the dbt `unique` test):
+    * per declared primary key, row count, distinct keys, duplicated-key
+    * count and surplus rows (rows − distinct). Two clean keys audit the
+    * real tables (zero surplus IS the assertion) and a third leg audits a
+    * deliberately corrupted orders copy (every 101st row re-appended — the
+    * B253 planted convention), reporting exactly the planted surplus.
+    *
+    * Scale posture: each check is one map-combinable key aggregate
+    * (count + per-key counts collapsing to the duplicate summary — the
+    * b42/b190 dup-statistics shape); no joins, no windows. */
+  private val b254 = entry(
+    "b254_uniqueness_audit",
+    """WITH audits AS (
+      |  SELECT 'orders.o_orderkey' AS uniq_check,
+      |         (SELECT count(*) FROM orders) AS n_rows,
+      |         (SELECT count(*) FROM (
+      |            SELECT o_orderkey FROM orders GROUP BY 1
+      |            HAVING count(*) > 1)) AS n_dup_keys,
+      |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      |           AS n_surplus
+      |  UNION ALL
+      |  SELECT 'part.p_partkey',
+      |         (SELECT count(*) FROM part),
+      |         (SELECT count(*) FROM (
+      |            SELECT p_partkey FROM part GROUP BY 1
+      |            HAVING count(*) > 1)),
+      |         (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+      |  UNION ALL
+      |  SELECT 'corrupted_orders.o_orderkey',
+      |         (SELECT count(*) FROM orders)
+      |           + (SELECT count(*) FROM orders WHERE o_orderkey % 101 = 0),
+      |         (SELECT count(*) FROM (
+      |            SELECT o_orderkey FROM (
+      |              SELECT o_orderkey FROM orders
+      |              UNION ALL
+      |              SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 0)
+      |            GROUP BY 1 HAVING count(*) > 1)),
+      |         (SELECT count(*) FROM orders WHERE o_orderkey % 101 = 0))
+      |SELECT uniq_check, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_dup_keys AS BIGINT) AS n_dup_keys,
+      |       CAST(n_surplus AS BIGINT) AS n_surplus
+      |FROM audits ORDER BY uniq_check""".stripMargin) { (s, d) =>
+    def audit(name: String, df: DataFrame, key: String): DataFrame = {
+      val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      perKey.agg(sum("c").as("n_rows"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          (sum("c") - count(lit(1))).as("n_surplus"))
+        .select(lit(name).as("uniq_check"), col("n_rows"),
+          col("n_dup_keys"), col("n_surplus"))
+    }
+    val ord = Tables.orders(s, d).select("o_orderkey")
+    val corrupted = ord.unionByName(ord.filter(col("o_orderkey") % 101 === 0))
+    audit("orders.o_orderkey", ord, "o_orderkey")
+      .unionByName(audit("part.p_partkey",
+        Tables.part(s, d).select("p_partkey"), "p_partkey"))
+      .unionByName(audit("corrupted_orders.o_orderkey", corrupted,
+        "o_orderkey"))
+      .orderBy("uniq_check")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b81, b82, b86, b185, b189, b192, b252, b253, b254)
 }

@@ -188,6 +188,25 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(nOrph === planted, "detector must fire on exactly the planted rows")
     assert(bp === nOrph * 10000 / nRows)
   }
+  test("B254: clean PKs report zero surplus; the corrupted leg reports " +
+    "exactly the planted duplicates") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("b254_uniqueness_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 3)
+    for (clean <- Seq("orders.o_orderkey", "part.p_partkey"))
+      assert(got(clean)._2 === 0L && got(clean)._3 === 0L,
+        s"$clean: PK uniqueness must hold on the generated tables")
+    val planted = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 101 === 0).count()
+    assert(planted > 0)
+    val (nRows, nDupKeys, nSurplus) = got("corrupted_orders.o_orderkey")
+    assert(nSurplus === planted && nDupKeys === planted,
+      "each planted key duplicates exactly once")
+    assert(nRows === got("orders.o_orderkey")._1 + planted)
+  }
 }
+
 
 
