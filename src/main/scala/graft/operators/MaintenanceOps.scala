@@ -613,6 +613,70 @@ object MaintenanceOps {
       .orderBy("uniq_check")
   }
 
+  /** B255 — ACCEPTED-VALUES AUDIT (the third dbt-test staple alongside
+    * B253 relationships and B254 unique): per declared categorical
+    * column, rows, violations (values outside the accepted set) and, for
+    * observability, the count of DISTINCT offending values. Two clean
+    * columns assert zero on the real tables; a corrupted orders copy
+    * (every 103rd status rewritten to 'X') reports exactly the planted
+    * mass. Scale posture: one map-side `isin` filter + count per check —
+    * the audit never shuffles at all. */
+  private val b255 = entry(
+    "b255_accepted_values_audit",
+    """WITH audits AS (
+      |  SELECT 'orders.o_orderstatus' AS av_check,
+      |         (SELECT count(*) FROM orders) AS n_rows,
+      |         (SELECT count(*) FROM orders
+      |          WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS n_violations,
+      |         (SELECT count(DISTINCT o_orderstatus) FROM orders
+      |          WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS n_bad_values
+      |  UNION ALL
+      |  SELECT 'events.event_type',
+      |         (SELECT count(*) FROM events),
+      |         (SELECT count(*) FROM events
+      |          WHERE event_type NOT IN ('view', 'click', 'purchase',
+      |                                   'signup', 'error')),
+      |         (SELECT count(DISTINCT event_type) FROM events
+      |          WHERE event_type NOT IN ('view', 'click', 'purchase',
+      |                                   'signup', 'error'))
+      |  UNION ALL
+      |  SELECT 'corrupted_orders.o_orderstatus',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM (
+      |            SELECT CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+      |                        ELSE o_orderstatus END AS st FROM orders)
+      |          WHERE st NOT IN ('O', 'F', 'P')),
+      |         (SELECT count(DISTINCT st) FROM (
+      |            SELECT CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+      |                        ELSE o_orderstatus END AS st FROM orders)
+      |          WHERE st NOT IN ('O', 'F', 'P')))
+      |SELECT av_check, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_violations AS BIGINT) AS n_violations,
+      |       CAST(n_bad_values AS BIGINT) AS n_bad_values
+      |FROM audits ORDER BY av_check""".stripMargin) { (s, d) =>
+    def audit(name: String, df: DataFrame, c: String,
+        ok: Seq[String]): DataFrame = {
+      val bad = df.filter(!col(c).isin(ok: _*))
+        .agg(count(lit(1)).as("n_violations"),
+          countDistinct(col(c)).as("n_bad_values"))
+      df.agg(count(lit(1)).as("n_rows")).crossJoin(broadcast(bad))
+        .select(lit(name).as("av_check"), col("n_rows"),
+          col("n_violations"), col("n_bad_values"))
+    }
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+    val statuses = Seq("O", "F", "P")
+    val corrupted = ord.select(
+      expr("CASE WHEN o_orderkey % 103 = 0 THEN 'X' ELSE o_orderstatus END")
+        .as("o_orderstatus"))
+    audit("orders.o_orderstatus", ord, "o_orderstatus", statuses)
+      .unionByName(audit("events.event_type",
+        Tables.events(s, d).select("event_type"), "event_type",
+        Seq("view", "click", "purchase", "signup", "error")))
+      .unionByName(audit("corrupted_orders.o_orderstatus", corrupted,
+        "o_orderstatus", statuses))
+      .orderBy("av_check")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b81, b82, b86, b185, b189, b192, b252, b253, b254)
+    Seq(b81, b82, b86, b185, b189, b192, b252, b253, b254, b255)
 }

@@ -206,7 +206,23 @@ class MaintenanceOpsSpec extends AnyFunSuite {
       "each planted key duplicates exactly once")
     assert(nRows === got("orders.o_orderkey")._1 + planted)
   }
+  test("B255: clean categorical columns report zero violations; the " +
+    "corrupted leg reports exactly the planted mass with one bad value") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("b255_accepted_values_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 3)
+    for (clean <- Seq("orders.o_orderstatus", "events.event_type"))
+      assert(got(clean)._2 === 0L && got(clean)._3 === 0L, clean)
+    val planted = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 103 === 0).count()
+    assert(planted > 0)
+    assert(got("corrupted_orders.o_orderstatus") ===
+      ((got("orders.o_orderstatus")._1, planted, 1L)))
+  }
 }
+
 
 
 
