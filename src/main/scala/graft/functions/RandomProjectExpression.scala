@@ -65,11 +65,22 @@ object RandomProjectExpression {
   /** Per-element bp quantization — shared with the SQL spelling. */
   def quantize(x: Float): Long = math.floor(x.toDouble * 10000.0 + 0.5).toLong
 
+  /** NULL-element convention (ADVICE r15): a null element contributes
+    * NOTHING (q_j = 0) — exactly what the oracle's per-k `sum(q_j·cell)`
+    * does, since SQL SUM skips NULL terms. Reading getFloat on a null slot
+    * would return an UNDEFINED value (the ArrayData contract), so the
+    * check must come first. Divergence domain (a vector whose elements
+    * are ALL null sums to SQL NULL, not 0) plus the empty-array
+    * convention (native: K zero components; oracle unnest: no rows) are
+    * pinned empty on the fixture by CorpusBudgetSpec. */
   def project(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val q = new Array[Long](n)
     var j = 0
-    while (j < n) { q(j) = quantize(arr.getFloat(j)); j += 1 }
+    while (j < n) {
+      q(j) = if (arr.isNullAt(j)) 0L else quantize(arr.getFloat(j))
+      j += 1
+    }
     val y = new Array[Long](K)
     j = 0
     while (j < n) {

@@ -539,6 +539,16 @@ object MaintenanceOps {
           expr("CAST(n_orphans * 10000 div n_rows AS BIGINT)")
             .as("orphan_bp"))
     }
+    // headroom guard (ADVICE r15, the b171/b244 planted convention): the
+    // corrupted leg is only a proof if every bumped key lands OUTSIDE the
+    // real key space — if orderkeys ever reach 1e9 at some SF, bumped keys
+    // collide with real parents and BOTH engines agree on a silently
+    // undercounted orphan mass (the worst failure mode: green hash, wrong
+    // semantics). Two O(1)-result aggregates, driver-bounded.
+    require(ord.agg(max(col("o_orderkey"))).head().getLong(0) < 1000000000L &&
+      li.agg(max(col("l_orderkey"))).head().getLong(0) < 1000000000L,
+      "orderkey space reaches the 1e9 bump offset — the planted corrupted " +
+        "leg would collide with real keys and undercount orphans")
     val corrupted = li.select(
       expr("CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000" +
         " ELSE l_orderkey END").as("k"))

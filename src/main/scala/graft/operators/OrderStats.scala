@@ -43,6 +43,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * totals) for free — callers use them as literals instead of a separate
   * one-row aggregate, which would reintroduce a (bounded, but asserted-
   * against) SinglePartition exchange.
+  *
+  * DETERMINISM REQUIREMENT (ADVICE r15): the input is scanned TWICE —
+  * phase 1 collects the per-bucket counts, phase 2 re-evaluates the same
+  * plan under the window join. A non-deterministic input (a fresh
+  * `rand()` column, an unstable limit/sample, a re-read of mutating
+  * files) would split-brain the offsets against the rows and silently
+  * produce wrong ranks. Callers must pass a deterministic plan — every
+  * registry consumer does (pure column derivations over immutable
+  * parquet: b199/b213/b227/b239 localCheckpoint upstream; b250's score
+  * and b242's priorities are pure functions of the row). When in doubt,
+  * `df.localCheckpoint()` before calling; the helper does not force one
+  * because for its common callers the input is a cheap scan-projection
+  * and materializing it costs more than the second evaluation (the b94
+  * negative A/B precedent).
   */
 object OrderStats {
 

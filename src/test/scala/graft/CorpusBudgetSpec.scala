@@ -178,6 +178,32 @@ class CorpusBudgetSpec extends AnyFunSuite {
     assert(ratios.forall(r => r > 0.02 && r < 50), "a pair distorted wildly")
   }
 
+  test("B247: null elements contribute zero (the SQL SUM null-skip " +
+    "convention); empty array yields K zero components; both divergence " +
+    "domains are EMPTY on the fixture") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // ADVICE r15: pin the conventions the oracle can't express directly.
+    // Native: null slot → q_j = 0 (matches the oracle's sum skipping the
+    // NULL product); empty array → 16 zeros (the oracle's unnest emits no
+    // rows for it). Both are therefore only hash-safe while the fixture
+    // carries no null elements and no empty embeddings — assert that too.
+    val withNull = new GenericArrayData(
+      Array[Any](1.0f, null, -2.5f) ++ Array.fill[Any](61)(0.0f))
+    val noNull = new GenericArrayData(
+      Array[Any](1.0f, 0.0f, -2.5f) ++ Array.fill[Any](61)(0.0f))
+    val a = graft.functions.RandomProjectExpression.project(withNull).toLongArray()
+    val b = graft.functions.RandomProjectExpression.project(noNull).toLongArray()
+    assert(a.toSeq === b.toSeq, "null element must act as exactly zero")
+    val empty = graft.functions.RandomProjectExpression
+      .project(new GenericArrayData(Array.empty[Any])).toLongArray()
+    assert(empty.toSeq === Seq.fill(16)(0L))
+    val bad = Tables.embeddings(spark, sf)
+      .filter(expr("size(embedding) = 0 OR exists(embedding, x -> x IS NULL)"))
+      .count()
+    assert(bad === 0L, "fixture grew null/empty embeddings — the native " +
+      "conventions above would diverge from the oracle")
+  }
+
   test("B247 plan: the projection is map-side — zero exchanges") {
     val plan = Quantize.projected(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
