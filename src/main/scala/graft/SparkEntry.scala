@@ -53,6 +53,7 @@ object SparkEntry {
       llm.Quantize.entries ++
       llm.CorpusBudget.entries ++
       llm.QualityClassifier.entries ++
+      llm.QualityEnsemble.entries ++
       llm.NgramLm.entries ++
       llm.ModelReady.entries ++
       llm.TrainLoad.entries ++

@@ -42,33 +42,43 @@ object Blocklist {
   private def valuesSql = Terms
     .map { case (t, s) => s"('$t', ${s}::BIGINT)" }.mkString(", ")
 
-  /** Shared by b182 (batch) and b183 (streamed admission twin). */
-  private val blocklistOracleSql =
-    s"""WITH bl(term, sev) AS (VALUES $valuesSql),
-       |toks AS (
+  /** The B182 CTE chain WITHOUT the leading WITH, `bl_`-prefixed so the
+    * B256/B257 quality-ensemble oracle can chain it VERBATIM next to the
+    * other stages' CTEs (the b94 composition convention); ends in
+    * `bl_audit` — the full audit relation the final SELECT (and the
+    * ensemble) read. */
+  private[graft] val blockCtesDuck: String =
+    s"""bl_dict(term, sev) AS (VALUES $valuesSql),
+       |bl_toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM documents),
-       |base AS (
+       |bl_base AS (
        |  SELECT doc_id,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents),
-       |hits AS (
+       |bl_hits AS (
        |  SELECT t.doc_id,
        |         CAST(sum(CASE WHEN b.sev = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |           AS n_mild,
        |         CAST(sum(CASE WHEN b.sev = 2 THEN 1 ELSE 0 END) AS BIGINT)
        |           AS n_severe
-       |  FROM toks t JOIN bl b ON b.term = t.term
-       |  GROUP BY t.doc_id)
-       |SELECT b.doc_id, b.n_tok,
-       |       coalesce(h.n_mild, 0) AS n_mild,
-       |       coalesce(h.n_severe, 0) AS n_severe,
-       |       coalesce(h.n_mild, 0) * 10000 // b.n_tok AS mild_bp,
-       |       CASE WHEN coalesce(h.n_severe, 0) > 0
-       |              OR coalesce(h.n_mild, 0) * 10000 // b.n_tok >= $ThrBp
-       |            THEN 'drop' ELSE 'keep' END AS action
-       |FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
-       |ORDER BY b.doc_id""".stripMargin
+       |  FROM bl_toks t JOIN bl_dict b ON b.term = t.term
+       |  GROUP BY t.doc_id),
+       |bl_audit AS (
+       |  SELECT b.doc_id, b.n_tok,
+       |         coalesce(h.n_mild, 0) AS n_mild,
+       |         coalesce(h.n_severe, 0) AS n_severe,
+       |         coalesce(h.n_mild, 0) * 10000 // b.n_tok AS mild_bp,
+       |         CASE WHEN coalesce(h.n_severe, 0) > 0
+       |                OR coalesce(h.n_mild, 0) * 10000 // b.n_tok >= $ThrBp
+       |              THEN 'drop' ELSE 'keep' END AS action
+       |  FROM bl_base b LEFT JOIN bl_hits h ON h.doc_id = b.doc_id)""".stripMargin
+
+  /** Shared by b182 (batch) and b183 (streamed admission twin). */
+  private val blocklistOracleSql =
+    s"""WITH $blockCtesDuck
+       |SELECT doc_id, n_tok, n_mild, n_severe, mild_bp, action
+       |FROM bl_audit ORDER BY doc_id""".stripMargin
 
   /** The audit chain over ANY (doc_id, text) relation — runs unchanged
     * as a batch pass (b182) or on an ingest stream (b183): per-token

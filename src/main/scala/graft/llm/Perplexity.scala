@@ -81,37 +81,50 @@ object Perplexity {
       .orderBy("doc_id")
   }
 
-  /** B95 — trigram-LM surprisal + per-lang quality tertiles. */
-  private val b95 = entry(
-    "b95_text_perplexity",
-    """WITH train_tri AS (
+  /** The B95 CTE chain, `ppl_`-prefixed for verbatim chaining by the
+    * B256/B257 ensemble oracle; ends in `ppl_report` — the full per-doc
+    * tertile report (doc_id, lang, n_tris, bits, bucket) over the odd-id
+    * test split. */
+  private[graft] val pplCtesDuck: String =
+    """ppl_train_tri AS (
       |  SELECT lang, unnest(list_transform(generate_series(1, length(text) - 2),
       |         i -> ascii(substr(text, i, 1)) * 961
       |            + ascii(substr(text, i + 1, 1)) * 31
       |            + ascii(substr(text, i + 2, 1)))) AS tri
       |  FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 3),
-      |model AS (SELECT lang, tri, count(*) AS cnt FROM train_tri GROUP BY 1, 2),
-      |totals AS (
-      |  SELECT lang, sum(cnt) AS total, count(*) AS vocab FROM model GROUP BY lang),
-      |test_tri AS (
+      |ppl_model AS (
+      |  SELECT lang, tri, count(*) AS cnt FROM ppl_train_tri GROUP BY 1, 2),
+      |ppl_totals AS (
+      |  SELECT lang, sum(cnt) AS total, count(*) AS vocab FROM ppl_model
+      |  GROUP BY lang),
+      |ppl_test_tri AS (
       |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 2),
       |         i -> ascii(substr(text, i, 1)) * 961
       |            + ascii(substr(text, i + 1, 1)) * 31
       |            + ascii(substr(text, i + 2, 1)))) AS tri
       |  FROM documents WHERE doc_id % 2 = 1 AND length(text) >= 3),
-      |scored AS (
+      |ppl_scored AS (
       |  SELECT t.doc_id, t.lang,
       |         ln((coalesce(m.cnt, 0) + 1) * 1.0 / (tt.total + tt.vocab)) AS lnp
-      |  FROM test_tri t
-      |  LEFT JOIN model m ON m.lang = t.lang AND m.tri = t.tri
-      |  JOIN totals tt ON tt.lang = t.lang),
-      |perdoc AS (
+      |  FROM ppl_test_tri t
+      |  LEFT JOIN ppl_model m ON m.lang = t.lang AND m.tri = t.tri
+      |  JOIN ppl_totals tt ON tt.lang = t.lang),
+      |ppl_perdoc AS (
       |  SELECT doc_id, lang, count(*) AS n_tris,
       |         round(-avg(lnp) / ln(2), 4) AS bits
-      |  FROM scored GROUP BY doc_id, lang)
-      |SELECT doc_id, lang, n_tris, bits,
-      |       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY bits, doc_id) AS INTEGER) AS bucket
-      |FROM perdoc ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
+      |  FROM ppl_scored GROUP BY doc_id, lang),
+      |ppl_report AS (
+      |  SELECT doc_id, lang, n_tris, bits,
+      |         CAST(ntile(3) OVER (PARTITION BY lang ORDER BY bits, doc_id)
+      |           AS INTEGER) AS bucket
+      |  FROM ppl_perdoc)""".stripMargin
+
+  /** B95 — trigram-LM surprisal + per-lang quality tertiles. */
+  private val b95 = entry(
+    "b95_text_perplexity",
+    s"""WITH $pplCtesDuck
+      |SELECT doc_id, lang, n_tris, bits, bucket
+      |FROM ppl_report ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     perplexityReport(Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang")))
   }

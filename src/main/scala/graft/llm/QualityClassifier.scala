@@ -35,18 +35,19 @@ object QualityClassifier {
     s"((((${Winnowing.polyFoldDuck(salted)} % 4096) * 2654435761)" +
       " % 2147483648) % 2001) - 1000"
 
-  /** The score CTE chain shared VERBATIM by B243's gate and B250's
-    * calibration: the salted codepoint fold per unigram and per bigram of
-    * the FILTERED token list, the scrambled centered weight, list_sum
-    * (empty lists coalesce to 0 — DuckDB's list_sum of [] is NULL where
-    * Spark's aggregate init is 0). `feats` carries (doc_id, n_tok,
-    * score). */
+  /** The score CTE chain shared VERBATIM by B243's gate, B250's
+    * calibration, and the B256/B257 quality ensemble (`qc_`-prefixed, no
+    * leading WITH — the b94 composition convention): the salted codepoint
+    * fold per unigram and per bigram of the FILTERED token list, the
+    * scrambled centered weight, list_sum (empty lists coalesce to 0 —
+    * DuckDB's list_sum of [] is NULL where Spark's aggregate init is 0).
+    * `qc_feats` carries (doc_id, n_tok, score). */
   private[graft] val scoreCtesDuck: String =
-    s"""WITH toks AS (
+    s"""qc_toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
        |           AS w
        |  FROM documents),
-       |feats AS (
+       |qc_feats AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
        |    coalesce(list_sum(list_transform(w,
        |      t -> ${wexprDuck("'qc:' || t")})), 0) +
@@ -54,13 +55,13 @@ object QualityClassifier {
        |      list_transform(generate_series(1, len(w) - 1),
        |                     i -> w[i] || ' ' || w[i+1]),
        |      t -> ${wexprDuck("'qc2:' || t")})), 0) AS score
-       |  FROM toks)""".stripMargin
+       |  FROM qc_toks)""".stripMargin
 
   /** B243's oracle — hash → dot → threshold in pure SQL. */
   private[graft] val qualityOracleSql: String =
-    scoreCtesDuck + """
+    s"WITH $scoreCtesDuck" + """
        |SELECT doc_id, CAST(score AS BIGINT) AS score
-       |FROM feats WHERE score > 0 ORDER BY doc_id""".stripMargin
+       |FROM qc_feats WHERE score > 0 ORDER BY doc_id""".stripMargin
 
   private val b243 = entry(
     "b243_quality_classifier", qualityOracleSql, bench = true) { (s, d) =>
@@ -105,39 +106,45 @@ object QualityClassifier {
           s" AND dup2_cov_bp <= $Dup2CovMaxBp AS BIGINT)"))
   }
 
-  private val b245 = entry(
-    "b245_repetition_filter",
-    s"""WITH dw AS (
+  /** The B245 CTE chain, `rep_`-prefixed for verbatim chaining by the
+    * B256/B257 ensemble oracle; ends in `rep_f` — the full per-doc stats
+    * relation INCLUDING the Gopher keep flag. */
+  private[graft] val repCtesDuck: String =
+    s"""rep_dw AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
        |           AS w
        |  FROM documents),
-       |base AS (SELECT doc_id, len(w) AS n FROM dw),
-       |occ2 AS (
+       |rep_base AS (SELECT doc_id, len(w) AS n FROM rep_dw),
+       |rep_occ2 AS (
        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+1], ' ') AS g
-       |  FROM dw, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |  FROM rep_dw, unnest(generate_series(1, len(w) - 1)) AS u(i)
        |  WHERE len(w) >= 2),
-       |m2 AS (SELECT doc_id, max(c) AS mx FROM (
-       |  SELECT doc_id, g, count(*) AS c FROM occ2 GROUP BY 1, 2) GROUP BY 1),
-       |g3 AS (
+       |rep_m2 AS (SELECT doc_id, max(c) AS mx FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM rep_occ2 GROUP BY 1, 2) GROUP BY 1),
+       |rep_g3 AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
        |    i -> array_to_string(w[i:i+2], ' '))) AS g
-       |  FROM dw WHERE len(w) >= 3),
-       |m3 AS (SELECT doc_id, max(c) AS mx FROM (
-       |  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
-       |g4 AS (
+       |  FROM rep_dw WHERE len(w) >= 3),
+       |rep_m3 AS (SELECT doc_id, max(c) AS mx FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM rep_g3 GROUP BY 1, 2) GROUP BY 1),
+       |rep_g4 AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
        |    i -> array_to_string(w[i:i+3], ' '))) AS g
-       |  FROM dw WHERE len(w) >= 4),
-       |m4 AS (SELECT doc_id, max(c) AS mx FROM (
-       |  SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
-       |c2 AS (SELECT doc_id, g FROM occ2 GROUP BY doc_id, g
+       |  FROM rep_dw WHERE len(w) >= 4),
+       |rep_m4 AS (SELECT doc_id, max(c) AS mx FROM (
+       |  SELECT doc_id, g, count(*) AS c FROM rep_g4 GROUP BY 1, 2) GROUP BY 1),
+       |rep_c2 AS (SELECT doc_id, g FROM rep_occ2 GROUP BY doc_id, g
        |       HAVING count(*) >= 2),
-       |cov AS (
+       |rep_cov AS (
        |  SELECT o.doc_id, count(DISTINCT p) AS cv
-       |  FROM occ2 o JOIN c2 USING (doc_id, g),
+       |  FROM rep_occ2 o JOIN rep_c2 USING (doc_id, g),
        |       unnest(generate_series(o.pos, o.pos + 1)) AS q(p)
        |  GROUP BY o.doc_id),
-       |f AS (
+       |rep_f AS (
+       |  SELECT doc_id, n_tok, top2_bp, top3_bp, top4_bp, dup2_cov_bp,
+       |         CAST(top2_bp <= $Top2MaxBp AND top3_bp <= $Top3MaxBp
+       |              AND dup2_cov_bp <= $Dup2CovMaxBp AS BIGINT) AS kept
+       |  FROM (
        |  SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tok,
        |    CAST(CASE WHEN b.n >= 2 THEN coalesce(m2.mx, 0) * 10000 // (b.n - 1)
        |         ELSE 0 END AS BIGINT) AS top2_bp,
@@ -147,13 +154,15 @@ object QualityClassifier {
        |         ELSE 0 END AS BIGINT) AS top4_bp,
        |    CAST(CASE WHEN b.n >= 2 THEN coalesce(cov.cv, 0) * 10000 // b.n
        |         ELSE 0 END AS BIGINT) AS dup2_cov_bp
-       |  FROM base b
-       |  LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
-       |  LEFT JOIN m4 USING (doc_id) LEFT JOIN cov USING (doc_id))
-       |SELECT doc_id, n_tok, top2_bp, top3_bp, top4_bp, dup2_cov_bp,
-       |       CAST(top2_bp <= $Top2MaxBp AND top3_bp <= $Top3MaxBp
-       |            AND dup2_cov_bp <= $Dup2CovMaxBp AS BIGINT) AS kept
-       |FROM f ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
+       |  FROM rep_base b
+       |  LEFT JOIN rep_m2 m2 USING (doc_id) LEFT JOIN rep_m3 m3 USING (doc_id)
+       |  LEFT JOIN rep_m4 m4 USING (doc_id) LEFT JOIN rep_cov cov USING (doc_id)))""".stripMargin
+
+  private val b245 = entry(
+    "b245_repetition_filter",
+    s"""WITH $repCtesDuck
+       |SELECT doc_id, n_tok, top2_bp, top3_bp, top4_bp, dup2_cov_bp, kept
+       |FROM rep_f ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
     repetitionReport(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .orderBy("doc_id")
   }
@@ -195,12 +204,12 @@ object QualityClassifier {
 
   private val b250 = entry(
     "b250_score_calibration",
-    scoreCtesDuck + """,
+    s"WITH $scoreCtesDuck" + """,
        |dec AS (
        |  SELECT doc_id, n_tok, CAST(score AS BIGINT) AS score,
        |         CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT)
        |           AS decile
-       |  FROM feats)
+       |  FROM qc_feats)
        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
        |       min(score) AS score_min, max(score) AS score_max,
        |       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
