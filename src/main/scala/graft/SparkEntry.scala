@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Extensions.entries ++
       operators.ScaleOps.entries ++
       operators.MaintenanceOps.entries ++
+      operators.PublishGate.entries ++
       operators.SpatialOps.entries ++
       operators.AvroInterchange.entries ++
       operators.GraphOps.entries ++
