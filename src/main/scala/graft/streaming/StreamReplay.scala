@@ -979,7 +979,56 @@ object StreamReplay {
     graft.operators.AnalyticsOps.growthFromWeekly(uw)
   }
 
+  private lazy val chunkDir259: String =
+    java.nio.file.Files.createTempDirectory("graft_b259_chunks").toString
+
+  /** B259 — WATERMARK-CLOSED GROWTH ACCOUNTING: b248's per-(user, week)
+    * fold re-spelled with the b88 event-time-timer pattern
+    * ([[WeekCloseProcessor]]): weeks EMIT as the watermark passes their
+    * close instead of living in complete-mode state forever — live state
+    * ∝ open weeks, asserted == 0 after the replay on the state-store
+    * metrics (StreamingSpec). The flush sentinel is a ZERO-CENT PURCHASE
+    * for user -1, 8 days past max ts (predicate pushdown moves the
+    * purchase filter below the watermark node, so only purchases advance
+    * it — the [[StreamingOps.weeklyCentsTws]] gotcha); its own week never
+    * closes (the one legitimately-open key at stop) and its key is
+    * filtered from the emitted set. Oracle is
+    * b216's SQL verbatim (the b248 convention): hash-green pins that
+    * emit-on-close loses nothing even when a week's sum straddles
+    * micro-batches, including the bridge identity per week. */
+  private val b259 = entry(
+    "b259_stream_week_close_growth",
+    graft.operators.AnalyticsOps.growthOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 8L * 24 * 3600 * 1000)
+    import s.implicits._
+    val flush = Seq((9000003L, flushTs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    require(ev.agg(min(col("user_id"))).head().getLong(0) > -1L,
+      "fixture contains user_id <= -1 — flush sentinel key collides")
+    StreamingOps.writeChunksDf(ev.unionByName(flush), chunkDir259, n = 6)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val weekly = StreamingOps.weeklyCentsTws(
+        StreamingOps.readStream(s, chunkDir259))
+      s.catalog.dropTempView("b259_replay") // idempotent re-runs
+      val uw = StreamingOps.runToMemory(weekly, "b259_replay", "append")
+        .filter(col("user_id") =!= -1L) // drop EXACTLY the sentinel's key
+      graft.operators.AnalyticsOps.growthFromWeekly(uw)
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224, b234, b241, b246, b248)
+      b133, b148, b161, b214, b224, b234, b241, b246, b248, b259)
 }

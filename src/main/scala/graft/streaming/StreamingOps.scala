@@ -335,6 +335,33 @@ object StreamingOps {
       .toDF("user_id", "start_micros", "n", "cents")
   }
 
+  /** The B259 watermark-closed weekly fold: purchases keyed by (user,
+    * week), each week emitting its FINAL cents total when the watermark
+    * passes its close ([[WeekCloseProcessor]]). NOTE: the watermark is
+    * declared before the purchase filter, but predicate PUSHDOWN moves
+    * the filter below the EventTimeWatermark node — only rows surviving
+    * the filter advance the watermark (measured: a view-typed sentinel
+    * never closed the last week). A flush sentinel must therefore be a
+    * purchase; callers filter its key from the emitted set (the b88
+    * sentinel convention). */
+  def weeklyCentsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr(graft.operators.PipelineOps.weekFloorExpr).as("week"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(t => (t._1, t._2))
+      .transformWithState(new WeekCloseProcessor(), TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF("user_id", "week", "cents")
+  }
+
   /** The B214 stateful adjacency fold: (user, ts, event_id, type) stream
     * → (prev_type, next_type) emissions via [[TransitionProcessor]]. */
   def transitionPairsTws(events: DataFrame): DataFrame = {

@@ -503,6 +503,53 @@ class StreamingSpec extends AnyFunSuite {
       "no (user, week) purchase mass crosses a chunk boundary — the " +
         "fixture would not exercise cross-batch accumulation")
   }
+
+  test("B259: watermark-closed weekly fold emits the exact batch fold" +
+    " and ends with BOUNDED state (only the sentinel key open)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_week_close").toString
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      // sentinel must be a PURCHASE: predicate pushdown moves the purchase
+      // filter below the watermark node (weeklyCentsTws scaladoc)
+      val flushTs = new Timestamp(maxTs.getTime + 8L * 24 * 3600 * 1000)
+      import spark.implicits._
+      val flush = Seq((9000003L, flushTs, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 6)
+      val (streamed, q) = StreamingOps.runToMemoryQ(
+        StreamingOps.weeklyCentsTws(StreamingOps.readStream(spark, dir)),
+        "t_week_close", "append")
+      val got = streamed.filter(col("user_id") =!= -1L)
+      val batch = graft.sources.Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          expr(graft.operators.PipelineOps.weekFloorExpr).as("week"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+      assert(sortedRows(got) === sortedRows(batch),
+        "emit-on-watermark-close diverged from the batch weekly fold")
+      // the production state bound: every real (user, week) closed and
+      // CLEARED when the watermark passed its week end — only the
+      // sentinel's own key (whose close the watermark never reaches) may
+      // remain, vs the ∝ pairs-seen state a complete-mode fold holds
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty, "no state operator metrics")
+      val remaining = stateOps.map(_.numRowsTotal).sum
+      val pairs = batch.count()
+      assert(remaining <= 1,
+        s"$remaining state rows remain after the replay — weeks did not " +
+          s"close on watermark (expected <= 1 of $pairs pairs: the sentinel)")
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 
