@@ -247,6 +247,67 @@ object CorpusBudget {
     shareQuotaManifest(Tables.documents(s, d))
   }
 
+  /** B260's synthetic registrable-domain column: the fixture has no url
+    * column, so the DOMAIN-grain curation story (C4/RefinedWeb quota per
+    * registrable domain, not per source feed) runs over a deterministic
+    * derived domain — the Knuth-scrambled 40-bit fold of the doc_id mod
+    * 256 (scrambled per the b167/b180 rule: raw fold values of
+    * consecutive ids are consecutive, which would cluster id runs into
+    * the same domain). ~154-233 distinct domains materialize across the
+    * gate SFs — an order of magnitude finer than the 20-value `source`,
+    * which is the point: the quota machinery must hold when the grain
+    * multiplies. */
+  private[graft] val domainExprSpark: String =
+    "concat('dom', CAST(((poly_fold(concat('dom:', CAST(doc_id AS STRING)))" +
+      " % 2147483648) * 2654435761) % 2147483648 % 256 AS STRING))"
+  private[graft] def domainExprDuck: String =
+    s"'dom' || CAST(((${Winnowing.polyFoldDuck("'dom:' || CAST(doc_id AS VARCHAR)")}" +
+      " % 2147483648) * 2654435761) % 2147483648 % 256 AS VARCHAR)"
+
+  /** B260's per-domain ceiling, in bp of corpus tokens — sized against the
+    * measured domain-share distribution (mean ~40-65 bp depending on SF;
+    * 50 bp binds on 92-107 domains and spares the rest at every gate SF,
+    * both directions required in-entry via [[shareQuotaManifest]]). */
+  val DomainShareBp = 50L
+
+  /** B260 — DOMAIN-GRAIN SHARE QUOTA (VERDICT r15 item 6): b242's quota
+    * run at the grain production actually curates — the registrable
+    * domain. Same [[shareQuotaManifest]] machinery verbatim (the domain
+    * column simply plays the `source` role), which is the scale claim
+    * being exercised: the O(domains·256) driver fold and the
+    * per-(domain, bucket) windows hold as the partition key multiplies
+    * ~10× (and the scaladoc's domain-hash-prefix sharding covers the
+    * millions-of-domains regime). Oracle keeps the naive per-domain
+    * window over the SAME derived column. */
+  private val b260 = entry(
+    "b260_domain_share_quota",
+    s"""WITH docs AS (
+       |  SELECT doc_id, $domainExprDuck AS source, text FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ((${Winnowing.polyFoldDuck("'quota:' || CAST(doc_id AS VARCHAR)")}
+       |           % 2147483648) * 2654435761) % 2147483648 AS pri
+       |  FROM docs),
+       |q AS (SELECT CAST(sum(n_tok) * $DomainShareBp // 10000 AS BIGINT)
+       |        AS quota FROM toks),
+       |offs AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY source
+       |                               ORDER BY pri, doc_id
+       |                               ROWS UNBOUNDED PRECEDING) - n_tok
+       |              AS BIGINT) AS start
+       |  FROM toks)
+       |SELECT doc_id, source AS domain, n_tok, start
+       |FROM offs CROSS JOIN q WHERE start < quota
+       |ORDER BY doc_id""".stripMargin, bench = true) { (s, d) =>
+    graft.functions.PolyFoldExpression.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(domainExprSpark).as("source"), col("text"))
+    shareQuotaManifest(docs, DomainShareBp)
+      .withColumnRenamed("source", "domain")
+  }
+
   /** Budget shards for streaming admission (B128): a per-source admission
     * counter is inherently sequential, so the budget splits across hash
     * shards — sources × shards independent keys, 8 bytes of state each. */
@@ -323,5 +384,5 @@ object CorpusBudget {
     (s, d) => vocabCoverage(Tables.documents(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b124, b125, b242)
+  val entries: Seq[Entry] = Seq(b124, b125, b242, b260)
 }

@@ -310,6 +310,54 @@ class CorpusBudgetSpec extends AnyFunSuite {
       plan.linesIterator.take(40).mkString("\n"))
   }
 
+  // ---- B260 ------------------------------------------------------------
+
+  test("B260: the synthetic domain is deterministic (JVM replay), an order" +
+    " of magnitude finer-grained than source, and total (no doc unassigned)") {
+    graft.functions.PolyFoldExpression.register(spark)
+    val got = docs.selectExpr("doc_id",
+        s"${CorpusBudget.domainExprSpark} AS domain")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === docs.count())
+    def replay(id: Long): String = {
+      val f = graft.llm.Winnowing.polyFoldString(s"dom:$id")
+      "dom" + (((f % 2147483648L) * 2654435761L) % 2147483648L % 256L)
+    }
+    for ((id, d) <- got) assert(d === replay(id), s"doc $id domain diverged")
+    val nDomains = got.values.toSet.size
+    val nSources = docs.select("source").distinct().count()
+    assert(nDomains > 5 * nSources,
+      s"$nDomains domains vs $nSources sources — grain did not multiply")
+  }
+
+  test("B260: quota semantics hold at domain grain — the 50 bp ceiling" +
+    " caps some domains (prefix-kept) and spares others (kept whole)") {
+    val manifest = SparkEntry.queries("b260_domain_share_quota")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    graft.functions.PolyFoldExpression.register(spark)
+    val totals = docs.selectExpr(
+        s"${CorpusBudget.domainExprSpark} AS domain",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .groupBy("domain").agg(sum("n").as("t"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val quota = totals.values.map(_._1).sum * CorpusBudget.DomainShareBp / 10000
+    val byDom = manifest.groupBy(_._2)
+    assert(byDom.keySet === totals.keySet, "no domain may vanish under the quota")
+    var capped = 0
+    var whole = 0
+    for ((dom, rows) <- byDom) {
+      val (t, nDocs) = totals(dom)
+      for ((_, _, _, start) <- rows) assert(start < quota)
+      if (t <= quota) {
+        assert(rows.length.toLong === nDocs, s"$dom under quota must keep all")
+        whole += 1
+      } else if (rows.length.toLong < nDocs) capped += 1
+    }
+    assert(capped > 0, "the 50 bp ceiling must observably drop docs somewhere")
+    assert(whole > 0, "the 50 bp ceiling must not bind everywhere")
+  }
+
   // ---- B128 ------------------------------------------------------------
 
   test("B128: streaming admission equals a sequential JVM fold of the " +
