@@ -41,6 +41,7 @@ object SparkEntry {
       llm.IntKMeans.entries ++
       llm.Chunker.entries ++
       llm.Retrieval.entries ++
+      llm.RetrievalEval.entries ++
       llm.Hybrid.entries ++
       llm.Similarity.entries ++
       llm.Ivf.entries ++

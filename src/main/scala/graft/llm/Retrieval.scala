@@ -100,11 +100,12 @@ object Retrieval {
     s"$ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / " +
       "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
 
-  /** The full-corpus BM25 oracle — shared verbatim by b107 (corpus-scan
-    * spelling) and b111 (index-served spelling): both must produce the
-    * identical ranking, so both hash against the one definition. */
-  private[graft] def bm25OracleSql(qts: Seq[(Long, String)] = QueryTerms): String =
-    s"""WITH q AS (SELECT * FROM (VALUES ${duckQueryValues(qts)}) AS v(query_id, term)),
+  /** The corpus-scan BM25 CTE chain WITHOUT the leading WITH, ending in
+    * `score` (query_id, doc_id, s) — shared by [[bm25OracleSql]]'s
+    * ranking tail and B261's evaluation oracle (the b94 composition
+    * convention). */
+  private[graft] def bm25ScoreCtesDuck(qts: Seq[(Long, String)] = QueryTerms): String =
+    s"""q AS (SELECT * FROM (VALUES ${duckQueryValues(qts)}) AS v(query_id, term)),
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -118,7 +119,13 @@ object Retrieval {
        |  FROM q JOIN tf USING (term) JOIN df USING (term)
        |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
        |score AS (SELECT query_id, doc_id, sum(c) AS s
-       |          FROM contrib GROUP BY query_id, doc_id)
+       |          FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+
+  /** The full-corpus BM25 oracle — shared verbatim by b107 (corpus-scan
+    * spelling) and b111 (index-served spelling): both must produce the
+    * identical ranking, so both hash against the one definition. */
+  private[graft] def bm25OracleSql(qts: Seq[(Long, String)] = QueryTerms): String =
+    s"""WITH ${bm25ScoreCtesDuck(qts)}
        |SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id, bm25 FROM (
        |  SELECT query_id, doc_id, round(s, 4) AS bm25,
        |         CAST(row_number() OVER (PARTITION BY query_id
@@ -127,15 +134,19 @@ object Retrieval {
        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   /** The scoring tail both BM25 spellings share once (tf, df, dl, stats)
-    * exist: broadcast-joined contributions, per-query sum, top-10 on the
-    * ROUNDED score with doc_id tiebreak. */
+    * exist: broadcast-joined contributions, per-query sum — the raw
+    * (query_id, doc_id, s) relation B261's evaluation also reads. */
+  private def bm25Scores(s: SparkSession, tf: DataFrame, dfreq: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame =
+    broadcast(queriesDf(s)).join(tf, "term").join(broadcast(dfreq), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("c", expr(bm25Expr("ln")))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+
+  /** [[bm25Scores]] + top-10 on the ROUNDED score with doc_id tiebreak. */
   private def bm25Rank(s: SparkSession, tf: DataFrame, dfreq: DataFrame,
       dl: DataFrame, stats: DataFrame): DataFrame =
-    rankTop10(
-      broadcast(queriesDf(s)).join(tf, "term").join(broadcast(dfreq), "term")
-        .join(dl, "doc_id").crossJoin(broadcast(stats))
-        .withColumn("c", expr(bm25Expr("ln")))
-        .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s")))
+    rankTop10(bm25Scores(s, tf, dfreq, dl, stats))
 
   /** The shared ranking tail over raw (query_id, doc_id, s) scores:
     * top-10 on the ROUNDED score with doc_id tiebreak (the b95 rule). */
@@ -155,9 +166,9 @@ object Retrieval {
     "b107_text_bm25", bm25OracleSql(),
     bench = true) { (s, d) => bm25TopDocsScan(s, d) }
 
-  /** b107's corpus-scan ranking as a composable relation (b184 serves
-    * snippets off it). */
-  private[graft] def bm25TopDocsScan(s: SparkSession, d: String): DataFrame = {
+  /** b107's corpus-scan RAW scores (query_id, doc_id, s) as a composable
+    * relation — B261's evaluation ranks BOTH directions off it. */
+  private[graft] def bm25ScoresScan(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val qt = queriesDf(s).select("term").distinct()
@@ -172,8 +183,13 @@ object Retrieval {
       .localCheckpoint(true)
     // doc_id is already distinct within tf → df = per-term row count.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    bm25Rank(s, tf, dfreq, dl, stats)
+    bm25Scores(s, tf, dfreq, dl, stats)
   }
+
+  /** b107's corpus-scan ranking as a composable relation (b184 serves
+    * snippets off it). */
+  private[graft] def bm25TopDocsScan(s: SparkSession, d: String): DataFrame =
+    rankTop10(bm25ScoresScan(s, d))
 
   /** Tokenized (doc_id, p, tok) with the pack-limit guard: any position
     * beyond [[MaxPos]] raises at build time instead of silently aliasing
