@@ -166,9 +166,13 @@ object Retrieval {
     "b107_text_bm25", bm25OracleSql(),
     bench = true) { (s, d) => bm25TopDocsScan(s, d) }
 
-  /** b107's corpus-scan RAW scores (query_id, doc_id, s) as a composable
-    * relation — B261's evaluation ranks BOTH directions off it. */
-  private[graft] def bm25ScoresScan(s: SparkSession, d: String): DataFrame = {
+  /** b107's corpus-scan internals: the RAW scores (query_id, doc_id, s)
+    * plus the CHECKPOINTED query-term tf relation — B261's evaluation
+    * ranks both directions off the scores and derives its relevance
+    * labels from the same tf, so the labels cost no second corpus
+    * explode. */
+  private[graft] def bm25ScanParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val qt = queriesDf(s).select("term").distinct()
@@ -183,13 +187,13 @@ object Retrieval {
       .localCheckpoint(true)
     // doc_id is already distinct within tf → df = per-term row count.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    bm25Scores(s, tf, dfreq, dl, stats)
+    (bm25Scores(s, tf, dfreq, dl, stats), tf)
   }
 
   /** b107's corpus-scan ranking as a composable relation (b184 serves
     * snippets off it). */
   private[graft] def bm25TopDocsScan(s: SparkSession, d: String): DataFrame =
-    rankTop10(bm25ScoresScan(s, d))
+    rankTop10(bm25ScanParts(s, d)._1)
 
   /** Tokenized (doc_id, p, tok) with the pack-limit guard: any position
     * beyond [[MaxPos]] raises at build time instead of silently aliasing

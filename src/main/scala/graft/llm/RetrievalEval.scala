@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry._
-import graft.sources.Tables
+
 
 /** B261 — RETRIEVAL EVALUATION SUITE: the offline IR-eval table every
   * retrieval stack ships next to its index (P@10, recall@10, MRR,
@@ -94,14 +94,12 @@ object RetrievalEval {
     bench = true) { (s, d) =>
     import s.implicits._
     val q = Retrieval.QueryTerms.toDF("query_id", "term")
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.join(broadcast(q.select("term").distinct()), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // labels derive from the scan's own CHECKPOINTED tf — no second
+    // corpus explode (measured: the naive re-explode doubled the entry)
+    val (scores, tf) = Retrieval.bm25ScanParts(s, d)
     val rel = broadcast(q).join(tf, "term")
       .groupBy("query_id", "doc_id")
       .agg(expr("least(CAST(3 AS BIGINT), sum(tf) div 2)").as("rel"))
-    val scores = Retrieval.bm25ScoresScan(s, d)
     val wD = Window.partitionBy("query_id")
       .orderBy(round(col("s"), 4).desc, col("doc_id"))
     val wA = Window.partitionBy("query_id")
