@@ -21,6 +21,7 @@ object SparkEntry {
       operators.ScaleOps.entries ++
       operators.MaintenanceOps.entries ++
       operators.PublishGate.entries ++
+      operators.PrivacyOps.entries ++
       operators.SpatialOps.entries ++
       operators.AvroInterchange.entries ++
       operators.GraphOps.entries ++

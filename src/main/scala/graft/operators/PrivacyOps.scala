@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Registry._
+import graft.sources.Tables
+
+/** B262 — K-ANONYMITY GENERALIZATION LADDER (Sweeney '02 / Samarati '01:
+  * the release-readiness check any table with quasi-identifiers passes
+  * before publication): walk a QI generalization hierarchy from finest
+  * to coarsest and report, per level, the equivalence-class statistics —
+  * class count, minimum class size (the k the level actually achieves),
+  * and the violating classes/rows under the k ≥ [[K]] policy — then mark
+  * the CHOSEN level: the first whose violation mass is zero, i.e. the
+  * finest safe release. The ladder here is the classic single-path
+  * lattice over customer QIs:
+  *
+  *   L0 (nation, segment, acctbal band-500) → L1 (nation, segment)
+  *   → L2 (segment) → L3 (*)
+  *
+  * The walk is observably non-trivial at every gate SF: L0 always
+  * violates (bands shatter classes below k), and the chosen level moves
+  * with table size (level 2 at sf0.001 where 150 customers leave
+  * (nation, segment) classes of 1; level 1 at sf0.01/0.1) — the
+  * suppression-vs-generalization tradeoff a privacy officer actually
+  * reads off this table. l-diversity over a sensitive column is the
+  * natural companion (same per-class aggregate with a countDistinct);
+  * the ladder is the operator contract.
+  *
+  * Integer-exact: class sizes and violation masses are counts; the band
+  * is `CAST(floor(acctbal) AS BIGINT) div 500` with TRUNC division
+  * committed on both sides (negative balances band toward zero in both
+  * engines — any deterministic bucketing satisfies the QI contract).
+  *
+  * Scale posture (100 TB): each level is one map-combinable aggregate
+  * collapsing to class counts, then to a one-row summary — classes are
+  * COUNTED, never materialized; the ladder output is O(levels). A full
+  * Samarati lattice (all QI subsets) is 2^|QI| such aggregates over one
+  * cached scan; the chosen-level rule is the same driver-free min. */
+object PrivacyOps {
+
+  /** Release policy: every equivalence class must hold ≥ K rows. */
+  val K = 5L
+
+  private case class Level(level: Int, qi: String, cols: Seq[String])
+
+  private val Ladder = Seq(
+    Level(0, "nation,segment,band500", Seq("c_nationkey", "c_mktsegment", "band")),
+    Level(1, "nation,segment", Seq("c_nationkey", "c_mktsegment")),
+    Level(2, "segment", Seq("c_mktsegment")),
+    Level(3, "*", Seq.empty))
+
+  private def levelStats(base: DataFrame, lv: Level): DataFrame = {
+    val classes =
+      if (lv.cols.isEmpty) base.agg(count(lit(1)).as("n"))
+      else base.groupBy(lv.cols.map(col): _*).agg(count(lit(1)).as("n"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min("n").as("min_k"),
+      sum(when(col("n") < K, 1L).otherwise(0L)).as("viol_classes"),
+      sum(when(col("n") < K, col("n")).otherwise(0L)).as("viol_rows"))
+      .select(lit(lv.level.toLong).as("level"), lit(lv.qi).as("qi"),
+        col("n_classes"), col("min_k"), col("viol_classes"),
+        col("viol_rows"))
+  }
+
+  private val b262 = entry(
+    "b262_kanon_generalization", {
+      val per = Ladder.map { lv =>
+        val grp = if (lv.cols.isEmpty) "" else " GROUP BY " +
+          lv.cols.mkString(", ")
+        s"""  SELECT ${lv.level} AS level, '${lv.qi}' AS qi,
+           |         CAST(count(*) AS BIGINT) AS n_classes,
+           |         CAST(min(n) AS BIGINT) AS min_k,
+           |         CAST(sum(CASE WHEN n < $K THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS viol_classes,
+           |         CAST(sum(CASE WHEN n < $K THEN n ELSE 0 END) AS BIGINT)
+           |           AS viol_rows
+           |  FROM (SELECT count(*) AS n FROM c$grp)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         CAST(floor(c_acctbal) AS BIGINT) // 500 AS band
+         |  FROM customer),
+         |lv AS (
+         |$per),
+         |ch AS (SELECT min(level) AS chosen FROM lv WHERE viol_rows = 0)
+         |SELECT CAST(level AS BIGINT) AS level, qi, n_classes, min_k,
+         |       viol_classes, viol_rows,
+         |       CAST(level = (SELECT chosen FROM ch) AS BIGINT) AS chosen
+         |FROM lv ORDER BY level""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      expr("CAST(floor(c_acctbal) AS BIGINT) div 500").as("band"))
+    val lv = Ladder.map(levelStats(base, _)).reduce(_.unionByName(_))
+    val chosen = lv.filter(col("viol_rows") === 0)
+      .agg(min("level").as("chosen_lv"))
+    lv.crossJoin(broadcast(chosen))
+      .select(col("level"), col("qi"), col("n_classes"), col("min_k"),
+        col("viol_classes"), col("viol_rows"),
+        (col("level") === col("chosen_lv")).cast("long").as("chosen"))
+      .orderBy("level")
+  }
+
+  val entries: Seq[Entry] = Seq(b262)
+}

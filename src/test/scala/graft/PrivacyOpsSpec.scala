@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PrivacyOps
+
+/** B262 k-anonymity ladder: full JVM replay of every level's class
+  * statistics, the chain's monotonicity laws, and the chosen-level
+  * rule. */
+class PrivacyOpsSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private lazy val rows = SparkEntry
+    .queries("b262_kanon_generalization")(spark, sf).collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)))
+    .sortBy(_._1)
+
+  private lazy val cust = graft.sources.Tables.customer(spark, sf)
+    .selectExpr("c_nationkey", "c_mktsegment",
+      "CAST(floor(c_acctbal) AS BIGINT) div 500 AS band")
+    .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+
+  test("every level's class statistics replay in the JVM") {
+    val keyFns: Seq[((Int, String, Long)) => Any] = Seq(
+      t => (t._1, t._2, t._3), t => (t._1, t._2), t => t._2, _ => 0)
+    for (((lv, _, nCls, minK, vCls, vRows, _), keyOf) <- rows.zip(keyFns)) {
+      val classes = cust.groupBy(keyOf).map(_._2.length.toLong).toSeq
+      assert(nCls === classes.length.toLong, s"L$lv n_classes")
+      assert(minK === classes.min, s"L$lv min_k")
+      assert(vCls === classes.count(_ < PrivacyOps.K).toLong, s"L$lv viol_classes")
+      assert(vRows === classes.filter(_ < PrivacyOps.K).sum, s"L$lv viol_rows")
+    }
+  }
+
+  test("the ladder is a chain: min_k nondecreasing, violation mass" +
+    " nonincreasing as the QI coarsens; L0 violates; L3 is always safe") {
+    for (i <- 0 until 3) {
+      assert(rows(i)._4 <= rows(i + 1)._4, s"min_k not monotone at L$i")
+      assert(rows(i)._6 >= rows(i + 1)._6, s"viol_rows not monotone at L$i")
+    }
+    assert(rows(0)._6 > 0, "L0 never violates — the ladder walk is vacuous")
+    assert(rows(3)._6 === 0L)
+  }
+
+  test("chosen marks EXACTLY the finest level with zero violation mass") {
+    val chosen = rows.filter(_._7 == 1L)
+    assert(chosen.length === 1)
+    val lv = chosen.head._1
+    assert(chosen.head._6 === 0L)
+    for (r <- rows if r._1 < lv) assert(r._6 > 0L,
+      s"level ${r._1} below the chosen one is already safe")
+  }
+}
