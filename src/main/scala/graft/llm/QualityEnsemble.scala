@@ -83,36 +83,41 @@ object QualityEnsemble {
 
   import QualityClassifier.{Top2MaxBp, Top3MaxBp, Dup2CovMaxBp}
 
+  /** The three FUSED map-side stages appended to ANY (doc_id, text,
+    * n_chars, …) relation — batch (B256/B257) and the B263 ingest stream
+    * run the IDENTICAL projection: repetition_stats.st[0] IS the
+    * filtered token count (the same count qc_feats carries), so the
+    * heuristic gate rides the b245 expression for free. Input columns
+    * other than the two consumed intermediates pass through. */
+  private[graft] def withFusedFlags(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    graft.functions.QualityScoreExpression.register(sp)
+    graft.functions.RepetitionStatsExpression.register(sp)
+    docs
+      .withColumn("_score", expr("quality_score(text)"))
+      .withColumn("_st", expr("repetition_stats(text)"))
+      .withColumn("f_heur",
+        expr(s"CAST(_st[0] < $MinTok OR _st[0] > $MaxTok" +
+          s" OR _st[0] * 10000 div n_chars < $DensMinBp" +
+          s" OR _st[0] * 10000 div n_chars > $DensMaxBp AS BIGINT)"))
+      .withColumn("f_rep",
+        expr("CAST(NOT (" +
+          s"(CASE WHEN _st[0] >= 2 THEN _st[1] * 10000 div (_st[0] - 1)" +
+          s" ELSE 0 END) <= $Top2MaxBp AND " +
+          s"(CASE WHEN _st[0] >= 3 THEN _st[2] * 10000 div (_st[0] - 2)" +
+          s" ELSE 0 END) <= $Top3MaxBp AND " +
+          s"(CASE WHEN _st[0] >= 2 THEN _st[4] * 10000 div _st[0]" +
+          s" ELSE 0 END) <= $Dup2CovMaxBp) AS BIGINT)"))
+      .withColumn("f_clf", expr("CAST(_score <= 0 AS BIGINT)"))
+      .drop("_score", "_st")
+  }
+
   /** Per-doc flag table (doc_id, f_heur, f_rep, f_block, f_ppl, f_clf) —
     * the shared core of B256 and B257. Unordered; callers add
     * presentation. */
   private[graft] def flagsTable(docs: DataFrame): DataFrame = {
-    val sp = docs.sparkSession
-    graft.functions.QualityScoreExpression.register(sp)
-    graft.functions.RepetitionStatsExpression.register(sp)
-    // stage 1+2+5 fused into one scan projection: repetition_stats.st[0]
-    // IS the filtered token count (the same count qc_feats carries), so
-    // the heuristic gate rides the b245 expression for free
-    val fused = docs
-      .select(col("doc_id"), col("n_chars"),
-        expr("quality_score(text)").as("score"),
-        expr("repetition_stats(text)").as("st"))
-      .select(col("doc_id"),
-        expr("st[0]").as("n_tok"), col("n_chars"), col("score"),
-        expr("CAST(CASE WHEN st[0] >= 2 THEN st[1] * 10000 div (st[0] - 1)" +
-          " ELSE 0 END AS BIGINT)").as("top2_bp"),
-        expr("CAST(CASE WHEN st[0] >= 3 THEN st[2] * 10000 div (st[0] - 2)" +
-          " ELSE 0 END AS BIGINT)").as("top3_bp"),
-        expr("CAST(CASE WHEN st[0] >= 2 THEN st[4] * 10000 div st[0]" +
-          " ELSE 0 END AS BIGINT)").as("dup2_cov_bp"))
-      .select(col("doc_id"),
-        expr(s"CAST(n_tok < $MinTok OR n_tok > $MaxTok" +
-          s" OR n_tok * 10000 div n_chars < $DensMinBp" +
-          s" OR n_tok * 10000 div n_chars > $DensMaxBp AS BIGINT)")
-          .as("f_heur"),
-        expr(s"CAST(NOT (top2_bp <= $Top2MaxBp AND top3_bp <= $Top3MaxBp" +
-          s" AND dup2_cov_bp <= $Dup2CovMaxBp) AS BIGINT)").as("f_rep"),
-        expr("CAST(score <= 0 AS BIGINT)").as("f_clf"))
+    val fused = withFusedFlags(docs)
+      .select(col("doc_id"), col("f_heur"), col("f_rep"), col("f_clf"))
     val blk = Blocklist.auditReport(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         expr("CAST(action = 'drop' AS BIGINT)").as("f_block"))
@@ -149,24 +154,33 @@ object QualityEnsemble {
        |  JOIN bl_audit a ON a.doc_id = q.doc_id
        |  LEFT JOIN ppl_report p ON p.doc_id = q.doc_id)""".stripMargin
 
-  private val b256 = entry(
-    "b256_quality_ensemble",
-    s"""WITH $flagCtesDuck
-       |SELECT doc_id, f_heur, f_rep, f_block, f_ppl, f_clf,
-       |       f_heur + f_rep + f_block + f_ppl + f_clf AS n_flags,
-       |       CASE WHEN f_heur = 1 THEN 'heur' WHEN f_rep = 1 THEN 'rep'
-       |            WHEN f_block = 1 THEN 'block' WHEN f_ppl = 1 THEN 'ppl'
-       |            WHEN f_clf = 1 THEN 'clf' ELSE 'none' END AS killed_by
-       |FROM ens_flags ORDER BY doc_id""".stripMargin,
-    bench = true) { (s, d) =>
-    flagsTable(Tables.documents(s, d))
+  /** The B256 attribution tail over ANY 5-flag relation — shared with
+    * the B263 streamed admission twin. */
+  private[graft] def attributionTail(flags: DataFrame): DataFrame =
+    flags
       .withColumn("n_flags",
         expr("f_heur + f_rep + f_block + f_ppl + f_clf"))
       .withColumn("killed_by",
         expr("CASE WHEN f_heur = 1 THEN 'heur' WHEN f_rep = 1 THEN 'rep'" +
           " WHEN f_block = 1 THEN 'block' WHEN f_ppl = 1 THEN 'ppl'" +
           " WHEN f_clf = 1 THEN 'clf' ELSE 'none' END"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("f_heur"), col("f_rep"), col("f_block"),
+        col("f_ppl"), col("f_clf"), col("n_flags"), col("killed_by"))
+
+  /** B256's oracle — shared VERBATIM by B263's streamed admission twin. */
+  private[graft] val ensembleOracleSql: String =
+    s"""WITH $flagCtesDuck
+       |SELECT doc_id, f_heur, f_rep, f_block, f_ppl, f_clf,
+       |       f_heur + f_rep + f_block + f_ppl + f_clf AS n_flags,
+       |       CASE WHEN f_heur = 1 THEN 'heur' WHEN f_rep = 1 THEN 'rep'
+       |            WHEN f_block = 1 THEN 'block' WHEN f_ppl = 1 THEN 'ppl'
+       |            WHEN f_clf = 1 THEN 'clf' ELSE 'none' END AS killed_by
+       |FROM ens_flags ORDER BY doc_id""".stripMargin
+
+  private val b256 = entry(
+    "b256_quality_ensemble", ensembleOracleSql,
+    bench = true) { (s, d) =>
+    attributionTail(flagsTable(Tables.documents(s, d))).orderBy("doc_id")
   }
 
   /** Funnel/ablation over the flags — unordered single row of 16

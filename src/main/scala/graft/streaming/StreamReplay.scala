@@ -1028,7 +1028,72 @@ object StreamReplay {
     }
   }
 
+  private lazy val chunkDir263: String =
+    java.nio.file.Files.createTempDirectory("graft_b263_chunks").toString
+
+  /** B263 — ENSEMBLE ADMISSION ON INGEST: the B256 five-signal keep
+    * decision run where production runs quality filtering — at the door,
+    * on the arriving document stream (the b183 blocklist-admission
+    * pattern widened to the full ensemble). The three fused signals
+    * (heur/rep/clf) are STATELESS map-side expressions on the stream
+    * ([[graft.llm.QualityEnsemble.withFusedFlags]] — the identical
+    * projection the batch entry runs); the perplexity verdict joins as a
+    * STATIC lookup computed batch-side before the stream starts (the
+    * production shape: yesterday's model scores today's ingest — a
+    * corpus-rank tertile cannot be computed ON the stream, and
+    * shouldn't be); the blocklist rollup is the one keyed aggregate,
+    * running in complete mode with the map-side flags carried through
+    * as per-doc max(). The final admission log IS the batch attribution
+    * table — B256's oracle VERBATIM.
+    *
+    * State note: the per-doc aggregate is keyed state ∝ docs seen —
+    * the b183 harness convention (docs are atomic per micro-batch; a
+    * production gate emits each verdict on arrival); the replay is
+    * finite by construction. */
+  private val b263 = entry("b263_stream_ensemble_admission",
+      graft.llm.QualityEnsemble.ensembleOracleSql) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val docs = graft.sources.Tables.documents(s, d)
+    // the static model-verdict lookup, materialized before the replay
+    val ppl = graft.llm.Perplexity
+      .perplexityReport(docs.select(col("doc_id"), col("text"), col("lang")))
+      .select(col("doc_id"), expr("CAST(bucket = 3 AS BIGINT)").as("f_ppl"))
+      .localCheckpoint(true)
+    StreamingOps.writeChunksDf(
+      docs.select(col("doc_id"), col("text"), col("n_chars")),
+      chunkDir263, n = 6, sortCols = Seq("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val stream = StreamingOps.readStream(s, chunkDir263, schema)
+    import s.implicits._
+    val dict = graft.llm.Blocklist.Terms.toDF("term", "sev")
+    val flagged = graft.llm.QualityEnsemble.withFusedFlags(stream)
+      .join(ppl, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f_ppl"))
+    // one streaming aggregate: blocklist counts + the stateless flags
+    // carried as per-doc max (constant within a doc) — the b182 rule
+    // that nothing may join ABOVE a streaming aggregate
+    val admitted = flagged
+      .select(col("doc_id"), col("f_heur"), col("f_rep"), col("f_clf"),
+        col("f_ppl"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(dict), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("sev") === 1, 1L).otherwise(0L)).as("n_mild"),
+        sum(when(col("sev") === 2, 1L).otherwise(0L)).as("n_severe"),
+        max("f_heur").as("f_heur"), max("f_rep").as("f_rep"),
+        max("f_clf").as("f_clf"), max("f_ppl").as("f_ppl"))
+      .withColumn("f_block",
+        expr("CAST(n_severe > 0 OR n_mild * 10000 div n_tok >= " +
+          s"${graft.llm.Blocklist.ThrBp} AS BIGINT)"))
+    s.catalog.dropTempView("b263_replay") // idempotent re-runs
+    graft.llm.QualityEnsemble.attributionTail(
+      StreamingOps.runToMemory(admitted, "b263_replay", "complete"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224, b234, b241, b246, b248, b259)
+      b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263)
 }

@@ -104,6 +104,16 @@ class QualityEnsembleSpec extends AnyFunSuite {
     }
   }
 
+  test("B263: the streamed admission twin equals the batch attribution" +
+    " table row-for-row") {
+    val batch = SparkEntry.queries("b256_quality_ensemble")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val streamed = SparkEntry
+      .queries("b263_stream_ensemble_admission")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
   test("plan: no SinglePartition exchange in the flags subtree; the" +
     " fused stages gate before any exchange") {
     val plan = QualityEnsemble.flagsTable(docs)
