@@ -57,6 +57,7 @@ object SparkEntry {
       llm.CorpusBudget.entries ++
       llm.QualityClassifier.entries ++
       llm.QualityEnsemble.entries ++
+      llm.QualityDrift.entries ++
       llm.NgramLm.entries ++
       llm.ModelReady.entries ++
       llm.TrainLoad.entries ++

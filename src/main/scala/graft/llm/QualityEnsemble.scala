@@ -109,6 +109,7 @@ object QualityEnsemble {
           s"(CASE WHEN _st[0] >= 2 THEN _st[4] * 10000 div _st[0]" +
           s" ELSE 0 END) <= $Dup2CovMaxBp) AS BIGINT)"))
       .withColumn("f_clf", expr("CAST(_score <= 0 AS BIGINT)"))
+      .withColumn("n_tok", expr("_st[0]")) // free for consumers (B264)
       .drop("_score", "_st")
   }
 
