@@ -219,5 +219,71 @@ object QualityClassifier {
     calibrationDeciles(Tables.documents(s, d).select(col("doc_id"), col("text")))
   }
 
-  val entries: Seq[Entry] = Seq(b243, b245, b250)
+  // ---- B265: threshold-sensitivity sweep --------------------------------
+
+  /** The sweep grid — symmetric around the b243 gate's frozen θ = 0,
+    * spanning the score distribution's bulk (scores are a ±|doc|·10³-
+    * bounded random walk; ±2000 covers the decision-relevant range). */
+  val SweepThresholds: Seq[Long] =
+    Seq(-2000L, -1500L, -1000L, -500L, 0L, 500L, 1000L, 1500L, 2000L)
+
+  /** B265 — CLASSIFIER THRESHOLD SWEEP (the gate-owner's knob-setting
+    * artifact: before freezing θ, production sweeps the kept-mass curve —
+    * "how many documents/tokens survive at each candidate threshold" —
+    * the integer-exact skeleton of a precision/yield tradeoff table; the
+    * B250 calibration deciles answer "what does a score MEAN", this
+    * answers "what does a θ COST"). Per grid threshold: kept docs, kept
+    * share (bp), kept tokens, kept token share (bp). The θ = 0 row is by
+    * construction the b243 gate's own population — pinned in spec.
+    *
+    * Scale posture: ONE map-side score projection + ONE scalar aggregate
+    * carrying 2·|grid| conditional sums (map-combines like any other
+    * aggregate; the grid never multiplies the corpus rows — the oracle's
+    * CROSS JOIN spelling is presentation, the engine's is conditional
+    * sums stacked from a single row). */
+  private val b265 = entry(
+    "b265_classifier_threshold_sweep", {
+      val gridVals = SweepThresholds.map(t => s"($t)").mkString(", ")
+      s"WITH $scoreCtesDuck" + s""",
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(n_tok) AS BIGINT) AS t FROM qc_feats),
+       |g(thr) AS (VALUES $gridVals),
+       |k AS (
+       |  SELECT g.thr,
+       |         CAST(sum(CASE WHEN score > g.thr THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS kept_docs,
+       |         CAST(sum(CASE WHEN score > g.thr THEN n_tok ELSE 0 END)
+       |           AS BIGINT) AS kept_tokens
+       |  FROM qc_feats CROSS JOIN g GROUP BY g.thr)
+       |SELECT CAST(thr AS BIGINT) AS thr, kept_docs,
+       |       kept_docs * 10000 // (SELECT n FROM tot) AS kept_doc_bp,
+       |       kept_tokens,
+       |       kept_tokens * 10000 // (SELECT t FROM tot) AS kept_token_bp
+       |FROM k ORDER BY thr""".stripMargin
+    }) { (s, d) =>
+    graft.functions.QualityScoreExpression.register(s)
+    val sc = Tables.documents(s, d).select(
+      expr("quality_score(text)").as("score"),
+      expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)")
+        .as("n_tok"))
+    val aggs = Seq(count(lit(1)).as("n"), sum("n_tok").as("t")) ++
+      SweepThresholds.zipWithIndex.flatMap { case (th, i) => Seq(
+        sum(when(col("score") > th, 1L).otherwise(0L)).as(s"k$i"),
+        sum(when(col("score") > th, col("n_tok")).otherwise(0L)).as(s"t$i"))
+      }
+    val stackArgs = SweepThresholds.zipWithIndex.map { case (th, i) =>
+      s"CAST($th AS BIGINT), k$i, t$i"
+    }.mkString(", ")
+    sc.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n", "t",
+        s"stack(${SweepThresholds.size}, $stackArgs)" +
+          " AS (thr, kept_docs, kept_tokens)")
+      .select(col("thr"), col("kept_docs"),
+        expr("kept_docs * 10000 div n").as("kept_doc_bp"),
+        col("kept_tokens"),
+        expr("kept_tokens * 10000 div t").as("kept_token_bp"))
+      .orderBy("thr")
+  }
+
+  val entries: Seq[Entry] = Seq(b243, b245, b250, b265)
 }

@@ -166,5 +166,29 @@ class QualityClassifierSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
   }
+
+  test("B265: the kept-mass curve is monotone in the threshold, replays" +
+    " from the JVM scorer, and its theta=0 row IS the b243 gate") {
+    val rows = SparkEntry.queries("b265_classifier_threshold_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq ===
+      graft.llm.QualityClassifier.SweepThresholds)
+    for (w <- rows.sliding(2); if w.length == 2) {
+      assert(w(0)._2 >= w(1)._2, "kept_docs not nonincreasing in theta")
+      assert(w(0)._4 >= w(1)._4, "kept_tokens not nonincreasing in theta")
+    }
+    // JVM replay of the whole curve off the independent scorer
+    val scored = docs.map { case (id, t) =>
+      (replayScore(t), t.split(" ", -1).count(_.nonEmpty).toLong) }
+    for ((th, kd, _, kt, _) <- rows) {
+      val keep = scored.filter(_._1 > th)
+      assert(kd === keep.length.toLong, s"theta=$th kept_docs")
+      assert(kt === keep.map(_._2).sum, s"theta=$th kept_tokens")
+    }
+    // theta = 0 is the frozen gate: same population as the b243 entry
+    val gate = SparkEntry.queries("b243_quality_classifier")(spark, sf).count()
+    assert(rows.find(_._1 == 0L).get._2 === gate)
+  }
 }
 
