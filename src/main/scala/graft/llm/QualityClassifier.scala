@@ -260,7 +260,7 @@ object QualityClassifier {
        |       kept_tokens,
        |       kept_tokens * 10000 // (SELECT t FROM tot) AS kept_token_bp
        |FROM k ORDER BY thr""".stripMargin
-    }) { (s, d) =>
+    }, bench = true) { (s, d) =>
     graft.functions.QualityScoreExpression.register(s)
     val sc = Tables.documents(s, d).select(
       expr("quality_score(text)").as("score"),

@@ -205,7 +205,7 @@ object QualityDrift {
        |  UNION ALL
        |${legSqlDuck("planted", "pa", "pbp")})
        |SELECT leg, signal, a_val, b_val, delta_bp, drifted
-       |FROM legs ORDER BY leg, signal""".stripMargin) { (s, d) =>
+       |FROM legs ORDER BY leg, signal""".stripMargin, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
     val a = docs.filter(col("doc_id") % 2 === 1)
