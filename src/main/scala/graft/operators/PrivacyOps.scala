@@ -103,5 +103,49 @@ object PrivacyOps {
       .orderBy("level")
   }
 
-  val entries: Seq[Entry] = Seq(b262)
+  /** l-diversity policy: every class needs ≥ L distinct sensitive values. */
+  val L = 2L
+
+  /** B266 — L-DIVERSITY AUDIT (Machanavajjhala et al. '06 — B262's
+    * standard companion: k-anonymity bounds RE-IDENTIFICATION, l-diversity
+    * bounds ATTRIBUTE DISCLOSURE — a k-safe class whose members all share
+    * one sensitive value still leaks it): per (nation, acctbal band-500)
+    * equivalence class, the class size k, the number of distinct
+    * sensitive values l (sensitive = market segment — the column a
+    * released customer table would protect), and both policy flags
+    * (k < [[K]], l < [[L]]). Homogeneous classes exist at every gate SF
+    * (122/118/3 l-violations) without being universal — both directions
+    * observable, the make-it-bite rule.
+    *
+    * Scale posture: ONE aggregate — count + count(DISTINCT sensitive)
+    * per class (the countDistinct expands the scan by the one sensitive
+    * column, the b185 NDV shape); output is |classes| rows, catalog-
+    * sized relative to the table. The production 100 TB path swaps exact
+    * NDV for the b78 HLL sketch per class at l-thresholds ≫ 2. */
+  private val b266 = entry(
+    "b266_ldiversity_audit",
+    s"""WITH cls AS (
+       |  SELECT c_nationkey,
+       |         CAST(floor(c_acctbal) AS BIGINT) // 500 AS band,
+       |         CAST(count(*) AS BIGINT) AS k,
+       |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c_nationkey, band, k, l,
+       |       CAST(k < $K AS BIGINT) AS k_viol,
+       |       CAST(l < $L AS BIGINT) AS l_viol
+       |FROM cls ORDER BY c_nationkey, band""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        expr("CAST(floor(c_acctbal) AS BIGINT) div 500").as("band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "band")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .select(col("c_nationkey"), col("band"), col("k"), col("l"),
+        (col("k") < K).cast("long").as("k_viol"),
+        (col("l") < L).cast("long").as("l_viol"))
+      .orderBy("c_nationkey", "band")
+  }
+
+  val entries: Seq[Entry] = Seq(b262, b266)
 }

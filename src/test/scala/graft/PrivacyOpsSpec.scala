@@ -43,6 +43,28 @@ class PrivacyOpsSpec extends AnyFunSuite {
     assert(rows(3)._6 === 0L)
   }
 
+  test("B266: l-diversity classes replay in the JVM; homogeneous classes" +
+    " exist without being universal (both directions observable)") {
+    val got = SparkEntry.queries("b266_ldiversity_audit")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val raw = graft.sources.Tables.customer(spark, sf)
+      .selectExpr("c_nationkey",
+        "CAST(floor(c_acctbal) AS BIGINT) div 500 AS band", "c_mktsegment")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getString(2)))
+    val want = raw.groupBy(_._1).map { case (key, rs) =>
+      key -> (rs.length.toLong, rs.map(_._2).distinct.length.toLong) }
+    assert(got.keySet === want.keySet)
+    for ((key, (k, l, kv, lv)) <- got) {
+      assert((k, l) === want(key), s"class $key")
+      assert(kv === (if (k < PrivacyOps.K) 1L else 0L))
+      assert(lv === (if (l < PrivacyOps.L) 1L else 0L))
+    }
+    val lViol = got.values.count(_._4 == 1L)
+    assert(lViol > 0, "no homogeneous class — the l rule is vacuous")
+    assert(lViol < got.size, "every class homogeneous — degenerate")
+  }
+
   test("chosen marks EXACTLY the finest level with zero violation mass") {
     val chosen = rows.filter(_._7 == 1L)
     assert(chosen.length === 1)
