@@ -147,5 +147,80 @@ object PrivacyOps {
       .orderBy("c_nationkey", "band")
   }
 
-  val entries: Seq[Entry] = Seq(b262, b266)
+  /** t-closeness policy: class-vs-global sensitive-distribution distance
+    * (total variation, bp) must stay ≤ this. Sized measured-binding:
+    * violations 132/363/3 of 133/488/528 classes across the gate SFs —
+    * both directions observable everywhere. */
+  val TClosenessBp = 4000L
+
+  /** B267 — T-CLOSENESS AUDIT (Li et al. ICDE'07, completing the
+    * release-audit triad with B262 k-anonymity and B266 l-diversity:
+    * l-diversity counts distinct sensitive values, t-closeness bounds how
+    * far a class's sensitive DISTRIBUTION may drift from the global one —
+    * a class can be l-diverse yet still skewed enough to shift an
+    * attacker's prior): per (nation, band-500) class, the total-variation
+    * distance between the class's market-segment distribution and the
+    * corpus-wide one, in basis points, EXACTLY in integers:
+    * tvd_bp = Σ_s |cnt_s·G − g_s·k| · 10⁴ div (2·k·G) — the common-
+    * denominator spelling avoids any per-class division before the sum
+    * (overflow bound: Σ ≤ 2kG ≤ 4.5e8 at sf0.1, ×10⁴ well inside BIGINT).
+    * Missing segments contribute their full global mass (the dense
+    * class × segment grid — the coalesce(0) rows are exactly the
+    * homogeneity l-diversity misses).
+    *
+    * Scale posture: two class-keyed aggregates (class sizes, class ×
+    * segment counts) + a broadcast of the |segments| global distribution
+    * and the one-row total; the grid is |classes|·|segments| — catalog-
+    * sized; everything map-combines. */
+  private val b267 = entry(
+    "b267_tcloseness_audit",
+    s"""WITH c AS (
+       |  SELECT c_nationkey,
+       |         CAST(floor(c_acctbal) AS BIGINT) // 500 AS band,
+       |         c_mktsegment
+       |  FROM customer),
+       |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS gs
+       |      FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM c),
+       |cls AS (SELECT c_nationkey, band, CAST(count(*) AS BIGINT) AS k
+       |        FROM c GROUP BY 1, 2),
+       |cs AS (SELECT c_nationkey, band, c_mktsegment,
+       |              CAST(count(*) AS BIGINT) AS cnt
+       |       FROM c GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT cls.c_nationkey, cls.band, cls.k, g.c_mktsegment, g.gs,
+       |         coalesce(cs.cnt, 0) AS cnt
+       |  FROM cls CROSS JOIN g
+       |  LEFT JOIN cs USING (c_nationkey, band, c_mktsegment)),
+       |tv AS (
+       |  SELECT c_nationkey, band, k,
+       |         CAST(sum(abs(cnt * (SELECT gt FROM tot) - gs * k)) * 10000
+       |              // (2 * k * (SELECT gt FROM tot)) AS BIGINT) AS tvd_bp
+       |  FROM grid GROUP BY 1, 2, 3)
+       |SELECT c_nationkey, band, k, tvd_bp,
+       |       CAST(tvd_bp > $TClosenessBp AS BIGINT) AS t_viol
+       |FROM tv ORDER BY c_nationkey, band""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(col("c_nationkey"),
+      expr("CAST(floor(c_acctbal) AS BIGINT) div 500").as("band"),
+      col("c_mktsegment"))
+    val g = c.groupBy("c_mktsegment").agg(count(lit(1)).as("gs"))
+    val tot = c.agg(count(lit(1)).as("gt"))
+    val cls = c.groupBy("c_nationkey", "band").agg(count(lit(1)).as("k"))
+    val cs = c.groupBy("c_nationkey", "band", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    cls.crossJoin(broadcast(g))
+      .join(cs, Seq("c_nationkey", "band", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .groupBy("c_nationkey", "band", "k")
+      .agg(max("gt").as("gt"),
+        sum(expr("abs(cnt * gt - gs * k)")).as("sdev"))
+      .select(col("c_nationkey"), col("band"), col("k"),
+        expr("CAST(sdev * 10000 div (2 * k * gt) AS BIGINT)").as("tvd_bp"))
+      .withColumn("t_viol",
+        (col("tvd_bp") > TClosenessBp).cast("long"))
+      .orderBy("c_nationkey", "band")
+  }
+
+  val entries: Seq[Entry] = Seq(b262, b266, b267)
 }

@@ -65,6 +65,35 @@ class PrivacyOpsSpec extends AnyFunSuite {
     assert(lViol < got.size, "every class homogeneous — degenerate")
   }
 
+  test("B267: t-closeness TVD replays in the JVM (dense grid incl." +
+    " missing segments) and the threshold binds in both directions") {
+    val got = SparkEntry.queries("b267_tcloseness_audit")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val raw = graft.sources.Tables.customer(spark, sf)
+      .selectExpr("c_nationkey",
+        "CAST(floor(c_acctbal) AS BIGINT) div 500 AS band", "c_mktsegment")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getString(2)))
+    val gt = raw.length.toLong
+    val gs = raw.groupBy(_._2).map { case (s2, rs) => s2 -> rs.length.toLong }
+    val byCls = raw.groupBy(_._1)
+    assert(got.keySet === byCls.keySet)
+    for ((key, rs) <- byCls) {
+      val k = rs.length.toLong
+      val cnt = rs.groupBy(_._2).map { case (s2, xs) => s2 -> xs.length.toLong }
+      val sdev = gs.map { case (s2, g) =>
+        math.abs(cnt.getOrElse(s2, 0L) * gt - g * k) }.sum
+      val tvd = sdev * 10000L / (2L * k * gt)
+      val (gk, gtvd, gviol) = got(key)
+      assert(gk === k, s"class $key k")
+      assert(gtvd === tvd, s"class $key tvd")
+      assert(gviol === (if (tvd > PrivacyOps.TClosenessBp) 1L else 0L))
+    }
+    val viol = got.values.count(_._3 == 1L)
+    assert(viol > 0 && viol < got.size,
+      s"t-closeness threshold degenerate: $viol of ${got.size}")
+  }
+
   test("chosen marks EXACTLY the finest level with zero violation mass") {
     val chosen = rows.filter(_._7 == 1L)
     assert(chosen.length === 1)
