@@ -56,20 +56,39 @@ object Bench {
       }
       times.minOption.map(e.name -> _)
     }
-    // ascending-time order: the driver's artifact keeps the TAIL of a
-    // too-long line (VERDICT r15 "what's wrong" #2 — 18 of 82 queries
-    // fell off the head of BENCH_r15.json), so the heavy, band-watched
-    // queries go LAST and any truncation costs only the lightest entries
-    val qs = results.sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val errs = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val qjson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0)
+        s""","queries_omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"errors":$errs$om,"sf":"$sfDir"}"""
+    }
+    // The driver records only the LAST ~2000 chars of output (BENCH_r16's
+    // tail field is exactly 2000), so a full per-query map (~2.9k chars at
+    // 88 queries) head-truncates and `parsed` comes back null (VERDICT r16
+    // "what's missing" #5). Emit a line GUARANTEED to fit: keep the
+    // heaviest (band-watched) queries and drop lightest-first until the
+    // serialized line is under budget, recording how many were omitted;
+    // the COMPLETE map is always written to BENCH_DETAIL.json alongside.
+    val asc = results.sortBy(_._2)
+    if (only.isEmpty) { // never clobber the full-sweep detail with an A/B
+      try {
+        val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+        try w.println(line(asc, 0)) finally w.close()
+      } catch { case t: Throwable => System.err.println(s"[bench] detail: $t") }
+    }
+    val MaxLine = 1700
+    val fit = (0 to asc.size)
+      .map(drop => (drop, line(asc.drop(drop), drop)))
+      .find(_._2.length <= MaxLine)
+      .map(_._2).getOrElse(line(Seq.empty, asc.size))
     // rc stays 0 even with per-query errors: the JSON line (with its
     // "errors" map) must still reach the recorder
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(fit)
     spark.stop()
   }
 }

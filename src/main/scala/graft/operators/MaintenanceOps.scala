@@ -544,9 +544,16 @@ object MaintenanceOps {
     // real key space — if orderkeys ever reach 1e9 at some SF, bumped keys
     // collide with real parents and BOTH engines agree on a silently
     // undercounted orphan mass (the worst failure mode: green hash, wrong
-    // semantics). Two O(1)-result aggregates, driver-bounded.
-    require(ord.agg(max(col("o_orderkey"))).head().getLong(0) < 1000000000L &&
-      li.agg(max(col("l_orderkey"))).head().getLong(0) < 1000000000L,
+    // semantics). Two O(1)-result aggregates, driver-bounded. max() of an
+    // EMPTY table is null (ADVICE r16) — read via Option so the guard
+    // raises its own message, not a NullPointerException; an empty table
+    // trivially satisfies the headroom (no key to collide).
+    def maxKeyBelowBump(df: DataFrame, key: String): Boolean = {
+      val r = df.agg(max(col(key))).head()
+      r.isNullAt(0) || r.getLong(0) < 1000000000L
+    }
+    require(maxKeyBelowBump(ord, "o_orderkey") &&
+      maxKeyBelowBump(li, "l_orderkey"),
       "orderkey space reaches the 1e9 bump offset — the planted corrupted " +
         "leg would collide with real keys and undercount orphans")
     val corrupted = li.select(

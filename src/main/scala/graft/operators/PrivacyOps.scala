@@ -162,8 +162,15 @@ object PrivacyOps {
     * distance between the class's market-segment distribution and the
     * corpus-wide one, in basis points, EXACTLY in integers:
     * tvd_bp = Σ_s |cnt_s·G − g_s·k| · 10⁴ div (2·k·G) — the common-
-    * denominator spelling avoids any per-class division before the sum
-    * (overflow bound: Σ ≤ 2kG ≤ 4.5e8 at sf0.1, ×10⁴ well inside BIGINT).
+    * denominator spelling avoids any per-class division before the sum.
+    * Overflow bound: the numerator is ≤ 2·k·G·10⁴, exact in BIGINT only
+    * while k·G < ~4.6e14 (Σ ≤ 2kG ≤ 4.5e8 at sf0.1 — five orders of
+    * headroom at the gate SFs, and any k-anonymous release grain keeps
+    * k ≪ G). A full-population 100 TB run (G ~ 1.5e10 with classes of
+    * k ≳ 3e4) crosses it: that regime needs the DECIMAL(38,0) spelling
+    * of the same arithmetic (both engines support it) or per-class
+    * pre-division at 10⁸ fixed point — the exact-BIGINT claim here is
+    * scoped to k·G < 4.6e14, not unconditional.
     * Missing segments contribute their full global mass (the dense
     * class × segment grid — the coalesce(0) rows are exactly the
     * homogeneity l-diversity misses).

@@ -117,22 +117,32 @@ object PublishGate {
     val range = countLeg("range:o_totalprice_positive",
       candidate.filter(col("o_totalprice") <= 0)
         .agg(count(lit(1)).as("n_failures")))
+    // n_prev = 0 (a first publish) is an explicit fail, not an engine
+    // edge: Spark's null div and DuckDB's division-by-zero error would
+    // otherwise diverge (r16 advice) — first publishes bypass the gate.
     val rowCount = candidate.agg(count(lit(1)).as("n_cand"))
       .crossJoin(broadcast(previous.agg(count(lit(1)).as("n_prev"))))
       .select(lit("row_count:growth_band").as("check_id"),
         lit(1L).as("n_checked"),
-        expr(s"CAST(CASE WHEN n_cand * 10000 div n_prev" +
+        expr(s"CAST(CASE WHEN n_prev = 0 THEN 1" +
+          s" WHEN n_cand * 10000 div n_prev" +
           s" BETWEEN $GrowthLoBp AND $GrowthHiBp" +
           " THEN 0 ELSE 1 END AS BIGINT)").as("n_failures"))
+    // Driven from PREVIOUS with a left join (r16 advice): a candidate
+    // that DROPS a published year entirely is deleted history — exactly
+    // this leg's corruption class — and must count as that year's
+    // failure (c_fp comes back null), not silently vanish from an inner
+    // join. n_checked = |previous year segments| in both spellings.
     val p = fpOf(previous)
     val c = fpOf(candidate)
     val fingerprint = p.select(col("yr"), col("n").as("p_n"),
         col("fp").as("p_fp"))
       .join(broadcast(c.select(col("yr"), col("n").as("c_n"),
-        col("fp").as("c_fp"))), "yr")
+        col("fp").as("c_fp"))), Seq("yr"), "left")
       .agg(count(lit(1)).as("n_checked"),
-        sum(when(!(col("p_fp") <=> col("c_fp"))
-          || col("p_n") =!= col("c_n"), 1L).otherwise(0L)).as("n_failures"))
+        sum(when(col("c_fp").isNull || !(col("p_fp") <=> col("c_fp"))
+          || !(col("p_n") <=> col("c_n")), 1L).otherwise(0L))
+          .as("n_failures"))
       .select(lit("fingerprint:immutable_segments").as("check_id"),
         col("n_checked"), col("n_failures"))
     val legs = unique.unionByName(rel).unionByName(accepted)
@@ -159,8 +169,9 @@ object PublishGate {
        |  UNION ALL
        |  SELECT 'fingerprint:immutable_segments',
        |         (SELECT count(*) FROM fp_prev),
-       |         (SELECT count(*) FROM fp_prev p JOIN $fpRel c USING (yr)
-       |          WHERE p.fp IS DISTINCT FROM c.fp OR p.n <> c.n)
+       |         (SELECT count(*) FROM fp_prev p LEFT JOIN $fpRel c USING (yr)
+       |          WHERE c.fp IS NULL OR p.fp IS DISTINCT FROM c.fp
+       |             OR p.n IS DISTINCT FROM c.n)
        |  UNION ALL
        |  SELECT 'not_null:o_custkey',
        |         (SELECT count(*) FROM $rel),
@@ -178,7 +189,8 @@ object PublishGate {
        |  UNION ALL
        |  SELECT 'row_count:growth_band',
        |         1,
-       |         CASE WHEN (SELECT count(*) FROM $rel) * 10000
+       |         CASE WHEN (SELECT count(*) FROM prev) = 0 THEN 1
+       |              WHEN (SELECT count(*) FROM $rel) * 10000
        |                   // (SELECT count(*) FROM prev)
        |                   BETWEEN $GrowthLoBp AND $GrowthHiBp
        |              THEN 0 ELSE 1 END

@@ -79,4 +79,35 @@ class PublishGateSpec extends AnyFunSuite {
     val rows = report(previous)
     assert(failing(rows) === Seq("row_count:growth_band"))
   }
+
+  test("DROPPING an entire published year trips the fingerprint leg" +
+    " (deleted history — the left-join direction, r16 advice)") {
+    import spark.implicits._
+    // drop the earliest published year entirely; keep total row count
+    // inside the growth band by construction? No — dropping a year also
+    // shrinks the candidate, so the growth-band leg may legitimately
+    // fire too. The assertion here is direction-specific: the FINGERPRINT
+    // leg must fire (the inner-join spelling scored zero failures on this
+    // corruption), with the dropped year counted as exactly one failure
+    // per missing segment, and n_checked must stay |previous segments|.
+    val firstYr = previous.select(min(year(col("o_orderdate")))).head().getInt(0)
+    val corrupted = orders.filter(year(col("o_orderdate")) =!= firstYr)
+    val nPrevYears = previous.select(year(col("o_orderdate")))
+      .distinct().count()
+    val rows = report(corrupted)
+    val fp = rows.find(_.getString(1) == "fingerprint:immutable_segments").get
+    assert(fp.getString(4) === "fail")
+    assert(fp.getLong(2) === nPrevYears,
+      "n_checked must count PREVIOUS segments, present or not")
+    assert(fp.getLong(3) === 1L, "exactly the one dropped year fails")
+  }
+
+  test("a first publish (empty previous) is an explicit growth-band fail," +
+    " not an engine-divergent division edge") {
+    val empty = previous.filter(lit(false))
+    val rows = PublishGate.gateReport(orders, empty, customer, "x")
+      .orderBy("check_id").collect()
+    val growth = rows.find(_.getString(1) == "row_count:growth_band").get
+    assert(growth.getString(4) === "fail")
+  }
 }
