@@ -229,5 +229,136 @@ object PrivacyOps {
       .orderBy("c_nationkey", "band")
   }
 
-  val entries: Seq[Entry] = Seq(b262, b266, b267)
+  /** Release budget for B268 in basis points: ε = 1.0000. */
+  val EpsBp = 10000L
+
+  /** Uniform range for the seeded draw: 31 bits (the b167 convention). */
+  val UniformM: Long = 1L << 31
+
+  private val Knuth = 2654435761L
+
+  /** Two-sided-geometric inverse CDF as a CASE ladder over an integer
+    * uniform u ∈ [0, 2³¹) — the ONE text both engines evaluate. The
+    * mechanism (Ghosh, Roughgarden & Sundararajan, STOC'09) is the
+    * discrete analogue of Laplace and is ε-DP for sensitivity-1 counting
+    * queries with α = exp(−ε): P(K = k) = (1−α)/(1+α)·α^|k|. CDF
+    * boundaries F(k) = α^(−k)/(1+α) for k < 0 and 1 − α^(k+1)/(1+α) for
+    * k ≥ 0 are frozen to BIGINT thresholds t_k = ⌊F(k)·2³¹⌋ at ladder-
+    * GENERATION time (driver-side doubles, shared literals — the same
+    * freeze as the BPE merge table), so both engines walk identical
+    * integer comparisons: noise = min{k : u < t_k}. The ladder is finite
+    * because the uniform is: |k| ≤ ⌈ln(2³¹)/ε⌉+1 covers every
+    * representable u (beyond it the thresholds saturate at 0 / 2³¹). */
+  private[graft] def geomNoiseLadder(uCol: String, epsBp: Long): String = {
+    require(epsBp > 0, "epsilon must be positive")
+    val alpha = math.exp(-epsBp.toDouble / 10000.0)
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+      else 1.0 - math.pow(alpha, k + 1) / (1 + alpha)
+    val kCap = math.ceil(math.log(UniformM.toDouble) *
+      10000.0 / epsBp).toInt + 1
+    val whens = (-kCap until kCap).flatMap { k =>
+      val t = math.floor(cdf(k) * UniformM).toLong
+      if (t <= 0L) None // dead branch: u >= 0 always
+      else Some(s"WHEN $uCol < $t THEN $k")
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE $kCap END)"
+  }
+
+  /** The seeded uniform: Knuth-scrambled polynomial fold of the salted
+    * class key (the b167 ratio-statistic rule — the raw fold's magnitude
+    * clusters on near-identical keys; one odd multiplicative scramble
+    * mod 2³¹ is a bijection, so u stays uniform and engine-identical). */
+  private def uSpark(keyExpr: String): String =
+    s"(((${graft.llm.Winnowing.polyFoldSpark(keyExpr)}) % $UniformM)" +
+      s" * $Knuth) % $UniformM"
+  private def uDuck(keyExpr: String): String =
+    s"(((${graft.llm.Winnowing.polyFoldDuck(keyExpr)}) % $UniformM)" +
+      s" * $Knuth) % $UniformM"
+
+  /** B268 — DETERMINISTIC ε-DP RELEASED AGGREGATE (Dwork et al. TCC'06
+    * accounting; Ghosh et al. STOC'09 mechanism — completing the privacy
+    * surface: B262/B266/B267 AUDIT disclosure risk, this RELEASES a
+    * protected aggregate): the class counts of B262's chosen
+    * generalization level, each perturbed by seeded two-sided-geometric
+    * noise and clamped at zero (post-processing preserves DP), with the
+    * per-release budget column. True counts never appear in the output.
+    *
+    * Accounting: the classes partition the population, so parallel
+    * composition applies — the whole release costs ε = [[EpsBp]] bp
+    * (NOT |classes|·ε), the arithmetic PrivacyOpsSpec pins. The noise is
+    * a pure function of the class key (scrambled fold → frozen inverse
+    * CDF), so the release is rerun-, engine- and partitioning-stable —
+    * the b56/b167 determinism rules; a production system would swap the
+    * key-seeded draw for a secret-seeded PRF (same plan shape), since a
+    * public seed reveals the noise — the determinism here is what makes
+    * the mechanism t2-able, and the DISTRIBUTION arguments are identical.
+    *
+    * Scale posture: B262's ladder aggregates (map-combinable, classes
+    * counted not materialized) + one O(levels) driver-free chosen-level
+    * broadcast; the noise is a map-side scalar over |classes| rows —
+    * catalog-sized. The CASE ladder is ~45 integer comparisons per row,
+    * whole-stage-codegen'd. */
+  private val b268 = entry(
+    "b268_dp_release", {
+      val levels = Seq(
+        0 -> "concat(CAST(c_nationkey AS VARCHAR), '|', c_mktsegment, '|', CAST(band AS VARCHAR))",
+        1 -> "concat(CAST(c_nationkey AS VARCHAR), '|', c_mktsegment)",
+        2 -> "c_mktsegment",
+        3 -> "'*'")
+      val per = levels.map { case (lv, key) =>
+        s"""  SELECT $lv AS level, $key AS class_key,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM c GROUP BY 2""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         CAST(floor(c_acctbal) AS BIGINT) // 500 AS band
+         |  FROM customer),
+         |cls AS (
+         |$per),
+         |lv AS (SELECT level,
+         |              sum(CASE WHEN n < $K THEN n ELSE 0 END) AS viol_rows
+         |       FROM cls GROUP BY 1),
+         |ch AS (SELECT min(level) AS chosen FROM lv WHERE viol_rows = 0),
+         |rel AS (SELECT class_key, n FROM cls
+         |        WHERE level = (SELECT chosen FROM ch)),
+         |seeded AS (
+         |  SELECT class_key, n,
+         |         ${uDuck("('dp:' || class_key)")} AS u
+         |  FROM rel)
+         |SELECT class_key,
+         |       CAST(greatest(0, n + ${geomNoiseLadder("u", EpsBp)})
+         |            AS BIGINT) AS released_n,
+         |       CAST($EpsBp AS BIGINT) AS eps_bp
+         |FROM seeded ORDER BY class_key""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      expr("CAST(floor(c_acctbal) AS BIGINT) div 500").as("band"))
+    val keyExprs = Seq(
+      0 -> "concat(CAST(c_nationkey AS STRING), '|', c_mktsegment, '|', CAST(band AS STRING))",
+      1 -> "concat(CAST(c_nationkey AS STRING), '|', c_mktsegment)",
+      2 -> "c_mktsegment",
+      3 -> "'*'")
+    val cls = keyExprs.map { case (lv, key) =>
+      base.groupBy(expr(key).as("class_key"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(lv.toLong).as("level"), col("class_key"), col("n"))
+    }.reduce(_.unionByName(_))
+    val lv = cls.groupBy("level")
+      .agg(sum(when(col("n") < K, col("n")).otherwise(0L)).as("viol_rows"))
+    val chosen = lv.filter(col("viol_rows") === 0)
+      .agg(min("level").as("chosen"))
+    cls.join(broadcast(chosen), col("level") === col("chosen"))
+      .select(col("class_key"), col("n"),
+        expr(uSpark("concat('dp:', class_key)")).as("u"))
+      .select(col("class_key"),
+        expr(s"CAST(greatest(0, n + ${geomNoiseLadder("u", EpsBp)})" +
+          " AS BIGINT)").as("released_n"),
+        lit(EpsBp).as("eps_bp"))
+      .orderBy("class_key")
+  }
+
+  val entries: Seq[Entry] = Seq(b262, b266, b267, b268)
 }

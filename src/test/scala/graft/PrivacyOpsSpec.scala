@@ -102,4 +102,97 @@ class PrivacyOpsSpec extends AnyFunSuite {
     for (r <- rows if r._1 < lv) assert(r._6 > 0L,
       s"level ${r._1} below the chosen one is already safe")
   }
+
+  // ---- B268: the geometric mechanism's distribution + accounting ----
+
+  private val M = PrivacyOps.UniformM
+
+  /** Independent JVM spelling of the frozen inverse CDF — the replay
+    * twin of geomNoiseLadder's generation arithmetic. */
+  private def jvmNoise(u: Long, epsBp: Long): Int = {
+    val alpha = math.exp(-epsBp.toDouble / 10000.0)
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+      else 1.0 - math.pow(alpha, k + 1) / (1 + alpha)
+    val kCap = math.ceil(math.log(M.toDouble) * 10000.0 / epsBp).toInt + 1
+    (-kCap until kCap)
+      .find(k => u < math.floor(cdf(k) * M).toLong)
+      .getOrElse(kCap)
+  }
+
+  private def ladderOverGrid(epsBp: Long): Map[Int, Long] = {
+    val stride = 21475L // ~1e5 samples spanning [0, 2^31)
+    spark.range(100000)
+      .selectExpr(s"id * $stride AS u")
+      .selectExpr(s"${PrivacyOps.geomNoiseLadder("u", epsBp)} AS noise")
+      .groupBy("noise").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  test("B268: the released table replays in the JVM — chosen-level class" +
+    " counts + seeded geometric noise, clamped, true counts absent") {
+    val got = SparkEntry.queries("b268_dp_release")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).distinct.length === got.length,
+      "class keys must be unique — parallel composition needs disjointness")
+    // chosen level from the b262 rows already replayed above
+    val lv = rows.filter(_._7 == 1L).head._1.toInt
+    val keyOf: ((Int, String, Long)) => String = lv match {
+      case 0 => t => s"${t._1}|${t._2}|${t._3}"
+      case 1 => t => s"${t._1}|${t._2}"
+      case 2 => t => t._2
+      case _ => _ => "*"
+    }
+    val want = cust.groupBy(keyOf).map { case (key, rs) =>
+      val n = rs.length.toLong
+      val h = graft.llm.Winnowing.polyFoldString("dp:" + key)
+      val u = ((h % M) * 2654435761L) % M
+      key -> math.max(0L, n + jvmNoise(u, PrivacyOps.EpsBp))
+    }
+    assert(got.map { case (k, (rel, _)) => k -> rel }.toMap === want)
+    assert(got.forall(_._2._2 === PrivacyOps.EpsBp),
+      "every row carries the one release budget (parallel composition)")
+    // the release must actually be noised somewhere at this SF
+    val true_ = cust.groupBy(keyOf).map { case (k, rs) => k -> rs.length.toLong }
+    assert(got.exists { case (k, (rel, _)) => rel != true_(k) },
+      "zero noise everywhere — the mechanism is vacuous on this fixture")
+  }
+
+  test("B268: the frozen ladder's empirical pmf matches the two-sided" +
+    " geometric within grid tolerance; median noise is 0; symmetric") {
+    val epsBp = PrivacyOps.EpsBp
+    val alpha = math.exp(-epsBp.toDouble / 10000.0)
+    val counts = ladderOverGrid(epsBp)
+    val total = counts.values.sum.toDouble
+    def pmf(k: Int): Double =
+      (1 - alpha) / (1 + alpha) * math.pow(alpha, math.abs(k))
+    for (k <- -5 to 5) {
+      val emp = counts.getOrElse(k, 0L) / total
+      assert(math.abs(emp - pmf(k)) < 1e-3,
+        s"noise=$k empirical $emp vs theory ${pmf(k)}")
+    }
+    val mean = counts.map { case (k, c) => k.toDouble * c }.sum / total
+    assert(math.abs(mean) < 0.01, s"asymmetric noise: mean $mean")
+    val zeroShare = counts.getOrElse(0, 0L) / total
+    assert(zeroShare > 0.4, "median must be zero noise at eps=1")
+  }
+
+  test("B268: noise magnitude is monotone in the budget — bigger eps," +
+    " tighter release (the accounting direction a DP engine must get" +
+    " right)") {
+    val meanAbs = Seq(2500L, 5000L, 10000L, 20000L).map { eps =>
+      val counts = ladderOverGrid(eps)
+      val total = counts.values.sum.toDouble
+      eps -> counts.map { case (k, c) => math.abs(k).toDouble * c }.sum / total
+    }
+    for (Seq((e1, m1), (e2, m2)) <- meanAbs.sliding(2)) {
+      assert(m1 > m2, s"mean |noise| not decreasing from eps=$e1 ($m1)" +
+        s" to eps=$e2 ($m2)")
+    }
+    // and the theoretical magnitude 2α/(1-α²) is reproduced at eps=1
+    val alpha = math.exp(-1.0)
+    val want = 2 * alpha / (1 - alpha * alpha)
+    val at1 = meanAbs.find(_._1 == 10000L).get._2
+    assert(math.abs(at1 - want) < 0.01, s"E|noise| $at1 vs theory $want")
+  }
 }
