@@ -1028,6 +1028,71 @@ object StreamReplay {
     }
   }
 
+  private lazy val chunkDir269: String =
+    java.nio.file.Files.createTempDirectory("graft_b269_chunks").toString
+
+  /** B269 — WATERMARK-CLOSED INTERVAL ISLANDS: b246's incremental
+    * interval coalescing re-spelled with event-time timers
+    * ([[IslandCloseProcessor]]): islands EMIT as the watermark passes
+    * their end instead of living in a foreachBatch snapshot — live state
+    * is ONE open island per active user, asserted ≤ 1 residual row after
+    * the replay (StreamingSpec). Where B259's week-close timer is a
+    * constant, an island's close instant MOVES with every merge, so the
+    * timer re-arms to the extended end (the stale-timer expiry guard does
+    * the rest). The flush sentinel is a zero-duration event for user -1,
+    * 8 days past max ts — no filter sits below this watermark node, so
+    * any event advances it; the sentinel's own island (whose end the
+    * watermark never passes) is the one legitimately-open state row and
+    * its key is filtered from the emitted set. Island ids are assigned
+    * by the presentation tail as the per-user rank of island start
+    * (islands are disjoint, so the rank IS the batch fold's running
+    * break-flag sum) — an O(islands) window over the EMITTED set, kept
+    * out of the processor so no per-user counter has to outlive its
+    * island (the state-bound honesty this row exists for; the first
+    * spelling kept ids in state and restarted at 1 after any timer
+    * close). Oracle is B203's SQL VERBATIM (the b246/b248 twin
+    * convention): hash-green pins eager close, touching-merge,
+    * end-extension re-arming and island continuity across every chunk
+    * boundary. */
+  private val b269 = entry(
+    "b269_stream_island_close",
+    graft.operators.AnalyticsOps.intervalCoalesceOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 8L * 24 * 3600 * 1000)
+    import s.implicits._
+    val flush = Seq((9000004L, flushTs, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    require(ev.agg(min(col("user_id"))).head().getLong(0) > -1L,
+      "fixture contains user_id <= -1 — flush sentinel key collides")
+    StreamingOps.writeChunksDf(ev.unionByName(flush), chunkDir269, n = 6,
+      sortCols = Seq("ts", "event_id"))
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val islands = StreamingOps.intervalIslandsTws(
+        StreamingOps.readStream(s, chunkDir269))
+      s.catalog.dropTempView("b269_replay") // idempotent re-runs
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_us"))
+      StreamingOps.runToMemory(islands, "b269_replay", "append")
+        .filter(col("user_id") =!= -1L) // drop EXACTLY the sentinel's key
+        .withColumn("island", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("island"), col("n_events"),
+          col("start_us"), col("end_us"),
+          expr("(end_us - start_us) div 1000").as("dur_ms"))
+        .orderBy("user_id", "island")
+        .localCheckpoint(true) // materialize before the conf is restored
+    } finally prev match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   private lazy val chunkDir263: String =
     java.nio.file.Files.createTempDirectory("graft_b263_chunks").toString
 
@@ -1095,5 +1160,6 @@ object StreamReplay {
 
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
-      b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263)
+      b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
+      b269)
 }

@@ -362,6 +362,31 @@ object StreamingOps {
       .toDF("user_id", "week", "cents")
   }
 
+  /** The B269 watermark-closed interval-island fold: every event opens
+    * [ts, ts + cents·1s); a user's overlapping-or-touching intervals
+    * coalesce, each island emitting its FINAL row when the watermark
+    * passes its (moving) end ([[IslandCloseProcessor]]). No filter sits
+    * between the watermark node and the fold, so EVERY event advances
+    * the watermark — the flush sentinel can be any event row. */
+  def intervalIslandsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) +
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000L"))
+          .as("end_us"),
+        col("ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new IslandCloseProcessor(), TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF("user_id", "n_events", "start_us", "end_us")
+  }
+
   /** The B214 stateful adjacency fold: (user, ts, event_id, type) stream
     * → (prev_type, next_type) emissions via [[TransitionProcessor]]. */
   def transitionPairsTws(events: DataFrame): DataFrame = {

@@ -550,6 +550,57 @@ class StreamingSpec extends AnyFunSuite {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("B269: watermark-closed interval islands emit the exact batch" +
+    " coalesce and end with BOUNDED state (only the sentinel open);" +
+    " the moving-end timer re-arm is exercised by a mid-stream gap") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_island_close").toString
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val flushTs = new Timestamp(maxTs.getTime + 8L * 24 * 3600 * 1000)
+      import spark.implicits._
+      val flush = Seq((9000004L, flushTs, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 6)
+      val (streamed, q) = StreamingOps.runToMemoryQ(
+        StreamingOps.intervalIslandsTws(StreamingOps.readStream(spark, dir)),
+        "t_island_close", "append")
+      val got = streamed.filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("n_events"), col("start_us"),
+          col("end_us"))
+      val batch = SparkEntry.queries("b203_interval_coalesce")(spark, sf)
+        .select(col("user_id"), col("n_events"), col("start_us"),
+          col("end_us"))
+      assert(sortedRows(got) === sortedRows(batch),
+        "emit-on-watermark-close diverged from the batch interval coalesce")
+      // the state bound this row exists for: every island emitted AND
+      // cleared — live state is the open-island value alone, so only the
+      // sentinel's never-closing island may remain. A per-user id counter
+      // would make this |users|+1 (the bug the rank-in-tail design fixed).
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty, "no state operator metrics")
+      val remaining = stateOps.map(_.numRowsTotal).sum
+      assert(remaining <= 1,
+        s"$remaining state rows remain — islands did not close on watermark")
+      // the fixture must exercise the TIMER path mid-stream, not only
+      // eager closes: some user's inter-island gap must exceed the chunk
+      // span so its open island's timer fires before its next event
+      val users = ev.filter(col("user_id") =!= -1L)
+        .select("user_id").distinct().count()
+      assert(got.count() > users,
+        "every user has one island — no island ever closed mid-stream")
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 
