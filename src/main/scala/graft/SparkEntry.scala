@@ -33,6 +33,7 @@ object SparkEntry {
       llm.LineDedup.entries ++
       llm.Decontaminate.entries ++
       llm.CleanPipeline.entries ++
+      llm.CorpusRelease.entries ++
       llm.Perplexity.entries ++
       llm.SequencePack.entries ++
       llm.MixtureResample.entries ++

@@ -30,9 +30,12 @@ import graft.sources.Tables
   */
 object CleanPipeline {
 
-  private val b94 = entry(
-    "b94_clean_pipeline",
-    s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The hygiene chain's oracle CTEs (dw → deduped), WITHOUT the leading
+    * WITH — the r16 capstone-composition convention, so B270's release
+    * pipeline chains them VERBATIM. `deduped` (doc_id, text) is the
+    * released corpus. */
+  private[graft] val hygieneCtesDuck: String =
+    s"""dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |words AS (
        |  SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM (
        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
@@ -84,12 +87,14 @@ object CleanPipeline {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
        |deduped AS (
        |  SELECT min(doc_id) AS doc_id, text
-       |  FROM survivors GROUP BY text)
-       |SELECT d.lang, count(*) AS n_docs,
-       |       CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS n_words
-       |FROM deduped k JOIN documents d ON d.doc_id = k.doc_id
-       |GROUP BY d.lang ORDER BY d.lang""".stripMargin, bench = true) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+       |  FROM survivors GROUP BY text)""".stripMargin
+
+  /** The hygiene pipeline's engine side — stages 1-3 of b94 (span
+    * removal → decontamination → exact dedup), returning the RELEASED
+    * corpus (doc_id, text). Shared by b94's rollup and B270's release
+    * capstone so the two cannot drift. Expects (doc_id, text). */
+  private[graft] def hygieneRelease(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // 1. span removal over the plain corpus; FULLY-DELETED docs drop out.
     // "Fully deleted" is n_removed = n_words (zero kept words), NOT
     // clean_text = "" — an originally-empty doc also has empty clean_text
@@ -112,10 +117,21 @@ object CleanPipeline {
       .filter(col("contaminated")).select(col("doc_id"))
     val survivors = corpus.join(contaminated, Seq("doc_id"), "left_anti")
     // 3. exact dedup on the cleaned text, canonical min id
-    val deduped = survivors.groupBy(col("text"))
+    survivors.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+  }
+
+  private val b94 = entry(
+    "b94_clean_pipeline",
+    s"""WITH $hygieneCtesDuck
+       |SELECT d.lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS n_words
+       |FROM deduped k JOIN documents d ON d.doc_id = k.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin, bench = true) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
     // 4. per-language rollup of the kept corpus
-    deduped
+    hygieneRelease(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -393,45 +393,59 @@ object CorpusAnalytics {
     * lengths, per-text counts → 1-row rollup, |sources| rows); the only
     * windows run over those bounded relations. No corpus-wide window,
     * no driver traffic. */
-  private val b190 = entry(
-    "b190_dataset_card",
-    s"""WITH toks AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
-       |terms AS (
+  /** The dataset-card oracle CTEs (card_toks → card_card), parameterized
+    * by the input relation and WITHOUT the leading WITH — the r16
+    * capstone-composition convention (card_ prefix keeps the names
+    * disjoint from the hygiene and model-ready chains B270 composes them
+    * with). `card_card` is the (section, metric, value) card. */
+  private[graft] def cardCtesDuck(rel: String): String =
+    s"""card_toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM $rel),
+       |card_terms AS (
        |  SELECT count(DISTINCT term) AS n_terms FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) q),
-       |lens AS (SELECT n_tok, count(*) AS cnt FROM toks GROUP BY n_tok),
-       |cum AS (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM $rel) q),
+       |card_lens AS (SELECT n_tok, count(*) AS cnt FROM card_toks GROUP BY n_tok),
+       |card_cum AS (
        |  SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok) AS cum,
-       |         (SELECT sum(cnt) FROM lens) AS total
-       |  FROM lens),
-       |dups AS (
+       |         (SELECT sum(cnt) FROM card_lens) AS total
+       |  FROM card_lens),
+       |card_dups AS (
        |  SELECT count(*) AS n_distinct, sum(c) - count(*) AS surplus,
        |         max(c) AS max_copies
-       |  FROM (SELECT count(*) AS c FROM documents GROUP BY text) q),
-       |src AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
-       |card AS (
+       |  FROM (SELECT count(*) AS c FROM $rel GROUP BY text) q),
+       |card_src AS (SELECT source, count(*) AS c FROM $rel GROUP BY source),
+       |card_card AS (
        |  SELECT 'corpus' AS section, 'n_docs' AS metric,
-       |         (SELECT count(*) FROM documents) AS value
-       |  UNION ALL SELECT 'corpus', 'n_tokens', (SELECT sum(n_tok) FROM toks)
-       |  UNION ALL SELECT 'corpus', 'n_terms', (SELECT n_terms FROM terms)
-       |  UNION ALL SELECT 'length', 'min_tokens', (SELECT min(n_tok) FROM toks)
+       |         (SELECT count(*) FROM $rel) AS value
+       |  UNION ALL SELECT 'corpus', 'n_tokens', (SELECT sum(n_tok) FROM card_toks)
+       |  UNION ALL SELECT 'corpus', 'n_terms', (SELECT n_terms FROM card_terms)
+       |  UNION ALL SELECT 'length', 'min_tokens', (SELECT min(n_tok) FROM card_toks)
        |  UNION ALL SELECT 'length', 'p50_tokens',
-       |    (SELECT min(n_tok) FROM cum WHERE cum * 100 >= 50 * total)
+       |    (SELECT min(n_tok) FROM card_cum WHERE cum * 100 >= 50 * total)
        |  UNION ALL SELECT 'length', 'p90_tokens',
-       |    (SELECT min(n_tok) FROM cum WHERE cum * 100 >= 90 * total)
-       |  UNION ALL SELECT 'length', 'max_tokens', (SELECT max(n_tok) FROM toks)
-       |  UNION ALL SELECT 'dup', 'n_distinct_texts', (SELECT n_distinct FROM dups)
-       |  UNION ALL SELECT 'dup', 'surplus_copies', (SELECT surplus FROM dups)
-       |  UNION ALL SELECT 'dup', 'max_copies', (SELECT max_copies FROM dups)
-       |  UNION ALL SELECT 'mixture', 'n_sources', (SELECT count(*) FROM src)
+       |    (SELECT min(n_tok) FROM card_cum WHERE cum * 100 >= 90 * total)
+       |  UNION ALL SELECT 'length', 'max_tokens', (SELECT max(n_tok) FROM card_toks)
+       |  UNION ALL SELECT 'dup', 'n_distinct_texts', (SELECT n_distinct FROM card_dups)
+       |  UNION ALL SELECT 'dup', 'surplus_copies', (SELECT surplus FROM card_dups)
+       |  UNION ALL SELECT 'dup', 'max_copies', (SELECT max_copies FROM card_dups)
+       |  UNION ALL SELECT 'mixture', 'n_sources', (SELECT count(*) FROM card_src)
        |  UNION ALL SELECT 'mixture', 'top_source_share_bp',
-       |    (SELECT max(c) * 10000 // sum(c) FROM src))
+       |    (SELECT max(c) * 10000 // sum(c) FROM card_src))""".stripMargin
+
+  private val b190 = entry(
+    "b190_dataset_card",
+    s"""WITH ${cardCtesDuck("documents")}
        |SELECT section, metric, CAST(value AS BIGINT) AS value
-       |FROM card ORDER BY section, metric""".stripMargin, bench = true) { (s, d) =>
-    import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
-      col("source"))
+       |FROM card_card ORDER BY section, metric""".stripMargin, bench = true) { (s, d) =>
+    datasetCard(Tables.documents(s, d).select(col("doc_id"), col("text"),
+      col("source")))
+  }
+
+  /** The dataset card's engine side — (section, metric, value) over any
+    * (doc_id, text, source) relation. Shared by b190 and B270's release
+    * capstone. */
+  private[graft] def datasetCard(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"), col("source"))
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     def row(section: String, metric: String, v: org.apache.spark.sql.DataFrame) =

@@ -34,51 +34,61 @@ import graft.sources.Tables
   * nothing new moves. */
 object ModelReady {
 
-  private val b131 = entry(
-    "b131_model_ready_pipeline",
-    s"""WITH toks0 AS (
+  /** The model-ready chain's oracle CTEs (mr_toks0 → mr_slices),
+    * parameterized by the input relation and WITHOUT the leading WITH —
+    * the r16 capstone-composition convention (mr_ prefix keeps the names
+    * disjoint from the hygiene and card chains B270 composes them with;
+    * `kept`/`toks` collided). `mr_slices` is the (seq_id, doc_id,
+    * doc_off, n_toks) loader manifest. */
+  private[graft] def modelReadyCtesDuck(rel: String): String =
+    s"""mr_toks0 AS (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |         ${Winnowing.polyFoldDuck("'cap:' || CAST(doc_id AS VARCHAR)")} AS pri
-       |  FROM documents),
-       |offs0 AS (
+       |  FROM $rel),
+       |mr_offs0 AS (
        |  SELECT doc_id,
        |         CAST(sum(n_tok) OVER (PARTITION BY source
        |                               ORDER BY pri, doc_id
        |                               ROWS UNBOUNDED PRECEDING) - n_tok
        |              AS BIGINT) AS start
-       |  FROM toks0),
-       |kept AS (SELECT doc_id FROM offs0 WHERE start < ${CorpusBudget.Budget}),
-       |st1 AS (
+       |  FROM mr_toks0),
+       |mr_kept AS (SELECT doc_id FROM mr_offs0 WHERE start < ${CorpusBudget.Budget}),
+       |mr_st1 AS (
        |  SELECT d.doc_id, ${BpeTokenize.charifyMergesExpr("d.text")} AS w
-       |  FROM documents d JOIN kept USING (doc_id)),
-       |ids AS (SELECT doc_id, ${BpeTokenize.idifyExpr("w")} AS ids FROM st1),
-       |toks AS (
+       |  FROM $rel d JOIN mr_kept USING (doc_id)),
+       |mr_ids AS (SELECT doc_id, ${BpeTokenize.idifyExpr("w")} AS ids FROM mr_st1),
+       |mr_toks AS (
        |  SELECT doc_id, CAST(len(string_split(ids, ' ')) AS BIGINT) AS n_tok
-       |  FROM ids WHERE ids <> ''),
-       |offs AS (
+       |  FROM mr_ids WHERE ids <> ''),
+       |mr_offs AS (
        |  SELECT doc_id, n_tok,
        |         CAST(sum(n_tok) OVER (ORDER BY doc_id
        |                               ROWS UNBOUNDED PRECEDING) - n_tok
        |              AS BIGINT) AS start
-       |  FROM toks),
-       |spans AS (
+       |  FROM mr_toks),
+       |mr_spans AS (
        |  SELECT doc_id, n_tok, start,
        |         start // ${SequencePack.SeqLen} AS first_seq,
        |         (start + n_tok - 1) // ${SequencePack.SeqLen} AS last_seq
-       |  FROM offs),
-       |manifest AS (
+       |  FROM mr_offs),
+       |mr_manifest AS (
        |  SELECT unnest(generate_series(first_seq, last_seq)) AS seq_id,
        |         doc_id, n_tok, start
-       |  FROM spans)
-       |SELECT seq_id, doc_id,
-       |       greatest(start, seq_id * ${SequencePack.SeqLen}) - start AS doc_off,
-       |       least(start + n_tok, (seq_id + 1) * ${SequencePack.SeqLen})
-       |         - greatest(start, seq_id * ${SequencePack.SeqLen}) AS n_toks
-       |FROM manifest
-       |ORDER BY seq_id, doc_id""".stripMargin, bench = true) { (s, d) =>
+       |  FROM mr_spans),
+       |mr_slices AS (
+       |  SELECT seq_id, doc_id,
+       |         greatest(start, seq_id * ${SequencePack.SeqLen}) - start AS doc_off,
+       |         least(start + n_tok, (seq_id + 1) * ${SequencePack.SeqLen})
+       |           - greatest(start, seq_id * ${SequencePack.SeqLen}) AS n_toks
+       |  FROM mr_manifest)""".stripMargin
+
+  /** The model-ready pipeline's engine side — budget cap → BPE → pack,
+    * returning the loader manifest. Shared by b131 and B270's release
+    * capstone. Expects (doc_id, source, text). */
+  private[graft] def modelReadyManifest(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
     BpeEncodeExpression.register(s)
-    val docs = Tables.documents(s, d)
     val kept = CorpusBudget.budgetManifest(docs).select("doc_id")
     val toks = docs.join(kept, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr("bpe_encode(text)").as("ids"))
@@ -86,6 +96,15 @@ object ModelReady {
       .select(col("doc_id"),
         size(split(col("ids"), " ")).cast("long").as("n_tok"))
     SequencePack.packSpans(toks)
+  }
+
+  private val b131 = entry(
+    "b131_model_ready_pipeline",
+    s"""WITH ${modelReadyCtesDuck("documents")}
+       |SELECT seq_id, doc_id, doc_off, n_toks
+       |FROM mr_slices
+       |ORDER BY seq_id, doc_id""".stripMargin, bench = true) { (s, d) =>
+    modelReadyManifest(s, Tables.documents(s, d))
   }
 
   /** Output shards for the training shuffle. */

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{CleanPipeline, CorpusAnalytics, CorpusRelease, Decontaminate, ModelReady, SpanDedup}
+
+/** B270 corpus-release capstone: gate-leg ISOLATION (four corruption
+  * classes, each tripping exactly its own leg), go/no-go verdicts, stage
+  * ORDER mattering, and composition ≡ independent stages. */
+class CorpusReleaseSpec extends AnyFunSuite {
+  private val spark = TestSession.spark
+  private val sf = TestSession.sf0001
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"), col("source"))
+
+  private lazy val rel = {
+    graft.functions.PolyFoldExpression.register(spark)
+    CleanPipeline.hygieneRelease(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(true)
+  }
+  private lazy val prev = rel.filter(col("doc_id") % 10 < CorpusRelease.PublishedParts)
+    .localCheckpoint(true)
+  private lazy val prevCount = prev.agg(count(lit(1)).as("n_prev"))
+    .localCheckpoint(true)
+  private lazy val fpPrev = prev
+    .select((col("doc_id") % 10).as("seg"),
+      expr(graft.llm.Winnowing.polyFoldSpark(
+        "concat('rel:', CAST(doc_id AS STRING), '|', text)")).as("fp"))
+    .groupBy("seg")
+    .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").cast("long").as("fp"))
+    .localCheckpoint(true)
+
+  private def failing(cand: DataFrame): Seq[String] =
+    CorpusRelease.gateLegs(cand, fpPrev, prevCount).collect()
+      .filter(_.getLong(2) > 0L).map(_.getString(0)).sorted.toSeq
+
+  private lazy val entryRows = SparkEntry
+    .queries("b270_corpus_release")(spark, sf).collect()
+
+  test("the clean release passes every leg; verdict go") {
+    assert(failing(rel) === Seq.empty)
+    val v = entryRows.find(r => r.getString(0) == "clean"
+      && r.getString(1) == "zz_publish_verdict").get
+    assert(v.getString(4) === "go")
+  }
+
+  test("the entry's planted split leak trips EXACTLY the leakage leg;" +
+    " verdict no-go") {
+    val corr = entryRows.filter(_.getString(0) == "corrupted")
+    val failed = corr.filter(r => r.getString(4) == "fail")
+      .map(_.getString(1)).toSeq
+    assert(failed === Seq("leakage:train_heldout"))
+    assert(corr.find(_.getString(1) == "zz_publish_verdict").get
+      .getString(4) === "no-go")
+    // and the leak mass is exactly the plantable set (fixture ≥ 1)
+    val leaks = corr.find(_.getString(1) == "leakage:train_heldout").get
+      .getLong(3)
+    assert(leaks >= 1L)
+  }
+
+  test("a verbatim duplicate in the new ingest trips EXACTLY the dedup" +
+    " leg") {
+    // copy train-side partition-9 released docs, ids shifted within the
+    // partition, text VERBATIM: dedup sees surplus; fingerprint (new
+    // partition), growth (few rows) and leakage (originals are
+    // train-side, so no held-out gram is shared) all stay quiet
+    val h = "poly_fold(concat('split:', CAST(doc_id AS STRING), ':v1')) % 10000"
+    val hShift = "poly_fold(concat('split:', CAST(doc_id + 10000000 AS STRING), ':v1')) % 10000"
+    // stride 50 keeps the planted mass small enough that the growth band
+    // stays quiet (the full partition-9 train side would breach it)
+    val dup = rel.filter(col("doc_id") % 50 === 9
+        && expr(h) < 9000 && expr(hShift) < 9000)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    assert(dup.count() >= 1, "fixture must offer a plantable duplicate")
+    assert(failing(rel.unionByName(dup)) === Seq("dedup:no_surplus"))
+  }
+
+  test("mutating a PUBLISHED row trips EXACTLY the fingerprint leg —" +
+    " the corruption no row-level rule sees") {
+    // append a token to every partition-0 released doc: same ids, same
+    // row count, still-distinct texts — only the segment checksum moves
+    // (the appended boundary gram cannot create train↔heldout overlap:
+    // it would need two docs sharing their last 7 words, a repeated span
+    // hygiene already removed)
+    val mutated = rel.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" zzmut")))
+        .otherwise(col("text")).as("text"))
+    assert(failing(mutated) === Seq("fingerprint:immutable_segments"))
+  }
+
+  test("a dropped published partition trips the fingerprint leg in the" +
+    " LEFT-join direction (deleted history)") {
+    val dropped = rel.filter(col("doc_id") % 10 =!= 0)
+    val legs = CorpusRelease.gateLegs(dropped, fpPrev, prevCount).collect()
+    val fp = legs.find(_.getString(0) == "fingerprint:immutable_segments").get
+    assert(fp.getLong(2) > 0L, "fingerprint leg must fire on deletion")
+    val fpChecked = fp.getLong(1)
+    assert(fpChecked === prev.select((col("doc_id") % 10)).distinct().count(),
+      "n_checked counts PREVIOUS segments, present or not")
+  }
+
+  test("an empty ingest trips EXACTLY the growth-band leg") {
+    assert(failing(prev) === Seq("row_count:growth_band"))
+  }
+
+  test("STAGE ORDER BITES: decontaminating the raw corpus instead of the" +
+    " span-cleaned one yields a DIFFERENT release") {
+    // swapped pipeline: decontaminate raw -> span-remove survivors -> dedup
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus0 = docs.filter(col("doc_id") % 40 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val cont = Decontaminate.overlapReport(corpus0, bench)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val surv = corpus0.join(cont, Seq("doc_id"), "left_anti")
+    val cleaned = SpanDedup.removeRepeatedSpans(surv)
+      .filter(col("n_removed") < col("n_words"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val swapped = cleaned.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val a = rel.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = swapped.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a !== b, "swapping hygiene stages left the release unchanged — " +
+      "the composition hash could not catch order drift")
+  }
+
+  test("composition ≡ independent stages: the entry's card and manifest" +
+    " info rows equal the standalone stage outputs over the release") {
+    val relsrc = rel.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("text"), col("source"))
+    val card = CorpusAnalytics.datasetCard(relsrc).collect()
+      .map(r => s"card:${r.getString(0)}:${r.getString(1)}" -> r.getLong(2))
+      .toMap
+    val man = ModelReady.modelReadyManifest(spark, relsrc)
+    val manMap = Map(
+      "manifest:n_sequences" ->
+        man.select(countDistinct("seq_id")).head().getLong(0),
+      "manifest:n_slices" -> man.count(),
+      "manifest:n_tokens" ->
+        man.agg(sum("n_toks")).head().getLong(0))
+    val info = entryRows.filter(_.getString(0) == "release")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    for ((k, v) <- card ++ manMap)
+      assert(info(k) === v, s"info row $k diverges from the standalone stage")
+    assert(info("version:n_docs") === rel.count())
+  }
+}
