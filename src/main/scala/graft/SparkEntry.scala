@@ -54,6 +54,7 @@ object SparkEntry {
       llm.BpeTokenize.entries ++
       llm.UnigramTokenize.entries ++
       llm.BpeTrain.entries ++
+      llm.UnigramTrain.entries ++
       llm.Quantize.entries ++
       llm.CorpusBudget.entries ++
       llm.QualityClassifier.entries ++

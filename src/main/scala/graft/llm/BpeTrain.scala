@@ -78,11 +78,14 @@ object BpeTrain {
     * same order as the other sanctioned driver-collect sites. */
   val MaxWordTypes = 1 << 20
 
-  /** Distributed word counting → driver-side greedy learning. The
-    * `limit(MaxWordTypes + 1)` bounds the collect ITSELF (not just a
-    * pre-count): at most cap+1 rows ever reach the driver, and the +1
-    * sentinel row distinguishes "exactly at cap" from "over cap". */
-  def trainFromCorpus(docs: DataFrame, n: Int = NumMerges): Seq[(String, String)] = {
+  /** Distributed word counting with the bounded collect — the ONE
+    * corpus-scale pass both in-engine trainers (B130 BPE, B271 unigram)
+    * share: their sufficient statistic is the Zipf-bounded word-type
+    * table, never the corpus. The `limit(MaxWordTypes + 1)` bounds the
+    * collect ITSELF (not just a pre-count): at most cap+1 rows ever
+    * reach the driver, and the +1 sentinel row distinguishes "exactly at
+    * cap" from "over cap". */
+  private[llm] def wordTypeCounts(docs: DataFrame): Seq[(String, Long)] = {
     val counted = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -91,9 +94,13 @@ object BpeTrain {
     require(rows.length <= MaxWordTypes,
       s"corpus has more than $MaxWordTypes distinct word types — refusing " +
         "the driver-side collect; pre-filter or normalize the corpus " +
-        "(BPE training only needs the Zipf head, not unbounded noise types)")
-    learnMerges(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, n)
+        "(subword training only needs the Zipf head, not unbounded noise types)")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
   }
+
+  /** Distributed word counting → driver-side greedy learning. */
+  def trainFromCorpus(docs: DataFrame, n: Int = NumMerges): Seq[(String, String)] =
+    learnMerges(wordTypeCounts(docs), n)
 
   private val b130 = entryNoOracle("b130_bpe_train") { (s, d) =>
     val learned = trainFromCorpus(Tables.documents(s, d))
