@@ -31,63 +31,67 @@ import graft.sources.Tables
 object CleanPipeline {
 
   /** The hygiene chain's oracle CTEs (dw → deduped), WITHOUT the leading
-    * WITH — the r16 capstone-composition convention, so B270's release
-    * pipeline chains them VERBATIM. `deduped` (doc_id, text) is the
-    * released corpus. */
-  private[graft] val hygieneCtesDuck: String =
-    s"""dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |words AS (
+    * WITH — the r16 capstone-composition convention, so composed entries
+    * chain them VERBATIM (B270's release, B272's two-snapshot diff). The
+    * defaults reproduce the b94 text byte for byte; `rel`/`pfx` let one
+    * oracle instantiate the chain over several input snapshots with
+    * disjoint CTE names. `${pfx}deduped` (doc_id, text) is the released
+    * corpus. */
+  private[graft] def hygieneCtesDuck(rel: String = "documents",
+      pfx: String = ""): String =
+    s"""${pfx}dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel),
+       |${pfx}words AS (
        |  SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM (
        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
        |      i -> {'pos': i - 1, 'word': w[i]})) AS u
-       |    FROM dw)),
-       |occ AS (
+       |    FROM ${pfx}dw)),
+       |${pfx}occ AS (
        |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
        |    SELECT doc_id, unnest(list_transform(
        |      generate_series(1, len(w) - ${SpanDedup.SpanWords - 1}),
        |      i -> {'pos': i - 1,
        |            'gram': array_to_string(w[i:i + ${SpanDedup.SpanWords - 1}], ' ')})) AS u
-       |    FROM dw WHERE len(w) >= ${SpanDedup.SpanWords})),
-       |gram_stats AS (
+       |    FROM ${pfx}dw WHERE len(w) >= ${SpanDedup.SpanWords})),
+       |${pfx}gram_stats AS (
        |  SELECT gram, count(*) AS cnt,
        |         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
-       |  FROM occ GROUP BY gram),
-       |dup_occ AS (
+       |  FROM ${pfx}occ GROUP BY gram),
+       |${pfx}dup_occ AS (
        |  SELECT o.doc_id, o.pos
-       |  FROM occ o JOIN gram_stats g USING (gram)
+       |  FROM ${pfx}occ o JOIN ${pfx}gram_stats g USING (gram)
        |  WHERE g.cnt > 1
        |    AND NOT (o.doc_id = g.first['doc_id'] AND o.pos = g.first['pos'])),
-       |covered AS (
+       |${pfx}covered AS (
        |  SELECT DISTINCT doc_id,
        |         unnest(generate_series(pos, pos + ${SpanDedup.SpanWords - 1})) AS pos
-       |  FROM dup_occ),
-       |kept AS (
-       |  SELECT w.doc_id, w.pos, w.word FROM words w
-       |  ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos),
-       |cleaned AS (
+       |  FROM ${pfx}dup_occ),
+       |${pfx}kept AS (
+       |  SELECT w.doc_id, w.pos, w.word FROM ${pfx}words w
+       |  ANTI JOIN ${pfx}covered c ON w.doc_id = c.doc_id AND w.pos = c.pos),
+       |${pfx}cleaned AS (
        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
-       |  FROM kept GROUP BY doc_id),
-       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
-       |bgrams AS (
+       |  FROM ${pfx}kept GROUP BY doc_id),
+       |${pfx}bench AS (SELECT doc_id, text FROM $rel WHERE doc_id % 40 = 0),
+       |${pfx}bgrams AS (
        |  SELECT DISTINCT unnest(list_distinct(list_transform(
        |    generate_series(1, len(string_split(text, ' ')) - ${Decontaminate.GramWords - 1}),
        |    i -> array_to_string(string_split(text, ' ')[i:i + ${Decontaminate.GramWords - 1}], ' ')))) AS gram
-       |  FROM bench WHERE len(string_split(text, ' ')) >= ${Decontaminate.GramWords}),
-       |corpus AS (SELECT doc_id, text FROM cleaned WHERE doc_id % 40 <> 0),
-       |cgrams AS (
+       |  FROM ${pfx}bench WHERE len(string_split(text, ' ')) >= ${Decontaminate.GramWords}),
+       |${pfx}corpus AS (SELECT doc_id, text FROM ${pfx}cleaned WHERE doc_id % 40 <> 0),
+       |${pfx}cgrams AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, len(string_split(text, ' ')) - ${Decontaminate.GramWords - 1}),
        |    i -> array_to_string(string_split(text, ' ')[i:i + ${Decontaminate.GramWords - 1}], ' ')))) AS gram
-       |  FROM corpus WHERE len(string_split(text, ' ')) >= ${Decontaminate.GramWords}),
-       |contaminated AS (
-       |  SELECT doc_id FROM cgrams JOIN bgrams USING (gram)
+       |  FROM ${pfx}corpus WHERE len(string_split(text, ' ')) >= ${Decontaminate.GramWords}),
+       |${pfx}contaminated AS (
+       |  SELECT doc_id FROM ${pfx}cgrams JOIN ${pfx}bgrams USING (gram)
        |  GROUP BY doc_id HAVING count(*) >= ${Decontaminate.MinOverlap}),
-       |survivors AS (
-       |  SELECT doc_id, text FROM corpus
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |deduped AS (
+       |${pfx}survivors AS (
+       |  SELECT doc_id, text FROM ${pfx}corpus
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${pfx}contaminated)),
+       |${pfx}deduped AS (
        |  SELECT min(doc_id) AS doc_id, text
-       |  FROM survivors GROUP BY text)""".stripMargin
+       |  FROM ${pfx}survivors GROUP BY text)""".stripMargin
 
   /** The hygiene pipeline's engine side — stages 1-3 of b94 (span
     * removal → decontamination → exact dedup), returning the RELEASED
@@ -124,7 +128,7 @@ object CleanPipeline {
 
   private val b94 = entry(
     "b94_clean_pipeline",
-    s"""WITH $hygieneCtesDuck
+    s"""WITH ${hygieneCtesDuck()}
        |SELECT d.lang, count(*) AS n_docs,
        |       CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS n_words
        |FROM deduped k JOIN documents d ON d.doc_id = k.doc_id

@@ -134,7 +134,7 @@ object CorpusRelease {
 
   private val b270 = entry(
     "b270_corpus_release",
-    s"""WITH ${CleanPipeline.hygieneCtesDuck},
+    s"""WITH ${CleanPipeline.hygieneCtesDuck()},
        |rel AS MATERIALIZED (SELECT doc_id, text FROM deduped),
        |relsrc AS MATERIALIZED (
        |  SELECT r.doc_id, r.text, d.source
@@ -337,5 +337,71 @@ object CorpusRelease {
       .orderBy("candidate", "check_id")
   }
 
-  val entries: Seq[Entry] = Seq(b270)
+  /** B272 — RELEASE DIFF / CHANGELOG: the hygiene pipeline run at TWO
+    * ingest snapshots (previous = published partitions only; candidate =
+    * full corpus) and diffed by canonical doc_id — the changelog a
+    * release registry renders next to B270's gate report, and the
+    * operator that makes re-release REPRODUCIBILITY observable.
+    *
+    * The four statuses are all real mechanisms, not bookkeeping:
+    * `added` (new-partition survivors), `removed` (the GROWN benchmark
+    * split newly contaminates old docs — decontamination is the only
+    * removal mechanism under append), `kept`, and — the instructive one —
+    * `changed`: because ingest partitions are RESIDUE classes, a new doc
+    * can carry a LOWER id than published docs (out-of-order backfill),
+    * stealing span-dedup keep-first positions and text-group canonical
+    * survivorship, so an old doc_id can re-release with different text.
+    * A naive "append-only ingests ⇒ append-only releases" assumption is
+    * FALSE here, and the diff is where that shows up (measured: changed
+    * = 0/1/153 at sf0.001/0.01/0.1 — the backfill effect needs id
+    * density to bite; added/removed/kept nonzero at every SF).
+    *
+    * Word masses count the CANDIDATE text for added/kept/changed and the
+    * PREVIOUS text for removed (what the reader of a changelog wants:
+    * the mass entering vs leaving the release).
+    *
+    * Scale posture: two hygiene runs (in production the previous release
+    * is a PERSISTED artifact — the diff re-derives it here only so the
+    * oracle can pin the whole composition; the operator itself is the
+    * full outer join + O(statuses) rollup) and one doc_id-keyed join.
+    * Both releases localCheckpoint once. */
+  private val b272 = entry(
+    "b272_release_diff",
+    s"""WITH prevdocs AS MATERIALIZED (
+       |  SELECT * FROM documents WHERE doc_id % 10 < $PublishedParts),
+       |${CleanPipeline.hygieneCtesDuck("prevdocs", "p_")},
+       |${CleanPipeline.hygieneCtesDuck("documents", "c_")},
+       |prv AS MATERIALIZED (SELECT doc_id, text FROM p_deduped),
+       |cnd AS MATERIALIZED (SELECT doc_id, text FROM c_deduped),
+       |d AS (
+       |  SELECT CASE WHEN p.text IS NULL THEN 'added'
+       |              WHEN c.text IS NULL THEN 'removed'
+       |              WHEN p.text = c.text THEN 'kept'
+       |              ELSE 'changed' END AS status,
+       |         coalesce(c.text, p.text) AS text
+       |  FROM prv p FULL JOIN cnd c USING (doc_id))
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+       |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val prv = CleanPipeline
+      .hygieneRelease(docs.filter(col("doc_id") % 10 < PublishedParts))
+      .localCheckpoint(true)
+    val cnd = CleanPipeline.hygieneRelease(docs).localCheckpoint(true)
+    prv.select(col("doc_id"), col("text").as("p_text"))
+      .join(cnd.select(col("doc_id"), col("text").as("c_text")),
+        Seq("doc_id"), "full_outer")
+      .select(
+        when(col("p_text").isNull, "added")
+          .when(col("c_text").isNull, "removed")
+          .when(col("p_text") === col("c_text"), "kept")
+          .otherwise("changed").as("status"),
+        coalesce(col("c_text"), col("p_text")).as("text"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+      .orderBy("status")
+  }
+
+  val entries: Seq[Entry] = Seq(b270, b272)
 }

@@ -127,6 +127,35 @@ class CorpusReleaseSpec extends AnyFunSuite {
       "the composition hash could not catch order drift")
   }
 
+  test("B272: the release changelog replays in the JVM — every status a" +
+    " real mechanism, word masses counted on the side a reader wants") {
+    val prvRel = CleanPipeline.hygieneRelease(
+      docs.filter(col("doc_id") % 10 < CorpusRelease.PublishedParts)
+        .select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cndRel = rel.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def words(t: String) = t.split(" ", -1).length.toLong
+    val expected = (prvRel.keySet ++ cndRel.keySet).toSeq.map { id =>
+      (prvRel.get(id), cndRel.get(id)) match {
+        case (None, Some(t)) => ("added", words(t))
+        case (Some(t), None) => ("removed", words(t))
+        case (Some(p), Some(c)) if p == c => ("kept", words(c))
+        case (Some(_), Some(c)) => ("changed", words(c))
+        case _ => throw new IllegalStateException("impossible")
+      }
+    }.groupBy(_._1).map { case (st, rs) =>
+      st -> (rs.length.toLong, rs.map(_._2).sum)
+    }
+    val got = SparkEntry.queries("b272_release_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    // the three always-on mechanisms are observable at this SF; `changed`
+    // needs id density (backfill survivor steals) and is measured 0 at
+    // sf0.001, 1 at sf0.01, 153 at sf0.1 — the scaladoc's fixture fact
+    assert(got.contains("added") && got.contains("removed")
+      && got.contains("kept"))
+  }
+
   test("composition ≡ independent stages: the entry's card and manifest" +
     " info rows equal the standalone stage outputs over the release") {
     val relsrc = rel.join(docs.select(col("doc_id"), col("source")), "doc_id")

@@ -177,6 +177,49 @@ class PrivacyOpsSpec extends AnyFunSuite {
     assert(zeroShare > 0.4, "median must be zero noise at eps=1")
   }
 
+  test("B273: the consistent DP histogram replays in the JVM; the" +
+    " monotone repair fires on real dips and the released series honors" +
+    " the cumulative contract") {
+    val trueCounts = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+        " AS d")
+      .groupBy("d").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // independent JVM replay: seeded noise -> prefix -> monotone+clamp
+    var prefix = 0L
+    var lastMono = 0L
+    var negBins = 0
+    var repairs = 0
+    val expected = trueCounts.map { case (d, n) =>
+      val h = graft.llm.Winnowing.polyFoldString("dph:" + d)
+      val u = ((h % M) * 2654435761L) % M
+      val noisy = n + jvmNoise(u, PrivacyOps.EpsBp)
+      if (noisy < 0) negBins += 1
+      prefix += noisy
+      val mono = math.max(lastMono, math.max(0L, prefix))
+      if (math.max(0L, prefix) < lastMono) repairs += 1
+      val released = mono - lastMono
+      lastMono = mono
+      d -> (released, mono)
+    }.toMap
+    val got = SparkEntry.queries("b273_dp_histogram")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    // the repair must BITE at this SF (97 negative noisy bins / 157
+    // repairs measured at sf0.001) — otherwise the consistency step is
+    // vacuous and the row proves nothing
+    assert(negBins > 0 && repairs > 0,
+      s"post-processing never fired ($negBins neg bins, $repairs repairs)")
+    // cumulative contract: nondecreasing, nonnegative, diffs reassemble
+    val byDay = got.toSeq.sortBy(_._1)
+    assert(byDay.forall(_._2._1 >= 0L), "negative released count")
+    val cums = byDay.map(_._2._2)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "released cumulative not monotone")
+    assert(byDay.map(_._2._1).sum === cums.last,
+      "released counts do not reassemble the final cumulative")
+  }
+
   test("B268: noise magnitude is monotone in the budget — bigger eps," +
     " tighter release (the accounting direction a DP engine must get" +
     " right)") {
