@@ -53,20 +53,29 @@ object QualityDrift {
   /** One-row profile (n, rep_keep_bp, clf_keep_bp, heur_pass_bp,
     * mean_ntok) over any (doc_id, text, n_chars) snapshot. */
   private[graft] def profile(snap: DataFrame): DataFrame =
+    profileFinish(profileAgg(snap))
+
+  /** The profile's aggregate half — stream-safe (stateless fused-flag
+    * projection + one global aggregate), so B274 can run it in complete
+    * mode on the ingest stream; the division tail runs post-
+    * materialization via [[profileFinish]]. */
+  private[graft] def profileAgg(snap: DataFrame): DataFrame =
     QualityEnsemble.withFusedFlags(snap)
       .agg(count(lit(1)).as("n"),
         sum(expr("1 - f_rep")).as("rk"),
         sum(expr("1 - f_clf")).as("ck"),
         sum(expr("1 - f_heur")).as("hp"),
         sum("n_tok").as("toks"))
-      .select(
-        expr("rk * 10000 div n").as("rep_keep_bp"),
-        expr("ck * 10000 div n").as("clf_keep_bp"),
-        expr("hp * 10000 div n").as("heur_pass_bp"),
-        expr("toks div n").as("mean_ntok"))
+
+  private[graft] def profileFinish(sums: DataFrame): DataFrame =
+    sums.select(
+      expr("rk * 10000 div n").as("rep_keep_bp"),
+      expr("ck * 10000 div n").as("clf_keep_bp"),
+      expr("hp * 10000 div n").as("heur_pass_bp"),
+      expr("toks div n").as("mean_ntok"))
 
   /** The 4-signal drift rows for one (A, B) snapshot pair. */
-  private def driftRows(a: DataFrame, b: DataFrame, leg: String): DataFrame = {
+  private[graft] def driftRows(a: DataFrame, b: DataFrame, leg: String): DataFrame = {
     val pa = a.select(col("rep_keep_bp").as("a_rep"),
       col("clf_keep_bp").as("a_clf"), col("heur_pass_bp").as("a_heur"),
       col("mean_ntok").as("a_tok"))
@@ -195,8 +204,9 @@ object QualityDrift {
       |    AS n_chars
       |FROM documents WHERE doc_id % 2 = 0""".stripMargin
 
-  private val b264 = entry(
-    "b264_quality_drift_monitor",
+  /** B264's oracle — shared VERBATIM by B274's streamed twin (the
+    * b214/b224 convention). */
+  private[graft] val driftOracleSql: String =
     s"""WITH pa AS ${profSqlDuck(ASql)},
        |pbc AS ${profSqlDuck(BCleanSql)},
        |pbp AS ${profSqlDuck(BPlantSql)},
@@ -205,7 +215,10 @@ object QualityDrift {
        |  UNION ALL
        |${legSqlDuck("planted", "pa", "pbp")})
        |SELECT leg, signal, a_val, b_val, delta_bp, drifted
-       |FROM legs ORDER BY leg, signal""".stripMargin, bench = true) { (s, d) =>
+       |FROM legs ORDER BY leg, signal""".stripMargin
+
+  private val b264 = entry(
+    "b264_quality_drift_monitor", driftOracleSql, bench = true) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
     val a = docs.filter(col("doc_id") % 2 === 1)

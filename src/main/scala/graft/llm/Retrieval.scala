@@ -1116,6 +1116,102 @@ object Retrieval {
       .orderBy("query_id")
   }
 
+  /** The proximity workload: two-term queries (query_id, a, b). Query 4
+    * pairs the rare terms (18 co-occurring docs, min gap 3 at sf0.001):
+    * queries 1-3's top-K saturates at adjacency (gap 1 everywhere — a
+    * constant boost), so the rare pair is what keeps the ranked output's
+    * gap spread observable (the make-it-bite rule). */
+  private[graft] val ProximityPairs: Seq[(Long, String, String)] = Seq(
+    (1L, "spark", "join"), (2L, "window", "stream"), (3L, "fast", "scan"),
+    (4L, "dup", "merge"))
+
+  /** Top-K depth for the proximity ranking. */
+  val ProxK = 10L
+
+  /** B275 — PROXIMITY RANKING (the positional min-distance statistic
+    * behind proximity boosts — Büttcher/Clarke/Lucene's sloppy phrase:
+    * where B184's phrase search demands ADJACENCY, proximity scores HOW
+    * CLOSE two query terms get): per (two-term query, doc containing
+    * both), the minimum token distance between any occurrence of a and
+    * any occurrence of b, the integer boost 10⁴ div (1 + gap), and the
+    * per-query top-[[ProxK]] by (gap asc, doc_id).
+    *
+    * The engine spelling is the SORTED-MERGE identity: the closest
+    * (a, b) pair across two position lists is ADJACENT in their merged
+    * order, so one (query, doc)-partitioned window with lag(pos)/
+    * lag(side) and a side-change filter finds the min gap in
+    * O(n log n) per doc — the oracle keeps the naive |A|×|B| positions
+    * join as the independent quadratic spelling, which is exactly the
+    * asymmetry a t2 hash is for.
+    *
+    * Scale posture: positions explode map-side and immediately semi-join
+    * the broadcast query terms (two equi-joins, one per side — NOT one
+    * OR-condition nested-loop join); the merge window partitions by
+    * (query, doc); the rank window partitions by query over the
+    * both-term docs only (the b169 shape). */
+  private val b275 = entry(
+    "b275_proximity_rank", {
+      val vals = ProximityPairs
+        .map { case (q, a, b) => s"($q, '$a', '$b')" }.mkString(", ")
+      s"""WITH q AS (SELECT * FROM (VALUES $vals) AS v(query_id, term_a, term_b)),
+         |toks AS (
+         |  SELECT doc_id, u['pos'] AS pos, u['term'] AS term FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+         |      i -> {'pos': i, 'term': w[i]})) AS u
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents) t)),
+         |pa AS (SELECT q.query_id, t.doc_id, t.pos
+         |       FROM q JOIN toks t ON t.term = q.term_a),
+         |pb AS (SELECT q.query_id, t.doc_id, t.pos
+         |       FROM q JOIN toks t ON t.term = q.term_b),
+         |gaps AS (
+         |  SELECT a.query_id, a.doc_id,
+         |         CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_gap
+         |  FROM pa a JOIN pb b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, min_gap,
+         |         CAST(10000 // (1 + min_gap) AS BIGINT) AS prox_bp,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY min_gap, doc_id) AS rnk
+         |  FROM gaps)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, min_gap,
+         |       prox_bp
+         |FROM ranked WHERE rnk <= $ProxK
+         |ORDER BY query_id, rank""".stripMargin
+    }, bench = true) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ProximityPairs.toDF("query_id", "term_a", "term_b")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    def side(joinTerm: String, tag: Int) = toks
+      .join(broadcast(pairs), col("term") === col(joinTerm))
+      .select(col("query_id"), col("doc_id"), col("pos"),
+        lit(tag).as("side"))
+    val merged = side("term_a", 0).unionByName(side("term_b", 1))
+    val w = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos"))
+    val gaps = merged
+      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .withColumn("prev_side", lag(col("side"), 1).over(w))
+      .filter(col("prev_side").isNotNull && col("side") =!= col("prev_side"))
+      .groupBy("query_id", "doc_id")
+      .agg(min(col("pos") - col("prev_pos")).cast("long").as("min_gap"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("min_gap"), col("doc_id"))
+    gaps
+      .withColumn("prox_bp", expr("CAST(10000 div (1 + min_gap) AS BIGINT)"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= ProxK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("min_gap"),
+        col("prox_bp"))
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116, b156, b188)
+    Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116, b156, b188,
+      b275)
 }

@@ -1093,6 +1093,58 @@ object StreamReplay {
     }
   }
 
+  private lazy val chunkDir274c: String =
+    java.nio.file.Files.createTempDirectory("graft_b274_clean").toString
+  private lazy val chunkDir274p: String =
+    java.nio.file.Files.createTempDirectory("graft_b274_plant").toString
+
+  /** B274 — STREAMED QUALITY-DRIFT MONITOR: B264's model-ops monitor run
+    * where production runs it — against TODAY'S INGEST STREAM, with
+    * yesterday's profile a static stored artifact (the b263
+    * static-lookup posture). The fused-flag projection is stateless
+    * map-side on the stream (the identical
+    * [[graft.llm.QualityEnsemble.withFusedFlags]] codegen the batch
+    * monitor and the gate run); each candidate stream folds through ONE
+    * complete-mode GLOBAL aggregate — streaming state is O(1): five
+    * BIGINTs per candidate, the tightest state bound of any streamed
+    * twin — and the shared drift-rule tail
+    * ([[graft.llm.QualityDrift.driftRows]]) classifies the deltas
+    * post-materialization. Both legs replay (clean split + the planted
+    * double-send), so the stream monitor inherits the batch row's
+    * negative control. Oracle is B264's SQL VERBATIM (the b214/b224 twin
+    * convention): hash-green pins that micro-batched accumulation of the
+    * flag sums loses nothing. */
+  private val b274 = entry("b274_stream_drift_monitor",
+      graft.llm.QualityDrift.driftOracleSql) { (s, d) =>
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val a = docs.filter(col("doc_id") % 2 === 1)
+    val bClean = docs.filter(col("doc_id") % 2 === 0)
+    val bPlant = bClean.select(col("doc_id"),
+      expr("CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text" +
+        " ELSE text END").as("text"),
+      expr("CASE WHEN doc_id % 10 = 0 THEN 2 * n_chars + 1" +
+        " ELSE n_chars END").as("n_chars"))
+    val pa = graft.llm.QualityDrift.profile(a).localCheckpoint(true)
+    def streamedProfile(snap: org.apache.spark.sql.DataFrame, dir: String,
+        view: String): org.apache.spark.sql.DataFrame = {
+      StreamingOps.writeChunksDf(snap, dir, n = 6, sortCols = Seq("doc_id"))
+      s.catalog.dropTempView(view) // idempotent re-runs
+      val sums = StreamingOps.runToMemory(
+        graft.llm.QualityDrift.profileAgg(
+          StreamingOps.readStream(s, dir, snap.schema)),
+        view, "complete")
+      graft.llm.QualityDrift.profileFinish(sums)
+    }
+    graft.llm.QualityDrift
+      .driftRows(pa, streamedProfile(bClean, chunkDir274c, "b274_clean"),
+        "clean")
+      .unionByName(graft.llm.QualityDrift
+        .driftRows(pa, streamedProfile(bPlant, chunkDir274p, "b274_plant"),
+          "planted"))
+      .orderBy("leg", "signal")
+  }
+
   private lazy val chunkDir263: String =
     java.nio.file.Files.createTempDirectory("graft_b263_chunks").toString
 
@@ -1161,5 +1213,5 @@ object StreamReplay {
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
       b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
-      b269)
+      b269, b274)
 }

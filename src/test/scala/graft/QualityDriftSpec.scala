@@ -47,4 +47,13 @@ class QualityDriftSpec extends AnyFunSuite {
       assert(drifted === (if (wantFlag) 1L else 0L), s"$leg/$sig flag")
     }
   }
+
+  test("B274: the streamed monitor emits the batch monitor's rows" +
+    " VERBATIM — micro-batched flag-sum accumulation loses nothing") {
+    val batch = SparkEntry.queries("b264_quality_drift_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = SparkEntry.queries("b274_stream_drift_monitor")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
 }
