@@ -22,6 +22,7 @@ object SparkEntry {
       operators.MaintenanceOps.entries ++
       operators.PublishGate.entries ++
       operators.PrivacyOps.entries ++
+      operators.ChangepointOps.entries ++
       operators.SpatialOps.entries ++
       operators.AvroInterchange.entries ++
       operators.GraphOps.entries ++
