@@ -133,5 +133,108 @@ object ChangepointOps {
       .orderBy("leg", "dir")
   }
 
-  val entries: Seq[Entry] = Seq(b276)
+  /** Seasonal period for the seasonal-naive forecaster: weekly. */
+  val SeasonDays = 7L
+
+  /** B277 — FORECAST BACKTEST (Hyndman & Athanasopoulos, "Forecasting:
+    * Principles and Practice" §5.8 — the expanding-window backtest every
+    * demand-forecast pipeline runs before trusting a model, scored
+    * against the baselines any candidate must beat): over the daily
+    * purchase-revenue series, three leakage-free one-step forecasters —
+    * `naive` (yesterday), `snaive` (same weekday last week, the seasonal
+    * baseline) and `mean` (expanding mean of all PRIOR days, integer
+    * floor) — each evaluated on every day where all three are defined
+    * (t ≥ [[SeasonDays]]), reporting per model the eval count, total and
+    * mean absolute error in cents, and WINS (days where the model's
+    * error ties the per-day minimum — ties credit every minimal model,
+    * spelled identically in both engines).
+    *
+    * Leakage-freedom is structural: every forecast reads strictly
+    * `1 PRECEDING`-bounded frames, so the backtest cannot peek at the
+    * day it scores — the protocol property (b140's split-leakage rule,
+    * time-series edition), pinned by ForecastSpec's JVM replay.
+    *
+    * Integer-exact: revenue in cents, MAE by floor division, win counts.
+    *
+    * Scale posture: ONE map-combinable day aggregate over purchases;
+    * all forecast/error windows run over the |days| rollup (bounded —
+    * the b125 exception); the model rollup is O(models). */
+  private val b277 = entry(
+    "b277_forecast_backtest",
+    s"""WITH daily AS (
+       |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+       |              AS BIGINT) AS d,
+       |         CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |f AS (
+       |  SELECT d, cents,
+       |         lag(cents, 1) OVER (ORDER BY d) AS f_naive,
+       |         lag(cents, $SeasonDays) OVER (ORDER BY d) AS f_snaive,
+       |         sum(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+       |                          PRECEDING AND 1 PRECEDING)
+       |           // count(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+       |                             PRECEDING AND 1 PRECEDING) AS f_mean
+       |  FROM daily),
+       |e AS (
+       |  SELECT d, abs(cents - f_naive) AS e_naive,
+       |         abs(cents - f_snaive) AS e_snaive,
+       |         abs(cents - f_mean) AS e_mean
+       |  FROM f WHERE f_snaive IS NOT NULL),
+       |em AS (SELECT *, least(e_naive, e_snaive, e_mean) AS e_min FROM e),
+       |models AS (
+       |  SELECT 'mean' AS model, count(*) AS n_evals,
+       |         sum(e_mean) AS sae, sum(e_mean) // count(*) AS mae_cents,
+       |         sum(CASE WHEN e_mean = e_min THEN 1 ELSE 0 END) AS wins
+       |  FROM em
+       |  UNION ALL
+       |  SELECT 'naive', count(*), sum(e_naive), sum(e_naive) // count(*),
+       |         sum(CASE WHEN e_naive = e_min THEN 1 ELSE 0 END)
+       |  FROM em
+       |  UNION ALL
+       |  SELECT 'snaive', count(*), sum(e_snaive),
+       |         sum(e_snaive) // count(*),
+       |         sum(CASE WHEN e_snaive = e_min THEN 1 ELSE 0 END)
+       |  FROM em)
+       |SELECT model, CAST(n_evals AS BIGINT) AS n_evals,
+       |       CAST(sae AS BIGINT) AS sae_cents,
+       |       CAST(mae_cents AS BIGINT) AS mae_cents,
+       |       CAST(wins AS BIGINT) AS wins
+       |FROM models ORDER BY model""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("d"))
+      .agg(expr("CAST(sum(floor(value * 100 + 0.5)) AS BIGINT)").as("cents"))
+    val ord = Window.orderBy(col("d"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val e = daily
+      .withColumn("f_naive", lag(col("cents"), 1).over(ord))
+      .withColumn("f_snaive", lag(col("cents"), SeasonDays.toInt).over(ord))
+      .withColumn("psum", sum(col("cents")).over(prior))
+      .withColumn("pcnt", count(lit(1)).over(prior))
+      .withColumn("f_mean", expr("psum div pcnt"))
+      .filter(col("f_snaive").isNotNull)
+      .select(col("d"),
+        abs(col("cents") - col("f_naive")).as("e_naive"),
+        abs(col("cents") - col("f_snaive")).as("e_snaive"),
+        abs(col("cents") - col("f_mean")).as("e_mean"))
+      .withColumn("e_min",
+        least(col("e_naive"), col("e_snaive"), col("e_mean")))
+      .localCheckpoint(true) // 23 rows feeding three rollups
+    def model(name: String, err: String) = e.agg(
+        count(lit(1)).as("n_evals"),
+        sum(col(err)).as("sae_cents"),
+        expr(s"sum($err) div count(*)").as("mae_cents"),
+        sum(when(col(err) === col("e_min"), 1L).otherwise(0L)).as("wins"))
+      .select(lit(name).as("model"), col("n_evals"),
+        col("sae_cents").cast("long").as("sae_cents"),
+        col("mae_cents").cast("long").as("mae_cents"), col("wins"))
+    model("mean", "e_mean")
+      .unionByName(model("naive", "e_naive"))
+      .unionByName(model("snaive", "e_snaive"))
+      .orderBy("model")
+  }
+
+  val entries: Seq[Entry] = Seq(b276, b277)
 }
