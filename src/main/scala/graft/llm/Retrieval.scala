@@ -1149,8 +1149,9 @@ object Retrieval {
     * OR-condition nested-loop join); the merge window partitions by
     * (query, doc); the rank window partitions by query over the
     * both-term docs only (the b169 shape). */
-  private val b275 = entry(
-    "b275_proximity_rank", {
+  /** B275's oracle — shared VERBATIM by B278's index-served twin (the
+    * b111 convention: scan spelling and serve spelling must agree). */
+  private[graft] val proximityOracleSql: String = {
       val vals = ProximityPairs
         .map { case (q, a, b) => s"($q, '$a', '$b')" }.mkString(", ")
       s"""WITH q AS (SELECT * FROM (VALUES $vals) AS v(query_id, term_a, term_b)),
@@ -1180,18 +1181,14 @@ object Retrieval {
          |       prox_bp
          |FROM ranked WHERE rnk <= $ProxK
          |ORDER BY query_id, rank""".stripMargin
-    }, bench = true) { (s, d) =>
-    import s.implicits._
+  }
+
+  /** The proximity merge-window + rank tail over a tagged position
+    * relation (query_id, doc_id, pos, side) — shared by B275 (scan
+    * path) and B278 (index-served path), so the two spellings cannot
+    * drift. */
+  private def proximityRank(merged: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = ProximityPairs.toDF("query_id", "term_a", "term_b")
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
-    def side(joinTerm: String, tag: Int) = toks
-      .join(broadcast(pairs), col("term") === col(joinTerm))
-      .select(col("query_id"), col("doc_id"), col("pos"),
-        lit(tag).as("side"))
-    val merged = side("term_a", 0).unionByName(side("term_b", 1))
     val w = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("pos"))
     val gaps = merged
@@ -1211,7 +1208,62 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  private val b275 = entry(
+    "b275_proximity_rank", proximityOracleSql, bench = true) { (s, d) =>
+    import s.implicits._
+    val pairs = ProximityPairs.toDF("query_id", "term_a", "term_b")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    def side(joinTerm: String, tag: Int) = toks
+      .join(broadcast(pairs), col("term") === col(joinTerm))
+      .select(col("query_id"), col("doc_id"), col("pos"),
+        lit(tag).as("side"))
+    proximityRank(side("term_a", 0).unionByName(side("term_b", 1)))
+  }
+
+  /** Per-JVM landing dir for the b278 positional index. */
+  private lazy val b278IndexDir: String = java.nio.file.Files
+    .createTempDirectory("graft_b278_index").toString + "/index"
+
+  /** B278 — PROXIMITY SERVED FROM THE WRITTEN POSITIONAL INDEX: B275's
+    * ranking answered the way a search system answers it — from the
+    * B108 blocked index's PACKED postings (doc_id·4096 + pos + 1), not a
+    * corpus scan. The probe read is term-pruned at the parquet scan
+    * (range-clustered sorted layout, the b108b posture); postings
+    * explode back to (doc, 1-based pos) by the packing's own quotient/
+    * remainder (positions are capped at [[MaxPos]] so the decode is
+    * exact), and the SHARED merge-window tail ranks — b275's oracle
+    * VERBATIM, so hash-green proves the write → prune → decode → merge
+    * path loses nothing vs the scan spelling.
+    *
+    * Scale posture: the serve touches only the query terms' block rows
+    * (term-pruned probe, the b111 argument); decode is map-side; the
+    * merge/rank windows inherit B275's bounds. */
+  private val b278 = entry(
+    "b278_proximity_from_index", proximityOracleSql) { (s, d) =>
+    import s.implicits._
+    invertedIndexBlocked(Tables.documents(s, d).select("doc_id", "text"))
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term", "block_no")
+      .write.mode("overwrite").parquet(b278IndexDir)
+    val pairs = ProximityPairs.toDF("query_id", "term_a", "term_b")
+    val postings = s.read.parquet(b278IndexDir)
+      .filter(col("term").isin(
+        ProximityPairs.flatMap(p => Seq(p._2, p._3)).distinct: _*))
+      .select(col("term"),
+        explode(col("postings")).as("packed"))
+      .select(col("term"),
+        expr(s"packed div $PosBits").as("doc_id"),
+        expr(s"packed % $PosBits").as("pos"))
+    def side(joinTerm: String, tag: Int) = postings
+      .join(broadcast(pairs), col("term") === col(joinTerm))
+      .select(col("query_id"), col("doc_id"), col("pos"),
+        lit(tag).as("side"))
+    proximityRank(side("term_a", 0).unionByName(side("term_b", 1)))
+  }
+
   val entries: Seq[Entry] =
     Seq(b107, b108, b108b, b109, b111, b113, b114, b115, b116, b156, b188,
-      b275)
+      b275, b278)
 }

@@ -39,6 +39,15 @@ class ProximitySpec extends AnyFunSuite {
     assert(got.map(_._4).distinct.length > 1, "all gaps equal — vacuous")
   }
 
+  test("B278: the index-served ranking equals the scan ranking" +
+    " row-for-row — write → prune → packed decode → merge loses nothing") {
+    val scan = SparkEntry.queries("b275_proximity_rank")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val served = SparkEntry.queries("b278_proximity_from_index")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(served === scan)
+  }
+
   test("merge identity: the closest cross-list pair is adjacent in the" +
     " merged order (adversarial interleavings)") {
     // deterministic adversarial cases: nested, interleaved, disjoint,
