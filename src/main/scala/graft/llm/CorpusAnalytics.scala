@@ -649,6 +649,95 @@ object CorpusAnalytics {
       .orderBy("term")
   }
 
+  /** B279 minimum pair frequency — Church & Hanks' own guard: PMI's
+    * rare-pair bias makes counts below ~5 pure noise. */
+  private val PmiMinPair = 5L
+
+  /** B279 — PMI COLLOCATION EXTRACTION (Church & Hanks, ACL 1990
+    * "word association norms, mutual information, and lexicography" —
+    * the association statistic behind collocation dictionaries,
+    * tokenizer-vocabulary seeding, and phrase-mining passes; the
+    * ASSOCIATION companion of b45's raw bigram counts: counts say WHAT
+    * is frequent, PMI says what co-occurs MORE THAN CHANCE): over
+    * adjacent whitespace-token pairs, the top-[[PmiTopK]] pairs by
+    *
+    *   lift = P(next = b | cur = a) / P(b)  =  (c_ab/c_a) / (c_b/N)
+    *
+    * — exp(PMI) under the conditional formulation, reported integer-
+    * exact in basis points via the staged floor spelling
+    * (c_ab·10⁴ div c_a)·N div c_b (identical text both engines, the
+    * b167 ratio rule), with the [[PmiMinPair]] floor killing the
+    * rare-pair bias. Ties cut deterministically by (a, b).
+    *
+    * Integer bounds: stage one is ≤ 10⁴ (c_ab ≤ c_a by construction),
+    * so the widest intermediate is 10⁴·N — BIGINT-safe to N ~ 9·10¹⁴
+    * tokens; past that the same CTEs re-spell over DECIMAL(38,0)
+    * (the b267 bound-note convention).
+    *
+    * Scale posture: bigrams come from ONE corpus pass via map-side
+    * adjacent pairing inside each document's own token array (transform
+    * over sequence — no positional self-join, no shuffle before the
+    * pair aggregate); unigram counts are a second map-combinable pass;
+    * the pair relation joins the Zipf-bounded unigram dictionary twice
+    * (the b125 dictionary class); N broadcasts as a one-row aggregate;
+    * top-k is TakeOrdered (O(k) per partition — no global sort ever
+    * materializes the pair relation). */
+  private val PmiTopK = 20
+
+  /** The b279 body over any `text`-columned frame (spec entry point). */
+  private[graft] def pmiCollocations(
+      docs: DataFrame, minPair: Long = PmiMinPair,
+      topK: Int = PmiTopK): DataFrame = {
+    val w2 = docs.select(split(col("text"), " ").as("w"))
+    val uni = w2.select(explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nt = uni.agg(sum("c").as("n_tok"))
+    val bic = w2.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+    bic
+      .join(uni.select(col("term").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("term").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nt))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("CAST((c_ab * 10000 div c_a) * n_tok div c_b AS BIGINT)")
+          .as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  private val b279 = entry(
+    "b279_pmi_collocations",
+    s"""WITH w2 AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT unnest(w) AS term FROM w2),
+       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
+       |        WHERE term <> '' GROUP BY term),
+       |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+       |bi AS (SELECT w[i] AS a, w[i+1] AS b
+       |       FROM w2, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+       |       WHERE len(w) >= 2),
+       |bic AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bi
+       |        WHERE a <> '' AND b <> '' GROUP BY a, b),
+       |scored AS (
+       |  SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       |         CAST((c_ab * 10000 // ua.c) * n_tok // ub.c AS BIGINT)
+       |           AS lift_bp
+       |  FROM bic JOIN uni ua ON ua.term = bic.a
+       |           JOIN uni ub ON ub.term = bic.b
+       |  CROSS JOIN nt
+       |  WHERE c_ab >= $PmiMinPair)
+       |SELECT a, b, c_ab, c_a, c_b, lift_bp
+       |FROM scored ORDER BY lift_bp DESC, a, b LIMIT $PmiTopK""".stripMargin,
+    bench = true) {
+    (s, d) => pmiCollocations(Tables.documents(s, d))
+  }
+
   val entries: Seq[Entry] =
-    Seq(b162, b163, b168, b169, b171, b190, b193, b233, b235)
+    Seq(b162, b163, b168, b169, b171, b190, b193, b233, b235, b279)
 }

@@ -363,4 +363,58 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0),
       "slopes all one sign - trend table vacuous")
   }
+
+  test("B279: a true collocation outranks chance pairs and the staged " +
+    "integer lift replays in JVM") {
+    // 'new' is ALWAYS followed by 'york' (perfect collocation); the
+    // filler tokens pair near-independently. Church & Hanks' statistic
+    // must put (new, york) on top with lift ≈ N/c_york.
+    val filler = Seq("the", "cat", "sat", "mat", "dog", "ran")
+    val docs = (0 until 12).map { i =>
+      val pad = (0 until 10).map(j => filler((i * 7 + j * 3) % filler.length))
+      (i.toLong, (pad.take(5) ++ Seq("new", "york") ++ pad.drop(5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.llm.CorpusAnalytics
+      .pmiCollocations(docs, minPair = 2L, topK = 1000).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    // JVM replay of the exact staged-floor spelling
+    val toks = docs.collect().map(_.getString(1).split(" ", -1))
+    val uni = toks.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum
+    val bic = toks.flatMap(w => w.sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1))).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = bic.collect { case ((a, b), cab) if cab >= 2L =>
+      ((a, b), (cab, uni(a), uni(b),
+        (cab * 10000L / uni(a)) * nTok / uni(b)))
+    }.toMap
+    assert(got.toMap === want)
+    // ranking: the planted collocation is the global argmax, strictly
+    val top = got.maxBy(_._2._4)
+    assert(top._1 === ("new", "york"))
+    assert(got.filter(_._1 != (("new", "york"))).forall(_._2._4 < top._2._4),
+      "collocation does not strictly dominate - statistic vacuous")
+    // and its lift is the perfect-collocation value: c_ab = c_a, so
+    // stage one is exactly 10^4 and lift = 10^4 * N / c_york
+    assert(top._2._4 === 10000L * nTok / uni("york"))
+  }
+
+  test("B279 entry: top-k shape, ordering, floor, and count consistency") {
+    val rows = SparkEntry.queries("b279_pmi_collocations")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length === 20)
+    // ordered by (lift desc, a, b) with the unique tiebreak
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(x._6 > y._6 ||
+        (x._6 === y._6 && (x._1 < y._1 || (x._1 === y._1 && x._2 < y._2))))
+    }
+    rows.foreach { case (_, _, cab, ca, cb, lift) =>
+      assert(cab >= 5L, "min-pair floor violated")
+      assert(cab <= ca && cab <= cb, "pair count exceeds a member count")
+      assert(lift > 0L)
+    }
+  }
 }
