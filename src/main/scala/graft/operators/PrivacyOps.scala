@@ -236,7 +236,7 @@ object PrivacyOps {
   /** Uniform range for the seeded draw: 31 bits (the b167 convention). */
   val UniformM: Long = 1L << 31
 
-  private val Knuth = 2654435761L
+  private[graft] val Knuth = 2654435761L
 
   /** Two-sided-geometric inverse CDF as a CASE ladder over an integer
     * uniform u ∈ [0, 2³¹) — the ONE text both engines evaluate. The
@@ -449,5 +449,105 @@ object PrivacyOps {
       .orderBy("day_id")
   }
 
-  val entries: Seq[Entry] = Seq(b262, b266, b267, b268, b273)
+  /** B280 ε sweep in basis points: the budgets a release board actually
+    * debates (0.5, 1, 2). Each budget is one independent release. */
+  val MedianEpsBp = Seq(5000L, 10000L, 20000L)
+
+  /** B280 fixed public candidate grid: acctbal's TPC-H domain is
+    * [-999.99, 9999.99], so the b262 band (floor(bal) div 500, trunc
+    * committed both sides) ranges over [-2, 19] — 22 literal candidates
+    * independent of the data (the b273 bin-domain note made structural:
+    * an observed-domain grid would leak which bands are nonempty). */
+  val MedianBandLo = -2L
+  val MedianBandHi = 19L
+
+  /** B280 — ε-DP MEDIAN VIA REPORT-NOISY-MAX (McSherry & Talwar FOCS'07
+    * exponential mechanism; the noisy-max instantiation of Dwork & Roth
+    * Claim 3.9 — completing the release surface's third query class:
+    * B268 releases COUNTS, B273 a HISTOGRAM, this SELECTS a statistic
+    * from a candidate set, where output perturbation is useless because
+    * the median itself has unbounded sensitivity): for each candidate
+    * band c in the fixed public grid, the rank utility
+    *
+    *   u(c) = −|2·cum(c) − N|,  cum(c) = #{customers with band ≤ c}
+    *
+    * (sensitivity 1: one added/removed record moves 2·cum − N by exactly
+    * ±1), plus seeded two-sided-geometric noise drawn at ε/2 per the
+    * noisy-max accounting; the released median is the argmax by
+    * (noisy score, band) — ONE value per budget, costing exactly ε.
+    * Swept over [[MedianEpsBp]]; each budget's draw is independently
+    * seeded ('dpm:ε:band'), so the sweep is 3 separate releases, not a
+    * composition. The same b268 determinism caveat applies: a public
+    * key-seeded draw is what makes the mechanism t2-able; production
+    * swaps in a secret-seeded PRF with the same plan shape.
+    *
+    * Scale posture: ONE map-combinable band-count aggregate over the
+    * fact table; the candidate grid is 22 literals, so cum/utility/
+    * noise/argmax all run on |grid|- and |grid|×|ε|-row relations (the
+    * b125 exception); the cum join is bounded-×-bounded (22 × ≤22 — the
+    * sanctioned bounded-dimension BNLJ); true counts and the true
+    * median never appear in the output. */
+  private val b280 = entry(
+    "b280_dp_median", {
+      val scoreCase = "CASE " + MedianEpsBp.map(e =>
+        s"WHEN eps_bp = $e THEN u + ${geomNoiseLadder("uu", e / 2)}")
+        .mkString(" ") + " ELSE NULL END"
+      s"""WITH c AS (
+         |  SELECT CAST(floor(c_acctbal) AS BIGINT) // 500 AS band
+         |  FROM customer),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+         |bc AS (SELECT band, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM c GROUP BY band),
+         |cand AS (SELECT CAST(g AS BIGINT) AS cand
+         |         FROM UNNEST(generate_series($MedianBandLo, $MedianBandHi))
+         |           t(g)),
+         |cum AS (SELECT cand,
+         |               CAST(coalesce(sum(CASE WHEN band <= cand THEN cnt
+         |                                      END), 0) AS BIGINT) AS cum
+         |        FROM cand LEFT JOIN bc ON bc.band <= cand
+         |        GROUP BY cand),
+         |u AS (SELECT cand, -abs(2 * cum - n) AS u FROM cum CROSS JOIN n),
+         |sweep AS (
+         |  SELECT CAST(e.eps_bp AS BIGINT) AS eps_bp, cand, u,
+         |         ${uDuck("('dpm:' || CAST(e.eps_bp AS VARCHAR) || ':' || CAST(cand AS VARCHAR))")}
+         |           AS uu
+         |  FROM u CROSS JOIN (VALUES (5000), (10000), (20000)) e(eps_bp)),
+         |scored AS (SELECT eps_bp, cand, $scoreCase AS score FROM sweep),
+         |r AS (SELECT eps_bp, cand,
+         |             row_number() OVER (PARTITION BY eps_bp
+         |                                ORDER BY score DESC, cand) AS rn
+         |      FROM scored)
+         |SELECT eps_bp, cand AS released_band
+         |FROM r WHERE rn = 1 ORDER BY eps_bp""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val c = Tables.customer(s, d)
+      .select(expr("CAST(floor(c_acctbal) AS BIGINT) div 500").as("band"))
+    val n = c.agg(count(lit(1)).as("n"))
+    val bc = c.groupBy("band").agg(count(lit(1)).as("cnt"))
+    val cands = s.range(MedianBandLo, MedianBandHi + 1)
+      .select(col("id").as("cand"))
+    val cum = cands.join(broadcast(bc), col("band") <= col("cand"), "left")
+      .groupBy("cand")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("cum"))
+    val scoreCase = "CASE " + MedianEpsBp.map(e =>
+      s"WHEN eps_bp = $e THEN u + ${geomNoiseLadder("uu", e / 2)}")
+      .mkString(" ") + " ELSE NULL END"
+    val w = Window.partitionBy(col("eps_bp"))
+      .orderBy(col("score").desc, col("cand"))
+    cum
+      .crossJoin(broadcast(n))
+      .select(col("cand"), (-abs(lit(2L) * col("cum") - col("n"))).as("u"))
+      .crossJoin(broadcast(MedianEpsBp.toDF("eps_bp")))
+      .withColumn("uu", expr(uSpark(
+        "concat('dpm:', CAST(eps_bp AS STRING), ':', CAST(cand AS STRING))")))
+      .withColumn("score", expr(scoreCase))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eps_bp"), col("cand").as("released_band"))
+      .orderBy("eps_bp")
+  }
+
+  val entries: Seq[Entry] = Seq(b262, b266, b267, b268, b273, b280)
 }

@@ -238,4 +238,73 @@ class PrivacyOpsSpec extends AnyFunSuite {
     val at1 = meanAbs.find(_._1 == 10000L).get._2
     assert(math.abs(at1 - want) < 0.01, s"E|noise| $at1 vs theory $want")
   }
+
+  // ---- B280: report-noisy-max median selection ----
+
+  /** JVM replay of the whole B280 pipeline over an in-memory band
+    * multiset: fixed grid, rank utility, seeded noise at eps/2,
+    * (score, band) argmax. */
+  private def jvmDpMedian(bands: Seq[Long], epsBp: Long): Long = {
+    val n = bands.length.toLong
+    val grid = PrivacyOps.MedianBandLo to PrivacyOps.MedianBandHi
+    grid.map { cand =>
+      val cum = bands.count(_ <= cand).toLong
+      val u = -math.abs(2 * cum - n)
+      val key = s"dpm:$epsBp:$cand"
+      val uu = ((graft.llm.Winnowing.polyFoldString(key) % M) *
+        PrivacyOps.Knuth) % M
+      (cand, u + jvmNoise(uu, epsBp / 2))
+    }.maxBy { case (cand, score) => (score, -cand) }._1
+    // maxBy tie-break: highest score, then LOWEST band — the row_number
+    // (score DESC, cand ASC) spelling
+  }
+
+  test("B280: the released medians replay in the JVM end-to-end" +
+    " (grid, rank utility, seeded noise at eps/2, argmax tie-break)") {
+    val got = SparkEntry.queries("b280_dp_median")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq === PrivacyOps.MedianEpsBp)
+    val bands = graft.sources.Tables.customer(spark, sf)
+      .selectExpr("CAST(floor(c_acctbal) AS BIGINT) div 500 AS band")
+      .collect().map(_.getLong(0)).toSeq
+    for ((eps, released) <- got)
+      assert(released === jvmDpMedian(bands, eps),
+        s"release at eps=$eps diverges from the JVM replay")
+  }
+
+  test("B280: the rank utility has sensitivity 1 — one record moves" +
+    " every candidate's utility by at most 1 (the accounting premise)") {
+    val rnd = new scala.util.Random(280)
+    val base = Seq.fill(60)(PrivacyOps.MedianBandLo +
+      rnd.nextInt((PrivacyOps.MedianBandHi - PrivacyOps.MedianBandLo).toInt + 1).toLong)
+    def utilities(bands: Seq[Long]): Seq[Long] = {
+      val n = bands.length.toLong
+      (PrivacyOps.MedianBandLo to PrivacyOps.MedianBandHi).map { cand =>
+        -math.abs(2 * bands.count(_ <= cand).toLong - n)
+      }
+    }
+    val u0 = utilities(base)
+    // adding any possible record...
+    for (add <- PrivacyOps.MedianBandLo to PrivacyOps.MedianBandHi) {
+      val u1 = utilities(base :+ add)
+      u0.zip(u1).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1, s"sensitivity > 1 adding band $add")
+      }
+    }
+    // ...or removing one
+    val u2 = utilities(base.tail)
+    u0.zip(u2).foreach { case (a, b) => assert(math.abs(a - b) <= 1) }
+  }
+
+  test("B280: at a generous budget the mechanism concentrates on the" +
+    " true median band (utility dominates the eps/2 noise)") {
+    val bands = graft.sources.Tables.customer(spark, sf)
+      .selectExpr("CAST(floor(c_acctbal) AS BIGINT) div 500 AS band")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val trueMedian = bands(bands.length / 2)
+    // at eps = 10 (eps/2 = 5) noise is within ±5 w.p. ~1-1e-10; the
+    // utility gap between the median band and its neighbours at this
+    // fixture is far larger, so the release must be exact
+    assert(jvmDpMedian(bands, 100000L) === trueMedian)
+  }
 }
