@@ -694,6 +694,126 @@ object MaintenanceOps {
       .orderBy("av_check")
   }
 
+  /** B281 expected Benford shares in bp: floor(log10(1 + 1/d)·10⁴),
+    * d = 1..9 — frozen driver-side doubles shared by both SQL texts
+    * (the geomNoiseLadder freeze convention). */
+  private[graft] val BenfordExpBp: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong)
+
+  /** Benford inverse CDF over an integer uniform u ∈ [0, 2³¹):
+    * digit = min{d : u < ⌊log10(d+1)·2³¹⌋} — 8 frozen thresholds,
+    * ELSE 9 (log10(10) = 1 saturates the range). */
+  private def benfordDigitLadder(uCol: String): String = {
+    val whens = (1 to 8).map { d =>
+      val t = math.floor(math.log10(d + 1.0) * PrivacyOps.UniformM).toLong
+      s"WHEN $uCol < $t THEN $d"
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE 9 END)"
+  }
+
+  private def benfordUSpark(keyExpr: String): String =
+    s"(((${graft.llm.Winnowing.polyFoldSpark(keyExpr)})" +
+      s" % ${PrivacyOps.UniformM}) * ${PrivacyOps.Knuth})" +
+      s" % ${PrivacyOps.UniformM}"
+  private def benfordUDuck(keyExpr: String): String =
+    s"(((${graft.llm.Winnowing.polyFoldDuck(keyExpr)})" +
+      s" % ${PrivacyOps.UniformM}) * ${PrivacyOps.Knuth})" +
+      s" % ${PrivacyOps.UniformM}"
+
+  /** B281 — BENFORD FIRST-DIGIT AUDIT (Benford 1938; Nigrini's forensic
+    * accounting standard — the screening test an audit pipeline runs
+    * over monetary columns before trusting them: fabricated or
+    * unit-biased amounts betray themselves in the leading-digit
+    * distribution): per (leg, digit 1..9), the count, observed share in
+    * bp, the frozen expected Benford share [[BenfordExpBp]], the signed
+    * deviation, and the leg's mean absolute deviation.
+    *
+    * Three legs (the b258/b276 planted convention): `orders` — the real
+    * o_totalprice cents (TPC-H totals are range-concentrated, NOT
+    * Benford; the audit REPORTS that honestly); `benford_plant` —
+    * synthetic digits drawn from the exact Benford pmf via a frozen
+    * 8-threshold inverse CDF over the seeded per-order uniform (the
+    * geomNoiseLadder freeze), the audit's negative control (small MAD);
+    * `uniform_plant` — digits 1 + (u mod 9), the classic fabrication
+    * signature (MAD ~ 6× the Benford leg's), the positive control. The
+    * spec pins the separation, not fixture-specific masses.
+    *
+    * Integer-exact: first digit via the decimal string head of the
+    * BIGINT cents (no float log10 on the data path); shares/deviations
+    * in bp by floor division.
+    *
+    * Scale posture: three map-side digit projections of ONE orders scan
+    * unioned before a single (leg, digit) aggregate (≤ 27 groups); the
+    * per-leg totals and MAD are windows over the 27-row rollup (the
+    * b125 exception); the seeded draws are whole-stage-codegen'd CASE
+    * ladders, no join anywhere. */
+  private val b281 = entry(
+    "b281_benford_audit", {
+      val expCase = "CASE digit " + BenfordExpBp.zipWithIndex.map {
+        case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ") + " END"
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |seeded AS (
+         |  SELECT cents,
+         |         ${benfordUDuck("('bf:' || CAST(o_orderkey AS VARCHAR))")}
+         |           AS u
+         |  FROM base),
+         |legs AS (
+         |  SELECT 'orders' AS leg,
+         |         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |           AS digit
+         |  FROM seeded
+         |  UNION ALL
+         |  SELECT 'benford_plant', CAST(${benfordDigitLadder("u")} AS BIGINT)
+         |  FROM seeded
+         |  UNION ALL
+         |  SELECT 'uniform_plant', 1 + u % 9 FROM seeded),
+         |cnt AS (SELECT leg, digit, CAST(count(*) AS BIGINT) AS n
+         |        FROM legs GROUP BY leg, digit),
+         |sh AS (
+         |  SELECT leg, digit, n,
+         |         CAST(n * 10000 // sum(n) OVER (PARTITION BY leg)
+         |              AS BIGINT) AS obs_bp,
+         |         CAST($expCase AS BIGINT) AS exp_bp
+         |  FROM cnt),
+         |dev AS (
+         |  SELECT *, obs_bp - exp_bp AS dev_bp FROM sh)
+         |SELECT leg, digit, n, obs_bp, exp_bp, dev_bp,
+         |       CAST(sum(abs(dev_bp)) OVER (PARTITION BY leg) // 9
+         |            AS BIGINT) AS mad_bp
+         |FROM dev ORDER BY leg, digit""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val seeded = base.select(col("cents"),
+      expr(benfordUSpark("concat('bf:', CAST(o_orderkey AS STRING))"))
+        .as("u"))
+    val legs = seeded.select(lit("orders").as("leg"),
+        expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      .unionByName(seeded.select(lit("benford_plant").as("leg"),
+        expr(s"CAST(${benfordDigitLadder("u")} AS BIGINT)").as("digit")))
+      .unionByName(seeded.select(lit("uniform_plant").as("leg"),
+        expr("1 + u % 9").as("digit")))
+    val wLeg = Window.partitionBy(col("leg"))
+    val expCase = "CASE digit " + BenfordExpBp.zipWithIndex.map {
+      case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ") + " END"
+    legs.groupBy("leg", "digit").agg(count(lit(1)).as("n"))
+      .withColumn("obs_bp",
+        expr(s"CAST(n * 10000 div sum(n) OVER (PARTITION BY leg)" +
+          " AS BIGINT)"))
+      .withColumn("exp_bp", expr(s"CAST($expCase AS BIGINT)"))
+      .withColumn("dev_bp", col("obs_bp") - col("exp_bp"))
+      .withColumn("mad_bp",
+        expr("CAST(sum(abs(dev_bp)) OVER (PARTITION BY leg) div 9" +
+          " AS BIGINT)"))
+      .select("leg", "digit", "n", "obs_bp", "exp_bp", "dev_bp", "mad_bp")
+      .orderBy("leg", "digit")
+  }
+
   val entries: Seq[Entry] =
-    Seq(b81, b82, b86, b185, b189, b192, b252, b253, b254, b255)
+    Seq(b81, b82, b86, b185, b189, b192, b252, b253, b254, b255, b281)
 }

@@ -221,6 +221,58 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(got("corrupted_orders.o_orderstatus") ===
       ((got("orders.o_orderstatus")._1, planted, 1L)))
   }
+
+  test("B281: all 27 rows replay in the JVM (seeded legs, frozen " +
+    "thresholds, floor shares) and the plants separate: Benford control " +
+    "quiet, uniform fabrication loud") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.PrivacyOps.UniformM
+    val knuth = graft.operators.PrivacyOps.Knuth
+    val got = SparkEntry.queries("b281_benford_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // JVM replay from the raw parquet
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val th = (1 to 8).map(d =>
+      math.floor(math.log10(d + 1.0) * M).toLong)
+    val expBp = (1 to 9).map(d =>
+      math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong)
+    def ladder(u: Long): Long =
+      th.zipWithIndex.find(u < _._1).map(_._2 + 1L).getOrElse(9L)
+    val legs = orders.flatMap { case (k, cents) =>
+      val u = ((graft.llm.Winnowing.polyFoldString(s"bf:$k") % M) * knuth) % M
+      Seq(("orders", cents.toString.head.asDigit.toLong),
+        ("benford_plant", ladder(u)),
+        ("uniform_plant", 1L + u % 9L))
+    }
+    val n = orders.length.toLong
+    val want = legs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case ((leg, digit), cnt) =>
+        val obs = cnt * 10000L / n
+        val exp = expBp(digit.toInt - 1)
+        (leg, digit) -> (cnt, obs, exp, obs - exp)
+      }
+    assert(got.size === 27, "a leg is missing digits at this SF")
+    for (((leg, digit), (cnt, obs, exp, dev, _)) <- got)
+      assert(want((leg, digit)) === ((cnt, obs, exp, dev)),
+        s"($leg, $digit) diverges from the JVM replay")
+    // MAD column is the per-leg fold of the dev column
+    val madWant = want.groupBy(_._1._1).view.mapValues(
+      _.values.map(v => math.abs(v._4)).sum / 9L).toMap
+    for (((leg, _), v) <- got) assert(v._5 === madWant(leg))
+    // separation: the Benford control is at least 5x quieter than the
+    // uniform fabrication signature (measured 15 vs 586 bp at sf0.001)
+    val madB = madWant("benford_plant")
+    val madU = madWant("uniform_plant")
+    assert(madB * 5 < madU, s"plants do not separate: $madB vs $madU")
+    // per-leg counts close over the table
+    for ((leg, rows) <- want.groupBy(_._1._1))
+      assert(rows.values.map(_._1).sum === n, s"$leg does not cover orders")
+  }
 }
 
 
