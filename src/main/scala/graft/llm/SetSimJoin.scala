@@ -167,5 +167,150 @@ object SetSimJoin {
     similarityJoin(corpus(s, d))
   }
 
-  val entries: Seq[Entry] = Seq(b145)
+  /** B282 containment threshold in basis points (τ = 0.8). */
+  val ContainTauBp = 8000L
+
+  /** B282 workload corpus: originals + planted EXCERPTS — the first
+    * max(3, ⌊0.6·len⌋) tokens of every doc_id % 11 = 0 document at
+    * id + 7,000,000. A token-prefix's 3-shingles are a subset of the
+    * full document's, so every excerpt is contained at exactly 10⁴ bp
+    * — the quote-inclusion signature planted at every SF. */
+  private[graft] def containCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1," +
+          " greatest(3, size(split(text, ' ')) * 6 div 10)), ' ')")
+          .as("text")))
+  }
+
+  /** Exact containment τ-join via one-sided prefix filtering: all
+    * ORDERED pairs (a, b), a ≠ b, with |S_a ∩ S_b|·10⁴ div |S_a| ≥ τ —
+    * the asymmetric quote-inclusion relation Jaccard cannot see (a
+    * short excerpt inside a long document has tiny Jaccard but
+    * containment 1).
+    *
+    * The one-sided prefix lemma: order shingles by (df ASC, shingle);
+    * if |A∩B| ≥ ⌈τ·n_a⌉ then A's prefix of length n_a − ⌈τ·n_a⌉ + 1
+    * must share a shingle with SOME element of B — were it disjoint
+    * from B, the overlap would fit inside A's suffix of length
+    * ⌈τ·n_a⌉ − 1 < required. So only the CONTAINED side prunes to a
+    * prefix; the container side exposes all its shingles (there is no
+    * upper length bound on a superset — the structural asymmetry vs
+    * B145's two-sided filter). The length filter keeps only
+    * n_b ≥ ⌈τ·n_a⌉ (B must have room for the required overlap);
+    * survivors verify by the exact posting-list count join.
+    *
+    * Scale posture: the df order puts A's exposed keys on its RAREST
+    * shingles, so the prefix⨝postings join probes short lists; the df
+    * dictionary is the standing B125 vocab aggregate; verification is
+    * candidate-bounded. SetSimJoinSpec pins prefix ≡ brute force on
+    * randomized corpora — the lemma, not just this dataset. */
+  def containmentJoin(docs: DataFrame, tauBp: Long = ContainTauBp): DataFrame = {
+    val arrs = TextDedup.withShingleArr(docs).localCheckpoint(true)
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val cnt = arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(cnt, "doc_id")
+      .filter(col("pos") <=
+        col("n") - expr(s"(n * $tauBp + 9999) div 10000") + 1)
+      .select(col("doc_id").as("da"), col("n").as("na"), col("shingle"))
+    val cands = prefix
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") =!= col("db"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("nb") >= expr(s"(na * $tauBp + 9999) div 10000"))
+      .select("da", "db").distinct()
+    // verification from the per-doc shingle ARRAYS, intersect evaluated
+    // ONCE in a projection (A/B'd vs the posting-list count join: most
+    // candidates here share a single rare shingle and fail, so paying
+    // two doc-keyed array joins beats shuffling the posting rows of
+    // every candidate twice — min-of-5 7.39 s -> 4.89 s at sf0.1; and
+    // unlike the b145 trap the intersect is NOT inside a join
+    // condition, so it is not re-evaluated per filter reference)
+    cands
+      .join(arrs.select(col("doc_id").as("da"), col("sh_arr").as("arr_a")),
+        "da")
+      .join(arrs.select(col("doc_id").as("db"), col("sh_arr").as("arr_b")),
+        "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("common"),
+        size(col("arr_a")).cast("long").as("na"),
+        size(col("arr_b")).cast("long").as("nb"))
+      .withColumn("containment_bp",
+        expr("CAST(common * 10000 div na AS BIGINT)"))
+      .filter(col("containment_bp") >= tauBp)
+      .select(col("da").as("contained_doc"), col("db").as("container_doc"),
+        col("containment_bp"), col("na").as("n_contained"),
+        col("nb").as("n_container"))
+      .orderBy("contained_doc", "container_doc")
+  }
+
+  /** Brute-force containment (full posting join, both directions) —
+    * the lemma-replay twin for SetSimJoinSpec. */
+  private[graft] def containmentBruteForce(
+      docs: DataFrame, tauBp: Long = ContainTauBp): DataFrame = {
+    val arrs = TextDedup.withShingleArr(docs)
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val cnt = arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+    sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("containment_bp",
+        expr("CAST(common * 10000 div na AS BIGINT)"))
+      .filter(col("containment_bp") >= tauBp)
+      .select(col("da").as("contained_doc"), col("db").as("container_doc"),
+        col("containment_bp"), col("na").as("n_contained"),
+        col("nb").as("n_container"))
+      .orderBy("contained_doc", "container_doc")
+  }
+
+  /** B282 — CONTAINMENT SELF-JOIN (quote-inclusion detection): see
+    * [[containmentJoin]]. The fourth member of the near-dup family —
+    * B43/B145 score SYMMETRIC similarity; containment C(A,B) =
+    * |S_A∩S_B|/|S_A| is what catches a document QUOTED INSIDE another
+    * (tiny Jaccard, containment 1) — the dedup class behind
+    * quotation-heavy web text and boilerplate-wrapped reposts. */
+  private val b282 = entry(
+    "b282_containment_join",
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 7000000,
+       |         array_to_string(w[1:greatest(3, len(w)*6//10)], ' ')
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id % 11 = 0)),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w) - 2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+       |  FROM words WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |        FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         CAST(count(*) AS BIGINT) AS common
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT da AS contained_doc, db AS container_doc,
+       |       CAST(common * 10000 // ca.n AS BIGINT) AS containment_bp,
+       |       ca.n AS n_contained, cb.n AS n_container
+       |FROM pairs JOIN cnt ca ON ca.doc_id = da
+       |JOIN cnt cb ON cb.doc_id = db
+       |WHERE common * 10000 // ca.n >= $ContainTauBp
+       |ORDER BY contained_doc, container_doc""".stripMargin,
+    bench = true) { (s, d) =>
+    containmentJoin(containCorpus(s, d))
+  }
+
+  val entries: Seq[Entry] = Seq(b145, b282)
 }

@@ -97,4 +97,58 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(prefPairs * 2 < fullPairs,
       s"prefix candidates $prefPairs vs full $fullPairs — filter not biting")
   }
+
+  private def asContain(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+
+  test("B282: one-sided prefix join ≡ brute force on the gate corpus " +
+    "and on randomized corpora at several thresholds") {
+    val docs = SetSimJoin.containCorpus(spark, sf)
+    assert(asContain(SetSimJoin.containmentJoin(docs)) ==
+      asContain(SetSimJoin.containmentBruteForce(docs)))
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    for (seed <- 1 to 2; tauBp <- Seq(7000L, 8000L, 9000L)) {
+      var st = seed.toLong + 100
+      val rnd = (0 until 40).map { i =>
+        st = lcg(st)
+        val len = 5 + math.floorMod(st, 18).toInt
+        val words = (0 until len).map { _ =>
+          st = lcg(st); vocab(math.floorMod(st, vocab.length.toLong).toInt)
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val fast = asContain(SetSimJoin.containmentJoin(rnd, tauBp))
+      val brute = asContain(SetSimJoin.containmentBruteForce(rnd, tauBp))
+      assert(fast == brute, s"seed=$seed tau=$tauBp: one-sided prefix " +
+        s"join diverged (${fast.size} vs ${brute.size} pairs)")
+    }
+  }
+
+  test("B282: every planted excerpt is contained in its original at " +
+    "exactly 10000 bp, and containment sees what Jaccard cannot") {
+    val docs = SetSimJoin.containCorpus(spark, sf)
+    val pairs = asContain(SetSimJoin.containmentJoin(docs))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    val planted = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0 &&
+        size(split(col("text"), " ")) >= 5)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(byPair.get((id + 7000000L, id)).contains(10000L),
+        s"excerpt of $id not contained at 10000 bp")
+    }
+    // asymmetry: a STRICT excerpt (container has more shingles) is
+    // contained in the original, but the original is NOT contained in
+    // the excerpt — the directional relation Jaccard collapses
+    val strict = pairs.find(p => p._1 >= 7000000L && p._2 === p._1 - 7000000L
+      && p._4 < p._5)
+    assert(strict.isDefined, "no strict excerpt pair at this SF")
+    strict.foreach { p =>
+      assert(!byPair.contains((p._2, p._1)),
+        "original reported as contained in its own strict excerpt")
+    }
+  }
 }
