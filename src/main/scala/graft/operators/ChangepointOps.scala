@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Registry._
 import graft.sources.Tables
@@ -51,8 +52,9 @@ object ChangepointOps {
     * event horizon — day_id is datediff from 2024-01-01). */
   val PlantFromDay = 21L
 
-  private val b276 = entry(
-    "b276_cusum_changepoint",
+  /** The b276 oracle — shared VERBATIM by the streamed twin b283 (the
+    * b246/b248 twin convention). */
+  private[graft] val cusumOracleSql: String =
     s"""WITH daily AS (
        |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
        |              AS BIGINT) AS day_id,
@@ -92,13 +94,15 @@ object ChangepointOps {
        |       CAST(sum(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_alarm_days
        |FROM srel CROSS JOIN st
-       |GROUP BY leg, sign ORDER BY leg, dir""".stripMargin) { (s, d) =>
-    import s.implicits._
+       |GROUP BY leg, sign ORDER BY leg, dir""".stripMargin
+
+  /** The b276 tail over any (day_id, n) rollup — shared by the batch
+    * entry and the streamed twin b283, so the two spellings cannot
+    * drift (the b264/b274 shared-tail convention). */
+  private[graft] def cusumFromDaily(daily: DataFrame): DataFrame = {
+    val sp = daily.sparkSession
+    import sp.implicits._
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
-        " AS BIGINT)").as("day_id"))
-      .agg(count(lit(1)).as("n"))
     val st = daily.agg(
         expr("sum(n) div count(*)").as("mu"),
         expr("(sum(n) div count(*)) div " + AllowanceDiv).as("k"),
@@ -131,6 +135,14 @@ object ChangepointOps {
       .select(col("leg"), col("sign").cast("long").as("dir"),
         col("max_s"), col("first_alarm"), col("n_alarm_days"))
       .orderBy("leg", "dir")
+  }
+
+  private val b276 = entry("b276_cusum_changepoint", cusumOracleSql) {
+    (s, d) =>
+    cusumFromDaily(Tables.events(s, d)
+      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("day_id"))
+      .agg(count(lit(1)).as("n")))
   }
 
   /** Seasonal period for the seasonal-naive forecaster: weekly. */

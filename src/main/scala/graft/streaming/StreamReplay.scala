@@ -1210,8 +1210,45 @@ object StreamReplay {
       .orderBy("doc_id")
   }
 
+  private lazy val chunkDir283: String =
+    java.nio.file.Files.createTempDirectory("graft_b283_chunks").toString
+
+  /** B283 — STREAMED CUSUM MONITOR: b276's changepoint detector run
+    * where a volume monitor runs it — the daily event counts CLOSE on
+    * the ingest stream (append-mode 1-day tumbling aggregation: a day
+    * emits exactly when the watermark passes its end, state ∝ open
+    * windows — ≤ 2 under the ordered replay, the tightest keyed bound
+    * after b274's five BIGINTs) and the CUSUM tail
+    * ([[graft.operators.ChangepointOps.cusumFromDaily]] — the SHARED
+    * code, so the spellings cannot drift) runs over the emitted |days|
+    * rollup, exactly as a production monitor recomputes its excursion
+    * table when each day's count lands. The flush sentinel (user −1,
+    * 8 days past max ts) advances the watermark past every real day's
+    * end; its OWN window is the one legitimately-open state row and is
+    * never emitted, so no key filter is needed — the emitted relation
+    * IS the real day series. Oracle is b276's SQL VERBATIM (the
+    * b246/b248 twin convention): hash-green pins that micro-batched
+    * day accumulation + watermark close loses nothing, planted legs
+    * and all. */
+  private val b283 = entry("b283_stream_cusum",
+      graft.operators.ChangepointOps.cusumOracleSql) { (s, d) =>
+    val ev = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 8L * 24 * 3600 * 1000)
+    import s.implicits._
+    val flush = Seq((9000005L, flushTs, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamingOps.writeChunksDf(ev.unionByName(flush), chunkDir283, n = 6)
+    val daily = StreamingOps.dailyCountsAppend(
+      StreamingOps.readStream(s, chunkDir283))
+    s.catalog.dropTempView("b283_replay") // idempotent re-runs
+    graft.operators.ChangepointOps.cusumFromDaily(
+      StreamingOps.runToMemory(daily, "b283_replay", "append"))
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
       b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
-      b269, b274)
+      b269, b274, b283)
 }

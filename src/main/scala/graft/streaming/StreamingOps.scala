@@ -144,6 +144,21 @@ object StreamingOps {
           .as("session_start"),
         col("user_id"), col("n"), col("total"))
 
+  /** B283 — tumbling 1-DAY counts in append mode: each day's count emits
+    * exactly when the watermark passes the day end (state ∝ OPEN windows
+    * inside the watermark horizon, never ∝ days seen); day_id matches
+    * the b276 batch rollup's datediff under the UTC session (epoch-
+    * aligned day windows ≡ CAST(ts AS DATE)). */
+  def dailyCountsAppend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        expr("CAST(datediff(CAST(window.start AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day_id"),
+        col("n"))
+
   /** B52 — streaming dedup within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

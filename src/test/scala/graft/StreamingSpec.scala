@@ -601,6 +601,45 @@ class StreamingSpec extends AnyFunSuite {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("B283: watermark-closed day counts equal the batch rollup, the" +
+    " CUSUM twin equals the batch detector row-for-row, and state is" +
+    " bounded to the sentinel's open window") {
+    val dir = Files.createTempDirectory("graft_cusum_stream").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val flushTs = new Timestamp(maxTs.getTime + 8L * 24 * 3600 * 1000)
+    import spark.implicits._
+    val flush = Seq((9000005L, flushTs, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    StreamingOps.writeChunksDf(ev.unionByName(flush), dir, n = 6)
+    val (days, q) = StreamingOps.runToMemoryQ(
+      StreamingOps.dailyCountsAppend(StreamingOps.readStream(spark, dir)),
+      "t_cusum_days", "append")
+    // the emitted relation IS the real day series (the sentinel's own
+    // window never closes, so no key filter exists to get wrong)
+    val batchDays = ev
+      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("day_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(sortedRows(days) === sortedRows(batchDays),
+      "watermark-closed day counts diverged from the batch rollup")
+    // streamed twin == batch detector, row for row
+    val got = SparkEntry.queries("b283_stream_cusum")(spark, sf).collect()
+    val want = SparkEntry.queries("b276_cusum_changepoint")(spark, sf)
+      .collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq,
+      "streamed CUSUM diverged from the batch detector")
+    // state bound: every real day window emitted AND cleared; only the
+    // sentinel's far-future window may remain open
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps.nonEmpty, "no state operator metrics")
+    val remaining = stateOps.map(_.numRowsTotal).sum
+    assert(remaining <= 1,
+      s"$remaining state rows remain — day windows did not close on" +
+        " watermark")
+  }
 }
 
 
