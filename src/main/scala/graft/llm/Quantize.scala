@@ -388,5 +388,130 @@ object Quantize {
       .orderBy("la", "lb")
   }
 
-  val entries: Seq[Entry] = Seq(b123, b126, b127, b247, b251)
+  /** B284 outlier rule: d² > [[OutlierMul]]·mean(d²) — distance beyond
+    * 2× the label's RMS radius. */
+  val OutlierMul = 4L
+
+  /** B284 planted-corruption stride and id offset. */
+  val CorruptMod = 97L
+  val CorruptIdOffset = 100000L
+
+  /** B284 — EMBEDDING-SPACE OUTLIER AUDIT (the quality gate that runs
+    * BEFORE any semantic operator trusts the vectors: a mis-scaled,
+    * garbage, or wrong-model embedding poisons SemDeDup cells, IVF
+    * centroids and ANN recall alike, and none of those operators would
+    * report it — they would just quietly degrade): per (leg, label),
+    * every vector's integer L2² distance to its label's integer-mean
+    * centroid, the label's size/mean d², the count beyond the
+    * [[OutlierMul]]·mean radius, and the top-3 most distant vectors.
+    *
+    * Two legs (the b258/b281 planted convention): `clean` — the
+    * embeddings as shipped (organic outlier counts reported honestly);
+    * `planted` — the same table plus every vec_id % [[CorruptMod]] = 0
+    * vector re-quantized at 3× scale (a wrong-normalization corruption:
+    * same direction, tripled magnitude — the classic mixed-model-version
+    * accident), which the audit must flag. The corruption is injected
+    * INSIDE the quantizer (scale 381 vs 127 on casts to double), so no
+    * float arithmetic ever diverges between engines.
+    *
+    * Integer-exact: [[SemDedup.QuantScale]] quantization, floor-mean
+    * centroids (contamination shifts the mean — the audit still
+    * separates because 3× magnitude dominates), BIGINT d².
+    *
+    * Scale posture: two (leg, label, dim)-keyed map-combinable sums
+    * build centroids (|labels|·dim rows — catalog-sized); d² is one
+    * (label, dim)-keyed broadcast join over the exploded vectors + a
+    * vec_id-keyed sum; stats are a |labels|-row rollup; top-3 is a rank
+    * window per (leg, label) group (the B29 top-k-per-group pattern,
+    * never a global sort). */
+  private val b284 = entry(
+    "b284_embedding_outliers",
+    s"""WITH legs AS (
+       |  SELECT 'clean' AS leg, vec_id, label, embedding, 127 AS scale
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT 'planted', vec_id, label, embedding, 127 FROM embeddings
+       |  UNION ALL
+       |  SELECT 'planted', vec_id + $CorruptIdOffset, label, embedding, 381
+       |  FROM embeddings WHERE vec_id % $CorruptMod = 0),
+       |q0 AS (
+       |  SELECT leg, vec_id, label, scale,
+       |         UNNEST(range(len(embedding))) AS pos,
+       |         UNNEST(embedding) AS x
+       |  FROM legs),
+       |q AS (
+       |  SELECT leg, vec_id, label, pos,
+       |         CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT) AS q
+       |  FROM q0),
+       |cent AS (
+       |  SELECT leg, label, pos,
+       |         CAST(sum(q) // count(*) AS BIGINT) AS c
+       |  FROM q GROUP BY leg, label, pos),
+       |d AS (
+       |  SELECT q.leg, q.vec_id, q.label,
+       |         CAST(sum((q.q - cent.c) * (q.q - cent.c)) AS BIGINT) AS d2
+       |  FROM q JOIN cent ON cent.leg = q.leg AND cent.label = q.label
+       |                  AND cent.pos = q.pos
+       |  GROUP BY q.leg, q.vec_id, q.label),
+       |st AS (
+       |  SELECT leg, label, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+       |  FROM d GROUP BY leg, label),
+       |fl AS (
+       |  SELECT d.*, st.n, st.mean_d2,
+       |         CASE WHEN d.d2 > $OutlierMul * st.mean_d2 THEN 1 ELSE 0 END
+       |           AS is_out
+       |  FROM d JOIN st ON st.leg = d.leg AND st.label = d.label),
+       |no AS (
+       |  SELECT leg, label, CAST(sum(is_out) AS BIGINT) AS n_out
+       |  FROM fl GROUP BY leg, label),
+       |r AS (
+       |  SELECT fl.leg, fl.label, fl.vec_id, fl.d2, fl.n, fl.mean_d2,
+       |         no.n_out,
+       |         CAST(row_number() OVER (PARTITION BY fl.leg, fl.label
+       |                                 ORDER BY fl.d2 DESC, fl.vec_id)
+       |              AS BIGINT) AS rn
+       |  FROM fl JOIN no ON no.leg = fl.leg AND no.label = fl.label)
+       |SELECT leg, CAST(label AS BIGINT) AS label, rn, vec_id, d2, n,
+       |       mean_d2, n_out
+       |FROM r WHERE rn <= 3 ORDER BY leg, label, rn""".stripMargin,
+    bench = true) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val legs = emb.select(lit("clean").as("leg"), col("vec_id"),
+        col("label"), col("embedding"), lit(127L).as("scale"))
+      .unionByName(emb.select(lit("planted").as("leg"), col("vec_id"),
+        col("label"), col("embedding"), lit(127L).as("scale")))
+      .unionByName(emb.filter(col("vec_id") % CorruptMod === 0)
+        .select(lit("planted").as("leg"),
+          (col("vec_id") + CorruptIdOffset).as("vec_id"),
+          col("label"), col("embedding"), lit(381L).as("scale")))
+    val q = legs.select(col("leg"), col("vec_id"), col("label"),
+        col("scale"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("leg"), col("vec_id"), col("label"), col("pos"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)")
+          .as("q"))
+    val cent = q.groupBy("leg", "label", "pos")
+      .agg(expr("CAST(sum(q) div count(*) AS BIGINT)").as("c"))
+    val d2 = q.join(broadcast(cent), Seq("leg", "label", "pos"))
+      .groupBy("leg", "vec_id", "label")
+      .agg(sum(expr("(q - c) * (q - c)")).as("d2"))
+    val st = d2.groupBy("leg", "label")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(d2) div count(*) AS BIGINT)").as("mean_d2"))
+    val fl = d2.join(broadcast(st), Seq("leg", "label"))
+      .withColumn("is_out",
+        when(col("d2") > lit(OutlierMul) * col("mean_d2"), 1L).otherwise(0L))
+    val no = fl.groupBy("leg", "label").agg(sum("is_out").as("n_out"))
+    val w = Window.partitionBy(col("leg"), col("label"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    fl.join(broadcast(no), Seq("leg", "label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("leg"), col("label").cast("long").as("label"), col("rn"),
+        col("vec_id"), col("d2"), col("n"), col("mean_d2"), col("n_out"))
+      .orderBy("leg", "label", "rn")
+  }
+
+  val entries: Seq[Entry] = Seq(b123, b126, b127, b247, b251, b284)
 }
