@@ -113,5 +113,70 @@ object TrainPrep {
       .select(col("doc_id"), col("text"), col("lang"), col("source")))
   }
 
-  val entries: Seq[Entry] = Seq(b101)
+  /** B286 difficulty-bucket width for the two-phase global rank (any
+    * monotone coarsening of the order key is correct; 64 keeps the
+    * bucket count catalog-sized on this corpus shape). */
+  private val CurriculumBucket = 64L
+
+  /** B286 — CURRICULUM ORDERING (Bengio et al., ICML 2009 "curriculum
+    * learning" — the easy-first training schedule; the deterministic
+    * counterpart of B132's seeded shuffle: a loader consumes ONE of the
+    * two manifests): every document scored by rarity-weighted
+    * difficulty — mean inverse token frequency,
+    *
+    *   difficulty = (Σ_tokens N div c_t) div n_tok
+    *
+    * (a doc of corpus-common tokens scores ≈ vocab-size-ish low; a doc
+    * carrying rare tokens scores high — the "shaped distribution"
+    * signal Bengio's schedule sorts on, integer-exact from the same
+    * unigram dictionary b279 scores with) — and the manifest is the
+    * (step, doc_id, difficulty) table in (difficulty, doc_id) order.
+    *
+    * step is a GLOBAL rank over the corpus: spelled via
+    * [[graft.operators.OrderStats.withGlobalRank]]'s two-phase bucketed
+    * scan (the b199/b213 rewrite — per-bucket counts → driver prefix
+    * fold of O(buckets) scalars → within-bucket windows), so no
+    * SinglePartition exchange touches the corpus; the oracle keeps the
+    * naive global window (single-node DuckDB — the asymmetry the t2
+    * hash is for).
+    *
+    * Scale posture: one corpus token pass joins the Zipf-bounded
+    * unigram dictionary (b125) and collapses to a per-doc sum; the
+    * rank is bucket-parallel; output is the manifest relation itself
+    * (what the loader reads). */
+  private val b286 = entry(
+    "b286_curriculum_order",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk
+      |        GROUP BY term),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+      |diff AS (
+      |  SELECT doc_id,
+      |         CAST(sum(n // c) // count(*) AS BIGINT) AS difficulty
+      |  FROM tk JOIN uni USING (term) CROSS JOIN nt
+      |  GROUP BY doc_id)
+      |SELECT CAST(row_number() OVER (ORDER BY difficulty, doc_id)
+      |            AS BIGINT) AS step,
+      |       doc_id, difficulty
+      |FROM diff ORDER BY step""".stripMargin, bench = true) { (s, d) =>
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val uni = tk.groupBy("term").agg(count(lit(1)).as("c"))
+    val nt = tk.agg(count(lit(1)).as("n"))
+    val diff = tk.join(uni, "term")
+      .crossJoin(broadcast(nt))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(n div c) div count(*) AS BIGINT)").as("difficulty"))
+    val (ranked, _, _) = graft.operators.OrderStats.withGlobalRank(
+      diff, expr(s"difficulty div $CurriculumBucket"),
+      Seq(col("difficulty"), col("doc_id")), "step")
+    ranked.select(col("step"), col("doc_id"), col("difficulty"))
+      .orderBy("step")
+  }
+
+  val entries: Seq[Entry] = Seq(b101, b286)
 }

@@ -248,5 +248,160 @@ object ChangepointOps {
       .orderBy("model")
   }
 
-  val entries: Seq[Entry] = Seq(b276, b277)
+  /** B285 bootstrap replication count (the rank arithmetic below keeps
+    * the 2.5%/97.5% cut exact for any R ≥ 40). */
+  val BootReps = 200L
+
+  /** Poisson(1) inverse CDF over an integer uniform u ∈ [0, 2³¹):
+    * w = min{k : u < ⌊CDF(k)·2³¹⌋} — frozen driver-side thresholds (the
+    * geomNoiseLadder freeze); the ladder is finite because CDF(8)
+    * saturates 2³¹. */
+  private[graft] def poissonLadder(uCol: String): String = {
+    val M = PrivacyOps.UniformM
+    var cdf = 0.0
+    var fact = 1.0
+    val whens = (0 to 16).flatMap { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      val t = math.floor(cdf * M).toLong
+      if (t >= M) None else Some((k, t))
+    }
+    val body = whens.map { case (k, t) => s"WHEN $uCol < $t THEN $k" }
+    s"(CASE ${body.mkString(" ")} ELSE ${whens.last._1 + 1} END)"
+  }
+
+  private def bootUSpark(keyExpr: String): String =
+    s"(((${graft.llm.Winnowing.polyFoldSpark(keyExpr)})" +
+      s" % ${PrivacyOps.UniformM}) * ${PrivacyOps.Knuth})" +
+      s" % ${PrivacyOps.UniformM}"
+  private def bootUDuck(keyExpr: String): String =
+    s"(((${graft.llm.Winnowing.polyFoldDuck(keyExpr)})" +
+      s" % ${PrivacyOps.UniformM}) * ${PrivacyOps.Knuth})" +
+      s" % ${PrivacyOps.UniformM}"
+
+  /** B285 — A/B BOOTSTRAP CONFIDENCE INTERVAL (Efron 1979; the Poisson
+    * resampling variant every large-scale experimentation platform runs
+    * because true multinomial resampling cannot stream — each unit's
+    * resample weight is an independent Poisson(1), so weights are a
+    * pure per-(rep, user) function and the whole bootstrap is R
+    * weighted aggregates over ONE pass): the nonparametric inference
+    * layer over b201's experiment — b201 reports Welch's t² under a
+    * normality assumption that per-user revenue (zero-inflated,
+    * heavy-tailed) flagrantly violates; the percentile bootstrap makes
+    * no such assumption. Per rep r ∈ [1, R]: seeded Poisson(1) weights
+    * per user, weighted mean revenue per variant (integer cents, floor),
+    * boot diff = m1 − m0; the released interval is the 2.5th/97.5th
+    * percentile of the R boot diffs (ranks ⌈.025R⌉ and R−⌈.025R⌉+1,
+    * ties cut by rep id), plus the observed diff and the significance
+    * flag (0 outside [lo, hi]).
+    *
+    * Scale posture: ONE map-combinable per-user revenue aggregate; the
+    * user×R explosion is map-side (sequence + explode) and dies at the
+    * (rep, variant) aggregate — 2R partial rows per task regardless of
+    * corpus size (the sufficient-statistics argument: the bootstrap
+    * never materializes a resample); ranks run over the R-row rollup
+    * (the b125 exception). */
+  private val b285 = entry(
+    "b285_ab_bootstrap_ci", {
+      val w = poissonLadder(
+        bootUDuck("('bci:' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"))
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |v AS (SELECT user_id,
+         |             (((user_id % 2147483648) * 2654435761) % 2147483648)
+         |               // 1073741824 AS variant FROM u),
+         |px AS (SELECT user_id,
+         |              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+         |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |x AS (SELECT v.user_id, v.variant, coalesce(px.cents, 0) AS cents
+         |      FROM v LEFT JOIN px ON px.user_id = v.user_id),
+         |obs AS (SELECT
+         |    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)
+         |         // sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+         |       - sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)
+         |         // sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS diff_obs
+         |  FROM x),
+         |wx AS (
+         |  SELECT r, variant, $w AS w, cents
+         |  FROM x, UNNEST(generate_series(1, $BootReps)) t(r)),
+         |reps AS (
+         |  SELECT r,
+         |         CAST(sum(CASE WHEN variant = 1 THEN w * cents ELSE 0 END)
+         |              // sum(CASE WHEN variant = 1 THEN w ELSE 0 END)
+         |            - sum(CASE WHEN variant = 0 THEN w * cents ELSE 0 END)
+         |              // sum(CASE WHEN variant = 0 THEN w ELSE 0 END)
+         |            AS BIGINT) AS diff
+         |  FROM wx GROUP BY r
+         |  HAVING sum(CASE WHEN variant = 1 THEN w ELSE 0 END) > 0
+         |     AND sum(CASE WHEN variant = 0 THEN w ELSE 0 END) > 0),
+         |rk AS (
+         |  SELECT diff,
+         |         row_number() OVER (ORDER BY diff, r) AS rn,
+         |         count(*) OVER () AS nv
+         |  FROM reps),
+         |ci AS (
+         |  SELECT CAST(max(nv) AS BIGINT) AS n_reps,
+         |         CAST(max(CASE WHEN rn = (nv * 25 + 999) // 1000
+         |                       THEN diff END) AS BIGINT) AS ci_lo_cents,
+         |         CAST(max(CASE WHEN rn = nv - (nv * 25 + 999) // 1000 + 1
+         |                       THEN diff END) AS BIGINT) AS ci_hi_cents
+         |  FROM rk)
+         |SELECT n_reps, diff_obs AS diff_obs_cents, ci_lo_cents, ci_hi_cents,
+         |       CAST(CASE WHEN ci_lo_cents > 0 OR ci_hi_cents < 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM ci CROSS JOIN obs""".stripMargin
+    }, bench = true) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val u = ev.select("user_id").distinct()
+    val v = u.withColumn("variant",
+      expr("(((user_id % 2147483648) * 2654435761) % 2147483648)" +
+        " div 1073741824"))
+    val px = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+    val x = v.join(px, Seq("user_id"), "left")
+      .select(col("user_id"), col("variant"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .localCheckpoint(true) // one pass feeds obs + the R-rep explosion
+    val obs = x.agg(
+      expr("CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)" +
+        " div sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)" +
+        " - sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)" +
+        " div sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("diff_obs"))
+    val wExpr = poissonLadder(bootUSpark(
+      "concat('bci:', CAST(r AS STRING), ':', CAST(user_id AS STRING))"))
+    val reps = x
+      .select(col("user_id"), col("variant"), col("cents"),
+        explode(expr(s"sequence(1L, ${BootReps}L)")).as("r"))
+      .withColumn("w", expr(wExpr))
+      .groupBy("r")
+      .agg(
+        sum(when(col("variant") === 1, col("w") * col("cents"))
+          .otherwise(0L)).as("swx1"),
+        sum(when(col("variant") === 1, col("w")).otherwise(0L)).as("sw1"),
+        sum(when(col("variant") === 0, col("w") * col("cents"))
+          .otherwise(0L)).as("swx0"),
+        sum(when(col("variant") === 0, col("w")).otherwise(0L)).as("sw0"))
+      .filter(col("sw1") > 0 && col("sw0") > 0)
+      .select(col("r"),
+        expr("CAST(swx1 div sw1 - swx0 div sw0 AS BIGINT)").as("diff"))
+    val rk = reps
+      .withColumn("rn", row_number().over(Window.orderBy(col("diff"), col("r"))))
+      .withColumn("nv", count(lit(1)).over(Window.partitionBy()))
+    val ci = rk.agg(
+      max(col("nv")).cast("long").as("n_reps"),
+      max(when(col("rn") === expr("(nv * 25 + 999) div 1000"), col("diff")))
+        .cast("long").as("ci_lo_cents"),
+      max(when(col("rn") === expr("nv - (nv * 25 + 999) div 1000 + 1"),
+        col("diff"))).cast("long").as("ci_hi_cents"))
+    ci.crossJoin(broadcast(obs))
+      .select(col("n_reps"), col("diff_obs").as("diff_obs_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"),
+        expr("CAST(CASE WHEN ci_lo_cents > 0 OR ci_hi_cents < 0" +
+          " THEN 1 ELSE 0 END AS BIGINT)").as("significant"))
+  }
+
+  val entries: Seq[Entry] = Seq(b276, b277, b285)
 }

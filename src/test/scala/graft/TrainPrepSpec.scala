@@ -57,4 +57,31 @@ class TrainPrepSpec extends AnyFunSuite {
     for ((s, n) <- bySeq if s != lastSeq)
       assert(n === SequencePack.SeqLen.toLong, s"sequence $s holds $n tokens")
   }
+
+  test("B286: the curriculum manifest replays in the JVM (rarity score," +
+    " easy-first order, dense two-phase global rank)") {
+    val got = SparkEntry.queries("b286_curriculum_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // JVM replay: difficulty = (sum of N div c_t) div n_tok
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    val uni = docs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val want = docs.map { case (id, ts) =>
+      (id, ts.map(t => n / uni(t)).sum / ts.length.toLong)
+    }.sortBy { case (id, dfc) => (dfc, id) }
+      .zipWithIndex.map { case ((id, dfc), i) => (i + 1L, id, dfc) }.toSeq
+    assert(got.toSeq === want, "manifest diverges from the JVM replay")
+    // curriculum shape: every doc present exactly once, steps dense from
+    // 1, difficulty nondecreasing in step
+    assert(got.map(_._2).distinct.length === docs.length)
+    assert(got.map(_._1).toSeq === (1L to docs.length.toLong))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"difficulty decreases at step ${b._1}")
+    }
+    // the score discriminates (a flat constant would order by doc_id)
+    assert(got.map(_._3).distinct.length > 1, "difficulty is constant")
+  }
 }
