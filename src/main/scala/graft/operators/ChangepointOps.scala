@@ -403,5 +403,254 @@ object ChangepointOps {
           " THEN 1 ELSE 0 END AS BIGINT)").as("significant"))
   }
 
-  val entries: Seq[Entry] = Seq(b276, b277, b285)
+  /** B287 incident plant: error volume × 5 on days [21, 23]. */
+  val IncidentFromDay = 21L
+  val IncidentToDay = 23L
+  val IncidentMul = 5L
+
+  /** B287 alert policy in bp of the measured base error rate: fast burn
+    * ≥ 2× on the 1-day window, slow burn ≥ 1.5× on the 3-day window —
+    * level-relative (the b276 trick) so one spelling holds at every SF. */
+  val FastBurnBp = 20000L
+  val SlowBurnBp = 15000L
+
+  /** B287 — SLO BURN-RATE ALERTS (Google SRE Workbook ch. 5, the
+    * multiwindow multi-burn-rate policy every error-budget alert copies;
+    * the OPS twin of B276: CUSUM localizes a level shift in volume,
+    * burn-rate alerting pages on error-budget consumption): SLI = daily
+    * error-event share; burn = day share ÷ the series' own base share
+    * (level-relative, so the clean series idles at ~10⁴ bp); alerts per
+    * day: fast = 1-day burn ≥ [[FastBurnBp]], slow = 3-day rolling burn
+    * ≥ [[SlowBurnBp]], page = fast AND slow (the workbook's AND — a
+    * single bad day pages only if the 3-day budget also burns). Two
+    * legs: `clean` (the real series — quiet at every SF) and `incident`
+    * (error count × [[IncidentMul]] on days [21, 23], added errors also
+    * inflating the day total — the page fires exactly inside the
+    * incident window).
+    *
+    * Integer-exact: shares and burns in bp by floor division; the
+    * 3-day window is a rolling sum of integer counts.
+    *
+    * Scale posture: ONE map-combinable (day × leg) aggregate over the
+    * fact table (legs are projections of the same scan); base rate
+    * broadcasts one-row; rolling windows run over the \|days\| rollup
+    * (b125). */
+  private val b287 = entry(
+    "b287_slo_burn_alerts",
+    s"""WITH daily AS (
+       |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+       |              AS BIGINT) AS day_id,
+       |         CAST(count(*) AS BIGINT) AS n_tot,
+       |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_bad
+       |  FROM events GROUP BY 1),
+       |legs AS (
+       |  SELECT 'clean' AS leg, day_id, n_tot, n_bad FROM daily
+       |  UNION ALL
+       |  SELECT 'incident', day_id,
+       |         CASE WHEN day_id BETWEEN $IncidentFromDay AND $IncidentToDay
+       |              THEN n_tot + ($IncidentMul - 1) * n_bad ELSE n_tot END,
+       |         CASE WHEN day_id BETWEEN $IncidentFromDay AND $IncidentToDay
+       |              THEN $IncidentMul * n_bad ELSE n_bad END
+       |  FROM daily),
+       |base AS (SELECT sum(n_bad) * 10000 // sum(n_tot) AS base_bp
+       |         FROM daily),
+       |w AS (
+       |  SELECT leg, day_id, n_tot, n_bad,
+       |         sum(n_bad) OVER (PARTITION BY leg ORDER BY day_id
+       |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |           AS bad3,
+       |         sum(n_tot) OVER (PARTITION BY leg ORDER BY day_id
+       |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |           AS tot3
+       |  FROM legs),
+       |b AS (
+       |  SELECT leg, day_id,
+       |         CAST(n_bad * 10000 // n_tot * 10000 // base_bp AS BIGINT)
+       |           AS burn1_bp,
+       |         CAST(bad3 * 10000 // tot3 * 10000 // base_bp AS BIGINT)
+       |           AS burn3_bp
+       |  FROM w CROSS JOIN base)
+       |SELECT leg, day_id, burn1_bp, burn3_bp,
+       |       CAST(CASE WHEN burn1_bp >= $FastBurnBp
+       |                  AND burn3_bp >= $SlowBurnBp
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS page
+       |FROM b ORDER BY leg, day_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("day_id"))
+      .agg(count(lit(1)).as("n_tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_bad"))
+    val legs = daily.select(lit("clean").as("leg"), col("day_id"),
+        col("n_tot"), col("n_bad"))
+      .unionByName(daily.select(lit("incident").as("leg"), col("day_id"),
+        expr(s"CASE WHEN day_id BETWEEN $IncidentFromDay AND $IncidentToDay" +
+          s" THEN n_tot + ($IncidentMul - 1) * n_bad ELSE n_tot END")
+          .as("n_tot"),
+        expr(s"CASE WHEN day_id BETWEEN $IncidentFromDay AND $IncidentToDay" +
+          s" THEN $IncidentMul * n_bad ELSE n_bad END").as("n_bad")))
+    val base = daily.agg(
+      expr("sum(n_bad) * 10000 div sum(n_tot)").as("base_bp"))
+    val w3 = Window.partitionBy(col("leg")).orderBy(col("day_id"))
+      .rowsBetween(-2, Window.currentRow)
+    legs
+      .withColumn("bad3", sum(col("n_bad")).over(w3))
+      .withColumn("tot3", sum(col("n_tot")).over(w3))
+      .crossJoin(broadcast(base))
+      .select(col("leg"), col("day_id"),
+        expr("CAST(n_bad * 10000 div n_tot * 10000 div base_bp AS BIGINT)")
+          .as("burn1_bp"),
+        expr("CAST(bad3 * 10000 div tot3 * 10000 div base_bp AS BIGINT)")
+          .as("burn3_bp"))
+      .withColumn("page",
+        expr(s"CAST(CASE WHEN burn1_bp >= $FastBurnBp" +
+          s" AND burn3_bp >= $SlowBurnBp THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy("leg", "day_id")
+  }
+
+  /** B288 censoring margin: a user whose last event falls within this
+    * many days of the horizon is censored (still active), not churned. */
+  val CensorMarginDays = 3L
+
+  /** B288 attrition-leg churn-day modulus: seeded churn ~ U[0, 39]
+    * days after first activity; draws past the observed span stay
+    * censored, so the leg exercises deaths AND censoring at every SF. */
+  val ChurnMod = 40L
+
+  /** B288 — KAPLAN-MEIER RETENTION (Kaplan & Meier, JASA 1958 — the
+    * survival estimator every retention curve with RIGHT-CENSORING
+    * needs: a naive "share of users retained t days" treats users who
+    * simply joined late as churned; KM removes censored users from the
+    * risk set without counting them as deaths): lifetime = last-event
+    * day − first-event day per user; censored iff the last event lands
+    * within [[CensorMarginDays]] of the observation horizon. Per
+    * (leg, observed lifetime t): the at-risk count (total minus
+    * everyone who exited earlier), the death count d (uncensored exits
+    * at t), censored exits, and Ŝ(t) = Π_{i ≤ t} (1 − d_i/n_i) — the
+    * product spelled exp(Σ ln(1 − d/n)) over the bounded rollup
+    * (factors are positive until a possible final all-deaths row,
+    * where a running flag pins Ŝ = 0 exactly; ln/exp + round(4) is the
+    * b46 float contract).
+    *
+    * Two legs (the b281/b287 convention): `clean` — the real cohort,
+    * which this fixture makes honestly DEGENERATE (every user active
+    * across the whole horizon ⇒ zero deaths, Ŝ ≡ 1 — the report a
+    * retention analyst should see for such a cohort); `attrited` — the
+    * same cohort under a seeded churn plant (user churns
+    * fold('km:'‖user) mod [[ChurnMod]] days after first activity;
+    * draws past the user's real span leave the user censored), which
+    * exercises deaths, mixed censoring, and a genuinely decreasing
+    * curve at every SF.
+    *
+    * Scale posture: ONE map-combinable per-user (min day, max day)
+    * aggregate over the fact table; legs are projections of that
+    * user-grain rollup; the lifetime rollup is calendar-bounded and
+    * every window (cumulative exits, running product) runs over it
+    * (b125); the horizon broadcasts one-row. */
+  private val b288 = entry(
+    "b288_retention_survival", {
+      val churnDuck =
+        s"(((${graft.llm.Winnowing.polyFoldDuck("('km:' || CAST(user_id AS VARCHAR))")})" +
+          s" % ${PrivacyOps.UniformM}) * ${PrivacyOps.Knuth})" +
+          s" % ${PrivacyOps.UniformM} % $ChurnMod"
+      s"""WITH ud AS (
+         |  SELECT user_id,
+         |         CAST(min(datediff('day', DATE '2024-01-01',
+         |                           CAST(ts AS DATE))) AS BIGINT) AS d0,
+         |         CAST(max(datediff('day', DATE '2024-01-01',
+         |                           CAST(ts AS DATE))) AS BIGINT) AS d1
+         |  FROM events GROUP BY user_id),
+         |hz AS (SELECT max(d1) AS h FROM ud),
+         |lt0 AS (
+         |  SELECT user_id, d1 - d0 AS t_real,
+         |         CASE WHEN d1 >= h - $CensorMarginDays THEN 1 ELSE 0 END
+         |           AS cens_real,
+         |         $churnDuck AS churn
+         |  FROM ud CROSS JOIN hz),
+         |lt AS (
+         |  SELECT 'clean' AS leg, t_real AS t, cens_real AS censored
+         |  FROM lt0
+         |  UNION ALL
+         |  SELECT 'attrited',
+         |         CASE WHEN churn <= t_real THEN churn ELSE t_real END,
+         |         CASE WHEN churn <= t_real THEN 0 ELSE cens_real END
+         |  FROM lt0),
+         |tot AS (SELECT leg, CAST(count(*) AS BIGINT) AS n_users
+         |        FROM lt GROUP BY leg),
+         |ev AS (
+         |  SELECT leg, t, CAST(count(*) AS BIGINT) AS w,
+         |         CAST(sum(1 - censored) AS BIGINT) AS d,
+         |         CAST(sum(censored) AS BIGINT) AS c
+         |  FROM lt GROUP BY leg, t),
+         |rs AS (
+         |  SELECT ev.leg, t, w, d, c,
+         |         CAST(n_users - coalesce(sum(w) OVER (PARTITION BY ev.leg
+         |                            ORDER BY t
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING
+         |                            AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS n_risk
+         |  FROM ev JOIN tot ON tot.leg = ev.leg),
+         |f AS (
+         |  SELECT leg, t, w, d, c, n_risk,
+         |         CASE WHEN d < n_risk
+         |              THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END AS lnf,
+         |         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dies_out
+         |  FROM rs)
+         |SELECT leg, t, n_risk, d AS deaths, c AS censored,
+         |       CASE WHEN max(dies_out) OVER (PARTITION BY leg ORDER BY t
+         |                  ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+         |            ELSE round(exp(coalesce(sum(lnf) OVER (PARTITION BY leg
+         |                  ORDER BY t ROWS UNBOUNDED PRECEDING), 0.0)), 4)
+         |       END AS survival
+         |FROM f ORDER BY leg, t""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val churnSpark =
+      s"(((${graft.llm.Winnowing.polyFoldSpark("concat('km:', CAST(user_id AS STRING))")})" +
+        s" % ${PrivacyOps.UniformM}) * ${PrivacyOps.Knuth})" +
+        s" % ${PrivacyOps.UniformM} % $ChurnMod"
+    val ud = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("CAST(min(datediff(CAST(ts AS DATE), DATE '2024-01-01'))" +
+        " AS BIGINT)").as("d0"),
+        expr("CAST(max(datediff(CAST(ts AS DATE), DATE '2024-01-01'))" +
+          " AS BIGINT)").as("d1"))
+    val hz = ud.agg(max("d1").as("h"))
+    val lt0 = ud.crossJoin(broadcast(hz))
+      .select(col("user_id"), (col("d1") - col("d0")).as("t_real"),
+        expr(s"CASE WHEN d1 >= h - $CensorMarginDays THEN 1 ELSE 0 END")
+          .as("cens_real"),
+        expr(churnSpark).as("churn"))
+    val lt = lt0.select(lit("clean").as("leg"), col("t_real").as("t"),
+        col("cens_real").as("censored"))
+      .unionByName(lt0.select(lit("attrited").as("leg"),
+        expr("CASE WHEN churn <= t_real THEN churn ELSE t_real END").as("t"),
+        expr("CASE WHEN churn <= t_real THEN 0 ELSE cens_real END")
+          .as("censored")))
+    val tot = lt.groupBy("leg").agg(count(lit(1)).as("n_users"))
+    val ev = lt.groupBy("leg", "t").agg(
+      count(lit(1)).as("w"),
+      sum(expr("1 - censored")).as("d"),
+      sum(col("censored")).as("c"))
+    val ord = Window.partitionBy(col("leg")).orderBy(col("t"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(tot), "leg")
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("w")).over(prior), lit(0L)))
+      .withColumn("lnf",
+        expr("CASE WHEN d < n_risk" +
+          " THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END"))
+      .withColumn("dies_out", expr("CASE WHEN d = n_risk THEN 1 ELSE 0 END"))
+      .select(col("leg"), col("t"), col("n_risk"), col("d").as("deaths"),
+        col("c").as("censored"),
+        when(max(col("dies_out")).over(run) === 1, lit(0.0))
+          .otherwise(round(exp(coalesce(sum(col("lnf")).over(run), lit(0.0))), 4))
+          .as("survival"))
+      .orderBy("leg", "t")
+  }
+
+  val entries: Seq[Entry] = Seq(b276, b277, b285, b287, b288)
 }
