@@ -738,6 +738,133 @@ object CorpusAnalytics {
     (s, d) => pmiCollocations(Tables.documents(s, d))
   }
 
+  /** B289 head size: the Zipf fit runs on the top-[[ZipfRankCap]] terms
+    * by frequency (the law is a statement about the head; the tail is
+    * sampling noise at any corpus size). */
+  val ZipfRankCap = 256
+
+  /** Zipf(s=1, V=256) inverse CDF over an integer uniform u ∈ [0, 2³¹):
+    * rank = min{r : u < ⌊CDF(r)·2³¹⌋} — frozen harmonic thresholds (the
+    * geomNoiseLadder freeze). */
+  private def zipfLadder(uCol: String): String = {
+    val M = graft.operators.PrivacyOps.UniformM
+    val h = (1 to ZipfRankCap).map(1.0 / _).sum
+    var cdf = 0.0
+    val whens = (1 until ZipfRankCap).flatMap { r =>
+      cdf += 1.0 / (r * h)
+      val t = math.floor(cdf * M).toLong
+      if (t >= M) None else Some(s"WHEN $uCol < $t THEN $r")
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE $ZipfRankCap END)"
+  }
+
+  private def zipfUSpark(keyExpr: String): String =
+    s"(((${Winnowing.polyFoldSpark(keyExpr)})" +
+      s" % ${graft.operators.PrivacyOps.UniformM})" +
+      s" * ${graft.operators.PrivacyOps.Knuth})" +
+      s" % ${graft.operators.PrivacyOps.UniformM}"
+  private def zipfUDuck(keyExpr: String): String =
+    s"(((${Winnowing.polyFoldDuck(keyExpr)})" +
+      s" % ${graft.operators.PrivacyOps.UniformM})" +
+      s" * ${graft.operators.PrivacyOps.Knuth})" +
+      s" % ${graft.operators.PrivacyOps.UniformM}"
+
+  /** The shared log-log OLS tail: (leg, r, f) → per-leg n, slope,
+    * intercept, r² (correlation form — one pass, no residual join). */
+  private def zipfOlsSql(src: String): String =
+    s"""SELECT leg, CAST(count(*) AS BIGINT) AS n_ranks,
+       |       round((count(*) * sum(x*y) - sum(x) * sum(y))
+       |             / (count(*) * sum(x*x) - sum(x) * sum(x)), 4)
+       |         AS slope_r4,
+       |       round((sum(y) - (count(*) * sum(x*y) - sum(x) * sum(y))
+       |                       / (count(*) * sum(x*x) - sum(x) * sum(x))
+       |                       * sum(x)) / count(*), 4) AS intercept_r4,
+       |       round(((count(*) * sum(x*y) - sum(x) * sum(y))
+       |              * (count(*) * sum(x*y) - sum(x) * sum(y)))
+       |             / ((count(*) * sum(x*x) - sum(x) * sum(x))
+       |                * (count(*) * sum(y*y) - sum(y) * sum(y))), 4)
+       |         AS r2_r4
+       |FROM $src GROUP BY leg ORDER BY leg""".stripMargin
+
+  /** B289 — ZIPF RANK-FREQUENCY AUDIT (Zipf 1949; Piantadosi, Psych.
+    * Bull. Rev. 2014 — natural language's most robust statistical law,
+    * and therefore a NATURALNESS check for a training corpus: text
+    * whose rank-frequency head does not fit a power law is machine-
+    * generated, templated, or otherwise unrepresentative, whatever its
+    * other quality scores say): per leg, the log-log OLS fit (slope,
+    * intercept, r² in correlation form — one pass) over the top-256
+    * term frequencies ranked descending. Two legs: `corpus` — the real
+    * documents table, whose near-uniform synthetic vocabulary the audit
+    * must report as a MISFIT (shallow slope, low r² — the fixture is
+    * honest about being synthetic); `zipf_plant` — one draw per
+    * lineitem row through a frozen Zipf(1, 256) inverse-CDF ladder
+    * (harmonic thresholds, the geomNoiseLadder freeze), the positive
+    * control that fits at slope ≈ −1, r² ≥ 0.97 at every SF.
+    *
+    * Floats: ln/round(4) per the b46 contract; the OLS sums run over
+    * ≤ 2·256 rows.
+    *
+    * Scale posture: the corpus leg is one map-combinable term count
+    * whose head is TakeOrdered (O(cap) per partition — never a global
+    * sort or rank over the vocabulary); the plant leg is a map-side
+    * CASE ladder collapsing to ≤ 256 groups; the OLS is a per-leg
+    * aggregate over the ≤ 512-row union (b125). */
+  private val b289 = entry(
+    "b289_zipf_law_audit", {
+      val u = zipfUDuck(
+        "('zipf:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))")
+      s"""WITH uni AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+         |  WHERE term <> '' GROUP BY term),
+         |chead AS (
+         |  SELECT f FROM uni ORDER BY f DESC, term LIMIT $ZipfRankCap),
+         |corpus AS (
+         |  SELECT 'corpus' AS leg,
+         |         row_number() OVER (ORDER BY f DESC) AS r, f
+         |  FROM chead),
+         |draws AS (
+         |  SELECT ${zipfLadder("u")} AS r0 FROM (
+         |    SELECT $u AS u FROM lineitem) t),
+         |pf AS (SELECT r0, CAST(count(*) AS BIGINT) AS f FROM draws
+         |       GROUP BY r0),
+         |phead AS (
+         |  SELECT f FROM pf ORDER BY f DESC, r0 LIMIT $ZipfRankCap),
+         |plant AS (
+         |  SELECT 'zipf_plant' AS leg,
+         |         row_number() OVER (ORDER BY f DESC) AS r, f
+         |  FROM phead),
+         |xy AS (
+         |  SELECT leg, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+         |  FROM (SELECT * FROM corpus UNION ALL SELECT * FROM plant) legs)
+         |${zipfOlsSql("xy")}""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val uni = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    // TakeOrdered head; the 256-row rank window is the b125 exception
+    val chead = uni.orderBy(col("f").desc, col("term")).limit(ZipfRankCap)
+      .select(lit("corpus").as("leg"),
+        row_number().over(Window.orderBy(col("f").desc, col("term")))
+          .cast("long").as("r"), col("f"))
+    val u = zipfUSpark(
+      "concat('zipf:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))")
+    val pf = Tables.lineitem(s, d)
+      .select(expr(s"${zipfLadder(s"($u)")}").as("r0"))
+      .groupBy("r0").agg(count(lit(1)).as("f"))
+    val phead = pf.orderBy(col("f").desc, col("r0")).limit(ZipfRankCap)
+      .select(lit("zipf_plant").as("leg"),
+        row_number().over(Window.orderBy(col("f").desc, col("r0")))
+          .cast("long").as("r"), col("f"))
+    val xy = chead.unionByName(phead)
+      .select(col("leg"), log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    xy.createOrReplaceTempView("b289_xy")
+    s.sql(zipfOlsSql("b289_xy")) // pure double arithmetic — one shared text
+  }
+
   val entries: Seq[Entry] =
-    Seq(b162, b163, b168, b169, b171, b190, b193, b233, b235, b279)
+    Seq(b162, b163, b168, b169, b171, b190, b193, b233, b235, b279, b289)
 }

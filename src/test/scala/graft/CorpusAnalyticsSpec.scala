@@ -401,6 +401,44 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(top._2._4 === 10000L * nTok / uni("york"))
   }
 
+  test("B289: both legs' OLS fits replay in the JVM, the Zipf plant fits" +
+    " a power law and the synthetic corpus is reported as a misfit") {
+    val got = SparkEntry.queries("b289_zipf_law_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // JVM replay of the corpus leg (term head + log-log OLS)
+    val freqs = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => r.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+      .take(graft.llm.CorpusAnalytics.ZipfRankCap).map(_._2)
+    def ols(fs: Seq[Long]): (Long, Double, Double, Double) = {
+      val xy = fs.zipWithIndex.map { case (f, i) =>
+        (math.log(i + 1.0), math.log(f.toDouble)) }
+      val n = xy.length.toDouble
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val (sxx, syy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._2 * p._2).sum)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val inter = (sy - slope * sx) / n
+      val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (xy.length.toLong, r4(slope), r4(inter), r4(r2))
+    }
+    assert(got("corpus") === ols(freqs), "corpus leg diverges from JVM OLS")
+    // the audit's teeth: the seeded Zipf control FITS (slope near -1,
+    // high r2) while the synthetic near-uniform corpus is a MISFIT
+    val (pn, pSlope, _, pR2) = got("zipf_plant")
+    assert(pn > 100 && pSlope > -1.2 && pSlope < -0.9 && pR2 >= 0.9,
+      s"Zipf plant does not fit: slope=$pSlope r2=$pR2")
+    val (_, cSlope, _, cR2) = got("corpus")
+    assert(math.abs(cSlope) < 0.5 && cR2 < 0.5,
+      s"synthetic corpus not reported as a misfit: slope=$cSlope r2=$cR2")
+  }
+
   test("B279 entry: top-k shape, ordering, floor, and count consistency") {
     val rows = SparkEntry.queries("b279_pmi_collocations")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
