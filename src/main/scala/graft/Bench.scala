@@ -39,14 +39,29 @@ object Bench {
     // Local-A/B filter only (driver never sets it): comma-separated bench
     // names → time just those (the Verify SPARK_GRAFT_ONLY convention)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Steal self-adjudication (VERDICT r17 item 2): record every rep's time
+    // plus a /proc/loadavg sample taken as the rep STARTS, so a driver-side
+    // spike is classifiable from the artifact alone — min-of-reps stable +
+    // one inflated rep + elevated load = host CPU steal, not a regression;
+    // all reps elevated at idle load = regression.
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split("\\s+").take(3).mkString(" ") finally src.close()
+      } catch { case _: Throwable => "" }
+    val repDetail =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
     val results = SparkEntry.benchQueries
       .filter(e => only.forall(_.contains(e.name)))
       .flatMap { e =>
       val times = (1 to reps).flatMap { _ =>
+        val load = loadavg()
         val t0 = System.nanoTime()
         try {
           materialize(e.q(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          repDetail(e.name) = repDetail.getOrElse(e.name, Seq.empty) :+ (sec, load)
+          Some(sec)
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] ${e.name}: $t")
@@ -77,8 +92,19 @@ object Bench {
     val asc = results.sortBy(_._2)
     if (only.isEmpty) { // never clobber the full-sweep detail with an A/B
       try {
+        // full map + per-rep times + loadavg-at-rep-start samples: the
+        // steal-adjudication evidence (see repDetail comment above)
+        val repsJson = repDetail.map { case (k, rs) =>
+          "\"" + k + "\":[" + rs.map(r => f"${r._1}%.3f").mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        val loadJson = repDetail.map { case (k, rs) =>
+          "\"" + k + "\":[" + rs.map(r => "\"" + r._2 + "\"").mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        val full = line(asc, 0)
+        val detail = full.stripSuffix("}") +
+          s""","reps":$repsJson,"load":$loadJson}"""
         val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-        try w.println(line(asc, 0)) finally w.close()
+        try w.println(detail) finally w.close()
       } catch { case t: Throwable => System.err.println(s"[bench] detail: $t") }
     }
     val MaxLine = 1700

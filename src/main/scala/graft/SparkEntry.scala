@@ -52,6 +52,7 @@ object SparkEntry {
       llm.TextAnalysis.entries ++
       llm.LangId.entries ++
       llm.Multimodal.entries ++
+      llm.PerceptualHash.entries ++
       llm.BpeTokenize.entries ++
       llm.UnigramTokenize.entries ++
       llm.BpeTrain.entries ++

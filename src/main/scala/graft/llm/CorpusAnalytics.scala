@@ -851,8 +851,15 @@ object CorpusAnalytics {
           .cast("long").as("r"), col("f"))
     val u = zipfUSpark(
       "concat('zipf:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))")
+    // compute u ONCE as a column (the b281 `seeded` pattern) — inlining it
+    // via zipfLadder(s"($u)") would repeat the polyFold draw in every one
+    // of the ~256 CASE branches (ADVICE r17 #1): a row mapping to rank r
+    // re-evaluates the fold up to r times and the expression tree blows
+    // past codegen limits. CollapseProject keeps the two projections
+    // separate because the fold is not a cheap expression.
     val pf = Tables.lineitem(s, d)
-      .select(expr(s"${zipfLadder(s"($u)")}").as("r0"))
+      .select(expr(u).as("u"))
+      .select(expr(zipfLadder("u")).as("r0"))
       .groupBy("r0").agg(count(lit(1)).as("f"))
     val phead = pf.orderBy(col("f").desc, col("r0")).limit(ZipfRankCap)
       .select(lit("zipf_plant").as("leg"),

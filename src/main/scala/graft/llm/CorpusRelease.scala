@@ -81,20 +81,21 @@ object CorpusRelease {
 
   // ---- shared cross-engine expression texts -------------------------
 
-  private def hSpark(idExpr: String) =
+  private[graft] def hSpark(idExpr: String) =
     s"poly_fold(concat('split:', CAST($idExpr AS STRING), ':v1')) % 10000"
-  private def hDuck(idExpr: String) =
+  private[graft] def hDuck(idExpr: String) =
     s"${Winnowing.polyFoldDuck(s"('split:' || CAST($idExpr AS VARCHAR) || ':v1')")} % 10000"
 
-  private val rowFoldSpark =
+  private[graft] val rowFoldSpark =
     Winnowing.polyFoldSpark("concat('rel:', CAST(doc_id AS STRING), '|', text)")
-  private val rowFoldDuck =
+  private[graft] val rowFoldDuck =
     Winnowing.polyFoldDuck("('rel:' || CAST(doc_id AS VARCHAR) || '|' || text)")
 
   // ---- oracle --------------------------------------------------------
 
-  private def gramsDuck(rel: String, withDoc: Boolean): String = {
-    val sel = if (withDoc) "doc_id, " else "DISTINCT "
+  private[graft] def gramsDuck(rel: String, withDoc: Boolean,
+      extraKeys: String = ""): String = {
+    val sel = if (withDoc) s"${extraKeys}doc_id, " else s"DISTINCT $extraKeys"
     s"""SELECT ${sel}unnest(list_distinct(list_transform(
        |    generate_series(1, len(string_split(text, ' ')) - ${Decontaminate.GramWords - 1}),
        |    i -> array_to_string(string_split(text, ' ')[i:i + ${Decontaminate.GramWords - 1}], ' ')))) AS gram
@@ -219,7 +220,7 @@ object CorpusRelease {
   // ---- engine side ---------------------------------------------------
 
   /** Per-segment (n, XOR) of a candidate's published partitions. */
-  private def fpOf(cand: DataFrame): DataFrame = cand
+  private[graft] def fpOf(cand: DataFrame): DataFrame = cand
     .filter(col("doc_id") % 10 < PublishedParts)
     .select((col("doc_id") % 10).as("seg"), expr(rowFoldSpark).as("fp"))
     .groupBy("seg")
@@ -284,6 +285,18 @@ object CorpusRelease {
           .as("status"))
   }
 
+  /** The planted split-leak docs for a release (see the object scaladoc's
+    * corruption paragraph) — held-out docs re-entering train-side as
+    * near-copies. Shared by b270 and the streamed gate's plant chunk
+    * (b291). */
+  private[graft] def plantOf(rel: DataFrame): DataFrame = rel
+    .filter(expr(hSpark("doc_id")) >= TrainBp
+      && col("doc_id") % 10 === 9
+      && size(split(col("text"), " ")) >= PlantMinWords
+      && expr(hSpark(s"doc_id + $PlantBase")) < TrainBp)
+    .select((col("doc_id") + PlantBase).as("doc_id"),
+      concat(col("text"), lit(" zzleak")).as("text"))
+
   /** The full release report over a raw (doc_id, text, source) corpus:
     * hygiene → release; card + manifest + version info rows; the gate
     * run on the clean and the leak-planted candidates. */
@@ -299,14 +312,7 @@ object CorpusRelease {
     val prev = rel.filter(col("doc_id") % 10 < PublishedParts)
     val prevCount = prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true)
     val fpPrev = fpOf(prev).localCheckpoint(true)
-    val plant = rel
-      .filter(expr(hSpark("doc_id")) >= TrainBp
-        && col("doc_id") % 10 === 9
-        && size(split(col("text"), " ")) >= PlantMinWords
-        && expr(hSpark(s"doc_id + $PlantBase")) < TrainBp)
-      .select((col("doc_id") + PlantBase).as("doc_id"),
-        concat(col("text"), lit(" zzleak")).as("text"))
-    val corr = rel.unionByName(plant)
+    val corr = rel.unionByName(plantOf(rel))
     val info = CorpusAnalytics.datasetCard(relsrc)
       .select(concat(lit("card:"), col("section"), lit(":"), col("metric"))
         .as("check_id"), col("value").cast("long").as("n_checked"))

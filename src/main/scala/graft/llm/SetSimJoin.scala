@@ -170,6 +170,10 @@ object SetSimJoin {
   /** B282 containment threshold in basis points (τ = 0.8). */
   val ContainTauBp = 8000L
 
+  /** B282 planted-excerpt id offset (shared by the Spark side and the
+    * oracle text — one constant, ADVICE r17 #3/#4 class). */
+  val ExcerptIdOffset = 7000000L
+
   /** B282 workload corpus: originals + planted EXCERPTS — the first
     * max(3, ⌊0.6·len⌋) tokens of every doc_id % 11 = 0 document at
     * id + 7,000,000. A token-prefix's 3-shingles are a subset of the
@@ -177,8 +181,15 @@ object SetSimJoin {
     * — the quote-inclusion signature planted at every SF. */
   private[graft] def containCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // plant-id collision guard (ADVICE r17 #3): a dataset whose doc_ids
+    // reach the offset would alias a planted excerpt onto a real document
+    // — fail loudly at plan-build (bounded driver scalar: one max)
+    val maxDocId = docs.agg(max(col("doc_id")).cast("long")).head.getLong(0)
+    require(maxDocId < ExcerptIdOffset,
+      s"b282: max(doc_id)=$maxDocId collides with ExcerptIdOffset=" +
+        s"$ExcerptIdOffset — raise the offset for this dataset")
     docs.unionByName(docs.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 7000000L).as("doc_id"),
+      .select((col("doc_id") + ExcerptIdOffset).as("doc_id"),
         expr("array_join(slice(split(text, ' '), 1," +
           " greatest(3, size(split(text, ' ')) * 6 div 10)), ' ')")
           .as("text")))
@@ -284,7 +295,7 @@ object SetSimJoin {
     s"""WITH docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 7000000,
+       |  SELECT doc_id + $ExcerptIdOffset,
        |         array_to_string(w[1:greatest(3, len(w)*6//10)], ' ')
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |        WHERE doc_id % 11 = 0)),

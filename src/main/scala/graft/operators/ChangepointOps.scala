@@ -316,9 +316,9 @@ object ChangepointOps {
          |      FROM v LEFT JOIN px ON px.user_id = v.user_id),
          |obs AS (SELECT
          |    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)
-         |         // sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+         |         // greatest(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 1)
          |       - sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)
-         |         // sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |         // greatest(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 1)
          |       AS BIGINT) AS diff_obs
          |  FROM x),
          |wx AS (
@@ -364,12 +364,15 @@ object ChangepointOps {
       .select(col("user_id"), col("variant"),
         coalesce(col("cents"), lit(0L)).as("cents"))
       .localCheckpoint(true) // one pass feeds obs + the R-rep explosion
+    // greatest(count, 1): an empty variant would make DuckDB `// 0` raise
+    // while Spark div yields NULL — identical failure surface instead
+    // (ADVICE r17 #5; the rep-level sums are already HAVING-guarded)
     val obs = x.agg(
       expr("CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)" +
-        " div sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)" +
+        " div greatest(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 1)" +
         " - sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)" +
-        " div sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)")
-        .as("diff_obs"))
+        " div greatest(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 1)" +
+        " AS BIGINT)").as("diff_obs"))
     val wExpr = poissonLadder(bootUSpark(
       "concat('bci:', CAST(r AS STRING), ':', CAST(user_id AS STRING))"))
     val reps = x
@@ -466,10 +469,10 @@ object ChangepointOps {
        |  FROM legs),
        |b AS (
        |  SELECT leg, day_id,
-       |         CAST(n_bad * 10000 // n_tot * 10000 // base_bp AS BIGINT)
-       |           AS burn1_bp,
-       |         CAST(bad3 * 10000 // tot3 * 10000 // base_bp AS BIGINT)
-       |           AS burn3_bp
+       |         CAST(n_bad * 10000 // n_tot * 10000
+       |              // greatest(base_bp, 1) AS BIGINT) AS burn1_bp,
+       |         CAST(bad3 * 10000 // tot3 * 10000
+       |              // greatest(base_bp, 1) AS BIGINT) AS burn3_bp
        |  FROM w CROSS JOIN base)
        |SELECT leg, day_id, burn1_bp, burn3_bp,
        |       CAST(CASE WHEN burn1_bp >= $FastBurnBp
@@ -500,10 +503,14 @@ object ChangepointOps {
       .withColumn("tot3", sum(col("n_tot")).over(w3))
       .crossJoin(broadcast(base))
       .select(col("leg"), col("day_id"),
-        expr("CAST(n_bad * 10000 div n_tot * 10000 div base_bp AS BIGINT)")
-          .as("burn1_bp"),
-        expr("CAST(bad3 * 10000 div tot3 * 10000 div base_bp AS BIGINT)")
-          .as("burn3_bp"))
+        // greatest(base_bp, 1): a 0-bp base error share would divide by
+        // zero — DuckDB `// 0` raises while Spark `div` yields NULL, so
+        // the engines would diverge in FAILURE MODE on degenerate input
+        // (ADVICE r17 #5); the floor makes both surface it identically
+        expr("CAST(n_bad * 10000 div n_tot * 10000" +
+          " div greatest(base_bp, 1) AS BIGINT)").as("burn1_bp"),
+        expr("CAST(bad3 * 10000 div tot3 * 10000" +
+          " div greatest(base_bp, 1) AS BIGINT)").as("burn3_bp"))
       .withColumn("page",
         expr(s"CAST(CASE WHEN burn1_bp >= $FastBurnBp" +
           s" AND burn3_bp >= $SlowBurnBp THEN 1 ELSE 0 END AS BIGINT)"))

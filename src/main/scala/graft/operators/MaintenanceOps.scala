@@ -772,12 +772,21 @@ object MaintenanceOps {
          |  SELECT 'uniform_plant', 1 + u % 9 FROM seeded),
          |cnt AS (SELECT leg, digit, CAST(count(*) AS BIGINT) AS n
          |        FROM legs GROUP BY leg, digit),
+         |grid AS (
+         |  SELECT l.leg, CAST(d.digit AS BIGINT) AS digit
+         |  FROM (VALUES ('orders'), ('benford_plant'), ('uniform_plant'))
+         |         l(leg)
+         |  CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(digit)),
+         |cntf AS (
+         |  SELECT g.leg, g.digit, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+         |  FROM grid g LEFT JOIN cnt c
+         |    ON g.leg = c.leg AND g.digit = c.digit),
          |sh AS (
          |  SELECT leg, digit, n,
          |         CAST(n * 10000 // sum(n) OVER (PARTITION BY leg)
          |              AS BIGINT) AS obs_bp,
          |         CAST($expCase AS BIGINT) AS exp_bp
-         |  FROM cnt),
+         |  FROM cntf),
          |dev AS (
          |  SELECT *, obs_bp - exp_bp AS dev_bp FROM sh)
          |SELECT leg, digit, n, obs_bp, exp_bp, dev_bp,
@@ -801,7 +810,18 @@ object MaintenanceOps {
     val wLeg = Window.partitionBy(col("leg"))
     val expCase = "CASE digit " + BenfordExpBp.zipWithIndex.map {
       case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ") + " END"
-    legs.groupBy("leg", "digit").agg(count(lit(1)).as("n"))
+    // zero-fill the 1..9 digit grid per leg (ADVICE r17 #2): a digit
+    // absent from a leg must contribute |0 − exp_bp| to the MAD, not be
+    // silently excluded (latent on current fixtures — all 9 digits
+    // appear — but a skewed real dataset would understate the MAD)
+    val digits = s.range(1, 10).select(col("id").cast("long").as("digit"))
+    val grid = Seq("orders", "benford_plant", "uniform_plant")
+      .map(l => digits.select(lit(l).as("leg"), col("digit")))
+      .reduce(_ unionByName _)
+    val cnt = legs.groupBy("leg", "digit").agg(count(lit(1)).as("n"))
+    grid.join(cnt, Seq("leg", "digit"), "left")
+      .select(col("leg"), col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"))
       .withColumn("obs_bp",
         expr(s"CAST(n * 10000 div sum(n) OVER (PARTITION BY leg)" +
           " AS BIGINT)"))

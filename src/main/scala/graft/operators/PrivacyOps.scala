@@ -511,7 +511,7 @@ object PrivacyOps {
          |  SELECT CAST(e.eps_bp AS BIGINT) AS eps_bp, cand, u,
          |         ${uDuck("('dpm:' || CAST(e.eps_bp AS VARCHAR) || ':' || CAST(cand AS VARCHAR))")}
          |           AS uu
-         |  FROM u CROSS JOIN (VALUES (5000), (10000), (20000)) e(eps_bp)),
+         |  FROM u CROSS JOIN (VALUES ${MedianEpsBp.map(e => s"($e)").mkString(", ")}) e(eps_bp)),
          |scored AS (SELECT eps_bp, cand, $scoreCase AS score FROM sweep),
          |r AS (SELECT eps_bp, cand,
          |             row_number() OVER (PARTITION BY eps_bp

@@ -1247,8 +1247,180 @@ object StreamReplay {
       StreamingOps.runToMemory(daily, "b283_replay", "append"))
   }
 
+  private lazy val chunkDir291: String =
+    java.nio.file.Files.createTempDirectory("graft_b291_chunks").toString
+  private lazy val stateDir291: String =
+    java.nio.file.Files.createTempDirectory("graft_b291_state").toString
+
+  /** B291 — STREAMED RELEASE GATE (VERDICT r17 item 4): b270's four gate
+    * legs run PER MICRO-BATCH over a b72-style maintained snapshot — the
+    * governance surface made ingest-native. One implementation, both
+    * modes: every per-batch report is [[graft.llm.CorpusRelease.gateReport]]
+    * — the EXACT function b270 gates with — applied to the snapshot the
+    * foreachBatch maintains (parquet-versioned, the b72 CDC pattern), so
+    * the streamed gate cannot drift from the batch gate by construction.
+    *
+    * Replay arc (4 chunks = 4 ingest arrivals of the HYGIENE RELEASE —
+    * gating the released artifact, b270's own convention): chunk 0 = the
+    * published partitions (doc_id % 10 < 8; the previous snapshot
+    * itself), chunk 1 = partition 8, chunk 2 = partition 9, chunk 3 = the
+    * b270 split-leak plant arriving as a later ingest. The gate verdict
+    * MOVES: batch_0/1 no-go (growth below band — the ingest is not
+    * complete yet), batch_2 GO (the full release passes all four legs),
+    * batch_3 NO-GO with exactly the leakage leg firing — the mid-stream
+    * gate flip that proves per-batch gating catches what an end-of-day
+    * batch gate would report hours later. Fingerprint/growth baselines
+    * (fpPrev, prevCount) come from the clean release's published
+    * partitions, fixed before the replay (the b258 previous-snapshot
+    * convention).
+    *
+    * The oracle replays all four snapshots by CROSS JOIN over k (snapshots
+    * are nested prefixes by part), with per-k train/held-out splits and
+    * gram overlaps — b270's leg SQL generalized by one extra key column.
+    *
+    * Scale posture: the snapshot union is the b72 apply (in production a
+    * CDC-maintained table); each leg is the sanctioned scalar-aggregate
+    * class per micro-batch; nothing in the gate holds streaming state —
+    * state lives in the versioned snapshot, so a 100 TB release gates
+    * with one pass per ingest batch over columns the legs actually read. */
+  private val b291 = entry(
+    "b291_stream_release_gate", {
+      val CR = graft.llm.CorpusRelease
+      val trainBp = graft.llm.TrainLoad.TrainBp
+      val minOverlap = graft.llm.Decontaminate.MinOverlap
+      s"""WITH ${graft.llm.CleanPipeline.hygieneCtesDuck()},
+         |rel AS MATERIALIZED (SELECT doc_id, text FROM deduped),
+         |g_plant AS (
+         |  SELECT doc_id + ${CR.PlantBase} AS doc_id,
+         |         text || ' zzleak' AS text
+         |  FROM rel
+         |  WHERE ${CR.hDuck("doc_id")} >= $trainBp
+         |    AND doc_id % 10 = 9
+         |    AND len(string_split(text, ' ')) >= ${CR.PlantMinWords}
+         |    AND ${CR.hDuck(s"doc_id + ${CR.PlantBase}")} < $trainBp),
+         |snapdocs AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |         CASE WHEN doc_id % 10 < ${CR.PublishedParts} THEN 0
+         |              WHEN doc_id % 10 = 8 THEN 1 ELSE 2 END AS part
+         |  FROM rel
+         |  UNION ALL
+         |  SELECT doc_id, text, 3 FROM g_plant),
+         |ks AS (SELECT k FROM (VALUES (0), (1), (2), (3)) t(k)),
+         |snap AS MATERIALIZED (
+         |  SELECT k, doc_id, text FROM snapdocs CROSS JOIN ks
+         |  WHERE part <= k),
+         |g_prev AS MATERIALIZED (
+         |  SELECT doc_id, text FROM rel
+         |  WHERE doc_id % 10 < ${CR.PublishedParts}),
+         |g_fp_prev AS (
+         |  SELECT doc_id % 10 AS seg, count(*) AS n,
+         |         bit_xor(${CR.rowFoldDuck}) AS fp
+         |  FROM g_prev GROUP BY 1),
+         |s_fp AS (
+         |  SELECT k, doc_id % 10 AS seg, count(*) AS n,
+         |         bit_xor(${CR.rowFoldDuck}) AS fp
+         |  FROM snap WHERE doc_id % 10 < ${CR.PublishedParts}
+         |  GROUP BY 1, 2),
+         |s_h AS MATERIALIZED (
+         |  SELECT k, doc_id, text, ${CR.hDuck("doc_id")} AS h FROM snap),
+         |s_tr AS MATERIALIZED (
+         |  SELECT k, doc_id, text FROM s_h WHERE h < $trainBp),
+         |s_ev AS (SELECT k, doc_id, text FROM s_h WHERE h >= $trainBp),
+         |s_eg AS MATERIALIZED (
+         |  ${CR.gramsDuck("s_ev", withDoc = false, extraKeys = "k, ")}),
+         |s_tg AS MATERIALIZED (
+         |  ${CR.gramsDuck("s_tr", withDoc = true, extraKeys = "k, ")}),
+         |s_leak AS (
+         |  SELECT k, count(*) AS n_failures FROM (
+         |    SELECT t.k, t.doc_id
+         |    FROM s_tg t JOIN s_eg e ON e.k = t.k AND e.gram = t.gram
+         |    GROUP BY t.k, t.doc_id
+         |    HAVING count(*) >= $minOverlap) q
+         |  GROUP BY k),
+         |s_trn AS (SELECT k, count(*) AS n FROM s_tr GROUP BY k),
+         |s_n AS (SELECT k, count(*) AS n_cand FROM snap GROUP BY k),
+         |s_legs AS MATERIALIZED (
+         |  SELECT k, 'dedup:no_surplus' AS check_id,
+         |         count(*) AS n_checked,
+         |         count(*) - count(DISTINCT text) AS n_failures
+         |  FROM snap GROUP BY k
+         |  UNION ALL
+         |  SELECT sk.k, 'fingerprint:immutable_segments',
+         |         count(*),
+         |         sum(CASE WHEN c.fp IS NULL OR p.fp IS DISTINCT FROM c.fp
+         |                   OR p.n IS DISTINCT FROM c.n THEN 1 ELSE 0 END)
+         |  FROM ks sk CROSS JOIN g_fp_prev p
+         |  LEFT JOIN s_fp c ON c.k = sk.k AND c.seg = p.seg
+         |  GROUP BY sk.k
+         |  UNION ALL
+         |  SELECT tn.k, 'leakage:train_heldout', tn.n,
+         |         coalesce(l.n_failures, 0)
+         |  FROM s_trn tn LEFT JOIN s_leak l ON l.k = tn.k
+         |  UNION ALL
+         |  SELECT n.k, 'row_count:growth_band', 1,
+         |         CASE WHEN (SELECT count(*) FROM g_prev) = 0 THEN 1
+         |              WHEN n.n_cand * 10000
+         |                   // (SELECT count(*) FROM g_prev)
+         |                   BETWEEN ${CR.GrowthLoBp} AND ${CR.GrowthHiBp}
+         |              THEN 0 ELSE 1 END
+         |  FROM s_n n),
+         |rep AS (
+         |  SELECT k, check_id, n_checked, n_failures FROM s_legs
+         |  UNION ALL
+         |  SELECT k, 'zz_publish_verdict', 4, sum(n_failures)
+         |  FROM s_legs GROUP BY k)
+         |SELECT 'batch_' || CAST(k AS VARCHAR) AS candidate, check_id,
+         |       CAST(n_checked AS BIGINT) AS n_checked,
+         |       CAST(n_failures AS BIGINT) AS n_failures,
+         |       CASE WHEN check_id = 'zz_publish_verdict'
+         |            THEN CASE WHEN n_failures = 0 THEN 'go' ELSE 'no-go'
+         |                 END
+         |            ELSE CASE WHEN n_failures = 0 THEN 'pass' ELSE 'fail'
+         |                 END
+         |       END AS status
+         |FROM rep ORDER BY candidate, check_id""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val CR = graft.llm.CorpusRelease
+    graft.functions.PolyFoldExpression.register(s)
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val rel = graft.llm.CleanPipeline.hygieneRelease(docs).localCheckpoint(true)
+    val prev = rel.filter(col("doc_id") % 10 < CR.PublishedParts)
+    val prevCount = prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true)
+    val fpPrev = CR.fpOf(prev).localCheckpoint(true)
+    val parts = rel.withColumn("part",
+        when(col("doc_id") % 10 < CR.PublishedParts, 0)
+          .when(col("doc_id") % 10 === 8, 1).otherwise(2))
+      .unionByName(CR.plantOf(rel).withColumn("part", lit(3)))
+    // four deterministic arrival chunks: the ingest partitions, then the
+    // leak plant as a later ingest (fixed chunk count -> overwrite is the
+    // idempotent-re-run discipline; no stale chunk_* can survive)
+    for (k <- 0 to 3)
+      parts.filter(col("part") === k).select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$chunkDir291/chunk_$k%04d")
+    val stream = StreamingOps.readStream(s, chunkDir291,
+      schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val repDir = s"$stateDir291/reports"
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      // the b72 versioned-snapshot apply: snapshot_id = snapshot_{id-1}
+      // UNION this ingest batch, persisted so the gate reads a stable
+      // relation (and v0..vN retain replay/rollback)
+      val next =
+        if (id == 0) batch.toDF()
+        else s.read.parquet(s"$stateDir291/v${id - 1}").unionByName(batch)
+      next.coalesce(1).write.mode("overwrite").parquet(s"$stateDir291/v$id")
+      val snapshot = s.read.parquet(s"$stateDir291/v$id")
+      CR.gateReport(snapshot, fpPrev, prevCount, s"batch_$id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$repDir/rep_$id")
+    }
+    s.read.parquet(s"$repDir/rep_*").orderBy("candidate", "check_id")
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
       b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
-      b269, b274, b283)
+      b269, b274, b283, b291)
 }

@@ -105,15 +105,17 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
         sql = oracle[name]
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
-            print(f"FAIL {name}: no spark output at {spark_path}")
-            n_fail += 1
+            # a SPARK_GRAFT_ONLY-restricted Verify drive legitimately leaves
+            # most entries unwritten — skip (and count) them instead of
+            # drowning the report in FAIL lines (VERDICT r17 item 5)
+            n_skip += 1
             continue
         try:
             srel = con.sql(
@@ -175,7 +177,7 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_skip} skipped (no output dir), {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
