@@ -53,6 +53,7 @@ object SparkEntry {
       llm.LangId.entries ++
       llm.Multimodal.entries ++
       llm.PerceptualHash.entries ++
+      llm.VideoNearDup.entries ++
       llm.BpeTokenize.entries ++
       llm.UnigramTokenize.entries ++
       llm.BpeTrain.entries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       llm.SetSimJoin.entries ++
       llm.ContrastivePairs.entries ++
       llm.FuzzyJoin.entries ++
+      llm.EntityResolution.entries ++
       llm.CorpusAnalytics.entries ++
       llm.TextRank.entries ++
       llm.FimTransform.entries ++

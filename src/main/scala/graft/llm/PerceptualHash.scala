@@ -165,11 +165,10 @@ object PerceptualHash {
     }.toDF("media_id", "block_idx", "bit")
   }
 
-  /** B290 — the end-to-end perceptual near-dup join: fingerprint → band →
-    * candidate join → Hamming verify. Output: every pair within
-    * [[PerceptRadius]], with its distance and the planted marker. */
-  private val b290 = entry(
-    "b290_perceptual_neardup",
+  /** The b290 oracle — shared VERBATIM by the streamed twin b295 (the
+    * b283/b276 convention: the incremental index must converge to exactly
+    * the batch join's pair set). */
+  private[graft] val neardupOracleSql: String =
     s"""WITH ids AS (
        |  SELECT doc_id AS media_id, doc_id AS src,
        |         CAST((doc_id % 48) + 16 AS BIGINT) AS w,
@@ -230,7 +229,14 @@ object PerceptualHash {
        |       CAST(CASE WHEN db - da = $PerceptIdOffset THEN 1 ELSE 0 END
        |            AS BIGINT) AS is_planted
        |FROM ham WHERE hamming <= $PerceptRadius
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** B290 — the end-to-end perceptual near-dup join: fingerprint → band →
+    * candidate join → Hamming verify. Output: every pair within
+    * [[PerceptRadius]], with its distance and the planted marker. */
+  private val b290 = entry(
+    "b290_perceptual_neardup", neardupOracleSql,
+    bench = true) { (s, d) =>
     val bits = bitRows(s, d).localCheckpoint(true) // feeds bands + verify
     val bands = bits
       .groupBy(col("media_id"), expr("block_idx div 16").as("band_idx"))

@@ -217,8 +217,14 @@ object SetSimJoin {
     * dictionary is the standing B125 vocab aggregate; verification is
     * candidate-bounded. SetSimJoinSpec pins prefix ≡ brute force on
     * randomized corpora — the lemma, not just this dataset. */
-  def containmentJoin(docs: DataFrame, tauBp: Long = ContainTauBp): DataFrame = {
-    val arrs = TextDedup.withShingleArr(docs).localCheckpoint(true)
+  def containmentJoin(docs: DataFrame, tauBp: Long = ContainTauBp): DataFrame =
+    containmentJoinArr(TextDedup.withShingleArr(docs), tauBp)
+
+  /** [[containmentJoin]] over a pre-built (doc_id, sh_arr) relation — the
+    * element type is free (string shingles for b282, BIGINT frame
+    * fingerprints for b293): every step below is element-type-agnostic. */
+  def containmentJoinArr(arrs0: DataFrame, tauBp: Long = ContainTauBp): DataFrame = {
+    val arrs = arrs0.localCheckpoint(true)
     val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
     val cnt = arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -265,8 +271,13 @@ object SetSimJoin {
   /** Brute-force containment (full posting join, both directions) —
     * the lemma-replay twin for SetSimJoinSpec. */
   private[graft] def containmentBruteForce(
-      docs: DataFrame, tauBp: Long = ContainTauBp): DataFrame = {
-    val arrs = TextDedup.withShingleArr(docs)
+      docs: DataFrame, tauBp: Long = ContainTauBp): DataFrame =
+    containmentBruteForceArr(TextDedup.withShingleArr(docs), tauBp)
+
+  /** [[containmentBruteForce]] over a pre-built (doc_id, sh_arr) relation
+    * (element-type-agnostic, the b293 referee). */
+  private[graft] def containmentBruteForceArr(
+      arrs: DataFrame, tauBp: Long = ContainTauBp): DataFrame = {
     val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
     val cnt = arrs.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
     sh.select(col("doc_id").as("da"), col("shingle"))

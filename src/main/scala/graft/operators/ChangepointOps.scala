@@ -659,5 +659,185 @@ object ChangepointOps {
       .orderBy("leg", "t")
   }
 
-  val entries: Seq[Entry] = Seq(b276, b277, b285, b287, b288)
+  /** B294 planted reporting-glitch day and magnitude. */
+  val TsPlantDay = 21L
+  val TsOutlierMul = 20L
+
+  /** B294 — THEIL-SEN ROBUST TREND (Theil 1950; Sen, JASA 1968 — the
+    * median of pairwise slopes, the robust replacement for OLS trend on
+    * monitoring series: ONE corrupted day — a backfill glitch, a
+    * double-counted partition — drags an OLS slope arbitrarily, while
+    * Theil-Sen's breakdown point is 29%): over the daily purchase-cents
+    * series, both estimators side by side, per leg.
+    *
+    * Two legs (the b281/b287 planted convention): `clean`, and
+    * `outlier_plant` — day [[TsPlantDay]]'s total ×[[TsOutlierMul]] (the
+    * classic double-ingest spike). The output shows the contrast the
+    * operator exists for: OLS moves by orders of magnitude, the
+    * Theil-Sen median barely moves (MonitoringSpec pins the ratio and
+    * replays both estimators in the JVM).
+    *
+    * Integer-exact: slopes in bp via BIGINT cross-multiplication and
+    * trunc division (Spark div ≡ DuckDB // on negatives); the median
+    * rank ties cut by (slope, da, db); OLS via the closed form
+    * (nΣdv − ΣdΣv)·10⁴ div (nΣd² − (Σd)²).
+    *
+    * Scale posture: ONE map-combinable day aggregate over the fact
+    * table; the pairwise expansion is |days|² over the CALENDAR-bounded
+    * rollup (the b125 exception — ~1.8k pairs for 60 days, constant in
+    * corpus size); the median rank windows run over that same rollup. */
+  private val b294 = entry(
+    "b294_theil_sen_trend",
+    s"""WITH daily AS (
+       |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+       |              AS BIGINT) AS d,
+       |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       |              AS BIGINT) AS v
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |legs AS (
+       |  SELECT 'clean' AS leg, d, v FROM daily
+       |  UNION ALL
+       |  SELECT 'outlier_plant', d,
+       |         CASE WHEN d = $TsPlantDay THEN v * $TsOutlierMul
+       |              ELSE v END
+       |  FROM daily),
+       |pairs AS (
+       |  SELECT a.leg,
+       |         CAST((b.v - a.v) * 10000 // (b.d - a.d) AS BIGINT)
+       |           AS slope_bp,
+       |         a.d AS da, b.d AS db
+       |  FROM legs a JOIN legs b ON a.leg = b.leg AND a.d < b.d),
+       |ts AS (
+       |  SELECT leg, slope_bp,
+       |         row_number() OVER (PARTITION BY leg
+       |                            ORDER BY slope_bp, da, db) AS rn,
+       |         count(*) OVER (PARTITION BY leg) AS np
+       |  FROM pairs),
+       |tsm AS (SELECT leg, slope_bp AS ts_slope_bp FROM ts
+       |        WHERE rn = (np + 1) // 2),
+       |ols AS (
+       |  SELECT leg, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST((count(*) * sum(d * v) - sum(d) * sum(v)) * 10000
+       |              // (count(*) * sum(d * d) - sum(d) * sum(d))
+       |              AS BIGINT) AS ols_slope_bp
+       |  FROM legs GROUP BY leg)
+       |SELECT o.leg, o.n_days, t.ts_slope_bp, o.ols_slope_bp
+       |FROM ols o JOIN tsm t ON t.leg = o.leg
+       |ORDER BY o.leg""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("v"))
+    val legs = daily.select(lit("clean").as("leg"), col("d"), col("v"))
+      .unionByName(daily.select(lit("outlier_plant").as("leg"), col("d"),
+        when(col("d") === TsPlantDay, col("v") * TsOutlierMul)
+          .otherwise(col("v")).as("v")))
+      .localCheckpoint(true) // feeds the pair expansion AND the OLS agg
+    val pairs = legs.select(col("leg"), col("d").as("da"), col("v").as("va"))
+      .join(legs.select(col("leg"), col("d").as("db"), col("v").as("vb")),
+        Seq("leg"))
+      .filter(col("da") < col("db"))
+      .select(col("leg"),
+        expr("CAST((vb - va) * 10000 div (db - da) AS BIGINT)")
+          .as("slope_bp"),
+        col("da"), col("db"))
+    val tsm = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("leg")
+        .orderBy(col("slope_bp"), col("da"), col("db"))))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("leg")))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("leg"), col("slope_bp").as("ts_slope_bp"))
+    val ols = legs.groupBy("leg").agg(
+      count(lit(1)).as("n_days"),
+      expr("CAST((count(1) * sum(d * v) - sum(d) * sum(v)) * 10000" +
+        " div (count(1) * sum(d * d) - sum(d) * sum(d)) AS BIGINT)")
+        .as("ols_slope_bp"))
+    ols.join(tsm, "leg")
+      .select("leg", "n_days", "ts_slope_bp", "ols_slope_bp")
+      .orderBy("leg")
+  }
+
+  /** B296 bucket cap and whale-order threshold (dollars). */
+  val IsoBucketCap = 14L
+  val IsoWhale = 450000.0
+
+  /** B296 — ISOTONIC CALIBRATION (pool-adjacent-violators; Ayer et al.
+    * Ann. Math. Stat. 1955, Barlow & Brunk 1972; the calibration use is
+    * Zadrozny & Elkan KDD'02): the monotone-regression step every score
+    * calibrator runs — raw per-bucket rates are NOISY and a propensity
+    * used downstream must be nondecreasing in its feature, so adjacent
+    * violators pool until monotone. Series: per customer, x = order
+    * count (capped at [[IsoBucketCap]]), y = "has a whale order"
+    * (o_totalprice > [[IsoWhale]]) — a genuinely increasing tendency
+    * with organic violations at every SF (measured: 6 at sf0.001).
+    *
+    * Both engines spell the fit by the MINIMAX CLOSED FORM
+    * ŷ_i = max_{j≤i} min_{k≥i} mean(y over buckets j..k) — equal to PAV,
+    * and because floor commutes with min and max over finite sets, the
+    * bp-floored spelling below equals floor(PAV·10⁴) EXACTLY
+    * (MonitoringSpec replays a literal pooling PAV in the JVM and
+    * asserts equality, monotonicity, and that the fixture really forces
+    * pooling).
+    *
+    * Scale posture: ONE map-combinable customer aggregate collapses the
+    * fact table to a ≤ 15-row bucket rollup; the (j, i, k) interval
+    * expansion is ≤ 15³ over that rollup (the b125 bounded-rollup class;
+    * the range joins below are broadcast nested loops over ≤ 15-row
+    * sides — the sanctioned bounded-input BNLJ pattern). */
+  private val b296 = entry(
+    "b296_isotonic_calibration",
+    s"""WITH cx AS (
+       |  SELECT o_custkey,
+       |         least(CAST(count(*) AS BIGINT), $IsoBucketCap) AS b,
+       |         CAST(max(CASE WHEN o_totalprice > $IsoWhale
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM orders GROUP BY o_custkey),
+       |bk AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS pos
+       |  FROM cx GROUP BY b),
+       |iv AS (
+       |  SELECT j.b AS j, k.b AS k,
+       |         CAST(sum(m.pos) * 10000 // sum(m.n) AS BIGINT) AS mean_bp
+       |  FROM bk j JOIN bk k ON j.b <= k.b
+       |  JOIN bk m ON m.b BETWEEN j.b AND k.b
+       |  GROUP BY j.b, k.b),
+       |mn AS (
+       |  SELECT iv.j, i.b AS i, CAST(min(iv.mean_bp) AS BIGINT) AS mn
+       |  FROM iv JOIN bk i ON iv.j <= i.b AND i.b <= iv.k
+       |  GROUP BY iv.j, i.b),
+       |cal AS (SELECT i, CAST(max(mn) AS BIGINT) AS cal_bp
+       |        FROM mn GROUP BY i)
+       |SELECT bk.b AS bucket, bk.n, bk.pos,
+       |       CAST(bk.pos * 10000 // bk.n AS BIGINT) AS raw_bp,
+       |       cal.cal_bp
+       |FROM bk JOIN cal ON cal.i = bk.b
+       |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val bk = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(least(count(lit(1)), lit(IsoBucketCap)).as("b"),
+        max(when(col("o_totalprice") > IsoWhale, 1L).otherwise(0L)).as("y"))
+      .groupBy("b").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint(true) // bounded rollup fans out to 4 joins below
+    val iv = bk.select(col("b").as("j"))
+      .join(bk.select(col("b").as("k")), col("j") <= col("k"))
+      .join(bk.select(col("b").as("m"), col("n"), col("pos")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy("j", "k")
+      .agg(expr("CAST(sum(pos) * 10000 div sum(n) AS BIGINT)").as("mean_bp"))
+    val mn = iv
+      .join(bk.select(col("b").as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("j", "i").agg(min("mean_bp").as("mn"))
+    val cal = mn.groupBy("i").agg(max("mn").as("cal_bp"))
+    bk.join(cal, col("b") === col("i"))
+      .select(col("b").as("bucket"), col("n"), col("pos"),
+        expr("CAST(pos * 10000 div n AS BIGINT)").as("raw_bp"),
+        col("cal_bp"))
+      .orderBy("bucket")
+  }
+
+  val entries: Seq[Entry] = Seq(b276, b277, b285, b287, b288, b294, b296)
 }

@@ -1419,8 +1419,91 @@ object StreamReplay {
     s.read.parquet(s"$repDir/rep_*").orderBy("candidate", "check_id")
   }
 
+  private lazy val chunkDir295: String =
+    java.nio.file.Files.createTempDirectory("graft_b295_chunks").toString
+  private lazy val stateDir295: String =
+    java.nio.file.Files.createTempDirectory("graft_b295_state").toString
+
+  /** B295 — INCREMENTAL PERCEPTUAL INDEX (streamed twin of b290, the
+    * b142/b146 incremental-dedup pattern applied to the perceptual
+    * family): images arrive in micro-batches; the maintained index is the
+    * versioned (bits, bands) pair; each batch probes ONLY its new images'
+    * bands against the accumulated index and reports the verified
+    * near-dup pairs it completes. Every pair is emitted exactly once — in
+    * the batch where its LATER member arrives (new×(index ∪ new),
+    * normalized to doc_a < doc_b, distinct within the batch; afterwards
+    * neither member is ever "new" again) — so the union of the per-batch
+    * reports IS b290's batch join, and the oracle is b290's VERBATIM
+    * (the b283/b276 streamed-twin convention).
+    *
+    * Scale posture: per batch the probe side is the ARRIVALS only — work
+    * ∝ new data × band-bucket hit rate, never ∝ index size (the property
+    * that makes a 100 TB dedup index maintainable at ingest); the index
+    * itself is the b72 versioned-parquet apply. Fingerprinting runs
+    * batch-side before the replay (one mapPartitions pass) because the
+    * decode needs the payload bytes — in production the fingerprint
+    * column ships with the ingest record. */
+  private val b295 = entry(
+    "b295_stream_perceptual_index",
+    graft.llm.PerceptualHash.neardupOracleSql) { (s, d) =>
+    val PH = graft.llm.PerceptualHash
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val bits = PH.bitRows(s, d)
+    // four arrival groups; any split works — correctness is split-free
+    // (the oracle has no arrival notion), so media_id % 4 is just a
+    // deterministic shuffle of arrival order incl. plants-before-sources
+    for (k <- 0 to 3)
+      bits.filter(pmod(col("media_id"), lit(4L)) === k)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$chunkDir295/chunk_$k%04d")
+    val stream = StreamingOps.readStream(s, chunkDir295,
+      schema = StructType(Seq(StructField("media_id", LongType),
+        StructField("block_idx", IntegerType),
+        StructField("bit", IntegerType))))
+    def bandsOf(b: org.apache.spark.sql.DataFrame) = b
+      .groupBy(col("media_id"), expr("block_idx div 16").as("band_idx"))
+      .agg(sum(expr(
+        "bit * shiftleft(CAST(1 AS BIGINT), CAST(block_idx % 16 AS INT))"))
+        .as("band_val"))
+    val repDir = s"$stateDir295/reports"
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      val allPath = s"$stateDir295/all_$id"
+      val all =
+        if (id == 0) batch.toDF()
+        else s.read.parquet(s"$stateDir295/all_${id - 1}").unionByName(batch)
+      all.write.mode("overwrite").parquet(allPath)
+      val allBits = s.read.parquet(allPath)
+      val newBands = bandsOf(batch.toDF())
+      val idxBands = bandsOf(allBits)
+      // probe = arrivals only; index = everything seen so far (incl. this
+      // batch, so same-batch pairs complete here too)
+      val cand = newBands.select(col("media_id").as("pa"), col("band_idx"),
+          col("band_val"))
+        .join(idxBands.select(col("media_id").as("pb"), col("band_idx"),
+          col("band_val")), Seq("band_idx", "band_val"))
+        .filter(col("pa") =!= col("pb"))
+        .select(least(col("pa"), col("pb")).as("da"),
+          greatest(col("pa"), col("pb")).as("db"))
+        .distinct()
+      cand
+        .join(allBits.select(col("media_id").as("da"), col("block_idx"),
+          col("bit").as("bit_a")), Seq("da"))
+        .join(allBits.select(col("media_id").as("db"), col("block_idx"),
+          col("bit").as("bit_b")), Seq("db", "block_idx"))
+        .groupBy("da", "db")
+        .agg(sum(when(col("bit_a") =!= col("bit_b"), 1L).otherwise(0L))
+          .as("hamming"))
+        .filter(col("hamming") <= PH.PerceptRadius)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"),
+          when(col("doc_b") - col("doc_a") === PH.PerceptIdOffset, 1L)
+            .otherwise(0L).as("is_planted"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$repDir/rep_$id")
+    }
+    s.read.parquet(s"$repDir/rep_*").orderBy("doc_a", "doc_b")
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
       b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
-      b269, b274, b283, b291)
+      b269, b274, b283, b291, b295)
 }

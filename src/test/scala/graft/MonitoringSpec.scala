@@ -118,4 +118,75 @@ class MonitoringSpec extends AnyFunSuite {
       assert(b._2._4 <= a._2._4, s"survival increases at t=${b._1}")
     case _ => }
   }
+
+  test("B294: both trend estimators replay in the JVM; the planted " +
+    "outlier day drags OLS while the Theil-Sen median barely moves") {
+    val C = graft.operators.ChangepointOps
+    val got = SparkEntry.queries("b294_theil_sen_trend")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent day series: purchase cents per day
+    val cents = graft.sources.Tables.events(spark, sf)
+      .filter("event_type = 'purchase'").select("ts", "value").collect()
+      .map(r => (dayId(r.getTimestamp(0)),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def replay(leg: String): (Long, Long, Long) = {
+      val series = cents.toSeq.map { case (d, v) =>
+        (d, if (leg == "outlier_plant" && d == C.TsPlantDay)
+          v * C.TsOutlierMul else v)
+      }.sortBy(_._1)
+      val slopes = (for {
+        (da, va) <- series; (db, vb) <- series if da < db
+      } yield ((vb - va) * 10000L / (db - da), da, db)).sorted
+      val tsSlope = slopes((slopes.size + 1) / 2 - 1)._1
+      val n = series.size.toLong
+      val sd = series.map(_._1).sum; val sv = series.map(_._2).sum
+      val sdv = series.map(p => p._1 * p._2).sum
+      val sdd = series.map(p => p._1 * p._1).sum
+      val ols = (n * sdv - sd * sv) * 10000L / (n * sdd - sd * sd)
+      (n, tsSlope, ols)
+    }
+    for (leg <- Seq("clean", "outlier_plant"))
+      assert(got(leg) == replay(leg), s"$leg diverges from JVM replay")
+    // the robustness contract the operator exists for: the plant moves
+    // OLS at least 10x more than it moves the Theil-Sen median
+    val dTs = math.abs(got("outlier_plant")._2 - got("clean")._2)
+    val dOls = math.abs(got("outlier_plant")._3 - got("clean")._3)
+    assert(dOls > 10 * math.max(1L, dTs),
+      s"contrast too weak: dOls=$dOls dTs=$dTs")
+  }
+
+  test("B296: the minimax spelling equals a literal pooling PAV (floored " +
+    "to bp), the fit is monotone, and the fixture really forces pooling") {
+    val out = SparkEntry.queries("b296_isotonic_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    // literal pool-adjacent-violators on exact rationals (pos/n),
+    // comparisons by cross-multiplication — the independent referee
+    case class Blk(bs: List[Long], pos: Long, n: Long)
+    var stack = List.empty[Blk]
+    for ((b, n, pos, _, _) <- out) {
+      var cur = Blk(List(b), pos, n)
+      while (stack.nonEmpty &&
+        stack.head.pos * cur.n >= cur.pos * stack.head.n) {
+        val prev = stack.head
+        stack = stack.tail
+        cur = Blk(prev.bs ++ cur.bs, prev.pos + cur.pos, prev.n + cur.n)
+      }
+      stack = cur :: stack
+    }
+    val pav = stack.reverse.flatMap(blk =>
+      blk.bs.map(_ -> blk.pos * 10000L / blk.n)).toMap
+    for ((b, _, _, _, calBp) <- out)
+      assert(calBp == pav(b), s"bucket $b: minimax $calBp != PAV ${pav(b)}")
+    out.sliding(2).foreach {
+      case Array(a, c) => assert(a._5 <= c._5, s"not monotone at ${c._1}")
+      case _ =>
+    }
+    assert(out.exists(r => r._4 != r._5),
+      "fixture forced no pooling — the operator is untested here")
+  }
 }
