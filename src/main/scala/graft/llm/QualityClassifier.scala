@@ -285,5 +285,72 @@ object QualityClassifier {
       .orderBy("thr")
   }
 
-  val entries: Seq[Entry] = Seq(b243, b245, b250, b265)
+  /** B297 — QUALITY-SCORE CALIBRATION AGAINST HYGIENE SURVIVAL: does the
+    * quality score PREDICT whether a document survives the release
+    * hygiene chain, and what is the calibrated survival propensity per
+    * score decile? The composition a curation team runs before using a
+    * quality score to pre-filter ingest (pre-filtering on an
+    * uncalibrated score silently shifts the release's composition):
+    * b250's global score deciles (OrderStats two-phase rank — no
+    * SinglePartition over the corpus) × b94's hygiene release membership
+    * as the outcome × B296's minimax isotonic fit (exactly floor(PAV·10⁴),
+    * the floor-commutes argument) pooling the per-decile survival rates
+    * monotone. The honest reading of the output matters as much as the
+    * fit: where the raw rates are flat-noisy (survival is dominated by
+    * dedup/contamination, not the lexical score), the PAV pools wide
+    * blocks — the audit SHOWS non-predictiveness rather than hiding it
+    * (the b289-MISFIT honesty convention).
+    *
+    * Scale posture: the score pass and the hygiene chain are their
+    * entries' own (one scan + gram-keyed shuffles); deciles via the
+    * bucketed two-phase rank; everything after the 10-row decile rollup
+    * is the B296 bounded-interval machinery. */
+  private val b297 = entry(
+    "b297_quality_calibration",
+    s"WITH $scoreCtesDuck,\n" +
+      graft.llm.CleanPipeline.hygieneCtesDuck() + s""",
+       |dec AS (
+       |  SELECT doc_id,
+       |         CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+       |           AS b
+       |  FROM qc_feats),
+       |pd AS (
+       |  SELECT d.b,
+       |         CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS y
+       |  FROM dec d
+       |  LEFT JOIN (SELECT DISTINCT doc_id FROM deduped) r USING (doc_id)),
+       |bk AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS pos
+       |  FROM pd GROUP BY b),
+       |${graft.operators.ChangepointOps.isotonicCtesDuck("bk")}
+       |SELECT bk.b AS decile, bk.n, bk.pos,
+       |       CAST(bk.pos * 10000 // bk.n AS BIGINT) AS raw_bp,
+       |       cal.cal_bp
+       |FROM bk JOIN cal ON cal.i = bk.b
+       |ORDER BY decile""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.functions.QualityScoreExpression.register(s)
+    val sc = docs.select(col("doc_id"),
+      expr("quality_score(text)").as("score"))
+    val (ranked, n, _) = graft.operators.OrderStats.withGlobalRank(sc,
+      expr("score div 4096"), Seq(col("score"), col("doc_id")), "_rn")
+    val dec = ranked
+      .withColumn("b", graft.operators.OrderStats.ntileFromRank("_rn", n, 10))
+      .select("doc_id", "b")
+    val rel = graft.llm.CleanPipeline.hygieneRelease(docs)
+      .select(col("doc_id"), lit(1L).as("y1"))
+    val bk = dec.join(rel, Seq("doc_id"), "left")
+      .select(col("b"), coalesce(col("y1"), lit(0L)).as("y"))
+      .groupBy("b").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint(true) // 10-row rollup fans out to the fit joins
+    bk.join(graft.operators.ChangepointOps.isotonicCal(bk),
+        col("b") === col("i"))
+      .select(col("b").as("decile"), col("n"), col("pos"),
+        expr("CAST(pos * 10000 div n AS BIGINT)").as("raw_bp"),
+        col("cal_bp"))
+      .orderBy("decile")
+  }
+
+  val entries: Seq[Entry] = Seq(b243, b245, b250, b265, b297)
 }

@@ -171,9 +171,12 @@ object ChangepointOps {
     * Scale posture: ONE map-combinable day aggregate over purchases;
     * all forecast/error windows run over the |days| rollup (bounded —
     * the b125 exception); the model rollup is O(models). */
-  private val b277 = entry(
-    "b277_forecast_backtest",
-    s"""WITH daily AS (
+  /** The daily-purchase forecaster CTEs (daily -> f -> fc, fc = rows
+    * where all three one-step forecasts are defined) — shared VERBATIM
+    * by b277's backtest and b298's conformal audit so the forecasters
+    * cannot drift between the two. */
+  private[graft] val forecastCtesDuck: String =
+    s"""daily AS (
        |  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
        |              AS BIGINT) AS d,
        |         CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
@@ -187,11 +190,39 @@ object ChangepointOps {
        |           // count(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
        |                             PRECEDING AND 1 PRECEDING) AS f_mean
        |  FROM daily),
+       |fc AS (SELECT * FROM f WHERE f_snaive IS NOT NULL)""".stripMargin
+
+  /** Spark twin of [[forecastCtesDuck]]: (d, cents, f_naive, f_snaive,
+    * f_mean), checkpointed (bounded day rollup fanning out). */
+  private[graft] def forecastFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("d"))
+      .agg(expr("CAST(sum(floor(value * 100 + 0.5)) AS BIGINT)").as("cents"))
+    val ord = Window.orderBy(col("d"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("f_naive", lag(col("cents"), 1).over(ord))
+      .withColumn("f_snaive", lag(col("cents"), SeasonDays.toInt).over(ord))
+      .withColumn("psum", sum(col("cents")).over(prior))
+      .withColumn("pcnt", count(lit(1)).over(prior))
+      .withColumn("f_mean", expr("psum div pcnt"))
+      .filter(col("f_snaive").isNotNull)
+      .select("d", "cents", "f_naive", "f_snaive", "f_mean")
+      .localCheckpoint(true)
+  }
+
+  private val b277 = entry(
+    "b277_forecast_backtest",
+    s"""WITH $forecastCtesDuck,
        |e AS (
        |  SELECT d, abs(cents - f_naive) AS e_naive,
        |         abs(cents - f_snaive) AS e_snaive,
        |         abs(cents - f_mean) AS e_mean
-       |  FROM f WHERE f_snaive IS NOT NULL),
+       |  FROM fc),
        |em AS (SELECT *, least(e_naive, e_snaive, e_mean) AS e_min FROM e),
        |models AS (
        |  SELECT 'mean' AS model, count(*) AS n_evals,
@@ -212,21 +243,7 @@ object ChangepointOps {
        |       CAST(mae_cents AS BIGINT) AS mae_cents,
        |       CAST(wins AS BIGINT) AS wins
        |FROM models ORDER BY model""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
-        " AS BIGINT)").as("d"))
-      .agg(expr("CAST(sum(floor(value * 100 + 0.5)) AS BIGINT)").as("cents"))
-    val ord = Window.orderBy(col("d"))
-    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val e = daily
-      .withColumn("f_naive", lag(col("cents"), 1).over(ord))
-      .withColumn("f_snaive", lag(col("cents"), SeasonDays.toInt).over(ord))
-      .withColumn("psum", sum(col("cents")).over(prior))
-      .withColumn("pcnt", count(lit(1)).over(prior))
-      .withColumn("f_mean", expr("psum div pcnt"))
-      .filter(col("f_snaive").isNotNull)
+    val e = forecastFrame(s, d)
       .select(col("d"),
         abs(col("cents") - col("f_naive")).as("e_naive"),
         abs(col("cents") - col("f_snaive")).as("e_snaive"),
@@ -759,6 +776,39 @@ object ChangepointOps {
       .orderBy("leg")
   }
 
+  /** The minimax isotonic-fit CTEs over a (b, n, pos) bucket relation —
+    * shared by b296 and the b297 quality-calibration composition. Emits
+    * `iv`/`mn`/`cal`; `cal` carries (i, cal_bp). */
+  private[graft] def isotonicCtesDuck(bk: String): String =
+    s"""iv AS (
+       |  SELECT j.b AS j, k.b AS k,
+       |         CAST(sum(m.pos) * 10000 // sum(m.n) AS BIGINT) AS mean_bp
+       |  FROM $bk j JOIN $bk k ON j.b <= k.b
+       |  JOIN $bk m ON m.b BETWEEN j.b AND k.b
+       |  GROUP BY j.b, k.b),
+       |mn AS (
+       |  SELECT iv.j, i.b AS i, CAST(min(iv.mean_bp) AS BIGINT) AS mn
+       |  FROM iv JOIN $bk i ON iv.j <= i.b AND i.b <= iv.k
+       |  GROUP BY iv.j, i.b),
+       |cal AS (SELECT i, CAST(max(mn) AS BIGINT) AS cal_bp
+       |        FROM mn GROUP BY i)""".stripMargin
+
+  /** Spark twin of [[isotonicCtesDuck]]: (b, n, pos) -> (i, cal_bp). The
+    * caller localCheckpoints `bk` (it fans out to four bounded joins). */
+  private[graft] def isotonicCal(bk: DataFrame): DataFrame = {
+    val iv = bk.select(col("b").as("j"))
+      .join(bk.select(col("b").as("k")), col("j") <= col("k"))
+      .join(bk.select(col("b").as("m"), col("n"), col("pos")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy("j", "k")
+      .agg(expr("CAST(sum(pos) * 10000 div sum(n) AS BIGINT)").as("mean_bp"))
+    val mn = iv
+      .join(bk.select(col("b").as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("j", "i").agg(min("mean_bp").as("mn"))
+    mn.groupBy("i").agg(max("mn").as("cal_bp"))
+  }
+
   /** B296 bucket cap and whale-order threshold (dollars). */
   val IsoBucketCap = 14L
   val IsoWhale = 450000.0
@@ -798,18 +848,7 @@ object ChangepointOps {
        |  SELECT b, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(y) AS BIGINT) AS pos
        |  FROM cx GROUP BY b),
-       |iv AS (
-       |  SELECT j.b AS j, k.b AS k,
-       |         CAST(sum(m.pos) * 10000 // sum(m.n) AS BIGINT) AS mean_bp
-       |  FROM bk j JOIN bk k ON j.b <= k.b
-       |  JOIN bk m ON m.b BETWEEN j.b AND k.b
-       |  GROUP BY j.b, k.b),
-       |mn AS (
-       |  SELECT iv.j, i.b AS i, CAST(min(iv.mean_bp) AS BIGINT) AS mn
-       |  FROM iv JOIN bk i ON iv.j <= i.b AND i.b <= iv.k
-       |  GROUP BY iv.j, i.b),
-       |cal AS (SELECT i, CAST(max(mn) AS BIGINT) AS cal_bp
-       |        FROM mn GROUP BY i)
+       |${isotonicCtesDuck("bk")}
        |SELECT bk.b AS bucket, bk.n, bk.pos,
        |       CAST(bk.pos * 10000 // bk.n AS BIGINT) AS raw_bp,
        |       cal.cal_bp
@@ -821,23 +860,120 @@ object ChangepointOps {
         max(when(col("o_totalprice") > IsoWhale, 1L).otherwise(0L)).as("y"))
       .groupBy("b").agg(count(lit(1)).as("n"), sum("y").as("pos"))
       .localCheckpoint(true) // bounded rollup fans out to 4 joins below
-    val iv = bk.select(col("b").as("j"))
-      .join(bk.select(col("b").as("k")), col("j") <= col("k"))
-      .join(bk.select(col("b").as("m"), col("n"), col("pos")),
-        col("m") >= col("j") && col("m") <= col("k"))
-      .groupBy("j", "k")
-      .agg(expr("CAST(sum(pos) * 10000 div sum(n) AS BIGINT)").as("mean_bp"))
-    val mn = iv
-      .join(bk.select(col("b").as("i")),
-        col("j") <= col("i") && col("i") <= col("k"))
-      .groupBy("j", "i").agg(min("mean_bp").as("mn"))
-    val cal = mn.groupBy("i").agg(max("mn").as("cal_bp"))
-    bk.join(cal, col("b") === col("i"))
+    bk.join(isotonicCal(bk), col("b") === col("i"))
       .select(col("b").as("bucket"), col("n"), col("pos"),
         expr("CAST(pos * 10000 div n AS BIGINT)").as("raw_bp"),
         col("cal_bp"))
       .orderBy("bucket")
   }
 
-  val entries: Seq[Entry] = Seq(b276, b277, b285, b287, b288, b294, b296)
+  /** B298 miscoverage target in bp (α = 0.2 → 80% intervals) and the
+    * calibration share of the eval days (7/10). */
+  val ConformalAlphaBp = 2000L
+  val ConformalCalNum = 7L
+  val ConformalCalDen = 10L
+
+  /** B298 — SPLIT-CONFORMAL FORECAST INTERVALS (Vovk et al. 2005; Lei et
+    * al., JASA 2018 — the distribution-free interval construction every
+    * forecast consumer should demand instead of a point number): for each
+    * of b277's three forecasters, the first [[ConformalCalNum]]/
+    * [[ConformalCalDen]] of the evaluable days calibrate (q = the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual — the finite-sample
+    * conformal quantile), the remaining days test, and the audit reports
+    * the OBSERVED coverage of forecast ± q next to the 1−α target. The
+    * honesty is the point: the conformal guarantee assumes
+    * exchangeability, which a time series does not grant — so coverage
+    * is MEASURED, not assumed, and a drifting series shows up as
+    * under-coverage in this report (the b289-MISFIT convention).
+    *
+    * Integer-exact: residuals in cents; the quantile is an order
+    * statistic (ties by (residual, day)); k = ((n+1)(10⁴−α)+9999) div 10⁴
+    * clamped to n; coverage in bp by floor division. The split day
+    * t0 = d0 + (d1−d0)·7 div 10 derives from the evaluable-day bounds —
+    * one definition in both engines.
+    *
+    * Scale posture: b277's one map-combinable day aggregate; everything
+    * after runs over the bounded |days| rollup and the 3-model expansion
+    * (b125). */
+  private val b298 = entry(
+    "b298_conformal_forecast",
+    s"""WITH $forecastCtesDuck,
+       |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM fc),
+       |split AS (SELECT d0 + (d1 - d0) * $ConformalCalNum
+       |                      // $ConformalCalDen AS t0 FROM bounds),
+       |resid AS (
+       |  SELECT m.model, fc.d,
+       |         CASE m.model WHEN 'naive' THEN abs(cents - f_naive)
+       |                      WHEN 'snaive' THEN abs(cents - f_snaive)
+       |                      ELSE abs(cents - f_mean) END AS r
+       |  FROM fc
+       |  CROSS JOIN (VALUES ('mean'), ('naive'), ('snaive')) m(model)),
+       |calr AS (SELECT resid.* FROM resid CROSS JOIN split WHERE d < t0),
+       |tstr AS (SELECT resid.* FROM resid CROSS JOIN split WHERE d >= t0),
+       |rk AS (
+       |  SELECT model, r,
+       |         row_number() OVER (PARTITION BY model ORDER BY r, d)
+       |           AS rn,
+       |         count(*) OVER (PARTITION BY model) AS nc
+       |  FROM calr),
+       |q AS (
+       |  SELECT model, CAST(max(nc) AS BIGINT) AS n_cal,
+       |         CAST(max(CASE WHEN rn = least(
+       |                ((nc + 1) * ${10000L - ConformalAlphaBp} + 9999)
+       |                  // 10000, nc)
+       |              THEN r END) AS BIGINT) AS q_cents
+       |  FROM rk GROUP BY model),
+       |cov AS (
+       |  SELECT t.model, CAST(count(*) AS BIGINT) AS n_test,
+       |         CAST(sum(CASE WHEN t.r <= q.q_cents THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_covered
+       |  FROM tstr t JOIN q ON q.model = t.model
+       |  GROUP BY t.model),
+       |rep AS (
+       |  SELECT q.model, q.n_cal, q.q_cents, cov.n_test, cov.n_covered,
+       |         CAST(cov.n_covered * 10000 // cov.n_test AS BIGINT)
+       |           AS coverage_bp
+       |  FROM q JOIN cov ON cov.model = q.model)
+       |SELECT * FROM rep ORDER BY model""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sp = s
+    import sp.implicits._
+    val fc = forecastFrame(s, d)
+    val bounds = fc.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(expr(s"d0 + (d1 - d0) * $ConformalCalNum" +
+        s" div $ConformalCalDen").as("t0"))
+      .localCheckpoint(true)
+    val models = Seq("mean", "naive", "snaive").toDF("model")
+    val resid = fc.crossJoin(broadcast(models))
+      .select(col("model"), col("d"),
+        expr("CASE model WHEN 'naive' THEN abs(cents - f_naive)" +
+          " WHEN 'snaive' THEN abs(cents - f_snaive)" +
+          " ELSE abs(cents - f_mean) END").as("r"))
+      .crossJoin(broadcast(bounds))
+    val calr = resid.filter(col("d") < col("t0"))
+    val tstr = resid.filter(col("d") >= col("t0"))
+    val q = calr
+      .withColumn("rn", row_number().over(Window.partitionBy("model")
+        .orderBy(col("r"), col("d"))))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("model")))
+      .groupBy("model")
+      .agg(max(col("nc")).cast("long").as("n_cal"),
+        max(when(col("rn") === expr(s"least(((nc + 1) *" +
+          s" ${10000L - ConformalAlphaBp} + 9999) div 10000, nc)"),
+          col("r"))).cast("long").as("q_cents"))
+    val cov = tstr.join(q, "model")
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+    q.join(cov, "model")
+      .select(col("model"), col("n_cal"), col("q_cents"), col("n_test"),
+        col("n_covered"),
+        expr("CAST(n_covered * 10000 div n_test AS BIGINT)")
+          .as("coverage_bp"))
+      .orderBy("model")
+  }
+
+  val entries: Seq[Entry] =
+    Seq(b276, b277, b285, b287, b288, b294, b296, b298)
 }

@@ -73,4 +73,37 @@ class ForecastSpec extends AnyFunSuite {
       i > t && (n1 != n2 || s1 != s2 || m1 != m2)
     }, "the perturbation never reached any later forecast — vacuous")
   }
+
+  test("B298: the conformal quantile and observed coverage replay in the " +
+    "JVM; calibration days strictly precede test days (split leakage-free)") {
+    val C = ChangepointOps
+    val got = SparkEntry.queries("b298_conformal_forecast")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val period = C.SeasonDays.toInt
+    val xs = daily.map(_._2)
+    val ds = daily.map(_._1)
+    val rows = (period until xs.length).map { t =>
+      (ds(t), Map(
+        "naive" -> math.abs(xs(t) - xs(t - 1)),
+        "snaive" -> math.abs(xs(t) - xs(t - period)),
+        "mean" -> math.abs(xs(t) - xs.take(t).sum / t)))
+    }
+    val d0 = rows.map(_._1).min
+    val d1 = rows.map(_._1).max
+    val t0 = d0 + (d1 - d0) * C.ConformalCalNum / C.ConformalCalDen
+    for (m <- Seq("mean", "naive", "snaive")) {
+      val cal = rows.filter(_._1 < t0).map(r => (r._2(m), r._1)).sorted
+      val n = cal.size.toLong
+      val k = math.min(
+        ((n + 1) * (10000L - C.ConformalAlphaBp) + 9999) / 10000, n).toInt
+      val q = cal(k - 1)._1
+      val tst = rows.filter(_._1 >= t0).map(_._2(m))
+      val covered = tst.count(_ <= q).toLong
+      assert(got(m) == ((n, q, tst.size.toLong, covered,
+        covered * 10000 / tst.size)), s"$m diverges from the JVM replay")
+      assert(q > 0 && tst.nonEmpty, s"$m: degenerate split")
+    }
+  }
 }

@@ -157,15 +157,10 @@ class MonitoringSpec extends AnyFunSuite {
       s"contrast too weak: dOls=$dOls dTs=$dTs")
   }
 
-  test("B296: the minimax spelling equals a literal pooling PAV (floored " +
-    "to bp), the fit is monotone, and the fixture really forces pooling") {
-    val out = SparkEntry.queries("b296_isotonic_calibration")(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
-      .sortBy(_._1)
-    // literal pool-adjacent-violators on exact rationals (pos/n),
-    // comparisons by cross-multiplication — the independent referee
+  /** Literal pool-adjacent-violators on exact rationals (pos/n),
+    * comparisons by cross-multiplication — the independent referee for
+    * every minimax-isotonic entry. */
+  private def pavReferee(out: Array[(Long, Long, Long, Long, Long)]): Unit = {
     case class Blk(bs: List[Long], pos: Long, n: Long)
     var stack = List.empty[Blk]
     for ((b, n, pos, _, _) <- out) {
@@ -188,5 +183,29 @@ class MonitoringSpec extends AnyFunSuite {
     }
     assert(out.exists(r => r._4 != r._5),
       "fixture forced no pooling — the operator is untested here")
+  }
+
+  private def calOutput(name: String): Array[(Long, Long, Long, Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+
+  test("B296: the minimax spelling equals a literal pooling PAV (floored " +
+    "to bp), the fit is monotone, and the fixture really forces pooling") {
+    pavReferee(calOutput("b296_isotonic_calibration"))
+  }
+
+  test("B297: the quality-survival calibration passes the same PAV " +
+    "referee, and the flat-noisy fixture pools into wide blocks (the " +
+    "honest non-predictiveness reading)") {
+    val out = calOutput("b297_quality_calibration")
+    pavReferee(out)
+    // survival is dominated by dedup/decontamination, not the lexical
+    // score: the calibrated curve must be nearly flat (span << raw span)
+    val calSpan = out.map(_._5).max - out.map(_._5).min
+    val rawSpan = out.map(_._4).max - out.map(_._4).min
+    assert(calSpan * 2 <= rawSpan,
+      s"calibrated span $calSpan vs raw span $rawSpan — pooling too weak")
   }
 }
