@@ -319,7 +319,7 @@ object QualityClassifier {
        |         CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS y
        |  FROM dec d
        |  LEFT JOIN (SELECT DISTINCT doc_id FROM deduped) r USING (doc_id)),
-       |bk AS (
+       |bk AS MATERIALIZED (
        |  SELECT b, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(y) AS BIGINT) AS pos
        |  FROM pd GROUP BY b),

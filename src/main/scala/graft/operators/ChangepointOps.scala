@@ -844,7 +844,7 @@ object ChangepointOps {
        |         CAST(max(CASE WHEN o_totalprice > $IsoWhale
        |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
        |  FROM orders GROUP BY o_custkey),
-       |bk AS (
+       |bk AS MATERIALIZED (
        |  SELECT b, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(y) AS BIGINT) AS pos
        |  FROM cx GROUP BY b),
