@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * which would let Catalyst prune the whole plan down to a metadata count
   * for scan-shaped queries). One untimed warmup of the flagship agg pays
   * JIT/codegen + parquet footer costs so the timings measure the plans.
+  *
+  * Steal-immune metric (VERDICT r18 item 1): alongside wall time, a
+  * SparkListener accumulates per-stage EXECUTOR CPU TIME (plus shuffle
+  * read/write and spill bytes), snapshotted around every rep. CPU time is
+  * invariant to host CPU steal — a steal episode inflates wall while CPU
+  * stays at band — so regressions and episodes are separable from the
+  * artifact alone, without quiet-host re-measurement churn. Per-query
+  * `cpu` (min over successful reps) rides the headline line; per-rep
+  * arrays land in BENCH_DETAIL.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +32,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // --- executor-side metric accumulation (steal-immune CPU seconds) ---
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufReadB = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillB = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime)
+            shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
+    // Listener events post asynchronously; a rep's counters are only
+    // complete once the bus drains. LiveListenerBus.waitUntilEmpty() is
+    // private[spark] (public at the bytecode level) — reach it via
+    // reflection, falling back to poll-until-stable if the internal API
+    // moves.
+    val drain: () => Unit =
+      (try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val wue = bus.getClass.getMethod("waitUntilEmpty")
+        wue.invoke(bus) // probe once so failures fall back now
+        Some(() => { wue.invoke(bus); () })
+      } catch { case _: Throwable => None }).getOrElse { () =>
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 2 && waited < 2000) {
+          val cur = cpuNs.get
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+          Thread.sleep(25); waited += 25
+        }
+      }
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -39,48 +87,71 @@ object Bench {
     // Local-A/B filter only (driver never sets it): comma-separated bench
     // names → time just those (the Verify SPARK_GRAFT_ONLY convention)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // Steal self-adjudication (VERDICT r17 item 2): record every rep's time
-    // plus a /proc/loadavg sample taken as the rep STARTS, so a driver-side
-    // spike is classifiable from the artifact alone — min-of-reps stable +
-    // one inflated rep + elevated load = host CPU steal, not a regression;
-    // all reps elevated at idle load = regression.
+    // Steal self-adjudication (VERDICT r17 item 2): record every rep's wall
+    // time, executor CPU seconds, and a /proc/loadavg sample taken as the
+    // rep STARTS — a driver-side spike is classifiable from the artifact
+    // alone: wall inflated + CPU at band + elevated load = host steal;
+    // wall AND CPU elevated at idle load = regression. Failed reps record
+    // their elapsed time and load too, marked err=true, so anomalous reps
+    // stay adjudicable (ADVICE r18 item 5).
     def loadavg(): String =
       try {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split("\\s+").take(3).mkString(" ") finally src.close()
       } catch { case _: Throwable => "" }
+    final case class Rep(wall: Double, cpu: Double, load: String,
+                         shufReadMb: Double, shufWriteMb: Double,
+                         spillMb: Double, ok: Boolean)
     val repDetail =
-      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, String)]]()
+      scala.collection.mutable.LinkedHashMap[String, Seq[Rep]]()
+    // (name -> (min wall, cpu of successful reps' min))
     val results = SparkEntry.benchQueries
       .filter(e => only.forall(_.contains(e.name)))
       .flatMap { e =>
       val times = (1 to reps).flatMap { _ =>
         val load = loadavg()
+        drain()
+        val cpu0 = cpuNs.get; val sr0 = shufReadB.get
+        val sw0 = shufWriteB.get; val sp0 = spillB.get
         val t0 = System.nanoTime()
+        def mk(ok: Boolean) = {
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain()
+          Rep(wall, (cpuNs.get - cpu0) / 1e9, load,
+            (shufReadB.get - sr0) / 1048576.0,
+            (shufWriteB.get - sw0) / 1048576.0,
+            (spillB.get - sp0) / 1048576.0, ok)
+        }
         try {
           materialize(e.q(spark, sfDir))
-          val sec = (System.nanoTime() - t0) / 1e9
-          repDetail(e.name) = repDetail.getOrElse(e.name, Seq.empty) :+ (sec, load)
-          Some(sec)
+          val r = mk(ok = true)
+          repDetail(e.name) = repDetail.getOrElse(e.name, Seq.empty) :+ r
+          Some(r)
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] ${e.name}: $t")
             errors(e.name) = t.getClass.getSimpleName
+            repDetail(e.name) =
+              repDetail.getOrElse(e.name, Seq.empty) :+ mk(ok = false)
             None
         }
       }
-      times.minOption.map(e.name -> _)
+      times.map(_.wall).minOption
+        .map(w => e.name -> (w, times.map(_.cpu).min))
     }
     val errs = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def line(qs: Seq[(String, Double)], omitted: Int): String = {
-      val qjson = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val total = results.map(_._2._1).sum
+    val cpuTotal = results.map(_._2._2).sum
+    def line(qs: Seq[(String, (Double, Double))], omitted: Int): String = {
+      val qjson = qs.map { case (k, v) => "\"" + k + "\":" + f"${v._1}%.3f" }
+        .mkString("{", ",", "}")
+      val cjson = qs.map { case (k, v) => "\"" + k + "\":" + f"${v._2}%.3f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0)
         s""","queries_omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"errors":$errs$om,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qjson,"cpu":$cjson,"errors":$errs$om,"sf":"$sfDir"}"""
     }
     // The driver records only the LAST ~2000 chars of output (BENCH_r16's
     // tail field is exactly 2000), so a full per-query map (~2.9k chars at
@@ -89,20 +160,24 @@ object Bench {
     // heaviest (band-watched) queries and drop lightest-first until the
     // serialized line is under budget, recording how many were omitted;
     // the COMPLETE map is always written to BENCH_DETAIL.json alongside.
-    val asc = results.sortBy(_._2)
+    val asc = results.sortBy(_._2._1)
     if (only.isEmpty) { // never clobber the full-sweep detail with an A/B
       try {
-        // full map + per-rep times + loadavg-at-rep-start samples: the
-        // steal-adjudication evidence (see repDetail comment above)
-        val repsJson = repDetail.map { case (k, rs) =>
-          "\"" + k + "\":[" + rs.map(r => f"${r._1}%.3f").mkString(",") + "]"
-        }.mkString("{", ",", "}")
-        val loadJson = repDetail.map { case (k, rs) =>
-          "\"" + k + "\":[" + rs.map(r => "\"" + r._2 + "\"").mkString(",") + "]"
+        // full map + per-rep (wall, cpu, loadavg-at-rep-start, shuffle,
+        // spill, err) arrays: the steal-adjudication evidence (see
+        // repDetail comment above)
+        def arr(f: Rep => String) = repDetail.map { case (k, rs) =>
+          "\"" + k + "\":[" + rs.map(f).mkString(",") + "]"
         }.mkString("{", ",", "}")
         val full = line(asc, 0)
         val detail = full.stripSuffix("}") +
-          s""","reps":$repsJson,"load":$loadJson}"""
+          s""","reps":${arr(r => f"${r.wall}%.3f")}""" +
+          s""","cpu_reps":${arr(r => f"${r.cpu}%.3f")}""" +
+          s""","load":${arr(r => "\"" + r.load + "\"")}""" +
+          s""","shuffle_read_mb":${arr(r => f"${r.shufReadMb}%.1f")}""" +
+          s""","shuffle_write_mb":${arr(r => f"${r.shufWriteMb}%.1f")}""" +
+          s""","spill_mb":${arr(r => f"${r.spillMb}%.1f")}""" +
+          s""","rep_ok":${arr(r => r.ok.toString)}}"""
         val w = new java.io.PrintWriter("BENCH_DETAIL.json")
         try w.println(detail) finally w.close()
       } catch { case t: Throwable => System.err.println(s"[bench] detail: $t") }

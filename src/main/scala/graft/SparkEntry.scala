@@ -53,6 +53,7 @@ object SparkEntry {
       llm.LangId.entries ++
       llm.Multimodal.entries ++
       llm.PerceptualHash.entries ++
+      llm.AudioFingerprint.entries ++
       llm.VideoNearDup.entries ++
       llm.BpeTokenize.entries ++
       llm.UnigramTokenize.entries ++

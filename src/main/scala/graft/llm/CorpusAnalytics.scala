@@ -340,7 +340,8 @@ object CorpusAnalytics {
     // CHECK the headroom instead of assuming it — past 3M docs the mirror
     // ids would collide with real ones and both engines would agree on a
     // silently-wrong pair attribution. One O(1) driver scalar (b109 rule).
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val maxId = Option(docs.agg(max("doc_id")).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L)
     require(maxId < 3000000L,
       s"b171 mirror-id offset exhausted: max(doc_id) = $maxId >= 3000000; " +
         "raise the offset constant in BOTH the entry and its oracle SQL")

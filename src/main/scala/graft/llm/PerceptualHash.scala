@@ -145,8 +145,11 @@ object PerceptualHash {
     val docs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("media_id"))
     // plant-id collision guard (the b282/b284 ADVICE class): fail loudly
-    // at plan-build instead of aliasing a plant onto a real image
-    val maxId = docs.agg(max(col("media_id")).cast("long")).head.getLong(0)
+    // at plan-build instead of aliasing a plant onto a real image. max()
+    // is NULL on an empty source — read via getAs (null = trivially safe)
+    // so an empty fixture passes cleanly instead of NPEing (ADVICE r18)
+    val maxId = Option(docs.agg(max(col("media_id")).cast("long")).head
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L)
     require(maxId < PerceptIdOffset,
       s"b290: max(media_id)=$maxId collides with PerceptIdOffset=" +
         s"$PerceptIdOffset — raise the offset for this dataset")
@@ -231,13 +234,15 @@ object PerceptualHash {
        |FROM ham WHERE hamming <= $PerceptRadius
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** B290 — the end-to-end perceptual near-dup join: fingerprint → band →
-    * candidate join → Hamming verify. Output: every pair within
-    * [[PerceptRadius]], with its distance and the planted marker. */
-  private val b290 = entry(
-    "b290_perceptual_neardup", neardupOracleSql,
-    bench = true) { (s, d) =>
-    val bits = bitRows(s, d).localCheckpoint(true) // feeds bands + verify
+  /** The banded near-dup join over a 64-bit fingerprint given as
+    * (media_id, block_idx, bit) rows: band → candidate equi-join →
+    * Hamming verify → (doc_a, doc_b, hamming, is_planted). Shared by
+    * B290 (image blockhash) and B299 (audio envelope/correlation bits) —
+    * the banding/verify machinery is fingerprint-agnostic, only the bit
+    * derivation differs per modality. `bits` should be localCheckpointed
+    * by the caller when it also feeds other consumers. */
+  private[graft] def bandedNearDupPairs(bits: DataFrame, idOffset: Long,
+      radius: Long = PerceptRadius): DataFrame = {
     val bands = bits
       .groupBy(col("media_id"), expr("block_idx div 16").as("band_idx"))
       .agg(sum(expr(
@@ -257,11 +262,21 @@ object PerceptualHash {
       .groupBy("da", "db")
       .agg(sum(when(col("bit_a") =!= col("bit_b"), 1L).otherwise(0L))
         .as("hamming"))
-    ham.filter(col("hamming") <= PerceptRadius)
+    ham.filter(col("hamming") <= radius)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"),
-        when(col("doc_b") - col("doc_a") === PerceptIdOffset, 1L)
+        when(col("doc_b") - col("doc_a") === idOffset, 1L)
           .otherwise(0L).as("is_planted"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** B290 — the end-to-end perceptual near-dup join: fingerprint → band →
+    * candidate join → Hamming verify. Output: every pair within
+    * [[PerceptRadius]], with its distance and the planted marker. */
+  private val b290 = entry(
+    "b290_perceptual_neardup", neardupOracleSql,
+    bench = true) { (s, d) =>
+    val bits = bitRows(s, d).localCheckpoint(true) // feeds bands + verify
+    bandedNearDupPairs(bits, PerceptIdOffset)
   }
 
   val entries: Seq[Entry] = Seq(b290)

@@ -735,7 +735,7 @@ object ChangepointOps {
        |ols AS (
        |  SELECT leg, CAST(count(*) AS BIGINT) AS n_days,
        |         CAST((count(*) * sum(d * v) - sum(d) * sum(v)) * 10000
-       |              // (count(*) * sum(d * d) - sum(d) * sum(d))
+       |              // greatest(count(*) * sum(d * d) - sum(d) * sum(d), 1)
        |              AS BIGINT) AS ols_slope_bp
        |  FROM legs GROUP BY leg)
        |SELECT o.leg, o.n_days, t.ts_slope_bp, o.ols_slope_bp
@@ -766,10 +766,15 @@ object ChangepointOps {
       .withColumn("np", count(lit(1)).over(Window.partitionBy("leg")))
       .filter(col("rn") === expr("(np + 1) div 2"))
       .select(col("leg"), col("slope_bp").as("ts_slope_bp"))
+    // greatest(.., 1): the OLS denominator n·Σd²−(Σd)² is 0 for a
+    // single-day series — DuckDB `// 0` raises while Spark div yields NULL
+    // and the tsm join silently empties (ADVICE r18 item 3, the b285/b287
+    // engine-divergence fix applied here too)
     val ols = legs.groupBy("leg").agg(
       count(lit(1)).as("n_days"),
       expr("CAST((count(1) * sum(d * v) - sum(d) * sum(v)) * 10000" +
-        " div (count(1) * sum(d * d) - sum(d) * sum(d)) AS BIGINT)")
+        " div greatest(count(1) * sum(d * d) - sum(d) * sum(d), 1)" +
+        " AS BIGINT)")
         .as("ols_slope_bp"))
     ols.join(tsm, "leg")
       .select("leg", "n_days", "ts_slope_bp", "ols_slope_bp")

@@ -114,8 +114,16 @@ def main():
         if not os.path.isdir(spark_path):
             # a SPARK_GRAFT_ONLY-restricted Verify drive legitimately leaves
             # most entries unwritten — skip (and count) them instead of
-            # drowning the report in FAIL lines (VERDICT r17 item 5)
-            n_skip += 1
+            # drowning the report in FAIL lines (VERDICT r17 item 5). On a
+            # FULL (unrestricted) run a missing output dir means the entry
+            # crashed before writing, which must stay a FAIL or the oracle
+            # gate silently exits 0 on broken entries (ADVICE r18 item 1).
+            if only:
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: no Spark output dir (entry crashed "
+                      f"before writing on a full drive)")
+                n_fail += 1
             continue
         try:
             srel = con.sql(
