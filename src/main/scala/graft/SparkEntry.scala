@@ -54,6 +54,7 @@ object SparkEntry {
       llm.Multimodal.entries ++
       llm.PerceptualHash.entries ++
       llm.AudioFingerprint.entries ++
+      llm.Boilerplate.entries ++
       llm.VideoNearDup.entries ++
       llm.BpeTokenize.entries ++
       llm.UnigramTokenize.entries ++
