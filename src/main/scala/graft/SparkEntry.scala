@@ -55,6 +55,8 @@ object SparkEntry {
       llm.PerceptualHash.entries ++
       llm.AudioFingerprint.entries ++
       llm.Boilerplate.entries ++
+      llm.CompressionQuality.entries ++
+      llm.CrossModalAudit.entries ++
       llm.VideoNearDup.entries ++
       llm.BpeTokenize.entries ++
       llm.UnigramTokenize.entries ++

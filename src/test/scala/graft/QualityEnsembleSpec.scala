@@ -135,4 +135,37 @@ class QualityEnsembleSpec extends AnyFunSuite {
       || plan.contains("BroadcastExchange"),
       "blocklist/model sides must broadcast")
   }
+
+  test("B302 compression signal joins the quality family: every planted" +
+    " low-entropy doc fires; the clean corpus separates cleanly; the" +
+    " signal is map-side like the fused ensemble stages") {
+    import graft.llm.{CompressionQuality => CQ}
+    val out = SparkEntry.queries("b302_compression_quality")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    val plants = out.filter(_._1 == "plant")
+    val clean = out.filter(_._1 == "clean")
+    assert(plants.nonEmpty && clean.nonEmpty)
+    // construction bound: a 6-word tile repeats every gram position >= 6
+    // at distance 6 <= window, so repeat_bp >= (m-6)/m * 10^4 >= 6250
+    plants.foreach { p =>
+      assert(p._4 == 1L, s"plant doc ${p._2} did not fire")
+      assert(p._3 >= 6250L, s"plant doc ${p._2} repeat_bp ${p._3} below bound")
+    }
+    // separation: the corpus's organic repeat mass stays far under the
+    // threshold (fixture max 425 bp vs the 3000 bp gate) — the signal
+    // adds discrimination the b45q/b245 structural rules don't subsume
+    val falsePos = clean.count(_._4 == 1L)
+    assert(falsePos * 10 <= clean.length,
+      s"$falsePos/${clean.length} clean docs fire — threshold degenerate")
+    // scale posture: the whole signal is HOFs in a projection — no joins,
+    // no aggregates, no exchange except the presentation sort
+    val plan = SparkEntry.queries("b302_compression_quality")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("HashAggregate"),
+      "compression signal must not aggregate — it rides the scan")
+    assert(CQ.LowEntropyBp < 6250L,
+      "fire threshold must sit below the plant construction bound")
+  }
 }
