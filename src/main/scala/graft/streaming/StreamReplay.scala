@@ -1443,20 +1443,26 @@ object StreamReplay {
     * batch-side before the replay (one mapPartitions pass) because the
     * decode needs the payload bytes — in production the fingerprint
     * column ships with the ingest record. */
-  private val b295 = entry(
-    "b295_stream_perceptual_index",
-    graft.llm.PerceptualHash.neardupOracleSql) { (s, d) =>
+  /** The incremental near-dup index replay, FINGERPRINT-AGNOSTIC (shared
+    * by B295 image and B304 audio — the banding/probe/verify machinery
+    * never looks inside the bits, only the bit derivation is per-
+    * modality): (media_id, block_idx, bit) rows arrive in 4 micro-batch
+    * chunks; the maintained index is the versioned bits relation; each
+    * batch probes ONLY its arrivals' bands against the accumulated index
+    * and reports the verified pairs it completes. */
+  private def incrementalNearDupIndex(s: org.apache.spark.sql.SparkSession,
+      bits: org.apache.spark.sql.DataFrame, idOffset: Long,
+      chunkDir: String, stateDir: String): org.apache.spark.sql.DataFrame = {
     val PH = graft.llm.PerceptualHash
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val bits = PH.bitRows(s, d)
     // four arrival groups; any split works — correctness is split-free
     // (the oracle has no arrival notion), so media_id % 4 is just a
     // deterministic shuffle of arrival order incl. plants-before-sources
     for (k <- 0 to 3)
       bits.filter(pmod(col("media_id"), lit(4L)) === k)
         .coalesce(1).write.mode("overwrite")
-        .parquet(f"$chunkDir295/chunk_$k%04d")
-    val stream = StreamingOps.readStream(s, chunkDir295,
+        .parquet(f"$chunkDir/chunk_$k%04d")
+    val stream = StreamingOps.readStream(s, chunkDir,
       schema = StructType(Seq(StructField("media_id", LongType),
         StructField("block_idx", IntegerType),
         StructField("bit", IntegerType))))
@@ -1465,12 +1471,12 @@ object StreamReplay {
       .agg(sum(expr(
         "bit * shiftleft(CAST(1 AS BIGINT), CAST(block_idx % 16 AS INT))"))
         .as("band_val"))
-    val repDir = s"$stateDir295/reports"
+    val repDir = s"$stateDir/reports"
     StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
-      val allPath = s"$stateDir295/all_$id"
+      val allPath = s"$stateDir/all_$id"
       val all =
         if (id == 0) batch.toDF()
-        else s.read.parquet(s"$stateDir295/all_${id - 1}").unionByName(batch)
+        else s.read.parquet(s"$stateDir/all_${id - 1}").unionByName(batch)
       all.write.mode("overwrite").parquet(allPath)
       val allBits = s.read.parquet(allPath)
       val newBands = bandsOf(batch.toDF())
@@ -1495,15 +1501,41 @@ object StreamReplay {
           .as("hamming"))
         .filter(col("hamming") <= PH.PerceptRadius)
         .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"),
-          when(col("doc_b") - col("doc_a") === PH.PerceptIdOffset, 1L)
+          when(col("doc_b") - col("doc_a") === idOffset, 1L)
             .otherwise(0L).as("is_planted"))
         .coalesce(1).write.mode("overwrite").parquet(s"$repDir/rep_$id")
     }
     s.read.parquet(s"$repDir/rep_*").orderBy("doc_a", "doc_b")
   }
 
+  private val b295 = entry(
+    "b295_stream_perceptual_index",
+    graft.llm.PerceptualHash.neardupOracleSql) { (s, d) =>
+    incrementalNearDupIndex(s, graft.llm.PerceptualHash.bitRows(s, d),
+      graft.llm.PerceptualHash.PerceptIdOffset, chunkDir295, stateDir295)
+  }
+
+  private lazy val chunkDir304: String =
+    java.nio.file.Files.createTempDirectory("graft_b304_chunks").toString
+  private lazy val stateDir304: String =
+    java.nio.file.Files.createTempDirectory("graft_b304_state").toString
+
+  /** B304 — INCREMENTAL AUDIO INDEX: B295's maintained near-dup index fed
+    * by B299's WAV-parsed audio fingerprints — the same versioned index,
+    * arrivals-only band probe, emit-once pair completion, via
+    * [[incrementalNearDupIndex]] UNCHANGED (the machinery is modality-
+    * agnostic by construction; only bitRows and the plant offset differ).
+    * Oracle = b299's VERBATIM (streamed ≡ batch, the b283/b276
+    * convention). */
+  private val b304 = entry(
+    "b304_stream_audio_index",
+    graft.llm.AudioFingerprint.audioNeardupOracleSql) { (s, d) =>
+    incrementalNearDupIndex(s, graft.llm.AudioFingerprint.bitRows(s, d),
+      graft.llm.AudioFingerprint.AudioIdOffset, chunkDir304, stateDir304)
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
       b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
-      b269, b274, b283, b291, b295)
+      b269, b274, b283, b291, b295, b304)
 }
