@@ -68,17 +68,28 @@ object Boilerplate {
   val BlockTags: Seq[String] =
     Seq("title", "nav", "p", "div", "footer", "li", "h1", "h2", "h3")
 
+  /** The 1-row benchmark-leak relation (the first [[LeakWords]] words of
+    * benchmark doc 0) — read from the STATIC table so the streamed twin
+    * (B305) broadcasts the same constant per batch. */
+  private[graft] def leakOf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") === 0)
+      .select(expr(s"array_join(slice(split(text, ' '), 1, $LeakWords), ' ')")
+        .as("lk"))
+
   /** Synthetic page corpus: (doc_id, html). Chrome varies by doc_id; the
     * document text rides as two <p> halves; planted docs hide the
     * benchmark leak in the footer. */
-  private[graft] def htmlDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def htmlDocs(s: SparkSession, d: String): DataFrame =
+    htmlFor(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      leakOf(s, d))
+
+  /** Markup synthesis over any (doc_id, text) relation — shared by the
+    * batch entries and B305's per-micro-batch admission twin. */
+  private[graft] def htmlFor(docsIn: DataFrame, leak: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
       .withColumn("h", expr("(n + 1) div 2"))
-    val leak = Tables.documents(s, d).filter(col("doc_id") === 0)
-      .select(expr(s"array_join(slice(split(text, ' '), 1, $LeakWords), ' ')")
-        .as("lk"))
     docs.crossJoin(broadcast(leak)).select(col("doc_id"), expr(
       s"""concat(
          |  '<html><head><title>Doc ', doc_id, ' - site ', doc_id % 7,
@@ -213,24 +224,10 @@ object Boilerplate {
        |  GROUP BY doc_id)""".stripMargin
   }
 
-  /** B300 — per-doc extraction report: block counts, kept counts, raw vs
-    * extracted length, and the extracted main text itself (the hash pins
-    * the full reassembly, not just the stats). */
-  private val b300 = entry(
-    "b300_boilerplate_extract",
-    s"""WITH ${extractionCtesDuck()}
-       |SELECT h.doc_id, b.n_blocks,
-       |       COALESCE(e.n_kept, CAST(0 AS BIGINT)) AS n_kept,
-       |       CAST(length(h.html) AS BIGINT) AS raw_len,
-       |       CAST(COALESCE(length(e.main_text), 0) AS BIGINT) AS main_len,
-       |       COALESCE(e.main_text, '') AS main_text
-       |FROM hd h
-       |JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
-       |      FROM blk GROUP BY doc_id) b ON b.doc_id = h.doc_id
-       |LEFT JOIN ext e ON e.doc_id = h.doc_id
-       |ORDER BY h.doc_id""".stripMargin,
-    bench = true) { (s, d) =>
-    val hd = htmlDocs(s, d)
+  /** The per-doc extraction report over any (doc_id, html) relation —
+    * shared by B300 and B305's per-batch admission so the two cannot
+    * drift. */
+  private[graft] def extractionReport(hd: DataFrame): DataFrame = {
     val blocks = extractBlocks(hd).localCheckpoint(true) // feeds counts + main
     val nb = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
     hd.join(nb, "doc_id")
@@ -241,6 +238,30 @@ object Boilerplate {
         coalesce(length(col("main_text")).cast("long"), lit(0L)).as("main_len"),
         coalesce(col("main_text"), lit("")).as("main_text"))
       .orderBy("doc_id")
+  }
+
+  /** The b300 oracle — shared VERBATIM by the streamed admission twin
+    * B305 (the b283/b276 convention). */
+  private[graft] val extractOracleSql: String =
+    s"""WITH ${extractionCtesDuck()}
+       |SELECT h.doc_id, b.n_blocks,
+       |       COALESCE(e.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |       CAST(length(h.html) AS BIGINT) AS raw_len,
+       |       CAST(COALESCE(length(e.main_text), 0) AS BIGINT) AS main_len,
+       |       COALESCE(e.main_text, '') AS main_text
+       |FROM hd h
+       |JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+       |      FROM blk GROUP BY doc_id) b ON b.doc_id = h.doc_id
+       |LEFT JOIN ext e ON e.doc_id = h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
+  /** B300 — per-doc extraction report: block counts, kept counts, raw vs
+    * extracted length, and the extracted main text itself (the hash pins
+    * the full reassembly, not just the stats). */
+  private val b300 = entry(
+    "b300_boilerplate_extract", extractOracleSql,
+    bench = true) { (s, d) =>
+    extractionReport(htmlDocs(s, d))
   }
 
   /** B301 — the composition row: B92's benchmark-overlap verdict on raw

@@ -1534,8 +1534,48 @@ object StreamReplay {
       graft.llm.AudioFingerprint.AudioIdOffset, chunkDir304, stateDir304)
   }
 
+  private lazy val chunkDir305: String =
+    java.nio.file.Files.createTempDirectory("graft_b305_chunks").toString
+  private lazy val stateDir305: String =
+    java.nio.file.Files.createTempDirectory("graft_b305_state").toString
+
+  /** B305 — BOILERPLATE EXTRACTION AT THE INGEST DOOR (streamed twin of
+    * b300, the b263 admission convention): documents arrive in
+    * micro-batches; each batch synthesizes its pages and runs the FULL
+    * extraction report per batch — the pass is per-doc (both window sums
+    * and both aggregates key by doc_id), so admission is
+    * execution-mode-invisible and the union of per-batch reports IS the
+    * batch report (oracle = b300's VERBATIM). The benchmark-leak constant
+    * reads from the static table and broadcasts per batch — in production
+    * the extraction config ships as a broadcast artifact, not state.
+    * Scale posture: ZERO cross-batch state — extraction is the stateless
+    * map-shaped front of the admission pipeline; per-batch work ∝
+    * arrivals. */
+  private val b305 = entry(
+    "b305_stream_boilerplate_admission",
+    graft.llm.Boilerplate.extractOracleSql) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    for (k <- 0 to 3)
+      docs.filter(pmod(col("doc_id"), lit(4L)) === k)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$chunkDir305/chunk_$k%04d")
+    val stream = StreamingOps.readStream(s, chunkDir305,
+      schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val leak = graft.llm.Boilerplate.leakOf(s, d)
+    val repDir = s"$stateDir305/reports"
+    StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
+      graft.llm.Boilerplate.extractionReport(
+          graft.llm.Boilerplate.htmlFor(batch.toDF(), leak))
+        .coalesce(1).write.mode("overwrite").parquet(s"$repDir/rep_$id")
+    }
+    s.read.parquet(s"$repDir/rep_*").orderBy("doc_id")
+  }
+
   val entries: Seq[Entry] =
     Seq(b51, b52, b53, b54, b72, b88, b89, b91, b112, b120, b121, b128,
       b133, b148, b161, b214, b224, b234, b241, b246, b248, b259, b263,
-      b269, b274, b283, b291, b295, b304)
+      b269, b274, b283, b291, b295, b304, b305)
 }
