@@ -168,11 +168,11 @@ object PerceptualHash {
     }.toDF("media_id", "block_idx", "bit")
   }
 
-  /** The b290 oracle — shared VERBATIM by the streamed twin b295 (the
-    * b283/b276 convention: the incremental index must converge to exactly
-    * the batch join's pair set). */
-  private[graft] val neardupOracleSql: String =
-    s"""WITH ids AS (
+  /** The b290 oracle's CTE chain (ids → … → ham) WITHOUT the leading WITH
+    * — the r16 composition convention, so B306's manifest chains it
+    * verbatim under its own WITH RECURSIVE. */
+  private[graft] val neardupCtesDuck: String =
+    s"""ids AS (
        |  SELECT doc_id AS media_id, doc_id AS src,
        |         CAST((doc_id % 48) + 16 AS BIGINT) AS w,
        |         CAST((doc_id % 32) + 8 AS BIGINT) AS ht,
@@ -227,7 +227,13 @@ object PerceptualHash {
        |  FROM cand
        |  JOIN bits x ON x.media_id = da
        |  JOIN bits y ON y.media_id = db AND y.block_idx = x.block_idx
-       |  GROUP BY da, db)
+       |  GROUP BY da, db)""".stripMargin
+
+  /** The b290 oracle — shared VERBATIM by the streamed twin b295 (the
+    * b283/b276 convention: the incremental index must converge to exactly
+    * the batch join's pair set). */
+  private[graft] val neardupOracleSql: String =
+    s"""WITH $neardupCtesDuck
        |SELECT da AS doc_a, db AS doc_b, hamming,
        |       CAST(CASE WHEN db - da = $PerceptIdOffset THEN 1 ELSE 0 END
        |            AS BIGINT) AS is_planted
@@ -279,5 +285,54 @@ object PerceptualHash {
     bandedNearDupPairs(bits, PerceptIdOffset)
   }
 
-  val entries: Seq[Entry] = Seq(b290)
+  /** B306 — MEDIA DEDUP MANIFEST: the composition a curation team ships
+    * after near-dup detection — B290's verified pair graph resolved into
+    * clusters by [[graft.operators.GraphOps.connectedComponents]]
+    * (pointer-jumping, the b63 machinery UNCHANGED), canonical keep =
+    * min id per cluster (the b42 keep-first rule), and the per-cluster
+    * manifest row (members, planted members, drops). The oracle chains
+    * the b290 CTEs verbatim under WITH RECURSIVE transitive closure, so
+    * pair detection and cluster resolution are hash-pinned END TO END —
+    * a near-dup pass whose pairs are right but whose clustering drops the
+    * wrong member is exactly the bug this composition row catches.
+    *
+    * Scale posture: the pair graph is candidate-bounded (b290's banding),
+    * components run pointer-jumping in O(log diameter) rounds over
+    * |nodes| rows — no driver-side union-find (the b63 posture); the
+    * manifest is one component-keyed rollup. */
+  private val b306 = entry(
+    "b306_media_dedup_manifest",
+    s"""WITH RECURSIVE
+       |$neardupCtesDuck,
+       |prs(a, b) AS (SELECT da, db FROM ham WHERE hamming <= $PerceptRadius),
+       |edges(a, b) AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       |nodes(n) AS (SELECT media_id FROM ids),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+       |comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+       |SELECT component AS cluster_id,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(CASE WHEN n >= $PerceptIdOffset THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_planted,
+       |       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       |FROM comp GROUP BY component HAVING count(*) >= 2
+       |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val bits = bitRows(s, d).localCheckpoint(true)
+    val pairs = bandedNearDupPairs(bits, PerceptIdOffset)
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = bits.select(col("media_id").as("n")).distinct()
+    graft.operators.GraphOps.connectedComponents(edges, nodes)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("n") >= PerceptIdOffset, 1L).otherwise(0L))
+          .as("n_planted"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"), col("n_planted"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  val entries: Seq[Entry] = Seq(b290, b306)
 }

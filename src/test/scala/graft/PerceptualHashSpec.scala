@@ -83,4 +83,27 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("B306 manifest: every planted copy resolves into a cluster whose " +
+    "canonical (kept) member is its source original; cluster arithmetic " +
+    "closes against the pair output") {
+    val manifest = SparkEntry.queries("b306_media_dedup_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = SparkEntry.queries("b290_perceptual_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every pair member must appear in some >=2-member cluster; planted
+    // members (id >= offset) may never be a cluster canonical — min-id
+    // keep always prefers the original source
+    assert(manifest.forall(_._1 < PH.PerceptIdOffset),
+      "a planted copy became a cluster canonical")
+    val clustered = manifest.map(m => m._2).sum
+    val planted = manifest.map(m => m._3).sum
+    val dropped = manifest.map(m => m._4).sum
+    assert(dropped == clustered - manifest.length,
+      "keep-first arithmetic must drop exactly members-1 per cluster")
+    assert(planted == pairs.count(p => p._2 >= PH.PerceptIdOffset
+      && p._1 == p._2 - PH.PerceptIdOffset),
+      "every planted pair's copy must be counted in exactly one cluster")
+  }
 }
