@@ -303,5 +303,90 @@ object AudioFingerprint {
     PerceptualHash.bandedNearDupPairs(bits, AudioIdOffset)
   }
 
-  val entries: Seq[Entry] = Seq(b299)
+  /** Frame-sampling stride for B307 (keep every 8th analysis frame — the
+    * b79 convention on the audio axis). */
+  val FrameStride = 8
+
+  /** B307 — the audio DECODE → FEATURE chain (the b79/b174 pattern on the
+    * third modality: b174 decodes images, b79 samples video frames, this
+    * parses WAV PCM and emits per-sampled-frame features): one
+    * mapPartitions pass parses the RIFF header byte-for-byte, then emits
+    * every [[FrameStride]]-th frame's integer features — energy
+    * (Σ|s|, the loudness envelope) and zero-crossing count (the classic
+    * integer pitch/noisiness proxy, Rabiner-Schafer class) — the unit of
+    * work a downstream per-frame feature extractor consumes. The oracle
+    * re-derives every sample analytically and aggregates the identical
+    * features in SQL.
+    *
+    * Zero crossings are counted as sign-bit changes between consecutive
+    * samples WITHIN the frame ((prev < 0) ≠ (s < 0) — zero is positive),
+    * which is exactly replicable relationally via lag over (media, frame).
+    *
+    * Scale posture: payloads never shuffle; output is frames/8 rows per
+    * audio; the only exchange is the presentation sort. */
+  private val b307 = entry(
+    "b307_audio_frame_features",
+    s"""WITH ids AS (
+       |  SELECT doc_id AS media_id, doc_id AS src,
+       |         CAST((doc_id % 64) + 64 AS BIGINT) AS fr
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |smp AS (
+       |  SELECT media_id, src, fr,
+       |         UNNEST(generate_series(0, fr * $FrameLen - 1)) AS i
+       |  FROM ids),
+       |sv AS (
+       |  SELECT media_id, i // $FrameLen AS f, i % $FrameLen AS j,
+       |         ((src * 31 + (i // $FrameLen) * 17) % 256) - 128
+       |         + ((src + (i // $FrameLen) * 7 + (i % $FrameLen) * 13) % 9)
+       |         - 4 AS s
+       |  FROM smp),
+       |sl AS (
+       |  SELECT media_id, f, j, s,
+       |         lag(s) OVER (PARTITION BY media_id, f ORDER BY j) AS prev
+       |  FROM sv),
+       |feat AS (
+       |  SELECT media_id, f AS frame_idx,
+       |         CAST(count(*) AS BIGINT) AS n_samples,
+       |         CAST(sum(abs(s)) AS BIGINT) AS energy,
+       |         CAST(sum(CASE WHEN prev IS NOT NULL
+       |                        AND (prev < 0) <> (s < 0)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+       |  FROM sl GROUP BY media_id, f)
+       |SELECT media_id, frame_idx, n_samples, energy, zcross
+       |FROM feat WHERE frame_idx % $FrameStride = 0
+       |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // per-partition decoder init would go here (the Multimodal rule)
+        ids.flatMap { id =>
+          val payload = wavPayload(id)
+          val (n, off) = wavHeader(id, payload)
+          val frames = n / FrameLen
+          (0 until frames by FrameStride).iterator.map { f =>
+            var energy = 0L
+            var zcross = 0L
+            var prevNeg = false
+            var j = 0
+            while (j < FrameLen) {
+              val i = f * FrameLen + j
+              val lo = payload(off + 2 * i) & 0xFF
+              val hi = payload(off + 2 * i + 1)
+              val sVal = (hi << 8) | lo
+              energy += math.abs(sVal)
+              val neg = sVal < 0
+              if (j > 0 && neg != prevNeg) zcross += 1
+              prevNeg = neg
+              j += 1
+            }
+            (id, f.toLong, FrameLen.toLong, energy, zcross)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_samples", "energy", "zcross")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val entries: Seq[Entry] = Seq(b299, b307)
 }

@@ -113,4 +113,25 @@ class AudioFingerprintSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("B307 decode honesty: parsed-byte frame features equal the " +
+    "analytic sample formula (energy and zero crossings, zero-positive)") {
+    val out = SparkEntry.queries("b307_audio_frame_features")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 1").select("doc_id")
+      .collect().map(_.getLong(0))
+    var checked = 0
+    for (id <- ids; f <- 0 until AF.frameCount(id) by AF.FrameStride) {
+      val samples = (0 until AF.FrameLen).map(j => AF.sampleValue(id, f, j))
+      val energy = samples.map(s => math.abs(s).toLong).sum
+      val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(out((id, f.toLong)) == ((AF.FrameLen.toLong, energy, zc.toLong)),
+        s"id $id frame $f features diverge")
+      checked += 1
+    }
+    assert(checked == out.size, "row universe must be exactly the stride grid")
+  }
 }
