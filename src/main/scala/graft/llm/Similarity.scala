@@ -342,5 +342,66 @@ object Similarity {
       .orderBy("k", "probe_id")
   }
 
-  val entries: Seq[Entry] = Seq(b44, b44lsh, b44recall, b75, b165)
+  /** B308 — CROSS-MODAL RETRIEVAL SERVE: the page a multimodal RAG
+    * actually returns — b44's exact cosine top-k per probe, each neighbor
+    * joined to its DOCUMENT metadata (lang, source) and its MEDIA slot
+    * kind (the b47 content-type dispatch), so the caller gets renderable
+    * hits, not bare vector ids. The composition is the point: retrieval
+    * (embeddings), catalog (documents) and media slots are three separate
+    * surfaces whose alignment B303 audits; this row is the SERVING join
+    * over the aligned subset, hash-pinned end to end.
+    *
+    * Scale posture: b44's broadcast-probe scan posture for scoring
+    * (O(probes·n) map-side, per-probe top-k window); the metadata
+    * attachment broadcasts the O(probes·k) hit list into a doc-keyed join
+    * — the corpus never shuffles for serving. */
+  private val b308 = entry(
+    "b308_crossmodal_retrieval",
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(p.v, c.v) / (p.norm * c.norm) AS cos
+      |  FROM v p JOIN v c ON p.vec_id < 20 AND p.vec_id <> c.vec_id),
+      |topk AS (
+      |  SELECT * FROM (
+      |    SELECT probe_id, neighbor_id, cos,
+      |           CAST(row_number() OVER (PARTITION BY probe_id
+      |             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn
+      |    FROM pairs) r
+      |  WHERE rn <= 5)
+      |SELECT t.probe_id, t.rn, t.neighbor_id, round(t.cos, 4) AS cosine,
+      |       d.lang, d.source,
+      |       CASE WHEN d.doc_id % 3 = 0 THEN 'image/png'
+      |            WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
+      |            ELSE 'video/mp4' END AS media_kind
+      |FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+      |ORDER BY t.probe_id, t.rn""".stripMargin) { (s, d) =>
+    register(s)
+    val v = withNorm(Tables.embeddings(s, d))
+    val probes = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val corpus = v.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val topk = corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("media_kind"))
+    docs.join(broadcast(topk), col("doc_id") === col("neighbor_id"))
+      .select(col("probe_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("lang"), col("source"),
+        col("media_kind"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val entries: Seq[Entry] = Seq(b44, b44lsh, b44recall, b75, b165, b308)
 }

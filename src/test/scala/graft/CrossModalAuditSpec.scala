@@ -35,4 +35,24 @@ class CrossModalAuditSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("B308 serve join: metadata attaches to every hit (k per probe), " +
+    "kinds dispatch by slot, and the hit list broadcasts — the corpus " +
+    "never shuffles for serving") {
+    val out = SparkEntry.queries("b308_crossmodal_retrieval")(spark, sf)
+      .collect()
+    assert(out.length == 20 * 5, s"expected 20 probes x 5 hits, got ${out.length}")
+    out.foreach { r =>
+      val (id, kind) = (r.getLong(2), r.getString(6))
+      val expected = (id % 3) match {
+        case 0 => "image/png"; case 1 => "audio/wav"; case _ => "video/mp4"
+      }
+      assert(kind == expected, s"neighbor $id kind $kind")
+      assert(r.getString(4).nonEmpty && r.getString(5).nonEmpty,
+        "lang/source metadata must attach to every hit")
+    }
+    val plan = SparkEntry.queries("b308_crossmodal_retrieval")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
