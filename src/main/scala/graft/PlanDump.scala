@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `<outDir>/<query>.txt` with the formatted physical plan of each
+  * named query — the per-change evidence capture behind `plans/r20/`
+  * (EXPLAIN.md stays the full-set artifact; this is the targeted
+  * before/after tool the optimization rounds diff).
+  *
+  * Usage: runMain graft.PlanDump <outDir> <name>[,<name>...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: PlanDump <outDir> <name>[,<name>...]")
+    val outDir = Paths.get(args(0))
+    Files.createDirectories(outDir)
+    val names = args(1).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plandump")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val byName = SparkEntry.all.map(e => e.name -> e).toMap
+    for (n <- names) {
+      val e = byName.getOrElse(n, sys.error(s"unknown query: $n"))
+      val df = e.q(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(outDir.resolve(s"$n.txt"), txt)
+      println(s"[plandump] wrote $outDir/$n.txt")
+    }
+    spark.stop()
+  }
+}

@@ -299,11 +299,20 @@ object GraphOps {
       .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     val nNodes = outdeg.count() // O(1) driver scalar (b109 convention)
     val base = (15L * (PrScale / nNodes)) / 100L
+    // per-round join strategy (the b157/b207/b231 convention): the per-node
+    // share table is O(nodes), so while the graph fits the 2M-edge
+    // broadcast cap each round probes the checkpointed edge list MAP-SIDE
+    // instead of re-shuffling+sorting O(|E|) rows every iteration; the
+    // share division runs once per NODE before the edge join
+    val prGraphSmall = edges.count() <= 2 * LpaBroadcastMaxNodes
+    def prShareSide(df: DataFrame): DataFrame =
+      if (prGraphSmall) broadcast(df) else df
     var r = outdeg.select(col("node"), lit(PrScale / nNodes).as("rank"))
     for (_ <- 1 to PrIters) {
-      r = r.join(outdeg, "node")
-        .withColumn("share", expr("rank div outdeg"))
-        .join(edges.withColumnRenamed("src", "node"), "node")
+      val share = r.join(outdeg, "node")
+        .select(col("node"), expr("rank div outdeg").as("share"))
+      r = edges.withColumnRenamed("src", "node")
+        .join(prShareSide(share), "node")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
         .select(col("node"),
@@ -376,14 +385,26 @@ object GraphOps {
     // the cap is sized so the forced broadcast can never itself become
     // the pathology it avoids. Edge count is a cheap scalar off the
     // already-materialized checkpoint.
-    val closing = oriented.select(col("a").as("w1"), col("b").as("w2"))
+    // the probe key is the PACKED closing pair w1·2³² + w2 — one long
+    // equi-key instead of a two-column struct key, so the 41M-row probe
+    // hashes/compares 8 bytes per row (the b148 packing; collision-free
+    // for node ids below 2³² — any TPC-H part key)
+    val closing = oriented.select(
+      (col("a") * lit(1L << 32) + col("b")).as("wk"))
     val closingSide =
       if (edges.count() <= 2000000L) broadcast(closing) else closing
-    val tri = wedges.join(closingSide, Seq("w1", "w2"))
+    val tri = wedges
+      .select(col("a"), col("w1"), col("w2"),
+        (col("w1") * lit(1L << 32) + col("w2")).as("wk"))
+      .join(closingSide, Seq("wk"))
       .select(col("a"), col("w1"), col("w2"))
-    tri.select(col("a").as("node"))
-      .unionByName(tri.select(col("w1").as("node")))
-      .unionByName(tri.select(col("w2").as("node")))
+    // one explode, NOT a 3-way union of corner projections: Union legs are
+    // separate plan subtrees, so the union spelling re-executed the whole
+    // wedge join + closing probe once PER CORNER (3× the dominant cost —
+    // measured 229→48 executor-CPU s at sf0.1/32 threads); explode emits
+    // the identical corner multiset from ONE pass, in the same codegen
+    // stage as the closing probe
+    tri.select(explode(array(col("a"), col("w1"), col("w2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -459,9 +480,9 @@ object GraphOps {
         col("y.v") === col("x.v") &&
         (!col("y.isNew") || col("y.k") < col("ek")))
       .select(col("ea").as("a"), col("eb").as("b"), col("x.v").as("c"))
-    tri.select(col("a").as("node"))
-      .unionByName(tri.select(col("b").as("node")))
-      .unionByName(tri.select(col("c").as("node")))
+    // single-pass corner explode (same reasoning as triangleCountsOn: a
+    // 3-way union would re-run the two adjacency joins once per corner)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("delta"))
   }
 
@@ -799,9 +820,19 @@ object GraphOps {
     // spelling is kept for the round-cost asymptotics (rounds 2+ shuffle
     // frontier×degree, not |labeled|×degree — at 100 TB the full-relation
     // spelling re-shuffles the whole labeled set every round).
+    // per-round join strategy: every frontier is bounded by the node set,
+    // which is bounded by the edge count — so while the graph fits the
+    // b144/b157 2M-edge broadcast cap, the expand join probes the
+    // checkpointed edge list MAP-SIDE instead of re-shuffling+sorting the
+    // O(|E|) sym relation every round (one O(1) driver scalar off the
+    // already-materialized checkpoint, fixed across rounds; past the cap
+    // the rounds fall back to the pure Pregel shuffled join)
+    val bfsGraphSmall = sym.count() <= 2 * LpaBroadcastMaxNodes
+    def frontierSide(df: DataFrame): DataFrame =
+      if (bfsGraphSmall) broadcast(df) else df
     var frontier = dist
     for (_ <- 1 to BfsRounds) {
-      val reached = frontier.join(sym, col("node") === col("a"))
+      val reached = sym.join(frontierSide(frontier), col("node") === col("a"))
         .groupBy(col("b").as("node"))
         .agg(min(col("dist") + 1L).as("dist"))
       val fresh = reached.join(dist.select(col("node").as("seen")),
@@ -880,11 +911,19 @@ object GraphOps {
       s" THEN ${PrScale}L div ${nSeeds}L ELSE 0L END"
     var rank = nodes.select(col("node"),
       expr(s"CAST($restart AS BIGINT)").as("rank")).localCheckpoint(true)
+    // per-round join strategy (the b157/b207 convention): the per-node
+    // share table is O(nodes) ≤ the 2M cap while the graph is broadcast-
+    // sized, so each round probes the checkpointed sym MAP-SIDE instead of
+    // re-shuffling+sorting the O(|E|) relation six times; the share
+    // division runs once per NODE before the edge join, not once per edge
+    val pprGraphSmall = sym.count() <= 2 * LpaBroadcastMaxNodes
+    def shareSide(df: DataFrame): DataFrame =
+      if (pprGraphSmall) broadcast(df) else df
     for (_ <- 1 to PrIters) {
-      val inflow = rank.filter(col("rank") > 0)
+      val share = rank.filter(col("rank") > 0)
         .join(outdeg, "node")
-        .join(sym, col("a") === col("node"))
-        .select(col("b"), expr("rank div od").as("share"))
+        .select(col("node"), expr("rank div od").as("share"))
+      val inflow = sym.join(shareSide(share), col("a") === col("node"))
         .groupBy(col("b").as("inode")).agg(sum("share").as("inflow"))
       rank = nodes
         .join(inflow, col("node") === col("inode"), "left")
