@@ -73,6 +73,9 @@ object AnalyticsOps {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true) // 4 consumers (nTot, itemN, pair join ×2) —
+        // materialize the distinct once instead of re-scanning+re-agg
+        // per consumer (no exchange reuse fires: the legs' filters differ)
     val nTot = items.agg(countDistinct(col("o")).as("n_baskets"))
     val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
@@ -144,6 +147,8 @@ object AnalyticsOps {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true) // 5 consumers (l2 ×2, ab ×2, extension) —
+        // the b197 convention
     val l2 = items.as("a")
       .join(items.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -1148,15 +1153,21 @@ object AnalyticsOps {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true) // 3 consumers — the b197 convention
     val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("x")
       .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= MinSup)
-    val sym = pairs.select(col("p1").as("a"), col("p2").as("b"), col("n_pair"))
-      .unionByName(pairs.select(col("p2").as("a"), col("p1").as("b"),
-        col("n_pair")))
+    // symmetrize with ONE explode pass (the b144 corner-explode argument:
+    // union legs are separate subtrees, so the union spelling re-executed
+    // the whole basket self-join + aggregate once per direction)
+    val sym = pairs.select(explode(array(
+        struct(col("p1").as("a"), col("p2").as("b"), col("n_pair")),
+        struct(col("p2").as("a"), col("p1").as("b"), col("n_pair")))).as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b"),
+        col("s.n_pair").as("n_pair"))
     val conf = sym
       .join(broadcast(itemN.select(col("p").as("a"), col("n_item"))), "a")
       .select(col("a"), col("b"),
@@ -2002,9 +2013,13 @@ object AnalyticsOps {
       .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= MinSup)
-    val sym = pairs.select(col("p1").as("a"), col("p2").as("b"), col("n_pair"))
-      .unionByName(pairs.select(col("p2").as("a"), col("p1").as("b"),
-        col("n_pair")))
+    // one explode pass, not a 2-leg union re-running the self-join (the
+    // b144/b217 argument)
+    val sym = pairs.select(explode(array(
+        struct(col("p1").as("a"), col("p2").as("b"), col("n_pair")),
+        struct(col("p2").as("a"), col("p1").as("b"), col("n_pair")))).as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b"),
+        col("s.n_pair").as("n_pair"))
     val conf = sym
       .join(broadcast(itemN.select(col("p").as("a"), col("n_item"))), "a")
       .select(col("a"), col("b"),
@@ -2146,6 +2161,8 @@ object AnalyticsOps {
         col("p_partkey") === col("l_partkey"))
       .select(col("o"), col("p_brand").as("b"))
       .distinct()
+      .localCheckpoint(true) // 4 consumers (n, bn, pair join ×2) — the
+        // b197 convention
     val n = bi.agg(countDistinct(col("o")).as("n_baskets"))
     val bn = bi.groupBy("b").agg(count(lit(1)).as("n_b"))
     val pairs = bi.as("x")
