@@ -317,16 +317,21 @@ object CorpusRelease {
       .select(concat(lit("card:"), col("section"), lit(":"), col("metric"))
         .as("check_id"), col("value").cast("long").as("n_checked"))
       .unionByName {
+        // ONE aggregate pass over the manifest: three separate scalar
+        // aggs would re-run the whole budget→BPE→packing chain once per
+        // metric (the manifest is not checkpointed, and the BPE encode
+        // dominates it); the 1-row checkpoint fans out to the 3 info rows
         val man = ModelReady.modelReadyManifest(s, relsrc)
-        man.agg(countDistinct(col("seq_id")).cast("long").as("v"))
-          .select(lit("manifest:n_sequences").as("check_id"),
-            col("v").as("n_checked"))
-          .unionByName(man.agg(count(lit(1)).as("v"))
-            .select(lit("manifest:n_slices").as("check_id"),
-              col("v").as("n_checked")))
-          .unionByName(man.agg(sum(col("n_toks")).cast("long").as("v"))
-            .select(lit("manifest:n_tokens").as("check_id"),
-              col("v").as("n_checked")))
+          .agg(countDistinct(col("seq_id")).cast("long").as("n_seq"),
+            count(lit(1)).as("n_slices"),
+            sum(col("n_toks")).cast("long").as("n_tokens"))
+          .localCheckpoint(true)
+        man.select(lit("manifest:n_sequences").as("check_id"),
+            col("n_seq").as("n_checked"))
+          .unionByName(man.select(lit("manifest:n_slices").as("check_id"),
+            col("n_slices").as("n_checked")))
+          .unionByName(man.select(lit("manifest:n_tokens").as("check_id"),
+            col("n_tokens").as("n_checked")))
       }
       .unionByName(rel.select(expr(rowFoldSpark).as("fp"))
         .agg(expr("bit_xor(fp)").cast("long").as("v"))

@@ -58,13 +58,22 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val corpus = v.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("norm").as("cnorm"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    // per-probe top-10 via B87's bounded-state TopKAgg (VERDICT r19 item
+    // 6): map-side combine reduces each scan partition to ≤ k (cos, id)
+    // pairs per probe BEFORE the exchange, so the shuffle carries
+    // probes·k rows — the rank-window spelling (kept as the oracle)
+    // shuffles and sorts the full |corpus|·|probes| expanded relation.
+    // Same total order (cos DESC, id ASC — TopKAgg's insert order), so
+    // the rows are identical.
+    val topk = udaf(graft.functions.TopKAgg(10))
     corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
-      .select(col("probe_id"), col("neighbor_id"), col("cos"),
-        row_number().over(w).as("rn"))
-      .filter(col("rn") <= 10)
-      .select(col("probe_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("neighbor_id"),
+        round(col("col._1"), 4).as("cosine"),
+        (col("pos") + 1).cast("int").as("rn"))
       .orderBy("probe_id", "rn")
   }
 
@@ -385,12 +394,18 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val corpus = v.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("norm").as("cnorm"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    // per-probe top-5 via the bounded-state TopKAgg — the b44 spelling
+    // (VERDICT r19 item 6): the shuffle carries probes·k pairs, never the
+    // expanded corpus; same (cos DESC, id ASC) total order as the
+    // oracle's rank window, so the hit list is identical
+    val tk5 = udaf(graft.functions.TopKAgg(5))
     val topk = corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos", dot("pv", "cv") / (col("pnorm") * col("cnorm")))
-      .select(col("probe_id"), col("neighbor_id"), col("cos"),
-        row_number().over(w).as("rn"))
-      .filter(col("rn") <= 5)
+      .groupBy(col("probe_id"))
+      .agg(tk5(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       col("source"),
       when(col("doc_id") % 3 === 0, "image/png")

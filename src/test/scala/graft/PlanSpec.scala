@@ -54,6 +54,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("b44/b308: exact serve ranks via bounded-state top-k, not a rank " +
+      "window over the expanded corpus") {
+    // VERDICT r19 item 6: the per-probe ranking must be the b87 TopKAgg
+    // shape — map-side combine to <= k pairs per probe BEFORE the
+    // exchange (shuffle ∝ probes·k) — never a Window sorting the full
+    // |corpus|·|probes| expansion
+    for (q <- Seq("b44_similarity_bruteforce", "b308_crossmodal_retrieval")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("Window"), s"$q ranks with a window:\n$plan")
+      val aggs = plan.linesIterator
+        .filter(l => l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+        .toSeq
+      assert(aggs.exists(_.contains("partial")), s"$q top-k agg not two-phase:\n$plan")
+      assert(aggs.size >= 2, s"$q top-k agg not two-phase:\n$plan")
+    }
+  }
+
   test("b17: aggregation is two-phase (map-side partial before shuffle)") {
     val plan = physicalPlan("b17_agg_hash")
     val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
