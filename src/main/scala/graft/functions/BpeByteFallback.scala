@@ -194,9 +194,7 @@ object BpeByteFallback {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_encode_bf", build1("bpe_encode_bf", BpeEncodeBytesExpression.apply), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_decode_bf", build1("bpe_decode_bf", BpeDecodeBytesExpression.apply), "built-in")
+    RegisterOnce(s, "bpe_encode_bf")(build1("bpe_encode_bf", BpeEncodeBytesExpression.apply))
+    RegisterOnce(s, "bpe_decode_bf")(build1("bpe_decode_bf", BpeDecodeBytesExpression.apply))
   }
 }

@@ -90,6 +90,5 @@ object BpeDecodeExpression {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_decode", build, "built-in")
+    RegisterOnce(s, "bpe_decode")(build)
 }

@@ -137,6 +137,5 @@ object BpeEncodeExpression {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_encode", build, "built-in")
+    RegisterOnce(s, "bpe_encode")(build)
 }

@@ -94,6 +94,5 @@ object DotProductExpression {
 
   /** SQL-API form: register `dot_f64(a, b)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f64", build, "built-in")
+    RegisterOnce(spark, "dot_f64")(build)
 }

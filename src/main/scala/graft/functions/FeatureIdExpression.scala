@@ -35,6 +35,5 @@ object FeatureIdExpression {
   /** SQL-API form: register `feature_id(x)` in the session's function
     * registry (idempotent); use via expr("feature_id(...)"). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "feature_id", exprs => FeatureIdExpression(exprs.head), "built-in")
+    RegisterOnce(spark, "feature_id")(exprs => FeatureIdExpression(exprs.head))
 }

@@ -107,9 +107,7 @@ object LongVecExpressions {
 
   /** SQL-API form: register `dot_i64` and `sqdist_i64` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_i64", arity2("dot_i64")(_)(DotI64Expression), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sqdist_i64", arity2("sqdist_i64")(_)(SqDistI64Expression), "built-in")
+    RegisterOnce(spark, "dot_i64")(arity2("dot_i64")(_)(DotI64Expression))
+    RegisterOnce(spark, "sqdist_i64")(arity2("sqdist_i64")(_)(SqDistI64Expression))
   }
 }

@@ -83,6 +83,5 @@ object LshBandsExpression {
 
   /** SQL-API form: register `lsh_bands(sig)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bands", build, "built-in")
+    RegisterOnce(spark, "lsh_bands")(build)
 }

@@ -132,6 +132,5 @@ object MinHashSigExpression {
 
   /** SQL-API form: register `minhash_sigs(arr)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", build, "built-in")
+    RegisterOnce(spark, "minhash_sigs")(build)
 }

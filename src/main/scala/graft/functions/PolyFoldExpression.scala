@@ -79,6 +79,5 @@ object PolyFoldExpression {
 
   /** SQL-API form: register `poly_fold(s)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_fold", build, "built-in")
+    RegisterOnce(spark, "poly_fold")(build)
 }

@@ -144,9 +144,7 @@ object PostingCodec {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "encode_postings", build1("encode_postings", EncodePostingsExpression.apply), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "decode_postings", build1("decode_postings", DecodePostingsExpression.apply), "built-in")
+    RegisterOnce(s, "encode_postings")(build1("encode_postings", EncodePostingsExpression.apply))
+    RegisterOnce(s, "decode_postings")(build1("decode_postings", DecodePostingsExpression.apply))
   }
 }

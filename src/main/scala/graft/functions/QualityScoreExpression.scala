@@ -100,6 +100,5 @@ object QualityScoreExpression {
 
   /** SQL-API form: register `quality_score(s)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quality_score", build, "built-in")
+    RegisterOnce(spark, "quality_score")(build)
 }

@@ -110,6 +110,5 @@ object RandomProjectExpression {
 
   /** SQL-API form: register `random_project(v)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "random_project", build, "built-in")
+    RegisterOnce(spark, "random_project")(build)
 }

@@ -112,6 +112,5 @@ object RepetitionStatsExpression {
 
   /** SQL-API form: register `repetition_stats(s)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "repetition_stats", build, "built-in")
+    RegisterOnce(spark, "repetition_stats")(build)
 }

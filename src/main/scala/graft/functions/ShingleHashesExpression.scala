@@ -116,6 +116,5 @@ object ShingleHashesExpression {
 
   /** SQL-API form: register `shingle_hashes(text)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", build, "built-in")
+    RegisterOnce(spark, "shingle_hashes")(build)
 }

@@ -101,8 +101,7 @@ object SignLshBandsExpression {
 
   /** SQL-API form: register `sign_lsh_bands(vec)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sign_lsh_bands", build, "built-in")
+    RegisterOnce(spark, "sign_lsh_bands")(build)
 
   /** Zero-mean hyperplane component in [-0.5, 0.5) for (plane, dim). */
   def component(plane: Int, dim: Int): Double = {

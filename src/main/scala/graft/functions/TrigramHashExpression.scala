@@ -85,6 +85,5 @@ object TrigramHashExpression {
 
   /** SQL-API form: register `trigram_hashes(text)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "trigram_hashes", build, "built-in")
+    RegisterOnce(spark, "trigram_hashes")(build)
 }

@@ -230,9 +230,7 @@ object UnigramByteFallback {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unigram_encode_bf", build1("unigram_encode_bf", UnigramEncodeBytesExpression.apply), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unigram_decode_bf", build1("unigram_decode_bf", UnigramDecodeBytesExpression.apply), "built-in")
+    RegisterOnce(s, "unigram_encode_bf")(build1("unigram_encode_bf", UnigramEncodeBytesExpression.apply))
+    RegisterOnce(s, "unigram_decode_bf")(build1("unigram_decode_bf", UnigramDecodeBytesExpression.apply))
   }
 }

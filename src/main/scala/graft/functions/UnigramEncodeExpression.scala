@@ -166,6 +166,5 @@ object UnigramEncodeExpression {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unigram_encode", build, "built-in")
+    RegisterOnce(s, "unigram_encode")(build)
 }

@@ -113,6 +113,5 @@ object WordPieceEncodeExpression {
 
   /** Session-local registration for extension-less (Verify/Bench) sessions. */
   def register(s: org.apache.spark.sql.SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "wordpiece_encode", build, "built-in")
+    RegisterOnce(s, "wordpiece_encode")(build)
 }

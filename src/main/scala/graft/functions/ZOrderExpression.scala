@@ -109,6 +109,5 @@ object ZOrderExpression {
 
   /** SQL-API form: register `z_order2(x, y)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z_order2", build, "built-in")
+    RegisterOnce(spark, "z_order2")(build)
 }

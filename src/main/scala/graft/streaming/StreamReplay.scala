@@ -22,6 +22,22 @@ import graft.Registry._
   */
 object StreamReplay {
 
+  /** Recursively clear `path` and return it — the per-invocation reports
+    * dir reset (ADVICE r19): b291/b304/b305 read their report back via a
+    * rep_* glob, so a second run in the same JVM with FEWER micro-batches
+    * than a prior run would otherwise pick up the prior run's stale
+    * rep_N files. */
+  private def freshDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    path
+  }
+
   /** One chunk dir per JVM (see b54's comment). */
   private lazy val chunkDir: String =
     java.nio.file.Files.createTempDirectory("graft_b54_chunks").toString
@@ -1403,7 +1419,7 @@ object StreamReplay {
     val stream = StreamingOps.readStream(s, chunkDir291,
       schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
-    val repDir = s"$stateDir291/reports"
+    val repDir = freshDir(s"$stateDir291/reports")
     StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
       // the b72 versioned-snapshot apply: snapshot_id = snapshot_{id-1}
       // UNION this ingest batch, persisted so the gate reads a stable
@@ -1471,7 +1487,7 @@ object StreamReplay {
       .agg(sum(expr(
         "bit * shiftleft(CAST(1 AS BIGINT), CAST(block_idx % 16 AS INT))"))
         .as("band_val"))
-    val repDir = s"$stateDir/reports"
+    val repDir = freshDir(s"$stateDir/reports")
     StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
       val allPath = s"$stateDir/all_$id"
       val all =
@@ -1565,7 +1581,7 @@ object StreamReplay {
       schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
     val leak = graft.llm.Boilerplate.leakOf(s, d)
-    val repDir = s"$stateDir305/reports"
+    val repDir = freshDir(s"$stateDir305/reports")
     StreamingOps.runForeachBatch(stream, "append") { (batch, id) =>
       graft.llm.Boilerplate.extractionReport(
           graft.llm.Boilerplate.htmlFor(batch.toDF(), leak))

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM-wide session; suites run
   * sequentially under sbt's default test execution). */
 object TestSession {
-  lazy val spark: SparkSession = {
+  private def build(): SparkSession = {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
@@ -18,6 +18,17 @@ object TestSession {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+  // self-healing (not a lazy val): BenchSweepSpec deliberately kills the
+  // SparkContext to prove the bench sweep survives it — suites running
+  // after it must get a fresh session, not the stopped one. Suites run
+  // sequentially in the forked test JVM, and each suite class is
+  // instantiated right before it runs, so a construction-time capture of
+  // this def is always live for that suite.
+  private var current: SparkSession = null
+  def spark: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped) current = build()
+    current
   }
   val sf0001 = "/root/testdata/sf0.001"
 }
