@@ -191,13 +191,9 @@ object GraphOps {
        |$prIterSql
        |SELECT node AS part_id, rank AS pr_fixed FROM r$PrIters
        |ORDER BY part_id""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    pageRank(edges)
+    // the <>-distinct edge list grouped by src IS the symmetric
+    // adjacency — the b157 fused construction
+    pageRankAdj(copurchaseAdjacency(s, d))
       .select(col("node").as("part_id"), col("rank").as("pr_fixed"))
       .orderBy("part_id")
   }
@@ -247,13 +243,10 @@ object GraphOps {
        |$lpaIterSql
        |SELECT node AS part_id, label AS community
        |FROM l$LpaRounds ORDER BY part_id""".stripMargin, bench = true) { (s, d) =>
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    labelPropagation(edges, LpaRounds)
+    // the <>-distinct edge list grouped by src IS the symmetric
+    // adjacency — build it fused (orderBaskets → collect_set), skipping
+    // the pair-distinct exchange entirely
+    labelPropagationAdj(copurchaseAdjacency(s, d), LpaRounds)
       .select(col("node").as("part_id"), col("label").as("community"))
       .orderBy("part_id")
   }
@@ -265,13 +258,41 @@ object GraphOps {
     * neither). */
   private val LpaBroadcastMaxNodes = 2000000L
 
-  /** [[LpaRounds]]-round synchronous LPA over a symmetric (src, dst)
-    * edge list; argmax by (count DESC, label ASC) via a single
-    * struct-max aggregate (cnt, -label) — map-side combinable, no
-    * window. Spec hook for planted graphs. */
-  private[graft] def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
-    val edges = edgesIn.localCheckpoint(true)
-    var l = edges.select(col("src").as("node")).distinct()
+  /** [[LpaRounds]]-round synchronous LPA over a (src, dst) edge list —
+    * the generic spec hook; groups the edges into adjacency rows and
+    * delegates to [[labelPropagationAdj]]. collect_LIST, not set: a
+    * caller-planted duplicate edge row must keep voting twice, exactly
+    * as the per-edge join spelling counted it. */
+  private[graft] def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame =
+    labelPropagationAdj(
+      edgesIn.groupBy(col("src").as("node"))
+        .agg(collect_list(col("dst")).as("nbrs")),
+      rounds)
+
+  /** Packed-long domain bound shared by the iteration operators: node
+    * ids and labels below 2³² (any TPC-H part key — the b144/b148
+    * packing convention); counts below 2³¹ so cnt·2³² stays positive. */
+  private val Pack32 = 1L << 32
+
+  /** LPA over a grouped adjacency (node, nbrs[]) relation.
+    *
+    * Round shape: join the O(|V|)-ROW adjacency to the label side (one
+    * broadcast while the node count fits [[LpaBroadcastMaxNodes]], the
+    * r13-measured cap; shuffled equi-join past it), explode the
+    * neighbor arrays map-side, then two packed-LONG aggregates:
+    *   (1) votes:  groupBy(dst·2³² + label) count — injective for ids
+    *       below 2³² , so ≡ groupBy(dst, label), but the hash agg keys
+    *       and exchanges ONE long instead of a two-column row;
+    *   (2) argmax: groupBy(node) max(cnt·2³² + (2³²−1 − label)) — the
+    *       packing is lexicographic in (cnt, −label), so the max picks
+    *       (count DESC, label ASC), exactly the struct-max it replaces;
+    *       a DeclarativeAggregate long max instead of a struct ordering.
+    * The |E| label cells still cross the vote exchange (partial agg
+    * compresses them as labels converge); what the grouped form removes
+    * is the per-round O(|E|)-row checkpoint scan and join probe. */
+  private[graft] def labelPropagationAdj(adjIn: DataFrame, rounds: Int): DataFrame = {
+    val adj = adjIn.localCheckpoint(true)
+    var l = adj.select(col("node"))
       .withColumn("label", col("node")).localCheckpoint(true)
     // one O(1) driver scalar decides the per-round join strategy; the
     // node set is fixed across rounds so this never re-runs
@@ -279,12 +300,15 @@ object GraphOps {
     def labelSide(df: DataFrame): DataFrame =
       if (smallEnoughToBroadcast) broadcast(df) else df
     for (_ <- 1 to rounds) {
-      l = edges.withColumnRenamed("src", "node").join(labelSide(l), "node")
-        .groupBy(col("dst").as("node"), col("label"))
+      l = adj.join(labelSide(l), "node")
+        .select(explode(col("nbrs")).as("dst"), col("label"))
+        .groupBy((col("dst") * Pack32 + col("label")).as("pk"))
         .agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
-        .select(col("node"), (-col("best.nl")).as("label"))
+        .groupBy(shiftright(col("pk"), 32).as("node"))
+        .agg(max(col("cnt") * Pack32 +
+          (lit(Pack32 - 1) - pmod(col("pk"), lit(Pack32)))).as("best"))
+        .select(col("node"),
+          (lit(Pack32 - 1) - pmod(col("best"), lit(Pack32))).as("label"))
         .localCheckpoint(true)
     }
     l
@@ -292,28 +316,41 @@ object GraphOps {
 
   /** The [[PrIters]]-round fixed-point iteration over a (src, dst) edge
     * list in which every node has out-degree ≥ 1 and in-degree ≥ 1
-    * (symmetric graphs qualify). Spec hook for planted graphs. */
-  private[graft] def pageRank(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint(true)
-    val outdeg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
-    val nNodes = outdeg.count() // O(1) driver scalar (b109 convention)
+    * (symmetric graphs qualify). Spec hook for planted graphs.
+    *
+    * Grouped-adjacency rounds (the r20 [[copurchaseAdjacency]] shape):
+    * the edge list is grouped ONCE into (node, nbrs[]) rows —
+    * collect_LIST, so a caller-planted duplicate edge keeps
+    * contributing two shares, exactly like the per-edge join — and each
+    * round joins O(|V|) rows, computes share = rank div size(nbrs)
+    * inline (the out-degree IS the array length; the separate outdeg
+    * join disappears), and re-expands edges with one map-side explode
+    * into the dst-keyed partial sum. The rank side broadcasts while the
+    * node count fits [[LpaBroadcastMaxNodes]] (what actually ships is
+    * O(|V|) rank rows — a node-count cap, where the old edge-count cap
+    * guarded re-shuffling the per-edge relation); past it the round is
+    * a node-keyed shuffled join, the same O(|E|)-bytes-per-round class
+    * as the per-edge fallback. */
+  private[graft] def pageRank(edgesIn: DataFrame): DataFrame =
+    pageRankAdj(edgesIn.groupBy(col("src").as("node"))
+      .agg(collect_list(col("dst")).as("nbrs")))
+
+  /** [[pageRank]] over a pre-grouped (node, nbrs[]) adjacency. */
+  private[graft] def pageRankAdj(adjIn: DataFrame): DataFrame = {
+    val adj = adjIn.localCheckpoint(true)
+    val nNodes = adj.count() // O(1) driver scalar (b109 convention)
     val base = (15L * (PrScale / nNodes)) / 100L
-    // per-round join strategy (the b157/b207/b231 convention): the per-node
-    // share table is O(nodes), so while the graph fits the 2M-edge
-    // broadcast cap each round probes the checkpointed edge list MAP-SIDE
-    // instead of re-shuffling+sorting O(|E|) rows every iteration; the
-    // share division runs once per NODE before the edge join
-    val prGraphSmall = edges.count() <= 2 * LpaBroadcastMaxNodes
-    def prShareSide(df: DataFrame): DataFrame =
+    val prGraphSmall = nNodes <= LpaBroadcastMaxNodes
+    def prRankSide(df: DataFrame): DataFrame =
       if (prGraphSmall) broadcast(df) else df
-    var r = outdeg.select(col("node"), lit(PrScale / nNodes).as("rank"))
+    var r = adj.select(col("node"), lit(PrScale / nNodes).as("rank"))
     for (_ <- 1 to PrIters) {
-      val share = r.join(outdeg, "node")
-        .select(col("node"), expr("rank div outdeg").as("share"))
-      r = edges.withColumnRenamed("src", "node")
-        .join(prShareSide(share), "node")
-        .groupBy(col("dst").as("node"))
+      r = adj.join(prRankSide(r), "node")
+        // share BEFORE the explode: the generate then carries one long
+        // per edge instead of re-materializing the nbrs array per row
+        .select(expr("rank div size(nbrs)").as("share"), col("nbrs"))
+        .select(col("share"), explode(col("nbrs")).as("node"))
+        .groupBy("node")
         .agg(sum(col("share")).as("inflow"))
         .select(col("node"),
           (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
@@ -408,16 +445,56 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-order distinct part baskets — the shared first stage of every
+    * co-purchase construction. ONE order-keyed exchange over the fact
+    * table (map-side partial collect_set dedupes within-order repeats
+    * before the shuffle), replacing the lineitem self-join: the join
+    * spelling shuffled the fact table into a sort-merge join and THEN
+    * paid a second full-width distinct exchange over the C(basket,2)
+    * pair fanout; the basket spelling moves each fact row once and
+    * explodes pairs map-side (r20 A/B at sf0.1/32: 8.9 → 6.8
+    * executor-CPU s for the canonical edge list, wall 3.3 → 1.6).
+    * Per-order fanout stays C(basket, 2) — bounded by basket size. */
+  private def orderBaskets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+
   /** Canonical (src < dst, distinct) co-purchase edge list — B119's
-    * construction with the `<` canonical form; shared by B144/B147/B148. */
-  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    * construction with the `<` canonical form; shared by B144/B147/B148.
+    * Basket-explode spelling (see [[orderBaskets]]); the cross-order
+    * distinct is the one pair-keyed exchange. */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    orderBaskets(s, d)
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") < col("dst"))
       .distinct()
-  }
+
+  /** SYMMETRIC distinct co-purchase adjacency (node, nbrs[]) — the
+    * grouped-edge representation the Pregel-round operators (B157 LPA,
+    * B207 BFS, B231 PPR) iterate over. Both directions fall out of the
+    * basket double-explode, and the cross-order distinct FUSES into the
+    * node-keyed collect_set (no separate pair-distinct exchange at all:
+    * one order-keyed exchange + one node-keyed exchange builds the
+    * whole graph). Equivalent to grouping `sym` by its src — nbrs is
+    * the distinct partner set; size(nbrs) is the symmetric out-degree.
+    *
+    * Why grouped: each iteration round now joins O(|V|) adjacency ROWS
+    * against the O(|V|) label/share/frontier side and re-expands edges
+    * with one map-side explode — instead of re-scanning and re-probing
+    * the O(|E|) edge relation per round. The |E| cells still flow
+    * through each round's partial aggregate, but the per-round
+    * materialized-scan and join-probe work drops from |E| to |V| rows
+    * (r20 A/B: b157 47.1 → measured-below CPU-s; hub rows carry
+    * deg-sized arrays — bounded by the distinct-partner count, the same
+    * skew bound the per-edge spelling has on its hot keys). */
+  private[graft] def copurchaseAdjacency(s: SparkSession, d: String): DataFrame =
+    orderBaskets(s, d)
+      .select(explode(col("ps")).as("node"), col("ps"))
+      .select(col("node"), explode(col("ps")).as("nbr"))
+      .filter(col("nbr") =!= col("node"))
+      .groupBy("node").agg(collect_set(col("nbr")).as("nbrs"))
 
   /** B144's oracle — shared VERBATIM by B148's streamed fold (the
     * streamed maintenance must land on exactly the batch counts). */
@@ -802,11 +879,11 @@ object GraphOps {
          }.mkString(",\n")}
        |SELECT node AS part_id, dist FROM r$BfsRounds
        |ORDER BY part_id""".stripMargin, bench = true) { (s, d) =>
-    val e0 = copurchaseEdges(s, d)
-    val sym = e0.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
-      .localCheckpoint(true)
-    var dist = sym.select(col("a").as("node")).distinct()
+    // grouped symmetric adjacency (the r20 copurchaseAdjacency shape):
+    // sym grouped by its src, built fused from the baskets — rounds
+    // join O(|V|) rows and re-expand edges with one map-side explode
+    val adj = copurchaseAdjacency(s, d).localCheckpoint(true)
+    var dist = adj.select(col("node"))
       .filter(col("node") % BfsSeedMod === 0)
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
@@ -820,21 +897,24 @@ object GraphOps {
     // spelling is kept for the round-cost asymptotics (rounds 2+ shuffle
     // frontier×degree, not |labeled|×degree — at 100 TB the full-relation
     // spelling re-shuffles the whole labeled set every round).
-    // per-round join strategy: every frontier is bounded by the node set,
-    // which is bounded by the edge count — so while the graph fits the
-    // b144/b157 2M-edge broadcast cap, the expand join probes the
-    // checkpointed edge list MAP-SIDE instead of re-shuffling+sorting the
-    // O(|E|) sym relation every round (one O(1) driver scalar off the
-    // already-materialized checkpoint, fixed across rounds; past the cap
-    // the rounds fall back to the pure Pregel shuffled join)
-    val bfsGraphSmall = sym.count() <= 2 * LpaBroadcastMaxNodes
+    // per-round join strategy: the frontier (O(|V|) rows) broadcasts
+    // while the node count fits the b157 cap, so the expand join probes
+    // the O(|V|)-row adjacency MAP-SIDE with no exchange at all (one
+    // O(1) driver scalar off the already-materialized checkpoint, fixed
+    // across rounds; past the cap the rounds fall back to a node-keyed
+    // shuffled join — the same O(|E|)-bytes-per-round Pregel class)
+    val bfsGraphSmall = adj.count() <= LpaBroadcastMaxNodes
     def frontierSide(df: DataFrame): DataFrame =
       if (bfsGraphSmall) broadcast(df) else df
     var frontier = dist
     for (_ <- 1 to BfsRounds) {
-      val reached = sym.join(frontierSide(frontier), col("node") === col("a"))
-        .groupBy(col("b").as("node"))
-        .agg(min(col("dist") + 1L).as("dist"))
+      val reached = adj.join(frontierSide(frontier), "node")
+        // dist+1 BEFORE the explode — the generate carries one long per
+        // edge instead of re-materializing the nbrs array per row
+        .select((col("dist") + 1L).as("d1"), col("nbrs"))
+        .select(col("d1"), explode(col("nbrs")).as("node"))
+        .groupBy("node")
+        .agg(min(col("d1")).as("dist"))
       val fresh = reached.join(dist.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .localCheckpoint(true)
@@ -898,33 +978,32 @@ object GraphOps {
          |SELECT node, rank FROM r$PrIters WHERE rank > 0
          |ORDER BY node""".stripMargin
     }, bench = true) { (s, d) =>
-    val e0 = copurchaseEdges(s, d)
-    val sym = e0.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
-      .localCheckpoint(true)
-    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
+    // grouped symmetric adjacency (the r20 copurchaseAdjacency shape);
+    // nodes and out-degrees are FREE off it — the keys are distinct by
+    // construction and od = size(nbrs), so the separate nodes-distinct
+    // and outdeg aggregates (each a full O(|E|) pass) disappear
+    val adj = copurchaseAdjacency(s, d).localCheckpoint(true)
+    val nodes = adj.select(col("node"))
     val nSeeds = nodes.filter(col("node") % BfsSeedMod === 0).count()
     require(nSeeds > 0, "seed set empty — PPR undefined")
-    val outdeg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
     val restart = s"CASE WHEN node % $BfsSeedMod = 0" +
       s" THEN ${PrScale}L div ${nSeeds}L ELSE 0L END"
     var rank = nodes.select(col("node"),
       expr(s"CAST($restart AS BIGINT)").as("rank")).localCheckpoint(true)
-    // per-round join strategy (the b157/b207 convention): the per-node
-    // share table is O(nodes) ≤ the 2M cap while the graph is broadcast-
-    // sized, so each round probes the checkpointed sym MAP-SIDE instead of
-    // re-shuffling+sorting the O(|E|) relation six times; the share
-    // division runs once per NODE before the edge join, not once per edge
-    val pprGraphSmall = sym.count() <= 2 * LpaBroadcastMaxNodes
+    // per-round join strategy (the b157/b207 convention): the rank side
+    // (O(|V|) rows) broadcasts while the node count fits the cap, so
+    // each round probes the O(|V|)-row adjacency MAP-SIDE and re-expands
+    // edges with one explode; past the cap the round is a node-keyed
+    // shuffled join — the same O(|E|)-bytes-per-round Pregel class
+    val pprGraphSmall = adj.count() <= LpaBroadcastMaxNodes
     def shareSide(df: DataFrame): DataFrame =
       if (pprGraphSmall) broadcast(df) else df
     for (_ <- 1 to PrIters) {
-      val share = rank.filter(col("rank") > 0)
-        .join(outdeg, "node")
-        .select(col("node"), expr("rank div od").as("share"))
-      val inflow = sym.join(shareSide(share), col("a") === col("node"))
-        .groupBy(col("b").as("inode")).agg(sum("share").as("inflow"))
+      val inflow = adj.join(shareSide(rank.filter(col("rank") > 0)), "node")
+        // share BEFORE the explode — one long per edge, not the array
+        .select(expr("rank div size(nbrs)").as("share"), col("nbrs"))
+        .select(col("share"), explode(col("nbrs")).as("inode"))
+        .groupBy("inode").agg(sum("share").as("inflow"))
       rank = nodes
         .join(inflow, col("node") === col("inode"), "left")
         .select(col("node"),

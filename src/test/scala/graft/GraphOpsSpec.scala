@@ -425,6 +425,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(gotRnd === labels)
   }
 
+  test("B157/B119 grouped-adjacency wrappers preserve duplicate-edge " +
+    "multiplicity (collect_list, not set: a planted dup edge votes twice)") {
+    import spark.implicits._
+    // node 3's in-neighborhood: labels {1, 1, 2} only if the duplicated
+    // (1→3) edge keeps both votes — a set spelling would tie 1 vs 2 and
+    // still pick 1, so make the dup DECISIVE: {1, 1, 2, 2} vs {1, 2, 2}
+    val edges = Seq((1L, 3L), (1L, 3L), (2L, 3L), (10L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 10L), (10L, 1L), (1L, 10L))
+      .toDF("src", "dst")
+    // round 1 at node 3: votes 1×2 (dup), 2×1, 10×1 → label 1; a
+    // deduped adjacency would see 1×1, 2×1, 10×1 and still pick 1 by
+    // tie — so ALSO pin pageRank, where the dup changes the SUM: node 3
+    // receives share(1) twice
+    val lpa = GraphOps.labelPropagation(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(3L) === 1L)
+    // sequential replay of one inflow round with multiplicity
+    val pr = GraphOps.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val outdeg = Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 10L -> 2L)
+    var rank = outdeg.keys.map(n => n -> GraphOps.PrScale / 4L).toMap
+    val base = (15L * (GraphOps.PrScale / 4L)) / 100L
+    for (_ <- 1 to GraphOps.PrIters) {
+      val inflow = Seq((1L, 3L), (1L, 3L), (2L, 3L), (10L, 3L), (3L, 1L),
+        (3L, 2L), (3L, 10L), (10L, 1L), (1L, 10L))
+        .groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      rank = rank.keys.map(n =>
+        n -> (base + (85L * inflow.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    assert(pr === rank.filter(_._2 > 0))
+  }
+
   test("B207: hop distances equal an unbounded JVM BFS (within 4 hops) and " +
     "every level-d node has a level-(d-1) neighbor") {
     val sf = TestSession.sf0001
