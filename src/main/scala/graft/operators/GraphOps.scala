@@ -246,7 +246,8 @@ object GraphOps {
     // the <>-distinct edge list grouped by src IS the symmetric
     // adjacency — build it fused (orderBaskets → collect_set), skipping
     // the pair-distinct exchange entirely
-    labelPropagationAdj(copurchaseAdjacency(s, d), LpaRounds)
+    labelPropagationAdj(copurchaseAdjacency(s, d), LpaRounds,
+        distinctSymmetric = true)
       .select(col("node").as("part_id"), col("label").as("community"))
       .orderBy("part_id")
   }
@@ -290,16 +291,31 @@ object GraphOps {
     * The |E| label cells still cross the vote exchange (partial agg
     * compresses them as labels converge); what the grouped form removes
     * is the per-round O(|E|)-row checkpoint scan and join probe. */
-  private[graft] def labelPropagationAdj(adjIn: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def labelPropagationAdj(adjIn: DataFrame, rounds: Int,
+      distinctSymmetric: Boolean = false): DataFrame = {
     val adj = adjIn.localCheckpoint(true)
-    var l = adj.select(col("node"))
-      .withColumn("label", col("node")).localCheckpoint(true)
+    // Round 1 over a DISTINCT SYMMETRIC adjacency is a projection: every
+    // node starts self-labeled, so node v's votes are its in-neighbors'
+    // ids, each with count exactly 1 (distinct) — the (count DESC, label
+    // ASC) argmax degenerates to min(in-neighbor id) = array_min(nbrs)
+    // (symmetric: in-neighbors ≡ out-neighbors). Zero exchanges instead
+    // of the full vote round; rounds 2+ run the generic shape. Callers
+    // assert the precondition (copurchaseAdjacency is both); the generic
+    // edge wrapper never sets it. Equivalence pinned by GraphOpsSpec's
+    // dual-path replay and the b157 oracle at all three SFs.
+    val fastFirst = distinctSymmetric && rounds >= 1
+    var l =
+      (if (fastFirst)
+        adj.select(col("node"), array_min(col("nbrs")).as("label"))
+      else adj.select(col("node")).withColumn("label", col("node")))
+        .localCheckpoint(true)
     // one O(1) driver scalar decides the per-round join strategy; the
     // node set is fixed across rounds so this never re-runs
     val smallEnoughToBroadcast = l.count() <= LpaBroadcastMaxNodes
     def labelSide(df: DataFrame): DataFrame =
       if (smallEnoughToBroadcast) broadcast(df) else df
-    for (_ <- 1 to rounds) {
+    val remaining = if (fastFirst) rounds - 1 else rounds
+    for (_ <- 1 to remaining) {
       l = adj.join(labelSide(l), "node")
         .select(explode(col("nbrs")).as("dst"), col("label"))
         .groupBy((col("dst") * Pack32 + col("label")).as("pk"))

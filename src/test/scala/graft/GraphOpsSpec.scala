@@ -425,6 +425,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(gotRnd === labels)
   }
 
+  test("B157 distinctSymmetric fast first round (array_min) equals the " +
+    "generic vote round on a randomized symmetric graph") {
+    import spark.implicits._
+    val rnd = new Random(207)
+    val rndPairs = (1 to 80).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (rndPairs ++ rndPairs.map(_.swap)).distinct
+    val adj = sym.toDF("src", "dst")
+      .groupBy(col("src").as("node"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    for (rounds <- Seq(1, 3)) {
+      val fast = GraphOps.labelPropagationAdj(adj, rounds, distinctSymmetric = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = GraphOps.labelPropagationAdj(adj, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === slow, s"fast/generic divergence at rounds=$rounds")
+    }
+  }
+
   test("B157/B119 grouped-adjacency wrappers preserve duplicate-edge " +
     "multiplicity (collect_list, not set: a planted dup edge votes twice)") {
     import spark.implicits._
