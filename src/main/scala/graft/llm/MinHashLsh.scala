@@ -154,11 +154,36 @@ object MinHashLsh {
     * than the cluster: a 100 TB corpus already has thousands of splits,
     * and an unconditional repartition there would force a gratuitous
     * full-corpus text shuffle for nothing. Gate pinned in MinHashLshSpec. */
+  /** Bytes a spread partition should carry (compressed-source estimate).
+    * Mirrors the spark.sql.files.maxPartitionBytes idea at a smaller
+    * grain: text expands ~5-10× off parquet, so 8 MB of source ≈
+    * 40-80 MB of in-flight strings — a healthy task. */
+  private[graft] val SpreadTargetBytes = 8L * 1024 * 1024
+
+  /** Fan a NARROW input out before per-doc-heavy pipelines — but only as
+    * wide as its size earns. The width is derived from the optimizer's
+    * size estimate (`stats.sizeInBytes`, no job), one partition per
+    * [[SpreadTargetBytes]], capped at defaultParallelism: a 100 TB scan
+    * has thousands of splits and must not pay a full-text shuffle here
+    * (the r5 gate), while a kilobytes-scale gate corpus must not pay 32
+    * shuffle+task constants per downstream stage either (r20 A/B at
+    * sf0.1/32, b178 end-to-end: spread-to-32 14.2-18.8 executor-CPU s
+    * vs native-width 1.6-1.8, wall also better — the pinned
+    * defaultParallelism spread predates the fused native shingle/sig
+    * expressions that made per-doc work ~20× cheaper). The repartition
+    * count stays PINNED (not AQE-coalescible) for the case that earns
+    * it: when bytes say the single split genuinely holds many tasks'
+    * worth of text. */
   private[graft] def spreadNarrowInput(docs: DataFrame): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col("doc_id"))
-    else docs
+    val cur = docs.rdd.getNumPartitions
+    if (cur >= parallelism) docs
+    else {
+      val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val earned = (bytes / SpreadTargetBytes).min(parallelism).toLong
+      if (earned <= cur) docs
+      else docs.repartition(earned.toInt, col("doc_id"))
+    }
   }
 
   /** End-to-end near-dup detection: LSH candidates, then exact verification
