@@ -111,6 +111,15 @@ object CleanPipeline {
     // removeRepeatedSpans is already materialized, and writing the full
     // cleaned TEXT costs more than re-running the residual gram-stats
     // joins; don't re-try without a new A/B.
+    // NEGATIVE RESULT (r20 A/B at sf0.1/32): spreading the one-split
+    // parquet input across defaultParallelism before the span pass
+    // (MinHashLsh.spreadNarrowInput, hoping to parallelize the explode)
+    // measured 4.1 -> 67-71 executor-CPU s and equal-or-worse wall —
+    // the single-split map stage was NOT the cost; the repartition adds
+    // an exchange and pushes the span machinery's own shuffles from
+    // AQE-coalesced few-task stages to 32-task stages whose per-task
+    // constant dwarfs the row work at this SF. Don't re-try without a
+    // new A/B.
     val cleaned = SpanDedup.removeRepeatedSpans(docs.select(col("doc_id"), col("text")))
       .filter(col("n_removed") < col("n_words"))
       .select(col("doc_id"), col("clean_text").as("text"))

@@ -232,7 +232,7 @@ object CorpusRelease {
     * ANY candidate — CorpusReleaseSpec plants its own corruptions
     * through it. */
   private[graft] def gateLegs(cand: DataFrame, fpPrev: DataFrame,
-      prevCount: DataFrame): DataFrame = {
+      prevCount: DataFrame, leakOverride: Option[DataFrame] = None): DataFrame = {
     val dedup = cand
       .agg(count(lit(1)).as("n_checked"),
         (count(lit(1)) - countDistinct(col("text"))).as("n_failures"))
@@ -248,15 +248,17 @@ object CorpusRelease {
           .as("n_failures"))
       .select(lit("fingerprint:immutable_segments").as("check_id"),
         col("n_checked"), col("n_failures"))
-    val withH = cand.withColumn("h", expr(hSpark("doc_id")))
-    val tr = withH.filter(col("h") < TrainBp).select("doc_id", "text")
-    val ev = withH.filter(col("h") >= TrainBp).select("doc_id", "text")
-    val leakage = tr.agg(count(lit(1)).as("n_checked"))
-      .crossJoin(broadcast(Decontaminate.overlapReport(tr, ev)
-        .filter(col("contaminated"))
-        .agg(count(lit(1)).as("n_failures"))))
-      .select(lit("leakage:train_heldout").as("check_id"),
-        col("n_checked"), col("n_failures"))
+    val leakage = leakOverride.getOrElse {
+      val withH = cand.withColumn("h", expr(hSpark("doc_id")))
+      val tr = withH.filter(col("h") < TrainBp).select("doc_id", "text")
+      val ev = withH.filter(col("h") >= TrainBp).select("doc_id", "text")
+      tr.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(Decontaminate.overlapReport(tr, ev)
+          .filter(col("contaminated"))
+          .agg(count(lit(1)).as("n_failures"))))
+        .select(lit("leakage:train_heldout").as("check_id"),
+          col("n_checked"), col("n_failures"))
+    }
     val growth = cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(broadcast(prevCount))
       .select(lit("row_count:growth_band").as("check_id"),
@@ -270,8 +272,9 @@ object CorpusRelease {
 
   /** Legs + verdict, labeled — the b258 report shape. */
   private[graft] def gateReport(cand: DataFrame, fpPrev: DataFrame,
-      prevCount: DataFrame, label: String): DataFrame = {
-    val legs = gateLegs(cand, fpPrev, prevCount)
+      prevCount: DataFrame, label: String,
+      leakOverride: Option[DataFrame] = None): DataFrame = {
+    val legs = gateLegs(cand, fpPrev, prevCount, leakOverride)
     val verdict = legs.agg(sum("n_failures").as("n_failures"))
       .select(lit("zz_publish_verdict").as("check_id"),
         lit(4L).as("n_checked"), col("n_failures"))
@@ -310,22 +313,70 @@ object CorpusRelease {
     val relsrc = rel.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("text"), col("source"))
     val prev = rel.filter(col("doc_id") % 10 < PublishedParts)
-    val prevCount = prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true)
-    val fpPrev = fpOf(prev).localCheckpoint(true)
-    val corr = rel.unionByName(plantOf(rel))
+    val withH = rel.withColumn("h", expr(hSpark("doc_id")))
+    val trClean = withH.filter(col("h") < TrainBp).select("doc_id", "text")
+    val ev = withH.filter(col("h") >= TrainBp).select("doc_id", "text")
+    val plants = plantOf(rel)
+    val corr = rel.unionByName(plants)
+    // The post-rel checkpoints are mutually independent one-row /
+    // catalog-sized materializations; build them CONCURRENTLY (guide
+    // §2.6 — overlap independent jobs) so their walls overlap instead
+    // of serializing at DataFrame-construction time. Contents are
+    // deterministic; only job submission order changes.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fPrevCount = Future(
+      prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true))
+    val fFpPrev = Future(fpOf(prev).localCheckpoint(true))
+    // leakage machinery shared by BOTH candidates: the corrupted train
+    // side is tr_clean ⊎ plants (disjoint ids; every plant hashes
+    // train-side by construction) and its eval side is EXACTLY the
+    // clean ev (no plant hashes held-out), and the per-doc overlap
+    // count is independent across docs — so corrupted failures =
+    // clean failures + plants-only failures, and the full clean-side
+    // overlap pass runs ONCE instead of twice (the plants-only pass
+    // touches ~1% of the docs). Eval grams are built once for both.
+    val fLeak = Future {
+      val evGrams = Decontaminate.benchGramSet(ev).localCheckpoint(true)
+      (Decontaminate.contaminatedCount(trClean, evGrams).localCheckpoint(true),
+        evGrams)
+    }
+    val fMan = Future {
+      // ONE aggregate pass over the manifest: three separate scalar
+      // aggs would re-run the whole budget→BPE→packing chain once per
+      // metric (the manifest is not checkpointed, and the BPE encode
+      // dominates it); the 1-row checkpoint fans out to the 3 info rows
+      ModelReady.modelReadyManifest(s, relsrc)
+        .agg(countDistinct(col("seq_id")).cast("long").as("n_seq"),
+          count(lit(1)).as("n_slices"),
+          sum(col("n_toks")).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
+    }
+    val (prevCount, fpPrev, (cleanLeakFail, evGrams), man) =
+      try (Await.result(fPrevCount, Duration.Inf),
+        Await.result(fFpPrev, Duration.Inf),
+        Await.result(fLeak, Duration.Inf),
+        Await.result(fMan, Duration.Inf))
+      finally pool.shutdown()
+    val cleanLeak = trClean.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(broadcast(cleanLeakFail))
+      .select(lit("leakage:train_heldout").as("check_id"),
+        col("n_checked"), col("n_failures"))
+    val corrLeak = trClean.agg(count(lit(1)).as("nc1"))
+      .crossJoin(plants.agg(count(lit(1)).as("nc2")))
+      .crossJoin(broadcast(cleanLeakFail.select(col("n_failures").as("f1"))))
+      .crossJoin(broadcast(
+        Decontaminate.contaminatedCount(plants, evGrams)
+          .select(col("n_failures").as("f2"))))
+      .select(lit("leakage:train_heldout").as("check_id"),
+        (col("nc1") + col("nc2")).as("n_checked"),
+        (col("f1") + col("f2")).as("n_failures"))
     val info = CorpusAnalytics.datasetCard(relsrc)
       .select(concat(lit("card:"), col("section"), lit(":"), col("metric"))
         .as("check_id"), col("value").cast("long").as("n_checked"))
       .unionByName {
-        // ONE aggregate pass over the manifest: three separate scalar
-        // aggs would re-run the whole budget→BPE→packing chain once per
-        // metric (the manifest is not checkpointed, and the BPE encode
-        // dominates it); the 1-row checkpoint fans out to the 3 info rows
-        val man = ModelReady.modelReadyManifest(s, relsrc)
-          .agg(countDistinct(col("seq_id")).cast("long").as("n_seq"),
-            count(lit(1)).as("n_slices"),
-            sum(col("n_toks")).cast("long").as("n_tokens"))
-          .localCheckpoint(true)
         man.select(lit("manifest:n_sequences").as("check_id"),
             col("n_seq").as("n_checked"))
           .unionByName(man.select(lit("manifest:n_slices").as("check_id"),
@@ -342,8 +393,9 @@ object CorpusRelease {
           col("v").as("n_checked")))
       .select(lit("release").as("candidate"), col("check_id"),
         col("n_checked"), lit(0L).as("n_failures"), lit("info").as("status"))
-    gateReport(rel, fpPrev, prevCount, "clean")
-      .unionByName(gateReport(corr, fpPrev, prevCount, "corrupted"))
+    gateReport(rel, fpPrev, prevCount, "clean", Some(cleanLeak))
+      .unionByName(gateReport(corr, fpPrev, prevCount, "corrupted",
+        Some(corrLeak)))
       .unionByName(info)
       .orderBy("candidate", "check_id")
   }

@@ -84,6 +84,24 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
+  /** The distinct benchmark gram set [[overlapReport]] builds internally —
+    * exposed so a caller running SEVERAL overlap passes against the SAME
+    * benchmark (b270: clean + plants-only) computes it once. */
+  private[graft] def benchGramSet(benchmark: DataFrame): DataFrame =
+    grams(benchmark).select(col("gram")).distinct()
+
+  /** Count of contaminated corpus docs against a PRE-BUILT gram set —
+    * the scalar tail of [[overlapReport]] (filter(contaminated) + count)
+    * without re-deriving the benchmark grams; one row (n_failures). */
+  private[graft] def contaminatedCount(corpus: DataFrame,
+      benchGrams: DataFrame): DataFrame =
+    grams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .filter(col("overlap_ngrams") >= MinOverlap)
+      .agg(count(lit(1)).as("n_failures"))
+
   /** Shared DuckDB oracle for B92 (batch) and B96 (the same operator as
     * a chunked-stream replay): the replay must be execution-mode-
     * invisible, so one SQL string gates both. */
