@@ -21,6 +21,40 @@ object AnalyticsOps {
     * SFs (2 324 / 3 445 / 3 573 surviving pairs at sf0.001/0.01/0.1). */
   private val MinSup = 2L
 
+  /** Per-order DISTINCT baskets (o, ps[]) of an (o, item) relation —
+    * ONE order-keyed exchange (map-side partial collect_set dedupes
+    * within-order repeats before the shuffle), checkpointed and shared
+    * by the whole basket family (r20, the GraphOps.orderBaskets
+    * argument): items, item counts, pair counts, basket sizes and
+    * held-out picks all derive MAP-SIDE from it, where the items
+    * self-join spelling paid a sort-merge join plus its aggregate
+    * exchange per consumer. Per-order pair fanout stays C(basket, 2);
+    * the basket array rides only inside map pipelines (generates), it
+    * is never shuffled at pair width. */
+  private def basketsOf(rel: DataFrame): DataFrame =
+    rel.groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+      .localCheckpoint(true)
+
+  /** (p1 < p2) co-occurrence pairs of a basket relation, one row per
+    * (order, pair) — the map-side double explode; aggregate downstream.
+    * `ps` is carried for consumers that extend pairs within the same
+    * basket (b249's third item); column pruning drops it elsewhere. */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.select(explode(col("ps")).as("p1"), col("ps"))
+      .select(col("p1"), explode(col("ps")).as("p2"), col("ps"))
+      .filter(col("p1") < col("p2"))
+
+  /** Distinct (p1 < p2) pair supports ≥ [[MinSup]]. */
+  private def pairSupports(baskets: DataFrame): DataFrame =
+    basketPairs(baskets)
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSup)
+
+  /** Per-item basket counts (p, n_item). */
+  private def itemCounts(baskets: DataFrame): DataFrame =
+    baskets.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n_item"))
+
   /** B197 — MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant,
     * VLDB'94): the A-priori pair pass over order baskets. A basket is an
     * order's DISTINCT part set; for every co-occurring pair (p1 < p2)
@@ -70,20 +104,12 @@ object AnalyticsOps {
        |JOIN itemn i2 ON i2.p = p.p2
        |WHERE p.n_pair >= $MinSup
        |ORDER BY p.p1, p.p2""".stripMargin, bench = true) { (s, d) =>
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint(true) // 4 consumers (nTot, itemN, pair join ×2) —
-        // materialize the distinct once instead of re-scanning+re-agg
-        // per consumer (no exchange reuse fires: the legs' filters differ)
-    val nTot = items.agg(countDistinct(col("o")).as("n_baskets"))
-    val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= MinSup)
+    val baskets = basketsOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    // every order has ≥ 1 lineitem, so count(DISTINCT o) = basket rows
+    val nTot = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemN = itemCounts(baskets)
+    val pairs = pairSupports(baskets)
     pairs
       .crossJoin(broadcast(nTot))
       .join(broadcast(itemN.select(col("p").as("p1"), col("n_item").as("n1"))),
@@ -144,32 +170,26 @@ object AnalyticsOps {
        |       least(s12, s13, s23) AS closure_bound, n_basket,
        |       CAST(n_basket >= $MinSup AS BIGINT) AS is_frequent
        |FROM cand ORDER BY p1, p2, p3""".stripMargin, bench = true) { (s, d) =>
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint(true) // 5 consumers (l2 ×2, ab ×2, extension) —
-        // the b197 convention
-    val l2 = items.as("a")
-      .join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+    val baskets = basketsOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    val l2 = basketPairs(baskets)
+      .groupBy("p1", "p2")
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= MinSup)
       .localCheckpoint(true) // feeds 5 joins below
     val l2k = l2.select(col("p1").as("k1"), col("p2").as("k2"))
     // staged pruned enumeration: extend only L2 pairs, check both new
-    // sub-pairs against L2 before counting
-    val ab = items.as("a")
-      .join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.o").as("o"), col("a.p").as("p1"), col("b.p").as("p2"))
+    // sub-pairs against L2 before counting. The basket array rides
+    // through the broadcast semi-join inside the map pipeline (never
+    // shuffled), so the third-item extension is an explode of the SAME
+    // basket — the old items-join-on-o spelling shuffled the C(sz,2)
+    // pair relation by the order key to find its basket again.
+    val ab = basketPairs(baskets)
       .join(broadcast(l2k),
         col("p1") === col("k1") && col("p2") === col("k2"), "left_semi")
-    val tri = ab.as("ab")
-      .join(items.as("c"),
-        col("ab.o") === col("c.o") && col("ab.p2") < col("c.p"))
-      .select(col("ab.o").as("o"), col("ab.p1").as("p1"),
-        col("ab.p2").as("p2"), col("c.p").as("p3"))
+    val tri = ab
+      .select(col("p1"), col("p2"), explode(col("ps")).as("p3"))
+      .filter(col("p2") < col("p3"))
       .join(broadcast(l2k),
         col("p1") === col("k1") && col("p3") === col("k2"), "left_semi")
       .join(broadcast(l2k),
@@ -1150,16 +1170,10 @@ object AnalyticsOps {
        |FROM rk WHERE rnk <= 3
        |ORDER BY item, rnk""".stripMargin, bench = true) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint(true) // 3 consumers — the b197 convention
-    val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val pairs = items.as("x")
-      .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= MinSup)
+    val baskets = basketsOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    val itemN = itemCounts(baskets)
+    val pairs = pairSupports(baskets)
     // symmetrize with ONE explode pass (the b144 corner-explode argument:
     // union legs are separate subtrees, so the union spelling re-executed
     // the whole basket self-join + aggregate once per direction)
@@ -2004,15 +2018,10 @@ object AnalyticsOps {
        |       CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS hitrate_bp
        |FROM hits GROUP BY sz ORDER BY sz""".stripMargin, bench = true) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().localCheckpoint(true)
-    val itemN = items.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val pairs = items.as("x")
-      .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= MinSup)
+    val baskets = basketsOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    val itemN = itemCounts(baskets)
+    val pairs = pairSupports(baskets)
     // one explode pass, not a 2-leg union re-running the self-join (the
     // b144/b217 argument)
     val sym = pairs.select(explode(array(
@@ -2027,13 +2036,21 @@ object AnalyticsOps {
     val w = Window.partitionBy(col("a")).orderBy(col("conf_bp").desc, col("b"))
     val recs = conf.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3).select(col("a"), col("b"))
-    val sized = items.groupBy("o")
-      .agg(count(lit(1)).as("sz"), max("p").as("held"))
+    // basket size and held-out pick are map-side projections of the
+    // basket array (count of distinct items per order = size(ps),
+    // max(p) = array_max) — the groupBy(o) re-aggregation disappears
+    val sized = baskets.select(col("o"),
+        size(col("ps")).cast("long").as("sz"),
+        array_max(col("ps")).as("held"))
       .filter(col("sz") >= 2)
     // a basket hits iff SOME context item recommends the held-out item:
-    // semi-join of (order, context, held) against the recs dimension
-    val hitOrders = sized.join(items, "o")
-      .filter(col("p") =!= col("held"))
+    // semi-join of (order, context, held) against the recs dimension;
+    // the context items explode from the SAME basket row, so the old
+    // sized⋈items order-keyed shuffle disappears too
+    val hitOrders = baskets
+      .select(col("o"), size(col("ps")).cast("long").as("sz"),
+        array_max(col("ps")).as("held"), explode(col("ps")).as("p"))
+      .filter(col("sz") >= 2 && col("p") =!= col("held"))
       .join(recs, col("a") === col("p") && col("b") === col("held"),
         "left_semi")
       .select("o").distinct()
@@ -2156,18 +2173,18 @@ object AnalyticsOps {
       |JOIN bn b1n ON b1n.b = p.b1
       |JOIN bn b2n ON b2n.b = p.b2
       |ORDER BY p.b1, p.b2""".stripMargin, bench = true) { (s, d) =>
-    val bi = Tables.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
+    // brand baskets via the shared collect_set spelling (the b197
+    // convention, r20 basket-family phase 2: n/bn/pairs all derive
+    // map-side from the one checkpointed basket relation)
+    val baskets = basketsOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
       .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
         col("p_partkey") === col("l_partkey"))
-      .select(col("o"), col("p_brand").as("b"))
-      .distinct()
-      .localCheckpoint(true) // 4 consumers (n, bn, pair join ×2) — the
-        // b197 convention
-    val n = bi.agg(countDistinct(col("o")).as("n_baskets"))
-    val bn = bi.groupBy("b").agg(count(lit(1)).as("n_b"))
-    val pairs = bi.as("x")
-      .join(bi.as("y"), col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-      .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      .select(col("o"), col("p_brand").as("p")))
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    val bn = itemCounts(baskets).select(col("p").as("b"), col("n_item").as("n_b"))
+    val pairs = basketPairs(baskets)
+      .groupBy(col("p1").as("b1"), col("p2").as("b2"))
       .agg(count(lit(1)).as("n_pair"))
     pairs.crossJoin(broadcast(n))
       .join(broadcast(bn.select(col("b").as("b1"), col("n_b").as("n1"))), "b1")
