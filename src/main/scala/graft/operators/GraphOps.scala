@@ -417,19 +417,23 @@ object GraphOps {
             col("ds").as("ra"), col("dd").as("rb")))
           .otherwise(struct(col("dst").as("a"), col("src").as("b"),
             col("dd").as("ra"), col("ds").as("rb"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"),
-        col("e.ra").as("ra"), col("e.rb").as("rb"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.rb").as("rb"))
+    // GROUPED oriented out-neighborhoods (the r20 adjacency argument):
+    // the wedge enumeration is pairs WITHIN each node's oriented
+    // neighborhood, so grouping once and double-exploding map-side
+    // replaces the e1⋈e2 self-join (its exchange + two sorts over the
+    // oriented relation); per-row fanout is unchanged — C(outdeg, 2),
+    // arboricity-bounded by the orientation
+    val adjO = oriented
+      .groupBy(col("a"))
+      .agg(collect_list(struct(col("b"), col("rb"))).as("ns"))
       .localCheckpoint(true)
-    // wedges from each node's oriented out-neighborhood, canonicalized so
-    // (b, c) is itself oriented — the closing edge lookup is then a
-    // single equi-join against `oriented`
-    val e1 = oriented.select(col("a"), col("b").as("w1"),
-      col("ra"), col("rb").as("r1"))
-    val e2 = oriented.select(col("a"), col("b").as("w2"),
-      col("rb").as("r2"))
-    val wedges = e1.join(e2, "a")
-      .filter(col("r1") < col("r2") ||
-        (col("r1") === col("r2") && col("w1") < col("w2")))
+    val wedges = adjO
+      .select(col("a"), explode(col("ns")).as("x"), col("ns"))
+      .select(col("a"), col("x"), explode(col("ns")).as("y"))
+      .filter(col("x.rb") < col("y.rb") ||
+        (col("x.rb") === col("y.rb") && col("x.b") < col("y.b")))
+      .select(col("a"), col("x.b").as("w1"), col("y.b").as("w2"))
     // closing-edge probe: the wedge relation is the big side (arboricity-
     // bounded but still ≫ |E|), so while the edge set genuinely fits a
     // broadcast (≤ 2M edges ≈ 32 MB serialized; 1.2M at sf0.1 profiled
@@ -442,8 +446,9 @@ object GraphOps {
     // equi-key instead of a two-column struct key, so the 41M-row probe
     // hashes/compares 8 bytes per row (the b148 packing; collision-free
     // for node ids below 2³² — any TPC-H part key)
-    val closing = oriented.select(
-      (col("a") * lit(1L << 32) + col("b")).as("wk"))
+    // closing keys re-expand map-side from the grouped checkpoint
+    val closing = adjO.select(col("a"), explode(col("ns")).as("n"))
+      .select((col("a") * lit(1L << 32) + col("n.b")).as("wk"))
     val closingSide =
       if (edges.count() <= 2000000L) broadcast(closing) else closing
     val tri = wedges
