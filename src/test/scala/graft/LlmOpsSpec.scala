@@ -39,14 +39,35 @@ class MinHashLshSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 1.0))
   }
 
-  test("repartition gate: narrow input fans out, wide input keeps its partitioning") {
+  test("repartition gate: width derives from input bytes — tiny narrow " +
+    "input passes through, byte-heavy narrow input fans out, wide input " +
+    "keeps its partitioning") {
     val parallelism = spark.sparkContext.defaultParallelism
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    // the local fixture IS the narrow case (1-2 parquet splits)
+    // the local fixture IS the narrow case (1-2 parquet splits) AND the
+    // tiny case (stat bytes ≪ SpreadTargetBytes): the r20 policy keeps
+    // it at native width — fanning a sub-megabyte corpus to
+    // defaultParallelism paid ~10-17 executor-CPU s of per-task
+    // constants per downstream query (r20 A/B, b178 end-to-end)
     assert(docs.rdd.getNumPartitions < parallelism, "fixture unexpectedly wide")
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes < MinHashLsh.SpreadTargetBytes, "fixture unexpectedly heavy")
     val spread = MinHashLsh.spreadNarrowInput(docs)
-    assert(spread.rdd.getNumPartitions === parallelism,
-      "narrow input did not fan out to defaultParallelism")
+    assert(spread.rdd.getNumPartitions === docs.rdd.getNumPartitions,
+      "tiny narrow input was fanned out (pays per-task constants for nothing)")
+    // a narrow input whose SIZE earns multiple partitions fans out to
+    // exactly the earned width (capped at defaultParallelism): simulate
+    // with an exploded self-multiplied corpus whose stats are large
+    val heavy = docs.crossJoin(spark.range(0, 4000).select(col("id")))
+      .select(col("doc_id"), concat(col("text"), col("id")).as("text"))
+      .coalesce(1)
+    val heavyBytes = heavy.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(heavyBytes > MinHashLsh.SpreadTargetBytes, "heavy fixture too light")
+    val earned = (heavyBytes / MinHashLsh.SpreadTargetBytes)
+      .min(parallelism).toInt
+    val spreadHeavy = MinHashLsh.spreadNarrowInput(heavy)
+    assert(spreadHeavy.rdd.getNumPartitions === earned,
+      s"byte-heavy narrow input did not fan out to its earned width $earned")
     // a corpus already wider than the cluster must pass through untouched —
     // at 100 TB the unconditional repartition would be a full-text shuffle
     val wide = docs.repartition(parallelism * 2, col("doc_id"))
