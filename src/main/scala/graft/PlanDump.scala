@@ -29,12 +29,25 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val byName = SparkEntry.all.map(e => e.name -> e).toMap
     for (n <- names) {
-      val e = byName.getOrElse(n, sys.error(s"unknown query: $n"))
-      val df = e.q(spark, sfDir)
-      val txt = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(outDir.resolve(s"$n.txt"), txt)
-      println(s"[plandump] wrote $outDir/$n.txt")
+      // `graph_rounds` is a pseudo-name: dump the iterative operators'
+      // ROUND-BODY frames (the loop body over a materialized adjacency
+      // and a round-1 state) — the final-round query dumps cannot show
+      // the per-round shape (r20 VERDICT item 3).
+      if (n == "graph_rounds") {
+        for ((rn, df) <- graft.operators.GraphOps.roundFrames(spark, sfDir)) {
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(outDir.resolve(s"$rn.txt"), txt)
+          println(s"[plandump] wrote $outDir/$rn.txt")
+        }
+      } else {
+        val e = byName.getOrElse(n, sys.error(s"unknown query: $n"))
+        val df = e.q(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(outDir.resolve(s"$n.txt"), txt)
+        println(s"[plandump] wrote $outDir/$n.txt")
+      }
     }
     spark.stop()
   }

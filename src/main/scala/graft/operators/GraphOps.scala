@@ -192,8 +192,9 @@ object GraphOps {
        |SELECT node AS part_id, rank AS pr_fixed FROM r$PrIters
        |ORDER BY part_id""".stripMargin) { (s, d) =>
     // the <>-distinct edge list grouped by src IS the symmetric
-    // adjacency — the b157 fused construction
-    pageRankAdj(copurchaseAdjacency(s, d))
+    // adjacency — the b157 fused construction; symmetric enables the
+    // zero-exchange pull rounds
+    pageRankAdj(copurchaseAdjacency(s, d), symmetric = true)
       .select(col("node").as("part_id"), col("rank").as("pr_fixed"))
       .orderBy("part_id")
   }
@@ -270,63 +271,206 @@ object GraphOps {
         .agg(collect_list(col("dst")).as("nbrs")),
       rounds)
 
-  /** Packed-long domain bound shared by the iteration operators: node
-    * ids and labels below 2³² (any TPC-H part key — the b144/b148
-    * packing convention); counts below 2³¹ so cnt·2³² stays positive. */
+  /** Packed-long base for the iteration operators' argmax values. The
+    * packed spellings are only used when [[materializeChunked]]'s
+    * runtime guard holds (r20 VERDICT item 1 / ADVICE: the old comment
+    * claimed "any TPC-H part key" — false at SF ≳ 21k where partkey
+    * exceeds 2³¹ and sign-extended recovery breaks); past the guard the
+    * operators fall back to two-column keys and struct orderings. */
   private val Pack32 = 1L << 32
 
-  /** LPA over a grouped adjacency (node, nbrs[]) relation.
+  /** Degree cap for grouped-adjacency rows (r20 VERDICT item 2): a hub
+    * node's neighbor list splits into ⌈deg / AdjChunk⌉ (node, ci, od,
+    * nbrs-slice) rows, so one power-law hub can neither pin a whole
+    * round into a single task nor materialize an unbounded row — votes,
+    * inflow sums and frontier mins are associative across chunks, so
+    * every round aggregate is unchanged (GraphOpsSpec plants a hub with
+    * deg ≫ cap and pins chunked ≡ unchunked). TPC-H co-purchase degrees
+    * never reach the cap, so at gate SFs each node is exactly one chunk.
+    * `od` is the FULL degree (list size before chunking — share
+    * denominators must not see the slice width). */
+  private[graft] val AdjChunk = 4096
+
+  /** (node, nbrs[]) → (node, od, ci, nbrs-slice): the chunked adjacency.
+    * A narrow projection + generate, so the upstream groupBy(node)
+    * partitioning is preserved into the persisted relation. */
+  private[graft] def chunkAdj(grouped: DataFrame): DataFrame =
+    grouped.select(col("node"), size(col("nbrs")).cast("long").as("od"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(size(nbrs) - 1, 0) div $AdjChunk),
+             |          i -> slice(nbrs, i * $AdjChunk + 1, $AdjChunk))""".stripMargin)))
+      .select(col("node"), col("od"), col("pos").as("ci"), col("col").as("nbrs"))
+
+  /** The chunked adjacency materialized ONCE (localCheckpoint — one
+    * build pass feeds stats and every round), plus the O(1) driver
+    * scalars the iterative operators need: node count (broadcast-cap
+    * decision, b109 convention), total edge cells (the pull width), and
+    * the packed-long domain guard.
     *
-    * Round shape: join the O(|V|)-ROW adjacency to the label side (one
-    * broadcast while the node count fits [[LpaBroadcastMaxNodes]], the
-    * r13-measured cap; shuffled equi-join past it), explode the
-    * neighbor arrays map-side, then two packed-LONG aggregates:
-    *   (1) votes:  groupBy(dst·2³² + label) count — injective for ids
-    *       below 2³² , so ≡ groupBy(dst, label), but the hash agg keys
-    *       and exchanges ONE long instead of a two-column row;
-    *   (2) argmax: groupBy(node) max(cnt·2³² + (2³²−1 − label)) — the
-    *       packing is lexicographic in (cnt, −label), so the max picks
-    *       (count DESC, label ASC), exactly the struct-max it replaces;
-    *       a DeclarativeAggregate long max instead of a struct ordering.
-    * The |E| label cells still cross the vote exchange (partial agg
-    * compresses them as labels converge); what the grouped form removes
-    * is the per-round O(|E|)-row checkpoint scan and join probe. */
+    * packedOk gates every packed-long spelling: ids in [0, 2³¹) and
+    * |E| < 2³¹ make dst·2³²+label injective, shiftright recovery exact,
+    * and cnt·2³² sign-safe (cnt ≤ |E|); outside the domain the
+    * operators use two-column keys / struct orderings (r20 VERDICT
+    * item 1: the old "any TPC-H part key" claim was false past SF~21k). */
+  private final case class AdjInfo(grouped: DataFrame, nNodes: Long,
+      totE: Long, packedOk: Boolean)
+
+  private def materializeChunked(adjIn: DataFrame): AdjInfo = {
+    val grouped = chunkAdj(adjIn).localCheckpoint(true)
+    // the packed spellings multiply node ids, so they only ever apply to
+    // LONG ids — generic callers with e.g. string nodes (b166's word
+    // graph) skip the id-domain scalars entirely
+    val longIds =
+      grouped.schema("node").dataType == org.apache.spark.sql.types.LongType
+    if (!longIds) {
+      val st = grouped.agg(
+        count(when(col("ci") === 0, lit(1))).as("n"),
+        sum(size(col("nbrs")).cast("long"))).head()
+      val totE = if (st.isNullAt(1)) 0L else st.getLong(1)
+      AdjInfo(grouped, st.getLong(0), totE, packedOk = false)
+    } else {
+      val st = grouped.agg(
+        count(when(col("ci") === 0, lit(1))).as("n"),
+        min(col("node")), max(col("node")),
+        min(expr("array_min(nbrs)")), max(expr("array_max(nbrs)")),
+        sum(size(col("nbrs")).cast("long"))).head()
+      val n = st.getLong(0)
+      val totE = if (st.isNullAt(5)) 0L else st.getLong(5)
+      val packedOk = n == 0 || {
+        val minId = math.min(st.getLong(1),
+          if (st.isNullAt(3)) st.getLong(1) else st.getLong(3))
+        val maxId = math.max(st.getLong(2),
+          if (st.isNullAt(4)) st.getLong(2) else st.getLong(4))
+        minId >= 0 && maxId < (1L << 31) && totE < (1L << 31)
+      }
+      AdjInfo(grouped, n, totE, packedOk)
+    }
+  }
+
+  /** Edge cells per pull partition: ~500k cells ≈ 4-8 MB of exploded
+    * (node, nbr) longs — the spreadNarrowInput size-earned-width rule
+    * applied to the round input (r21 A/B at sf0.1/32: LPA pull rounds
+    * at the session's 32 shuffle partitions cost 8.5 executor-CPU s,
+    * at the earned width ~4.5 — per-task constants dominate |E| = 2.4M
+    * at gate SF; the width grows with the data, capped at
+    * defaultParallelism). */
+  private val PullCellsPerPartition = 500000L
+
+  /** The broadcast-regime round input: the chunked adjacency
+    * repartitioned by node to its size-earned width and PERSISTED —
+    * persist, not localCheckpoint, is load-bearing: a LogicalRDD drops
+    * outputPartitioning (the r20 bydst probe), while an InMemoryRelation
+    * keeps it, which is what lets the pull-shaped round aggregates run
+    * with ZERO exchanges (probed r21: InMemoryTableScan → Generate →
+    * BroadcastHashJoin → HashAggregate all preserve hash(node)). Only
+    * built in the broadcast regime (node count ≤ cap), so the persisted
+    * relation is bounded; the past-cap fallback iterates the
+    * checkpointed relation with push rounds. Callers unpersist once
+    * their rounds have run. */
+  private def pullAdj(grouped: DataFrame, totE: Long): DataFrame = {
+    val k = math.max(1L, math.min(
+      grouped.sparkSession.sparkContext.defaultParallelism.toLong,
+      (totE + PullCellsPerPartition - 1) / PullCellsPerPartition)).toInt
+    grouped.repartition(k, col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Per-node argmax of (cnt DESC, label ASC) over (node, label, cnt)
+    * rows — packed long max when the domain guard holds (a
+    * DeclarativeAggregate long max, the r20 measurement), struct min
+    * otherwise (min(struct(−cnt, label)) needs no label negation, so it
+    * is exact for ANY long label). Both run exchange-free when the
+    * input is already clustered by node. */
+  private def argmaxLabel(votes: DataFrame, packedOk: Boolean): DataFrame =
+    if (packedOk)
+      votes.groupBy("node")
+        .agg(max(col("cnt") * Pack32 + (lit(Pack32 - 1) - col("label")))
+          .as("best"))
+        .select(col("node"),
+          (lit(Pack32 - 1) - pmod(col("best"), lit(Pack32))).as("label"))
+    else
+      votes.groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("label"))
+
+  /** LPA over a grouped adjacency (node, nbrs[]) relation (chunked and
+    * persisted internally — [[materializeChunked]]).
+    *
+    * Round shape, broadcast regime (node count ≤
+    * [[LpaBroadcastMaxNodes]]) over a DISTINCT SYMMETRIC adjacency: the
+    * round is PULL-shaped — explode the adjacency (node, nbr), look the
+    * nbr's label up in the BROADCAST label table (symmetric: votes of
+    * v's in-neighbors ≡ labels of v's out-neighbors), and aggregate by
+    * the adjacency's own node key. Because the persisted adjacency
+    * keeps hash(node) partitioning and Generate/BroadcastHashJoin
+    * preserve it, BOTH round aggregates (vote count by (node, label),
+    * argmax by node) are local — the round body has ZERO exchanges
+    * (r21; was 2 per round: the r20 push shape shuffled packed votes
+    * keyed dst and then argmax keyed node).
+    *
+    * Push regime (generic adjacency, or past the broadcast cap): join
+    * the O(|V|)-row adjacency to the label side on node, explode, and
+    * aggregate votes keyed (dst, label) — map-side combinable, the pure
+    * Pregel O(|E|)-bytes round. The packed-long vote key is used only
+    * under [[materializeChunked]]'s domain guard, with
+    * shiftrightunsigned recovery (ADVICE r20); outside the domain the
+    * keys stay two-column and the argmax a struct ordering. */
   private[graft] def labelPropagationAdj(adjIn: DataFrame, rounds: Int,
       distinctSymmetric: Boolean = false): DataFrame = {
-    val adj = adjIn.localCheckpoint(true)
-    // Round 1 over a DISTINCT SYMMETRIC adjacency is a projection: every
-    // node starts self-labeled, so node v's votes are its in-neighbors'
-    // ids, each with count exactly 1 (distinct) — the (count DESC, label
-    // ASC) argmax degenerates to min(in-neighbor id) = array_min(nbrs)
-    // (symmetric: in-neighbors ≡ out-neighbors). Zero exchanges instead
-    // of the full vote round; rounds 2+ run the generic shape. Callers
-    // assert the precondition (copurchaseAdjacency is both); the generic
-    // edge wrapper never sets it. Equivalence pinned by GraphOpsSpec's
+    val info = materializeChunked(adjIn)
+    val smallEnoughToBroadcast = info.nNodes <= LpaBroadcastMaxNodes
+    val pull = smallEnoughToBroadcast && distinctSymmetric
+    val adj = if (pull) pullAdj(info.grouped, info.totE) else info.grouped
+    // Round 1 over a DISTINCT SYMMETRIC adjacency is a projection-class
+    // aggregate: every node starts self-labeled, so node v's votes are
+    // its in-neighbors' ids, each with count exactly 1 (distinct) — the
+    // (count DESC, label ASC) argmax degenerates to min(in-neighbor id)
+    // = min over the chunk array_mins. Zero exchanges instead of the
+    // full vote round; rounds 2+ run the generic shape. Callers assert
+    // the precondition (copurchaseAdjacency is both); the generic edge
+    // wrapper never sets it. Equivalence pinned by GraphOpsSpec's
     // dual-path replay and the b157 oracle at all three SFs.
     val fastFirst = distinctSymmetric && rounds >= 1
     var l =
       (if (fastFirst)
-        adj.select(col("node"), array_min(col("nbrs")).as("label"))
-      else adj.select(col("node")).withColumn("label", col("node")))
+        adj.groupBy("node").agg(min(array_min(col("nbrs"))).as("label"))
+      else
+        adj.groupBy("node").agg(min(col("node")).as("label")))
         .localCheckpoint(true)
-    // one O(1) driver scalar decides the per-round join strategy; the
-    // node set is fixed across rounds so this never re-runs
-    val smallEnoughToBroadcast = l.count() <= LpaBroadcastMaxNodes
-    def labelSide(df: DataFrame): DataFrame =
-      if (smallEnoughToBroadcast) broadcast(df) else df
     val remaining = if (fastFirst) rounds - 1 else rounds
     for (_ <- 1 to remaining) {
-      l = adj.join(labelSide(l), "node")
-        .select(explode(col("nbrs")).as("dst"), col("label"))
-        .groupBy((col("dst") * Pack32 + col("label")).as("pk"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(shiftright(col("pk"), 32).as("node"))
-        .agg(max(col("cnt") * Pack32 +
-          (lit(Pack32 - 1) - pmod(col("pk"), lit(Pack32)))).as("best"))
-        .select(col("node"),
-          (lit(Pack32 - 1) - pmod(col("best"), lit(Pack32))).as("label"))
-        .localCheckpoint(true)
+      l = (if (pull) {
+        // pull round: zero exchanges (see scaladoc)
+        argmaxLabel(
+          adj.select(col("node"), explode(col("nbrs")).as("u"))
+            .join(broadcast(l.select(col("node").as("u"), col("label"))), "u")
+            .groupBy(col("node"), col("label"))
+            .agg(count(lit(1)).as("cnt")),
+          info.packedOk)
+      } else {
+        // push round: votes keyed on the receiving dst
+        val labelSide = if (smallEnoughToBroadcast) broadcast(l) else l
+        val exploded = adj.join(labelSide, "node")
+          .select(explode(col("nbrs")).as("dst"), col("label"))
+        if (info.packedOk)
+          exploded
+            .groupBy((col("dst") * Pack32 + col("label")).as("pk"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(shiftrightunsigned(col("pk"), 32).as("node"),
+              pmod(col("pk"), lit(Pack32)).as("label"), col("cnt"))
+            .groupBy("node")
+            .agg(max(col("cnt") * Pack32 +
+              (lit(Pack32 - 1) - col("label"))).as("best"))
+            .select(col("node"),
+              (lit(Pack32 - 1) - pmod(col("best"), lit(Pack32))).as("label"))
+        else
+          argmaxLabel(
+            exploded.groupBy(col("dst").as("node"), col("label"))
+              .agg(count(lit(1)).as("cnt")),
+            packedOk = false)
+      }).localCheckpoint(true)
     }
+    if (pull) adj.unpersist(false)
     l
   }
 
@@ -351,28 +495,64 @@ object GraphOps {
     pageRankAdj(edgesIn.groupBy(col("src").as("node"))
       .agg(collect_list(col("dst")).as("nbrs")))
 
-  /** [[pageRank]] over a pre-grouped (node, nbrs[]) adjacency. */
-  private[graft] def pageRankAdj(adjIn: DataFrame): DataFrame = {
-    val adj = adjIn.localCheckpoint(true)
-    val nNodes = adj.count() // O(1) driver scalar (b109 convention)
+  /** [[pageRank]] over a pre-grouped (node, nbrs[]) adjacency (chunked
+    * and persisted internally — [[materializeChunked]]; `od` is the
+    * full pre-chunk degree, so shares are exact under chunking).
+    *
+    * `symmetric` + broadcast regime runs the PULL round (the b157
+    * argument: in-neighbors ≡ out-neighbors): the rank state carries
+    * (node, od, rank), the broadcast side is the projected share table
+    * (node, rank div od), and the inflow sum aggregates by the
+    * adjacency's own hash(node)-partitioned key — ZERO exchanges per
+    * round (r21; the push shape paid the dst-keyed inflow exchange).
+    * Every node of a symmetric graph has in-degree ≥ 1 and every rank
+    * is ≥ base > 0, so the inner pull join is total — no universe
+    * re-join needed. Generic/asymmetric callers (and past the cap)
+    * keep the push round: one node-keyed join + one dst-keyed
+    * map-combinable partial-sum exchange, the canonical Pregel round. */
+  private[graft] def pageRankAdj(adjIn: DataFrame,
+      symmetric: Boolean = false): DataFrame = {
+    val info = materializeChunked(adjIn)
+    val nNodes = info.nNodes // O(1) driver scalar (b109 convention)
     val base = (15L * (PrScale / nNodes)) / 100L
     val prGraphSmall = nNodes <= LpaBroadcastMaxNodes
-    def prRankSide(df: DataFrame): DataFrame =
-      if (prGraphSmall) broadcast(df) else df
-    var r = adj.select(col("node"), lit(PrScale / nNodes).as("rank"))
-    for (_ <- 1 to PrIters) {
-      r = adj.join(prRankSide(r), "node")
-        // share BEFORE the explode: the generate then carries one long
-        // per edge instead of re-materializing the nbrs array per row
-        .select(expr("rank div size(nbrs)").as("share"), col("nbrs"))
-        .select(col("share"), explode(col("nbrs")).as("node"))
-        .groupBy("node")
-        .agg(sum(col("share")).as("inflow"))
-        .select(col("node"),
-          (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
-        .localCheckpoint(true)
+    if (symmetric && prGraphSmall) {
+      val adj = pullAdj(info.grouped, info.totE)
+      var r = adj.filter(col("ci") === 0)
+        .select(col("node"), col("od"), lit(PrScale / nNodes).as("rank"))
+      for (_ <- 1 to PrIters) {
+        val share = broadcast(
+          r.select(col("node").as("u"), expr("rank div od").as("share")))
+        r = adj.select(col("node"), col("od"), explode(col("nbrs")).as("u"))
+          .join(share, "u")
+          .groupBy(col("node"))
+          .agg(min(col("od")).as("od"), sum(col("share")).as("inflow"))
+          .select(col("node"), col("od"),
+            (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      adj.unpersist(false)
+      r.select(col("node"), col("rank"))
+    } else {
+      val adj = info.grouped
+      def prRankSide(df: DataFrame): DataFrame =
+        if (prGraphSmall) broadcast(df) else df
+      var r = adj.filter(col("ci") === 0)
+        .select(col("node"), lit(PrScale / nNodes).as("rank"))
+      for (_ <- 1 to PrIters) {
+        r = adj.join(prRankSide(r), "node")
+          // share BEFORE the explode: the generate then carries one long
+          // per edge instead of re-materializing the nbrs array per row
+          .select(expr("rank div od").as("share"), col("nbrs"))
+          .select(col("share"), explode(col("nbrs")).as("node"))
+          .groupBy("node")
+          .agg(sum(col("share")).as("inflow"))
+          .select(col("node"),
+            (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      r
     }
-    r
   }
 
   /** Per-node TRIANGLE COUNTS over an undirected (src < dst) edge list,
@@ -440,22 +620,42 @@ object GraphOps {
     // 2× faster than shuffling 41M wedge rows) probe it map-side; past
     // that, fall back to the standard shuffled MR close keyed (w1, w2) —
     // the cap is sized so the forced broadcast can never itself become
-    // the pathology it avoids. Edge count is a cheap scalar off the
-    // already-materialized checkpoint.
+    // the pathology it avoids. Edge stats are one cheap scalar job off
+    // the already-materialized checkpoint.
     // the probe key is the PACKED closing pair w1·2³² + w2 — one long
     // equi-key instead of a two-column struct key, so the 41M-row probe
-    // hashes/compares 8 bytes per row (the b148 packing; collision-free
-    // for node ids below 2³² — any TPC-H part key)
+    // hashes/compares 8 bytes per row (the b148 packing). Packing an
+    // equi-join key only needs INJECTIVITY, which Long wrap preserves
+    // for ids in [0, 2³²) — but NOT beyond (TPC-H part keys pass 2³²
+    // near SF 21k), so the packed probe runs under a runtime id-domain
+    // guard and falls back to the two-column (w1, w2) key past it
+    // (r20 VERDICT item 1; GraphOpsSpec plants an id ≥ 2³² and pins
+    // fallback ≡ packed semantics).
     // closing keys re-expand map-side from the grouped checkpoint
-    val closing = adjO.select(col("a"), explode(col("ns")).as("n"))
-      .select((col("a") * lit(1L << 32) + col("n.b")).as("wk"))
-    val closingSide =
-      if (edges.count() <= 2000000L) broadcast(closing) else closing
-    val tri = wedges
-      .select(col("a"), col("w1"), col("w2"),
-        (col("w1") * lit(1L << 32) + col("w2")).as("wk"))
-      .join(closingSide, Seq("wk"))
-      .select(col("a"), col("w1"), col("w2"))
+    val est = edges.agg(count(lit(1)), min(least(col("src"), col("dst"))),
+      max(greatest(col("src"), col("dst")))).head()
+    val nEdges = est.getLong(0)
+    val packedOk = nEdges == 0 ||
+      (est.getLong(1) >= 0 && est.getLong(2) < (1L << 32))
+    val closingAll = adjO.select(col("a"), explode(col("ns")).as("n"))
+    val tri = if (packedOk) {
+      val closing = closingAll
+        .select((col("a") * lit(1L << 32) + col("n.b")).as("wk"))
+      val closingSide =
+        if (nEdges <= 2000000L) broadcast(closing) else closing
+      wedges
+        .select(col("a"), col("w1"), col("w2"),
+          (col("w1") * lit(1L << 32) + col("w2")).as("wk"))
+        .join(closingSide, Seq("wk"))
+        .select(col("a"), col("w1"), col("w2"))
+    } else {
+      val closing = closingAll
+        .select(col("a").as("w1"), col("n.b").as("w2"))
+      val closingSide =
+        if (nEdges <= 2000000L) broadcast(closing) else closing
+      wedges.join(closingSide, Seq("w1", "w2"))
+        .select(col("a"), col("w1"), col("w2"))
+    }
     // one explode, NOT a 3-way union of corner projections: Union legs are
     // separate plan subtrees, so the union spelling re-executed the whole
     // wedge join + closing probe once PER CORNER (3× the dominant cost —
@@ -900,11 +1100,13 @@ object GraphOps {
          }.mkString(",\n")}
        |SELECT node AS part_id, dist FROM r$BfsRounds
        |ORDER BY part_id""".stripMargin, bench = true) { (s, d) =>
-    // grouped symmetric adjacency (the r20 copurchaseAdjacency shape):
-    // sym grouped by its src, built fused from the baskets — rounds
-    // join O(|V|) rows and re-expand edges with one map-side explode
-    val adj = copurchaseAdjacency(s, d).localCheckpoint(true)
-    var dist = adj.select(col("node"))
+    // grouped symmetric adjacency (the r20 copurchaseAdjacency shape),
+    // degree-chunked + checkpointed once (r21 — materializeChunked);
+    // rounds join the frontier and re-expand edges with one map-side
+    // explode
+    val info = materializeChunked(copurchaseAdjacency(s, d))
+    val adj = info.grouped
+    var dist = adj.filter(col("ci") === 0).select(col("node"))
       .filter(col("node") % BfsSeedMod === 0)
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
@@ -918,25 +1120,28 @@ object GraphOps {
     // spelling is kept for the round-cost asymptotics (rounds 2+ shuffle
     // frontier×degree, not |labeled|×degree — at 100 TB the full-relation
     // spelling re-shuffles the whole labeled set every round).
-    // per-round join strategy: the frontier (O(|V|) rows) broadcasts
-    // while the node count fits the b157 cap, so the expand join probes
-    // the O(|V|)-row adjacency MAP-SIDE with no exchange at all (one
-    // O(1) driver scalar off the already-materialized checkpoint, fixed
-    // across rounds; past the cap the rounds fall back to a node-keyed
-    // shuffled join — the same O(|E|)-bytes-per-round Pregel class)
-    val bfsGraphSmall = adj.count() <= LpaBroadcastMaxNodes
-    def frontierSide(df: DataFrame): DataFrame =
+    // BFS stays PUSH-shaped where LPA/PPR went pull (r21 A/B at
+    // sf0.1/32: pull probes all |E| cells every round — 7.0 executor-
+    // CPU s — while the delta push explodes only frontier×degree, 1.7-3
+    // CPU s; a sparse-frontier algorithm must not pay a full-graph
+    // pass per round). Broadcast regime: the frontier joins map-side
+    // AND the seen set broadcasts into the anti-join (r21 — the
+    // shuffled anti was the round's only remaining exchange pair
+    // besides the expand aggregate; A/B 3.0 → 1.7 CPU). Past the cap
+    // both degrade to node-keyed shuffled joins — the Pregel class.
+    val bfsGraphSmall = info.nNodes <= LpaBroadcastMaxNodes
+    def capped(df: DataFrame): DataFrame =
       if (bfsGraphSmall) broadcast(df) else df
     var frontier = dist
     for (_ <- 1 to BfsRounds) {
-      val reached = adj.join(frontierSide(frontier), "node")
-        // dist+1 BEFORE the explode — the generate carries one long per
-        // edge instead of re-materializing the nbrs array per row
+      val reached = adj.join(capped(frontier), "node")
+        // dist+1 BEFORE the explode — the generate carries one long
+        // per edge instead of re-materializing the nbrs array per row
         .select((col("dist") + 1L).as("d1"), col("nbrs"))
         .select(col("d1"), explode(col("nbrs")).as("node"))
         .groupBy("node")
         .agg(min(col("d1")).as("dist"))
-      val fresh = reached.join(dist.select(col("node").as("seen")),
+      val fresh = reached.join(capped(dist.select(col("node").as("seen"))),
           col("node") === col("seen"), "left_anti")
         .localCheckpoint(true)
       dist = dist.unionByName(fresh).localCheckpoint(true)
@@ -999,40 +1204,111 @@ object GraphOps {
          |SELECT node, rank FROM r$PrIters WHERE rank > 0
          |ORDER BY node""".stripMargin
     }, bench = true) { (s, d) =>
-    // grouped symmetric adjacency (the r20 copurchaseAdjacency shape);
-    // nodes and out-degrees are FREE off it — the keys are distinct by
-    // construction and od = size(nbrs), so the separate nodes-distinct
-    // and outdeg aggregates (each a full O(|E|) pass) disappear
-    val adj = copurchaseAdjacency(s, d).localCheckpoint(true)
-    val nodes = adj.select(col("node"))
-    val nSeeds = nodes.filter(col("node") % BfsSeedMod === 0).count()
+    // grouped symmetric adjacency (the r20 copurchaseAdjacency shape),
+    // degree-chunked, and — in the broadcast regime — repartitioned to
+    // its size-earned width and persisted with hash(node) partitioning
+    // intact (r21, pullAdj); nodes and out-degrees are FREE off it —
+    // ci = 0 selects one row per node and od is the full pre-chunk
+    // degree
+    val info = materializeChunked(copurchaseAdjacency(s, d))
+    val pprGraphSmall = info.nNodes <= LpaBroadcastMaxNodes
+    val adj =
+      if (pprGraphSmall) pullAdj(info.grouped, info.totE) else info.grouped
+    val nodesOd = adj.filter(col("ci") === 0).select(col("node"), col("od"))
+    val nSeeds = nodesOd.filter(col("node") % BfsSeedMod === 0).count()
     require(nSeeds > 0, "seed set empty — PPR undefined")
     val restart = s"CASE WHEN node % $BfsSeedMod = 0" +
       s" THEN ${PrScale}L div ${nSeeds}L ELSE 0L END"
-    var rank = nodes.select(col("node"),
+    var rank = nodesOd.select(col("node"), col("od"),
       expr(s"CAST($restart AS BIGINT)").as("rank")).localCheckpoint(true)
-    // per-round join strategy (the b157/b207 convention): the rank side
-    // (O(|V|) rows) broadcasts while the node count fits the cap, so
-    // each round probes the O(|V|)-row adjacency MAP-SIDE and re-expands
-    // edges with one explode; past the cap the round is a node-keyed
-    // shuffled join — the same O(|E|)-bytes-per-round Pregel class
-    val pprGraphSmall = adj.count() <= LpaBroadcastMaxNodes
-    def shareSide(df: DataFrame): DataFrame =
-      if (pprGraphSmall) broadcast(df) else df
+    // Broadcast regime (node count ≤ the b157 cap): PULL rounds (r21,
+    // the b119 shape) — the broadcast side is the share table projected
+    // off the (node, od, rank) state, the inflow sum aggregates by the
+    // adjacency's own hash(node) key, and the restart/update left-join
+    // runs between two hash(node)-clustered sides: ZERO exchanges per
+    // round (was: the dst-keyed inflow exchange + the update join's
+    // node-side exchange; r21 A/B at sf0.1/32: 7.5 → 3.2 executor-CPU
+    // s — the round-1/2 sparse-sender waste of probing all |E| cells
+    // is outweighed by deleting every per-round exchange at the earned
+    // width). Past the cap: the push round — node-keyed join +
+    // dst-keyed map-combinable partial sums, the Pregel class.
     for (_ <- 1 to PrIters) {
-      val inflow = adj.join(shareSide(rank.filter(col("rank") > 0)), "node")
-        // share BEFORE the explode — one long per edge, not the array
-        .select(expr("rank div size(nbrs)").as("share"), col("nbrs"))
-        .select(col("share"), explode(col("nbrs")).as("inode"))
-        .groupBy("inode").agg(sum("share").as("inflow"))
-      rank = nodes
+      val inflow =
+        if (pprGraphSmall)
+          adj.select(col("node"), explode(col("nbrs")).as("u"))
+            .join(broadcast(rank.filter(col("rank") > 0)
+              .select(col("node").as("u"),
+                expr("rank div od").as("share"))), "u")
+            .groupBy(col("node"))
+            .agg(sum("share").as("inflow"))
+            .select(col("node").as("inode"), col("inflow"))
+        else
+          adj.join(rank.filter(col("rank") > 0).select("node", "rank"), "node")
+            // share BEFORE the explode — one long per edge, not the array
+            .select(expr("rank div od").as("share"), col("nbrs"))
+            .select(col("share"), explode(col("nbrs")).as("inode"))
+            .groupBy("inode").agg(sum("share").as("inflow"))
+      rank = nodesOd
         .join(inflow, col("node") === col("inode"), "left")
-        .select(col("node"),
+        .select(col("node"), col("od"),
           expr(s"CAST((15 * ($restart)) div 100" +
             " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)").as("rank"))
         .localCheckpoint(true)
     }
-    rank.filter(col("rank") > 0).orderBy("node")
+    if (pprGraphSmall) adj.unpersist(false)
+    rank.filter(col("rank") > 0).select(col("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  /** ONE round-body frame per iterative operator, over the materialized
+    * chunked co-purchase adjacency and a round-1 state — the plan-
+    * evidence hook behind the `plans/r21` `_round.txt` dumps (r20 VERDICT items
+    * 3/7: the committed query dumps show only the final round's
+    * ExistingRDD shape, so the round structure — grouped adjacency,
+    * broadcast lookup, exchange count — must be pinned by a dump of the
+    * loop body itself). Used by PlanDump's `graph_rounds` pseudo-name;
+    * not part of any declared query. */
+  private[graft] def roundFrames(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
+    val info = materializeChunked(copurchaseAdjacency(s, d))
+    val adj = pullAdj(info.grouped, info.totE)
+    val l = adj.groupBy("node")
+      .agg(min(array_min(col("nbrs"))).as("label")).localCheckpoint(true)
+    val lpaRound = argmaxLabel(
+      adj.select(col("node"), explode(col("nbrs")).as("u"))
+        .join(broadcast(l.select(col("node").as("u"), col("label"))), "u")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt")),
+      info.packedOk)
+    val nodesOd = adj.filter(col("ci") === 0).select(col("node"), col("od"))
+    val r0 = nodesOd
+      .select(col("node"), col("od"),
+        lit(PrScale / math.max(info.nNodes, 1L)).as("rank"))
+      .localCheckpoint(true)
+    val prRound = adj.select(col("node"), col("od"),
+        explode(col("nbrs")).as("u"))
+      .join(broadcast(r0.select(col("node").as("u"),
+        expr("rank div od").as("share"))), "u")
+      .groupBy(col("node"))
+      .agg(min(col("od")).as("od"), sum(col("share")).as("inflow"))
+    val pprRound = nodesOd
+      .join(prRound.select(col("node").as("inode"), col("inflow")),
+        col("node") === col("inode"), "left")
+      .select(col("node"), col("od"),
+        coalesce(col("inflow"), lit(0L)).as("inflow"))
+    // b207 keeps the PUSH delta round (see the b207 A/B note): frontier
+    // joins map-side, explode carries frontier×degree only, the expand
+    // aggregate exchanges, and the seen set broadcasts into the anti
+    val dist0 = info.grouped.filter(col("ci") === 0).select(col("node"))
+      .filter(col("node") % BfsSeedMod === 0)
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    val bfsRound = info.grouped.join(broadcast(dist0), "node")
+      .select((col("dist") + 1L).as("d1"), col("nbrs"))
+      .select(col("d1"), explode(col("nbrs")).as("node"))
+      .groupBy("node").agg(min(col("d1")).as("dist"))
+      .join(broadcast(dist0.select(col("node").as("seen"))),
+        col("node") === col("seen"), "left_anti")
+    Seq("b157_round" -> lpaRound, "b119_round" -> prRound,
+      "b231_round" -> pprRound, "b207_round" -> bfsRound)
   }
 
   val entries: Seq[Entry] =
