@@ -40,6 +40,29 @@ object PlanDump {
           Files.writeString(outDir.resolve(s"$rn.txt"), txt)
           println(s"[plandump] wrote $outDir/$rn.txt")
         }
+      } else if (n == "span_stages") {
+        // the default span-dedup path materializes its per-doc covered
+        // relation eagerly, so the entry plans show only the rebuild
+        // tail over an ExistingRDD; dump the LAZY twins (result-equal,
+        // pinned in CorpusCleanSpec) so the salted stats / dup-probe
+        // shape is pinned by artifact (the graph_rounds convention).
+        val docs = graft.llm.TextDedup.docsWithDups(spark, sfDir)
+        val frames = Seq(
+          "b93_span_stages_lazy" ->
+            graft.llm.SpanDedup.removeRepeatedSpans(docs,
+              materializeOcc = false),
+          "b244_span_stages_lazy" ->
+            graft.llm.SpanDedup.removeLongRepeats(
+              graft.sources.Tables.documents(spark, sfDir)
+                .select(org.apache.spark.sql.functions.col("doc_id"),
+                  org.apache.spark.sql.functions.col("text")),
+              materializeOcc = false))
+        for ((rn, df) <- frames) {
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(outDir.resolve(s"$rn.txt"), txt)
+          println(s"[plandump] wrote $outDir/$rn.txt")
+        }
       } else {
         val e = byName.getOrElse(n, sys.error(s"unknown query: $n"))
         val df = e.q(spark, sfDir)

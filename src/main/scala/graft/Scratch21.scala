@@ -2,12 +2,13 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Round-21 measurement scratch main (not part of the driver contract;
-  * inert at close). A/Bs the iterative round shapes on the real sf0.1
-  * co-purchase graph with executor-CPU accounting. */
+  * inert at close). Phase-decomposes the b270 release capstone's wall —
+  * the serial checkpoint chain is the target (VERDICT r21 item 1) — and
+  * A/Bs the b282 verify stage. */
 object Scratch21 {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,281 +32,129 @@ object Scratch21 {
           if (m != null) cpuNs.addAndGet(m.executorCpuTime)
         }
       })
-    def timed(label: String)(f: => Unit): Unit = {
-      // warm + 2 measured
-      f
-      val walls = (1 to 2).map { _ =>
-        val c0 = cpuNs.get; val t0 = System.nanoTime
-        f
-        val w = (System.nanoTime - t0) / 1e9
-        Thread.sleep(300)
-        (w, (cpuNs.get - c0) / 1e9)
-      }
-      val best = walls.minBy(_._1)
-      println(f"[scratch] $label%-28s wall ${best._1}%6.2f  cpu ${best._2}%6.2f")
+    def timed[A](label: String)(f: => A): A = {
+      val c0 = cpuNs.get; val t0 = System.nanoTime
+      val r = f
+      Thread.sleep(200)
+      println(f"[scratch] $label%-34s wall ${(System.nanoTime - t0) / 1e9}%6.2f" +
+        f"  cpu ${(cpuNs.get - c0) / 1e9}%6.2f")
+      r
     }
 
-    import org.apache.spark.storage.StorageLevel
-    val adjArr = graft.operators.GraphOps
-      .copurchaseAdjacency(spark, sfDir) // (node, nbrs)
+    val docsFull = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    // warmup: JIT + footers
+    docsFull.write.format("noop").mode("overwrite").save()
 
-    // ---- representation A: chunked arrays, per-round explode pull ----
-    def runA(): Unit = {
-      val adj = graft.operators.GraphOps.chunkAdj(adjArr)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      adj.count()
-      var l = adj.groupBy("node")
-        .agg(min(array_min(col("nbrs"))).as("label")).localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        l = adj.select(col("node"), explode(col("nbrs")).as("u"))
-          .join(broadcast(l.select(col("node").as("u"), col("label"))), "u")
-          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy("node")
-          .agg(max(col("cnt") * (1L << 32) +
-            (lit((1L << 32) - 1) - col("label"))).as("best"))
-          .select(col("node"),
-            (lit((1L << 32) - 1) - pmod(col("best"), lit(1L << 32))).as("label"))
-          .localCheckpoint(true)
+    // ---- occ width probe: estimate vs actual, and W A/B ----
+    if (sys.env.get("SCRATCH_OCC").nonEmpty) {
+      val docs = graft.llm.TextDedup.docsWithDups(spark, sfDir)
+      val occ = docs.withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), posexplode_outer(expr(
+          "transform(sequence(0, size(w) - 5), i -> array_join(slice(w, i + 1, 5), ' '))")))
+        .select(col("doc_id"), col("pos"), col("col").as("gram"))
+        .withColumn("salt",
+          pmod(xxhash64(col("doc_id"), col("pos")), lit(8)).cast("int"))
+      println(s"[scratch] occ estimate bytes = " +
+        occ.queryExecution.optimizedPlan.stats.sizeInBytes)
+      println(s"[scratch] docs estimate bytes = " +
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      for (w <- Seq(1, 2, 4, 8); pass <- 1 to 2) {
+        timed(s"  b93 e2e at W=$w pass $pass") {
+          // replicate the perDoc job + rebuild at width w
+          import org.apache.spark.storage.StorageLevel
+          val p = occ.repartition(w, col("gram"), col("salt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val stats = p.groupBy("gram", "salt").agg(
+              count(lit(1)).as("cnt"),
+              min(struct(col("doc_id"), col("pos"))).as("first"))
+            .groupBy("gram").agg(sum(col("cnt")).as("cnt"),
+              min(col("first")).as("first"))
+            .filter(col("cnt") > 1)
+            .select(col("gram"), col("first"),
+              explode(sequence(lit(0), lit(7))).as("salt"))
+          val dup = p.join(stats, Seq("gram", "salt"))
+            .filter(!(col("doc_id") === col("first.doc_id") &&
+              col("pos") === col("first.pos")))
+            .select(col("doc_id"), col("pos"))
+          val pd = dup.groupBy("doc_id")
+            .agg(collect_list(col("pos")).as("starts"))
+            .select(col("doc_id"), expr(
+              "array_distinct(flatten(transform(starts, p -> sequence(p, p + 4))))")
+              .as("cov"))
+            .localCheckpoint(true)
+          p.unpersist(false)
+          docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+            .join(pd, Seq("doc_id"), "left")
+            .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+              expr("transform(array_except(sequence(0, size(w) - 1), coalesce(cov, array())), i -> element_at(w, i + 1))").as("kw"))
+            .select(col("doc_id"), col("n_words"),
+              (col("n_words") - size(col("kw")).cast("long")).as("n_removed"),
+              array_join(col("kw"), " ").as("clean_text"))
+            .orderBy("doc_id")
+            .write.format("noop").mode("overwrite").save()
+        }
       }
-      adj.unpersist(true)
-    }
-
-    // ---- representation B: pre-exploded (node, od, u) rows, probe pull ----
-    def runB(): Unit = {
-      val ie = adjArr
-        .select(col("node"), size(col("nbrs")).cast("long").as("od"),
-          explode(col("nbrs")).as("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ie.count()
-      var l = ie.groupBy("node").agg(min(col("u")).as("label"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        l = ie
-          .join(broadcast(l.select(col("node").as("u"), col("label"))), "u")
-          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy("node")
-          .agg(max(col("cnt") * (1L << 32) +
-            (lit((1L << 32) - 1) - col("label"))).as("best"))
-          .select(col("node"),
-            (lit((1L << 32) - 1) - pmod(col("best"), lit(1L << 32))).as("label"))
-          .localCheckpoint(true)
-      }
-      ie.unpersist(true)
-    }
-
-    // ---- C: r20 push shape (localCheckpoint arrays, 2 exchanges/round) ----
-    def runC(): Unit = {
-      val adj = adjArr.localCheckpoint(true)
-      var l = adj.select(col("node"), array_min(col("nbrs")).as("label"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        l = adj.join(broadcast(l), "node")
-          .select(explode(col("nbrs")).as("dst"), col("label"))
-          .groupBy((col("dst") * (1L << 32) + col("label")).as("pk"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(shiftrightunsigned(col("pk"), 32).as("node"))
-          .agg(max(col("cnt") * (1L << 32) +
-            (lit((1L << 32) - 1) - pmod(col("pk"), lit(1L << 32)))).as("best"))
-          .select(col("node"),
-            (lit((1L << 32) - 1) - pmod(col("best"), lit(1L << 32))).as("label"))
-          .localCheckpoint(true)
-      }
+      spark.stop(); return
     }
 
-    // ---- BFS shapes: delta-frontier push vs probe pull over B's relation --
-    def bfsPush(): Unit = {
-      val adj = adjArr.localCheckpoint(true)
-      var dist = adj.select(col("node"))
-        .filter(col("node") % 97 === 0).withColumn("dist", lit(0L))
-        .localCheckpoint(true)
-      var frontier = dist
-      for (_ <- 1 to 4) {
-        val reached = adj.join(broadcast(frontier), "node")
-          .select((col("dist") + 1L).as("d1"), col("nbrs"))
-          .select(col("d1"), explode(col("nbrs")).as("node"))
-          .groupBy("node").agg(min(col("d1")).as("dist"))
-        val fresh = reached.join(dist.select(col("node").as("seen")),
-            col("node") === col("seen"), "left_anti")
-          .localCheckpoint(true)
-        dist = dist.unionByName(fresh).localCheckpoint(true)
-        frontier = fresh
+    for (round <- 1 to 2) {
+      println(s"--- b270 phase decomposition, pass $round ---")
+      graft.functions.PolyFoldExpression.register(spark)
+      val docs = docsFull.select(col("doc_id"), col("text"))
+      // phase 1: span removal's eager per-doc covered relation + the
+      // hygiene chain checkpoint (rel) — hygieneRelease construction
+      // triggers the span jobs; the checkpoint pulls the rest
+      val rel = timed("hygiene: construct (span jobs)") {
+        graft.llm.CleanPipeline.hygieneRelease(docs)
       }
-    }
-    def bfsPullProbe(): Unit = {
-      val ie = adjArr
-        .select(col("node"), explode(col("nbrs")).as("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ie.count()
-      var dist = ie.select(col("node")).distinct()
-        .filter(col("node") % 97 === 0).withColumn("dist", lit(0L))
-        .localCheckpoint(true)
-      var frontier = dist
-      for (_ <- 1 to 4) {
-        val reached = ie
-          .join(broadcast(frontier.select(col("node").as("u"),
-            (col("dist") + 1L).as("d1"))), "u")
-          .groupBy("node").agg(min(col("d1")).as("dist"))
-        val fresh = reached.join(broadcast(dist.select(col("node").as("seen"))),
-            col("node") === col("seen"), "left_anti")
-          .localCheckpoint(true)
-        dist = dist.unionByName(fresh).localCheckpoint(true)
-        frontier = fresh
+      val relCk = timed("hygiene: rel localCheckpoint") {
+        rel.localCheckpoint(true)
       }
-      ie.unpersist(true)
-    }
-
-    // ---- decomposition: where does the LPA CPU go? -----------------
-    def buildOnly(): Unit = {
-      val ie = adjArr
-        .select(col("node"), size(col("nbrs")).cast("long").as("od"),
-          explode(col("nbrs")).as("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ie.count()
-      ie.unpersist(true)
-    }
-    def buildCheckpointOnly(): Unit = {
-      adjArr.localCheckpoint(true)
-    }
-    val iePersist = adjArr
-      .select(col("node"), size(col("nbrs")).cast("long").as("od"),
-        explode(col("nbrs")).as("u"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    iePersist.count()
-    val l1 = iePersist.groupBy("node").agg(min(col("u")).as("label"))
-      .localCheckpoint(true)
-    def oneRoundPull(): Unit = {
-      iePersist
-        .join(broadcast(l1.select(col("node").as("u"), col("label"))), "u")
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        .agg(max(col("cnt") * (1L << 32) +
-          (lit((1L << 32) - 1) - col("label"))).as("best"))
-        .select(col("node"),
-          (lit((1L << 32) - 1) - pmod(col("best"), lit(1L << 32))).as("label"))
-        .localCheckpoint(true)
-    }
-    def round1Only(): Unit = {
-      iePersist.groupBy("node").agg(min(col("u")).as("label"))
-        .localCheckpoint(true)
-    }
-
-    // ---- narrow-width variants: arrays repartitioned to k before persist
-    def runAk(k: Int): Unit = {
-      val adj = adjArr.repartition(k, col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      adj.count()
-      var l = adj.select(col("node"), array_min(col("nbrs")).as("label"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        l = adj.select(col("node"), explode(col("nbrs")).as("u"))
-          .join(broadcast(l.select(col("node").as("u"), col("label"))), "u")
-          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy("node")
-          .agg(max(col("cnt") * (1L << 32) +
-            (lit((1L << 32) - 1) - col("label"))).as("best"))
-          .select(col("node"),
-            (lit((1L << 32) - 1) - pmod(col("best"), lit(1L << 32))).as("label"))
-          .localCheckpoint(true)
+      // phase 2: the concurrent post-rel checkpoints (prevCount, fpPrev,
+      // leak, manifest, maxId) happen inside releaseReport; approximate
+      // by running the full report construction minus what phase 1 took
+      timed("releaseReport: construct+futures") {
+        val df = graft.llm.CorpusRelease.releaseReport(spark, docsFull)
+        timed("releaseReport: final job (noop)") {
+          df.write.format("noop").mode("overwrite").save()
+        }
       }
-      adj.unpersist(true)
-    }
-    def runBk(k: Int): Unit = {
-      val ie = adjArr.repartition(k, col("node"))
-        .select(col("node"), explode(col("nbrs")).as("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ie.count()
-      var l = ie.groupBy("node").agg(min(col("u")).as("label"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        l = ie
-          .join(broadcast(l.select(col("node").as("u"), col("label"))), "u")
-          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy("node")
-          .agg(max(col("cnt") * (1L << 32) +
-            (lit((1L << 32) - 1) - col("label"))).as("best"))
-          .select(col("node"),
-            (lit((1L << 32) - 1) - pmod(col("best"), lit(1L << 32))).as("label"))
-          .localCheckpoint(true)
+      // final-job decomposition over the already-checkpointed rel
+      val CR = graft.llm.CorpusRelease
+      val relsrc = timed("  relsrc join") {
+        relCk.join(docsFull.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("text"), col("source"))
       }
-      ie.unpersist(true)
-    }
-    def bfsPushBcastAnti(): Unit = {
-      val adj = adjArr.localCheckpoint(true)
-      var dist = adj.select(col("node"))
-        .filter(col("node") % 97 === 0).withColumn("dist", lit(0L))
-        .localCheckpoint(true)
-      var frontier = dist
-      for (_ <- 1 to 4) {
-        val reached = adj.join(broadcast(frontier), "node")
-          .select((col("dist") + 1L).as("d1"), col("nbrs"))
-          .select(col("d1"), explode(col("nbrs")).as("node"))
-          .groupBy("node").agg(min(col("d1")).as("dist"))
-        val fresh = reached.join(broadcast(dist.select(col("node").as("seen"))),
-            col("node") === col("seen"), "left_anti")
-          .localCheckpoint(true)
-        dist = dist.unionByName(fresh).localCheckpoint(true)
-        frontier = fresh
+      timed("  datasetCard (noop)") {
+        graft.llm.CorpusAnalytics.datasetCard(relsrc)
+          .write.format("noop").mode("overwrite").save()
       }
-    }
-
-    // ---- PPR round shapes --------------------------------------------
-    val restart = s"CASE WHEN node % 97 = 0 THEN 1000000000000L div 206L" +
-      " ELSE 0L END" // seed count approximated; shape A/B only
-    def pprPush(bcastUpdate: Boolean): Unit = {
-      val adj = adjArr
-        .select(col("node"), size(col("nbrs")).cast("long").as("od"), col("nbrs"))
-        .localCheckpoint(true)
-      val nodesOd = adj.select(col("node"), col("od"))
-      var rank = nodesOd.select(col("node"), col("od"),
-        expr(s"CAST($restart AS BIGINT)").as("rank")).localCheckpoint(true)
-      for (_ <- 1 to 6) {
-        val inflow = adj.join(broadcast(rank.filter(col("rank") > 0)
-            .select(col("node"), col("rank"))), "node")
-          .select(expr("rank div od").as("share"), col("nbrs"))
-          .select(col("share"), explode(col("nbrs")).as("inode"))
-          .groupBy("inode").agg(sum("share").as("inflow"))
-        val inflowSide = if (bcastUpdate) broadcast(inflow) else inflow
-        rank = nodesOd
-          .join(inflowSide, col("node") === col("inode"), "left")
-          .select(col("node"), col("od"),
-            expr(s"CAST((15 * ($restart)) div 100" +
-              " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)").as("rank"))
-          .localCheckpoint(true)
+      timed("  version fp (noop)") {
+        relCk.select(expr(CR.rowFoldSpark).as("fp"))
+          .agg(expr("bit_xor(fp)")).write.format("noop").mode("overwrite").save()
       }
-    }
-    def pprPullNarrow(k: Int): Unit = {
-      val adj = adjArr
-        .select(col("node"), size(col("nbrs")).cast("long").as("od"), col("nbrs"))
-        .repartition(k, col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      adj.count()
-      val nodesOd = adj.select(col("node"), col("od"))
-      var rank = nodesOd.select(col("node"), col("od"),
-        expr(s"CAST($restart AS BIGINT)").as("rank")).localCheckpoint(true)
-      for (_ <- 1 to 6) {
-        val inflow = adj.select(col("node"), explode(col("nbrs")).as("u"))
-          .join(broadcast(rank.filter(col("rank") > 0)
-            .select(col("node").as("u"), expr("rank div od").as("share"))), "u")
-          .groupBy(col("node"))
-          .agg(sum("share").as("inflow"))
-          .select(col("node").as("inode"), col("inflow"))
-        rank = nodesOd
-          .join(inflow, col("node") === col("inode"), "left")
-          .select(col("node"), col("od"),
-            expr(s"CAST((15 * ($restart)) div 100" +
-              " + (85 * coalesce(inflow, 0L)) div 100 AS BIGINT)").as("rank"))
-          .localCheckpoint(true)
+      val prev = relCk.filter(col("doc_id") % 10 < CR.PublishedParts)
+      val fpPrev = CR.fpOf(prev).localCheckpoint(true)
+      val prevCount = prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true)
+      timed("  gateReport clean (noop)") {
+        CR.gateReport(relCk, fpPrev, prevCount, "clean")
+          .write.format("noop").mode("overwrite").save()
       }
-      adj.unpersist(true)
+      timed("  gateReport corr (noop)") {
+        CR.gateReport(relCk.unionByName(CR.plantOf(relCk)), fpPrev,
+          prevCount, "corrupted")
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("  manifest agg (noop)") {
+        graft.llm.ModelReady.modelReadyManifest(spark, relsrc)
+          .agg(countDistinct(col("seq_id")), count(lit(1)),
+            sum(col("n_toks")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      relCk.unpersist()
     }
-
-    timed("LPA A2 arrays k=2 pull")(runAk(2))
-    timed("LPA A4 arrays k=4 pull")(runAk(4))
-    timed("LPA A8 arrays k=8 pull")(runAk(8))
-    timed("BFS push broadcast-anti")(bfsPushBcastAnti())
-    timed("PPR push shuffled-update")(pprPush(false))
-    timed("PPR push broadcast-update")(pprPush(true))
-    timed("PPR pull narrow k=4")(pprPullNarrow(4))
     spark.stop()
   }
 }

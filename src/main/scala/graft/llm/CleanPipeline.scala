@@ -95,8 +95,23 @@ object CleanPipeline {
 
   /** The hygiene pipeline's engine side — stages 1-3 of b94 (span
     * removal → decontamination → exact dedup), returning the RELEASED
-    * corpus (doc_id, text). Shared by b94's rollup and B270's release
-    * capstone so the two cannot drift. Expects (doc_id, text). */
+    * corpus (doc_id, text), EAGERLY CHECKPOINTED (r21): every caller
+    * (b94's rollup, B270's release capstone, B272's two snapshots,
+    * B291's streamed gate, B297's calibration) fans the release out to
+    * at least two consumers or materializes it immediately, so the
+    * checkpoint lives here and the whole chain — span persist, stats,
+    * dup probe, per-doc rebuild, decontamination, dedup — executes as
+    * ONE job instead of a span-checkpoint job followed by a chain job
+    * (the r21 b270 phase probe measured the two-job shape at 2.7 + 1.5 s
+    * wall; the lazy-shared span relations release right after the
+    * checkpoint, so nothing persisted escapes). Shared by all five so
+    * they cannot drift. Expects (doc_id, text).
+    *
+    * NEGATIVE RESULT (r20 A/B at sf0.1/32, still binding): spreading
+    * the one-split parquet input across defaultParallelism before the
+    * span pass measured 4.1 -> 67-71 executor-CPU s — the span pass's
+    * own width now comes from the occ size rule inside
+    * [[SpanDedup.removeRepeatedSpansShared]]. */
   private[graft] def hygieneRelease(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // 1. span removal over the plain corpus; FULLY-DELETED docs drop out.
@@ -105,22 +120,12 @@ object CleanPipeline {
     // (its single empty token is never span-covered) but keeps its row in
     // the oracle's kept/cleaned CTEs, so it must survive here too.
     // cleaned is consumed twice (the decontamination gram explode and the
-    // survivor anti-join's left side). NEGATIVE RESULT (r7 same-JVM
-    // alternating A/B at sf0.1): localCheckpointing it measured ~5%
-    // SLOWER (min 4.02 vs 3.84 s) — the occ relation inside
-    // removeRepeatedSpans is already materialized, and writing the full
-    // cleaned TEXT costs more than re-running the residual gram-stats
-    // joins; don't re-try without a new A/B.
-    // NEGATIVE RESULT (r20 A/B at sf0.1/32): spreading the one-split
-    // parquet input across defaultParallelism before the span pass
-    // (MinHashLsh.spreadNarrowInput, hoping to parallelize the explode)
-    // measured 4.1 -> 67-71 executor-CPU s and equal-or-worse wall —
-    // the single-split map stage was NOT the cost; the repartition adds
-    // an exchange and pushes the span machinery's own shuffles from
-    // AQE-coalesced few-task stages to 32-task stages whose per-task
-    // constant dwarfs the row work at this SF. Don't re-try without a
-    // new A/B.
-    val cleaned = SpanDedup.removeRepeatedSpans(docs.select(col("doc_id"), col("text")))
+    // survivor anti-join's left side); both consumers share the span
+    // pass's persisted per-doc covered relation, so the re-run is the
+    // cheap doc-keyed rebuild join only.
+    val (spanned, releaseSpan) =
+      SpanDedup.removeRepeatedSpansShared(docs.select(col("doc_id"), col("text")))
+    val cleaned = spanned
       .filter(col("n_removed") < col("n_words"))
       .select(col("doc_id"), col("clean_text").as("text"))
     // 2. decontamination on CLEANED text vs the original benchmark split
@@ -130,9 +135,12 @@ object CleanPipeline {
       .filter(col("contaminated")).select(col("doc_id"))
     val survivors = corpus.join(contaminated, Seq("doc_id"), "left_anti")
     // 3. exact dedup on the cleaned text, canonical min id
-    survivors.groupBy(col("text"))
+    val rel = survivors.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    releaseSpan()
+    rel
   }
 
   private val b94 = entry(

@@ -349,6 +349,10 @@ object CorpusAnalytics {
       docs.filter(col("doc_id") % 6 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"),
           lit("mirror").as("source"), col("text")))
+    // ADVICE r20: this spread input is a UNION, not a bare scan, so the
+    // width comes from a propagated (not scan-rooted) size estimate —
+    // harmless here because a union of two scan projections keeps
+    // additive sizeInBytes; see the spreadNarrowInput scaladoc caveat
     val hArr = MinHashLsh.spreadNarrowInput(aug.select(col("doc_id"), col("text")))
       .select(col("doc_id"), expr("shingle_hashes(text)").as("hs"))
       .filter(size(col("hs")) > 0)

@@ -219,12 +219,21 @@ object CorpusRelease {
 
   // ---- engine side ---------------------------------------------------
 
-  /** Per-segment (n, XOR) of a candidate's published partitions. */
-  private[graft] def fpOf(cand: DataFrame): DataFrame = cand
-    .filter(col("doc_id") % 10 < PublishedParts)
-    .select((col("doc_id") % 10).as("seg"), expr(rowFoldSpark).as("fp"))
-    .groupBy("seg")
-    .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").cast("long").as("fp"))
+  /** Per-segment (n, XOR) of a candidate's published partitions. A
+    * candidate already carrying a precomputed `fp` row-fold column uses
+    * it as-is (r21: the release fold is evaluated ONCE into the rel
+    * checkpoint and reused by fpPrev/fpClean/fpCorr/version — the r20
+    * shape re-folded the full corpus text in each of those four legs,
+    * ~2 executor-CPU s per fold at sf0.1). */
+  private[graft] def fpOf(cand: DataFrame): DataFrame = {
+    val withFp =
+      if (cand.columns.contains("fp")) cand
+      else cand.withColumn("fp", expr(rowFoldSpark))
+    withFp.filter(col("doc_id") % 10 < PublishedParts)
+      .select((col("doc_id") % 10).as("seg"), col("fp"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").cast("long").as("fp"))
+  }
 
   /** The four gate legs over one release candidate (doc_id, text).
     * `fpPrev`/`prevCount` come from the CLEAN release's published
@@ -308,28 +317,51 @@ object CorpusRelease {
     graft.functions.PolyFoldExpression.register(s)
     // the release fans out to card, manifest, version, and every gate
     // leg of both candidates — materialize the hygiene chain ONCE
+    // (hygieneRelease checkpoints internally since r21)
     val rel = CleanPipeline.hygieneRelease(docs.select(col("doc_id"),
-      col("text"))).localCheckpoint(true)
+      col("text")))
     val relsrc = rel.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("text"), col("source"))
-    val prev = rel.filter(col("doc_id") % 10 < PublishedParts)
     val withH = rel.withColumn("h", expr(hSpark("doc_id")))
     val trClean = withH.filter(col("h") < TrainBp).select("doc_id", "text")
     val ev = withH.filter(col("h") >= TrainBp).select("doc_id", "text")
     val plants = plantOf(rel)
-    val corr = rel.unionByName(plants)
-    // The post-rel checkpoints are mutually independent one-row /
-    // catalog-sized materializations; build them CONCURRENTLY (guide
-    // §2.6 — overlap independent jobs) so their walls overlap instead
-    // of serializing at DataFrame-construction time. Contents are
-    // deterministic; only job submission order changes.
+    // The post-rel materializations are mutually independent one-row /
+    // catalog-sized checkpoints; build them CONCURRENTLY (guide §2.6 —
+    // overlap independent jobs) so their walls overlap instead of
+    // serializing at DataFrame-construction time. Contents are
+    // deterministic; only job submission order changes. r21 widened the
+    // pool to everything the final report consumes — the row-fold
+    // relation, the dataset card, the manifest rollup, the leakage legs
+    // — so the report action itself is a union of small checkpointed
+    // legs (the r20 shape left the card, the version fold and both
+    // candidates' fpOf folds in the final action: ~7 executor-CPU s of
+    // re-folded corpus text and a serial stage chain).
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // ADVICE r20: the corrLeak decomposition below counts clean-train
+    // and plants-only failures separately, which equals one overlap
+    // pass over their union ONLY if plant ids (doc_id + PlantBase)
+    // never collide with clean ids — a collision would merge two docs'
+    // grams in the union counting but count two docs here. Check the
+    // headroom (the b244/b282 guard class); rel is checkpointed, so
+    // this is one cheap concurrent scan, off the serial path.
+    val fMaxId = Future(Option(rel.agg(max(col("doc_id"))).head()
+      .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L))
     val fPrevCount = Future(
-      prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true))
-    val fFpPrev = Future(fpOf(prev).localCheckpoint(true))
+      rel.filter(col("doc_id") % 10 < PublishedParts)
+        .agg(count(lit(1)).as("n_prev")).localCheckpoint(true))
+    // the release row fold, evaluated ONCE (r21): fpPrev, fpClean,
+    // fpCorr and version:fingerprint all read the checkpointed fp
+    // column — the r20 shape re-folded the full corpus text in each of
+    // those four legs (~2 executor-CPU s per fold at sf0.1)
+    val fRelF = Future(
+      rel.withColumn("fp", expr(rowFoldSpark)).localCheckpoint(true))
+    val fFpPrev = fRelF.map(relF =>
+      fpOf(relF.filter(col("doc_id") % 10 < PublishedParts))
+        .localCheckpoint(true))
     // leakage machinery shared by BOTH candidates: the corrupted train
     // side is tr_clean ⊎ plants (disjoint ids; every plant hashes
     // train-side by construction) and its eval side is EXACTLY the
@@ -354,12 +386,25 @@ object CorpusRelease {
           sum(col("n_toks")).cast("long").as("n_tokens"))
         .localCheckpoint(true)
     }
-    val (prevCount, fpPrev, (cleanLeakFail, evGrams), man) =
+    val fCard = Future(CorpusAnalytics.datasetCard(relsrc)
+      .localCheckpoint(true))
+    val (prevCount, relF, fpPrev, (cleanLeakFail, evGrams), man, card,
+        relMaxId) =
       try (Await.result(fPrevCount, Duration.Inf),
+        Await.result(fRelF, Duration.Inf),
         Await.result(fFpPrev, Duration.Inf),
         Await.result(fLeak, Duration.Inf),
-        Await.result(fMan, Duration.Inf))
+        Await.result(fMan, Duration.Inf),
+        Await.result(fCard, Duration.Inf),
+        Await.result(fMaxId, Duration.Inf))
       finally pool.shutdown()
+    require(relMaxId < PlantBase,
+      s"b270 plant-id offset exhausted: max(doc_id) = $relMaxId >= " +
+        s"$PlantBase — the corrLeak decomposition's disjoint-id premise " +
+        "breaks; raise PlantBase in BOTH the entry and its oracle SQL")
+    // the corrupted candidate keeps the fp-column convention: plants
+    // fold their own (appended-token) text — ~1% of the rows
+    val corrF = relF.unionByName(plants.withColumn("fp", expr(rowFoldSpark)))
     val cleanLeak = trClean.agg(count(lit(1)).as("n_checked"))
       .crossJoin(broadcast(cleanLeakFail))
       .select(lit("leakage:train_heldout").as("check_id"),
@@ -373,7 +418,7 @@ object CorpusRelease {
       .select(lit("leakage:train_heldout").as("check_id"),
         (col("nc1") + col("nc2")).as("n_checked"),
         (col("f1") + col("f2")).as("n_failures"))
-    val info = CorpusAnalytics.datasetCard(relsrc)
+    val info = card
       .select(concat(lit("card:"), col("section"), lit(":"), col("metric"))
         .as("check_id"), col("value").cast("long").as("n_checked"))
       .unionByName {
@@ -384,7 +429,7 @@ object CorpusRelease {
           .unionByName(man.select(lit("manifest:n_tokens").as("check_id"),
             col("n_tokens").as("n_checked")))
       }
-      .unionByName(rel.select(expr(rowFoldSpark).as("fp"))
+      .unionByName(relF.select(col("fp"))
         .agg(expr("bit_xor(fp)").cast("long").as("v"))
         .select(lit("version:fingerprint").as("check_id"),
           col("v").as("n_checked")))
@@ -393,8 +438,8 @@ object CorpusRelease {
           col("v").as("n_checked")))
       .select(lit("release").as("candidate"), col("check_id"),
         col("n_checked"), lit(0L).as("n_failures"), lit("info").as("status"))
-    gateReport(rel, fpPrev, prevCount, "clean", Some(cleanLeak))
-      .unionByName(gateReport(corr, fpPrev, prevCount, "corrupted",
+    gateReport(relF, fpPrev, prevCount, "clean", Some(cleanLeak))
+      .unionByName(gateReport(corrF, fpPrev, prevCount, "corrupted",
         Some(corrLeak)))
       .unionByName(info)
       .orderBy("candidate", "check_id")
@@ -447,10 +492,19 @@ object CorpusRelease {
        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val prv = CleanPipeline
-      .hygieneRelease(docs.filter(col("doc_id") % 10 < PublishedParts))
-      .localCheckpoint(true)
-    val cnd = CleanPipeline.hygieneRelease(docs).localCheckpoint(true)
+    // the two snapshot releases are independent — build their
+    // checkpoints CONCURRENTLY (guide §2.6, the b270 pool convention)
+    // so the two hygiene chains' walls overlap instead of serializing
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fPrv = Future(CleanPipeline
+      .hygieneRelease(docs.filter(col("doc_id") % 10 < PublishedParts)))
+    val fCnd = Future(CleanPipeline.hygieneRelease(docs))
+    val (prv, cnd) =
+      try (Await.result(fPrv, Duration.Inf), Await.result(fCnd, Duration.Inf))
+      finally pool.shutdown()
     prv.select(col("doc_id"), col("text").as("p_text"))
       .join(cnd.select(col("doc_id"), col("text").as("c_text")),
         Seq("doc_id"), "full_outer")

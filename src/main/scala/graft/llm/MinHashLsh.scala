@@ -173,7 +173,16 @@ object MinHashLsh {
     * expressions that made per-doc work ~20× cheaper). The repartition
     * count stays PINNED (not AQE-coalescible) for the case that earns
     * it: when bytes say the single split genuinely holds many tasks'
-    * worth of text. */
+    * worth of text.
+    *
+    * Estimate-quality caveat (ADVICE r20): `stats.sizeInBytes` is exact
+    * only for scan-rooted plans; through unions/joins/generates it is a
+    * row-width extrapolation that can under- or over-shoot. Callers
+    * should pass scan-rooted (or scan-projection/union) plans; an
+    * UNDERestimate on a text-heavy derived input would silently keep it
+    * at native width (the r5 pathology this spread exists to fix), so a
+    * caller with a known-heavy derived input should repartition
+    * explicitly instead of relying on this gate. */
   private[graft] def spreadNarrowInput(docs: DataFrame): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val cur = docs.rdd.getNumPartitions

@@ -77,7 +77,15 @@ object SetSimJoin {
     // shingles by the order's sort key inside the doc-keyed window
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc prefix: first n − ⌈τ·n⌉ + 1 shingles in global order;
-    // materialized once — it feeds BOTH sides of the candidate join
+    // materialized once — it feeds BOTH sides of the candidate join.
+    // NEGATIVE RESULT (r21 A/B at sf0.1/32, min-of-5): replacing this
+    // doc-keyed rank window with a groupBy(doc_id) collect_list +
+    // array_sort + slice (the "window exchange → map" idea, VERDICT r20
+    // item 5) measured b145 3.04→4.62 wall / 3.35→4.50 executor-CPU s
+    // and b282 parity-to-worse — the window's codegen per-partition sort
+    // is CHEAPER than the non-codegen ObjectHashAggregate collect over
+    // the same posting rows. The window is doc-partitioned (state O(1)
+    // per row, never SinglePartition); don't re-try without a new A/B.
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
     val prefix = sh.join(dfreq, "shingle")

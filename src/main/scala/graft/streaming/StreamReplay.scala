@@ -1401,7 +1401,7 @@ object StreamReplay {
     graft.functions.PolyFoldExpression.register(s)
     val docs = graft.sources.Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-    val rel = graft.llm.CleanPipeline.hygieneRelease(docs).localCheckpoint(true)
+    val rel = graft.llm.CleanPipeline.hygieneRelease(docs) // checkpoints internally (r21)
     val prev = rel.filter(col("doc_id") % 10 < CR.PublishedParts)
     val prevCount = prev.agg(count(lit(1)).as("n_prev")).localCheckpoint(true)
     val fpPrev = CR.fpOf(prev).localCheckpoint(true)

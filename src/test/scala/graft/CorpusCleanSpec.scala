@@ -122,14 +122,23 @@ class CorpusCleanSpec extends AnyFunSuite {
       s"the overlap join shuffled the corpus side:\n$plan")
   }
 
-  test("B93 plan: first-occurrence selection is a two-phase partial aggregate, not a window") {
+  test("B93 plan: first-occurrence selection is a salted two-phase partial aggregate, not a window") {
+    // materializeOcc = false keeps the whole tree lazy so the plan pin
+    // sees the stats/dup stages (the default path materializes the
+    // per-doc covered relation eagerly); results are pinned equal above
     val plan = SpanDedup.removeRepeatedSpans(
-      TextDedup.docsWithDups(spark, sf)).queryExecution.sparkPlan.toString
+      TextDedup.docsWithDups(spark, sf), materializeOcc = false)
+      .queryExecution.sparkPlan.toString
     assert(plan.contains("partial_min"),
       s"per-gram first-occurrence lost its map-side partial aggregate:\n$plan")
     assert(!plan.contains("Window"),
       s"a window operator appeared in span removal (hot-gram sort risk):\n$plan")
+    // the r21 salt: both the stats key and the dup-probe join key carry
+    // the salt bucket, so a hot gram can never pin one task
+    assert(plan.contains("salt"),
+      s"the gram shuffle lost its salt bucket (hot-gram skew guard):\n$plan")
   }
+
 
   test("B93: untouched docs reassemble to their original text verbatim") {
     val docs = TextDedup.docsWithDups(spark, sf)
@@ -215,8 +224,20 @@ class CorpusCleanSpec extends AnyFunSuite {
 
   test("B244 plan: island coalescing windows are doc-partitioned, " +
     "never SinglePartition") {
-    val plan = SparkEntry.queries("b244_exact_substr_dedup")(spark, sf)
-      .queryExecution.executedPlan.toString
+    // the lazy spelling exposes the island window (the default path
+    // materializes the per-doc interval relation eagerly)
+    val plan = SpanDedup.removeLongRepeats(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      materializeOcc = false).queryExecution.sparkPlan.toString
+    assert(plan.contains("Window"), plan.take(1500))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
+
+  test("B244: materializeOcc is result-invisible (recompute path ≡ persisted path)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val a = SpanDedup.removeLongRepeats(docs).collect().map(_.toString).toSeq
+    val b = SpanDedup.removeLongRepeats(docs, materializeOcc = false)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "occurrence materialization changed b244 results")
   }
 }
